@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational operator surface: scan/filter/project, hash aggregation,
+  * joins (broadcast + shuffle), global sort + limit (top-k).
+  *
+  * The reference engine (gtoonstra/remap) has no relational operators at all
+  * — selection/projection live inside user `map` callbacks
+  * (`daemons/core/remap.py`, the example apps), grouping is its sorted-run
+  * shuffle (`daemons/core/module_reducer.py:44-96`), and joins simply do not
+  * exist (SURVEY.md §2.7). This module exposes the full declarative surface
+  * a user of the reference would have had to hand-write, as Catalyst plans:
+  * filters/projections push into the parquet scan, aggregates get map-side
+  * partial aggregation, small dimension joins broadcast.
+  */
+object Relational {
+
+  /** Exact sum of a double column, returned as double.
+    *
+    * Double addition is not associative, so a plain `sum(double)` differs in
+    * the last bits depending on partitioning/merge order — which breaks
+    * hash-comparison against any other engine. Casting to decimal first makes
+    * the aggregation exact (hence order-independent) in both Spark and the
+    * DuckDB oracle; the final cast back to double is a single deterministic
+    * rounding. This also mirrors what a production engine should do at 100 TB:
+    * money columns aggregate in fixed-point, not binary floating point.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** Order-independent average built from the exact decimal sum. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+  def davgSql(expr: String): String =
+    s"${dsumSql(expr)} / COUNT($expr)"
+
+  // --- q1_agg: flagship — TPC-H Q1 analog (scan → filter → hash agg) ------
+  // Remap analog: wordcount-style map+combiner+reduce over every lineitem
+  // row; here it is a single partial-agg + final-agg pair, no user code.
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-01-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${dsumSql("l_quantity")} AS sum_qty,
+      ${dsumSql("l_extendedprice")} AS sum_base_price,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+      ${davgSql("l_quantity")} AS avg_qty,
+      ${davgSql("l_extendedprice")} AS avg_price,
+      ${davgSql("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus"""
+
+  // --- q2_filter_agg: TPC-H Q6 analog (tight filter → single-row agg) -----
+  // Exercises predicate pushdown: all three filters reach the parquet scan.
+  def q2FilterAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  val q2FilterAggSql: String = s"""
+    SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""
+
+  // --- q3_join_agg: fact⋈fact⋈dim three-way join → agg --------------------
+  // customer (1.5k) broadcasts; orders⋈lineitem is the real shuffle join.
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  val q3JoinAggSql: String = s"""
+    SELECT c_mktsegment,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(DISTINCT o_orderkey) AS n_orders,
+      COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment"""
+
+  // --- q4_topk: global order + limit (TakeOrdered — no full sort) ---------
+  // o_orderkey tiebreak keeps the result deterministic for the oracle.
+  def q4TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q4TopKSql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10"""
+
+  // --- q5_join_region: snowflake dim chain, both joins broadcast ----------
+  def q5JoinRegion(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  val q5JoinRegionSql: String = s"""
+    SELECT r_name, COUNT(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name"""
+
+  /** Slice-1 query registry (grows in later commits). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"        -> q1Agg _,
+    "q2_filter_agg" -> q2FilterAgg _,
+    "q3_join_agg"   -> q3JoinAgg _,
+    "q4_topk"       -> q4TopK _,
+    "q5_join_region" -> q5JoinRegion _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg"        -> q1AggSql,
+    "q2_filter_agg" -> q2FilterAggSql,
+    "q3_join_agg"   -> q3JoinAggSql,
+    "q4_topk"       -> q4TopKSql,
+    "q5_join_region" -> q5JoinRegionSql,
+  )
+}

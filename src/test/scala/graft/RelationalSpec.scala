@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Relational
+
+class RelationalSpec extends GraftSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1_agg groups are the 6 returnflag×linestatus combos") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.length == 6)
+    val counts = rows.map(_.getAs[Long]("count_order"))
+    assert(counts.forall(_ > 0))
+    // exact-decimal sum must equal a driver-side exact recompute
+    val li = Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <= "2000-01-01")
+      .select("l_returnflag", "l_linestatus", "l_quantity").collect()
+    val expected = li.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))
+      assert(r.getAs[Double]("sum_qty") == expected(k), s"sum_qty mismatch for $k")
+    }
+  }
+
+  test("q4_topk is sorted desc with deterministic tiebreak") {
+    val rows = Relational.q4TopK(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("every registered query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
