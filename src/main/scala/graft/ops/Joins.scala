@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Relational.{dsum, dsumSql}
+
+/** Full join surface. The reference engine has NO join operator of any kind
+  * (SURVEY.md §2.7) — the closest it gets is co-grouping two datasets by
+  * routing map outputs to the same partition label. Here every join family
+  * is declarative so Catalyst picks broadcast-hash vs shuffled-hash vs
+  * sort-merge from statistics, and AQE can re-plan skew at runtime.
+  */
+object Joins {
+
+  // --- q6_semi_join: EXISTS as left-semi (no row multiplication) ----------
+  def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val q6SemiJoinSql: String = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)"""
+
+  // --- q7_anti_join: NOT EXISTS as left-anti -------------------------------
+  // Customers with no big-ticket order — the price filter keeps the result
+  // non-empty (every customer has at least one order in this data).
+  def q7AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q7AntiJoinSql: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)"""
+
+  // --- q8_outer_join: left outer preserving order-less customers ----------
+  def q8OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_spent"))
+  }
+
+  val q8OuterJoinSql: String = s"""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           COALESCE(${dsumSql("o_totalprice")}, 0.0) AS sum_spent
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey"""
+
+  // --- q16_range_join: equi key + date-range band --------------------------
+  // At scale: the equi key carries the shuffle; the range predicate is a
+  // post-join filter, so this stays a hash/SMJ join, not a cartesian.
+  def q16RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+              l("l_shipdate") >= o("o_orderdate") &&
+              l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_shipped_90d"),
+           dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val q16RangeJoinSql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n_shipped_90d,
+           ${dsumSql("l_extendedprice")} AS sum_price
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority"""
+
+  // --- q21_full_outer: customer vs supplier presence per nation -----------
+  def q21FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+              coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val q21FullOuterSql: String = """
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.nationkey = s.nationkey"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_semi_join"  -> q6SemiJoin _,
+    "q7_anti_join"  -> q7AntiJoin _,
+    "q8_outer_join" -> q8OuterJoin _,
+    "q16_range_join" -> q16RangeJoin _,
+    "q21_full_outer" -> q21FullOuter _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q6_semi_join"  -> q6SemiJoinSql,
+    "q7_anti_join"  -> q7AntiJoinSql,
+    "q8_outer_join" -> q8OuterJoinSql,
+    "q16_range_join" -> q16RangeJoinSql,
+    "q21_full_outer" -> q21FullOuterSql,
+  )
+}

@@ -146,13 +146,107 @@ object Relational {
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name"""
 
-  /** Slice-1 query registry (grows in later commits). */
+  // --- q12_distinct_agg: exact distinct counts per group ------------------
+  def q12DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+
+  val q12DistinctAggSql: String = """
+    SELECT l_returnflag,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps,
+      COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag"""
+
+  // --- q13_approx_distinct: HLL++ sketch (rows-only check; ScalaTest pins
+  // the relative error against the exact count) ----------------------------
+  def q13ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+           countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  // --- q14_cube / q15_rollup: grouping sets ---------------------------------
+  def q14Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val q14CubeSql: String = s"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ${dsumSql("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+  def q15Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val q15RollupSql: String = s"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+  // --- q20_setops: UNION ALL → INTERSECT → EXCEPT chain --------------------
+  def q20SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    val building  = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val highBal   = c.filter(col("c_acctbal") > 1000).select(col("c_custkey"))
+    val nation12  = c.filter(col("c_nationkey").isin(1, 2)).select(col("c_custkey"))
+    machinery.union(building).intersect(highBal).except(nation12)
+  }
+
+  // NB: SQL gives INTERSECT higher precedence than UNION/EXCEPT; the
+  // parens pin the same left-to-right shape as the DataFrame chain.
+  val q20SetOpsSql: String = """
+    SELECT c_custkey FROM (
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+       UNION ALL
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_nationkey IN (1, 2)) t"""
+
+  // --- q23_sql_subquery: SQL entry point + uncorrelated scalar subquery ---
+  // The threshold itself uses the exact-decimal average so both engines
+  // compare against the identical double.
+  def q23SqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(s"""
+      SELECT o_orderstatus, COUNT(*) AS n_big,
+             ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders
+      WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders)
+      GROUP BY o_orderstatus""")
+  }
+
+  val q23SqlSubquerySql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n_big,
+           ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders
+    WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders)
+    GROUP BY o_orderstatus"""
+
+  /** Query registry (grows in later commits). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"        -> q1Agg _,
     "q2_filter_agg" -> q2FilterAgg _,
     "q3_join_agg"   -> q3JoinAgg _,
     "q4_topk"       -> q4TopK _,
     "q5_join_region" -> q5JoinRegion _,
+    "q12_distinct_agg"   -> q12DistinctAgg _,
+    "q13_approx_distinct" -> q13ApproxDistinct _,
+    "q14_cube"      -> q14Cube _,
+    "q15_rollup"    -> q15Rollup _,
+    "q20_setops"    -> q20SetOps _,
+    "q23_sql_subquery" -> q23SqlSubquery _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -161,5 +255,10 @@ object Relational {
     "q3_join_agg"   -> q3JoinAggSql,
     "q4_topk"       -> q4TopKSql,
     "q5_join_region" -> q5JoinRegionSql,
+    "q12_distinct_agg" -> q12DistinctAggSql,
+    "q14_cube"      -> q14CubeSql,
+    "q15_rollup"    -> q15RollupSql,
+    "q20_setops"    -> q20SetOpsSql,
+    "q23_sql_subquery" -> q23SqlSubquerySql,
   )
 }

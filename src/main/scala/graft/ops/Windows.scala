@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Window functions. Absent in the reference (SURVEY.md §2.8) — its only
+  * frame-like behavior is the secondary sort at partition flush
+  * (`daemons/core/remap.py:132-139`). Windows subsume that idiom (per-group
+  * ordering + rank) and are the scalable form of per-group top-k: one
+  * shuffle on the partition key, no driver-side collection.
+  */
+object Windows {
+
+  // --- q9_window_topk: per-group top-k via row_number ---------------------
+  def q9WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+  }
+
+  val q9WindowTopKSql: String = """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+      FROM customer) t
+    WHERE rn <= 3"""
+
+  // --- q10_window_running: running sum + lag over a deterministic order ---
+  // The running sum goes through decimal so the prefix sums are exact and
+  // engine-independent (same reasoning as Relational.dsum).
+  def q10WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("run_spend",
+        sum(col("o_totalprice").cast(DecimalType(28, 6)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_seq"),
+              col("run_spend"), col("prev_price"))
+  }
+
+  val q10WindowRunningSql: String = """
+    SELECT o_custkey, o_orderkey,
+      CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend,
+      LAG(o_totalprice, 1) OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  // --- q11_window_rank: rank family over suppliers per nation -------------
+  def q11WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(spark, dir)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  val q11WindowRankSql: String = """
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+      CAST(RANK() OVER w AS INT) AS rnk,
+      CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_window_topk"    -> q9WindowTopK _,
+    "q10_window_running" -> q10WindowRunning _,
+    "q11_window_rank"   -> q11WindowRank _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q9_window_topk"    -> q9WindowTopKSql,
+    "q10_window_running" -> q10WindowRunningSql,
+    "q11_window_rank"   -> q11WindowRankSql,
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{Joins, Relational, Windows}
+
+class RelationalExtSpec extends GraftSuite {
+
+  test("q13 approx_count_distinct within 5% of exact") {
+    Relational.q13ApproxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("q20 set-op chain equals hand-computed set algebra") {
+    import org.apache.spark.sql.functions.col
+    val c = Tables.customer(spark, sf).collect()
+    def keys(p: org.apache.spark.sql.Row => Boolean) =
+      c.filter(p).map(_.getAs[Long]("c_custkey")).toSet
+    val expected =
+      ((keys(_.getAs[String]("c_mktsegment") == "MACHINERY") ++
+        keys(_.getAs[String]("c_mktsegment") == "BUILDING")) &
+        keys(_.getAs[Double]("c_acctbal") > 1000)) --
+        keys(r => Set(1, 2).contains(r.getAs[Int]("c_nationkey")))
+    val got = Relational.q20SetOps(spark, sf).collect()
+      .map(_.getAs[Long]("c_custkey")).toSet
+    assert(got == expected)
+  }
+
+  test("q9 per-group top-k emits at most 3 per segment, ranked") {
+    val rows = Windows.q9WindowTopK(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      val bals = sorted.map(_.getAs[Double]("c_acctbal"))
+      assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q8 left outer join preserves all customers") {
+    val nCust = Tables.customer(spark, sf).count()
+    assert(Joins.q8OuterJoin(spark, sf).count() == nCust)
+  }
+
+  test("events loader converts nanos ts to usable TimestampType") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    assert(ev.count() > 0)
+  }
+}
