@@ -1,5 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark: runs every registered query against
+  * SPARK_GRAFT_SF_DIR and emits one JSON line with per-query seconds.
+  *
+  * Harness details (each fixes a judged round-1 flaw):
+  *   - results sink to the `noop` datasource, not `count()`, so every
+  *     projected expression is actually evaluated (a `count()` lets Catalyst
+  *     prune unevaluated columns from projection-only queries);
+  *   - one untimed warmup pass pays session/codegen/JIT cost so timings are
+  *     comparable across rounds;
+  *   - failures are recorded per-query in an `errors` field and flip the
+  *     exit code — a broken query can no longer hide inside a green total;
+  *   - the JSON line is printed to stdout AND written to `bench_latest.json`
+  *     so the driver can parse it even when sbt log noise surrounds stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +23,43 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def exec(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // Warmup: flagship agg + one join, untimed.
+    try {
+      exec(ops.Relational.q1Agg(spark, sfDir))
+      exec(ops.Relational.q3JoinAgg(spark, sfDir))
+    } catch { case _: Throwable => () }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(SparkEntry.queries(name)(spark, sfDir))
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
+    println(line)
+    Files.writeString(Paths.get("bench_latest.json"), line + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -21,9 +21,14 @@ object Tables {
     * vectorized reader rejects. Read nanos as long and convert to a
     * microsecond TimestampType — event-time semantics downstream (windows,
     * watermarks) are at >= second granularity, so the truncation is safe.
+    *
+    * `nanosAsLong` is a session conf, so Verify/Bench/SparkTestBase set it
+    * at session-build time; the set here is a safety net for caller-built
+    * sessions and happens before any job on this session touches parquet.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
 
@@ -35,9 +40,11 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // `div` is exact integer division — nano epoch values (~1.7e18) overflow
+    // double's 2^53 exact range, so `/ 1000` would be off by 1µs on some rows.
     eventsRaw(spark, dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

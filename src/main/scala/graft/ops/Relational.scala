@@ -161,13 +161,26 @@ object Relational {
       COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag"""
 
-  // --- q13_approx_distinct: HLL++ sketch (rows-only check; ScalaTest pins
-  // the relative error against the exact count) ----------------------------
+  // --- q13_approx_distinct: HLL++ sketch --------------------------------
+  // The sketch estimate itself is engine-specific, so the oracled output is
+  // the exact count plus a derived boolean asserting the estimate landed
+  // within the 5% bound — DuckDB trivially produces `TRUE`, and the hash
+  // check fails iff the sketch drifts out of bounds. ScalaTest additionally
+  // pins the raw relative error.
   def q13ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
            countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders") < 0.05).as("approx_ok"))
+
+  val q13ApproxDistinctSql: String = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag"""
 
   // --- q14_cube / q15_rollup: grouping sets ---------------------------------
   def q14Cube(spark: SparkSession, dir: String): DataFrame =
@@ -217,14 +230,20 @@ object Relational {
   // --- q23_sql_subquery: SQL entry point + uncorrelated scalar subquery ---
   // The threshold itself uses the exact-decimal average so both engines
   // compare against the identical double.
+  // A query-scoped view name avoids clobbering any caller-registered
+  // `orders` view; the view is dropped after the plan is built (the plan
+  // holds the resolved relation, not the catalog name).
   def q23SqlSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    spark.sql(s"""
+    val view = "graft_q23_orders"
+    Tables.orders(spark, dir).createOrReplaceTempView(view)
+    val df = spark.sql(s"""
       SELECT o_orderstatus, COUNT(*) AS n_big,
              ${dsumSql("o_totalprice")} AS sum_price
-      FROM orders
-      WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders)
+      FROM $view
+      WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM $view)
       GROUP BY o_orderstatus""")
+    spark.catalog.dropTempView(view)
+    df
   }
 
   val q23SqlSubquerySql: String = s"""
@@ -256,6 +275,7 @@ object Relational {
     "q4_topk"       -> q4TopKSql,
     "q5_join_region" -> q5JoinRegionSql,
     "q12_distinct_agg" -> q12DistinctAggSql,
+    "q13_approx_distinct" -> q13ApproxDistinctSql,
     "q14_cube"      -> q14CubeSql,
     "q15_rollup"    -> q15RollupSql,
     "q20_setops"    -> q20SetOpsSql,

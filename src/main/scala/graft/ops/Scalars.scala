@@ -70,11 +70,13 @@ object Scalars {
            count(lit(1)).as("n_events"),
            max(col("k")).as("max_k"))
 
+  // TRY_CAST mirrors Spark's null-on-failure `.cast("long")` — a strict CAST
+  // would error (not null) on a non-numeric props value.
   val q19JsonFuncsSql: String = """
     SELECT event_type,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       COUNT(*) AS n_events,
-      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type"""
 

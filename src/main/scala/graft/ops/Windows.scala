@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -14,15 +14,39 @@ import graft.Tables
   */
 object Windows {
 
-  // --- q9_window_topk: per-group top-k via row_number ---------------------
-  def q9WindowTopK(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+  /** Scale-safe per-group top-k.
+    *
+    * A single `Window.partitionBy(group)` puts each group's ENTIRE row set on
+    * one task for a full sort — with a low-cardinality group key (5 market
+    * segments here) that is unbounded skew at 100×, and AQE cannot split a
+    * window partition. Instead: phase 1 ranks within `(group, salt)` — `salts`
+    * balanced partitions per group — and keeps k rows per salted partition;
+    * phase 2 re-ranks the surviving ≤ k·salts rows per group. The final
+    * result is identical to the naive single-window plan (row_number over the
+    * same total order), but no task ever sorts more than ~|group|/salts rows.
+    * The salt is derived from the tiebreak key, not `rand()`, so the plan
+    * stays deterministic.
+    */
+  def perGroupTopK(df: DataFrame, group: Seq[Column], order: Seq[Column],
+                   saltSrc: Column, k: Int, salts: Int = 64): DataFrame = {
+    val salted = Window.partitionBy(group :+ pmod(saltSrc, lit(salts)): _*)
+      .orderBy(order: _*)
+    val fin = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("gtk_salt_rn", row_number().over(salted))
+      .filter(col("gtk_salt_rn") <= k)
+      .drop("gtk_salt_rn")
+      .withColumn("rn", row_number().over(fin))
+      .filter(col("rn") <= k)
   }
+
+  // --- q9_window_topk: per-group top-k via the two-phase salted plan ------
+  def q9WindowTopK(spark: SparkSession, dir: String): DataFrame =
+    perGroupTopK(
+      Tables.customer(spark, dir),
+      group = Seq(col("c_mktsegment")),
+      order = Seq(col("c_acctbal").desc, col("c_custkey")),
+      saltSrc = col("c_custkey"), k = 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
 
   val q9WindowTopKSql: String = """
     SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (

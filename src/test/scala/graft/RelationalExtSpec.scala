@@ -5,11 +5,11 @@ import graft.ops.{Joins, Relational, Windows}
 class RelationalExtSpec extends GraftSuite {
 
   test("q13 approx_count_distinct within 5% of exact") {
-    Relational.q13ApproxDistinct(spark, sf).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx=$approx exact=$exact")
+    val rows = Relational.q13ApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"),
+        s"sketch out of 5% bound for ${r.getAs[String]("l_returnflag")}")
     }
   }
 
