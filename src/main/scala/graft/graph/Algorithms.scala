@@ -1,0 +1,139 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's two golden vertex programs on the [[Pregel]] loop. */
+object Algorithms {
+
+  /** PageRank with the reference's exact update rule
+    * (`/root/reference/examples/pagerank/pagerank.py:28-45`):
+    * `val = (1-d)/N + d * Σ incoming`, message = `val / outdeg`, fixed
+    * iteration cap (superstep 30 in the example). Dangling vertices send
+    * nothing (the reference would divide by zero — `pagerank.py:41`; we
+    * simply emit no message, the standard fix).
+    *
+    * @param vertices `id` column (any numeric/string type)
+    * @param edges    `src`, `dst`; parallel edges count multiply, exactly
+    *                 like duplicate entries in the reference's out-list
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val n = vertices.count()
+    val outdeg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val v0 = vertices.select(col("id"))
+      .join(outdeg, Seq("id"), "left_outer")
+      .select(col("id"), lit(1.0 / n).as("val"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    Pregel.run(
+      v0, edges, maxIter = iters,
+      sendMsg = col("val") / col("outdeg"),
+      mergeMsg = sum,
+      vprog = (df, _) => df.select(
+        col("id"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("msg"), lit(0.0))).as("val"),
+        col("outdeg")))
+      .select(col("id"), col("val").as("pagerank"))
+  }
+
+  /** Max-value propagation — the "highest" example
+    * (`/root/reference/examples/highest/highest.py:26-43`): each vertex
+    * keeps the max of its value and incoming messages, forwards its value,
+    * votes halt when nothing changed. On a connected graph this converges
+    * to the global max — which is exactly what the q33 oracle asserts.
+    *
+    * @param vertices `id` + long `value`
+    */
+  def maxValuePropagation(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 50): PregelResult =
+    Pregel.runWithStats(
+      vertices, edges, maxIter,
+      sendMsg = col("value"),
+      mergeMsg = max,
+      vprog = (df, _) => df.select(
+        col("id"),
+        greatest(col("value"), coalesce(col("msg"), col("value"))).as("value"),
+        // halt unless a strictly greater value arrived (highest.py:29-33)
+        coalesce(col("msg") <= col("value"), lit(true)).as("halt")))
+
+  // --------------------------------------------------------------- queries
+
+  /** Deterministic 25-node graph derived from `nation`: every node i has
+    * out-edges i→(i+1)%25 and i→(3i+7)%25 (the second map is a bijection
+    * since gcd(3,25)=1, so in-degree is 2 everywhere; node 22 emits a
+    * parallel pair — deliberately, to pin multiset edge semantics). */
+  private def nationEdges(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    nat.select(col("n_nationkey").as("src"),
+        pmod(col("n_nationkey") + 1, lit(25)).as("dst"))
+      .union(nat.select(col("n_nationkey").as("src"),
+        pmod(col("n_nationkey") * 3 + 7, lit(25)).as("dst")))
+  }
+
+  /** Ring-only edges: i→(i+1)%25 — diameter 24, so q33 genuinely exercises
+    * ~25 supersteps of vote-to-halt rather than converging instantly. */
+  private def nationRing(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir).select(col("n_nationkey").as("src"),
+      pmod(col("n_nationkey") + 1, lit(25)).as("dst"))
+
+  val pageRankIters = 12
+
+  def q32PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.nation(spark, dir).select(col("n_nationkey").as("id"))
+    pageRank(v, nationEdges(spark, dir), pageRankIters)
+      .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+  }
+
+  /** Oracle: the same fixed-point iteration unrolled as chained CTEs —
+    * deterministic because every node's in-degree is 2 and two-term double
+    * addition is order-invariant; ROUND(6) absorbs last-bit literal
+    * differences. Generated, not hand-written, so Spark and SQL always
+    * agree on the iteration count. */
+  val q32PageRankSql: String = {
+    val prelude = """
+      WITH e AS (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * 3 + 7) % 25 FROM nation
+      ), d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT n_nationkey AS id, CAST(1.0 AS DOUBLE) / 25 AS val FROM nation)"""
+    val steps = (1 to pageRankIters).map { i =>
+      s""", r$i AS (
+        SELECT n.n_nationkey AS id,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 25 +
+               CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.val / d.outdeg), 0) AS val
+        FROM nation n
+        LEFT JOIN e ON e.dst = n.n_nationkey
+        LEFT JOIN r${i - 1} r ON r.id = e.src
+        LEFT JOIN d ON d.src = e.src
+        GROUP BY n.n_nationkey)"""
+    }.mkString
+    s"$prelude$steps\nSELECT id, ROUND(val, 6) AS pagerank FROM r$pageRankIters"
+  }
+
+  def q33MaxPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("id"),
+        col("n_nationkey").cast("long").as("value"))
+    maxValuePropagation(v, nationRing(spark, dir)).vertices
+  }
+
+  /** maxProp on a connected graph ≡ the global max at every vertex. */
+  val q33MaxPropagationSql: String = """
+    SELECT n_nationkey AS id,
+           (SELECT MAX(CAST(n_nationkey AS BIGINT)) FROM nation) AS value
+    FROM nation"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_pagerank"        -> q32PageRank _,
+    "q33_max_propagation" -> q33MaxPropagation _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q32_pagerank"        -> q32PageRankSql,
+    "q33_max_propagation" -> q33MaxPropagationSql,
+  )
+}

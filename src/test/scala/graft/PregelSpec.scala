@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Algorithms, Pregel}
+
+class PregelSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("maxValuePropagation on a connected graph equals agg(max)") {
+    val v = Seq((0L, 3L), (1L, 9L), (2L, 1L), (3L, 7L)).toDF("id", "value")
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val res = Algorithms.maxValuePropagation(v, e).vertices
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.values.toSet == Set(9L))
+    assert(res.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("vote-to-halt stops before maxIter on the ring") {
+    val v = Seq((0L, 5L), (1L, 2L), (2L, 8L)).toDF("id", "value")
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val res = Algorithms.maxValuePropagation(v, e, maxIter = 100)
+    assert(res.supersteps < 100, "should halt by vote, not iteration cap")
+    assert(res.vertices.select("value").as[Long].collect().forall(_ == 8L))
+  }
+
+  test("pageRank matches a hand-computed fixed point on a 4-node graph") {
+    // 0->1, 0->2, 1->2, 2->0, 3->2 (3 is a source; 0..2 strongly connected)
+    val edges = Seq((0, 1), (0, 2), (1, 2), (2, 0), (3, 2))
+    val v = Seq(0, 1, 2, 3).toDF("id")
+    val e = edges.toDF("src", "dst")
+    val iters = 12
+    // reference update rule computed in plain Scala
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var pr = Array.fill(4)(1.0 / 4)
+    for (_ <- 1 to iters) {
+      val msgs = Array.fill(4)(0.0)
+      for ((s, d) <- edges) msgs(d) += pr(s) / out(s)
+      pr = Array.tabulate(4)(i => 0.15 / 4 + 0.85 * msgs(i))
+    }
+    val got = Algorithms.pageRank(v, e, iters)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (i <- 0 to 3)
+      assert(math.abs(got(i) - pr(i)) < 1e-12, s"vertex $i: ${got(i)} vs ${pr(i)}")
+  }
+
+  test("pageRank mass is conserved when no vertex dangles") {
+    val total = Algorithms.q32PageRank(spark, sf)
+      .agg(sum("pagerank")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-3)
+  }
+
+  test("dynamic topology: adding an edge between supersteps changes reach") {
+    // G7 parity: edges are data — re-running with an extra edge row is the
+    // reference's subscribe() in DataFrame form.
+    val v = Seq((0L, 9L), (1L, 1L), (2L, 1L)).toDF("id", "value")
+    val e1 = Seq((0L, 1L)).toDF("src", "dst")
+    val r1 = Algorithms.maxValuePropagation(v, e1).vertices
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(2L) == 1L) // vertex 2 unreachable
+    val e2 = e1.union(Seq((1L, 2L)).toDF("src", "dst"))
+    val r2 = Algorithms.maxValuePropagation(v, e2).vertices
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(2L) == 9L) // now reached
+  }
+
+  test("lineage stays bounded across checkpoint cadence") {
+    // 30 supersteps with checkpointEvery=5 must not blow the plan up —
+    // this is the Pregel-lineage risk from SURVEY §7.
+    val v = Seq((0L, 0L), (1L, 0L)).toDF("id", "value")
+    val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val res = Pregel.run(
+      v, e, maxIter = 30,
+      sendMsg = col("value") + 1,
+      mergeMsg = max,
+      vprog = (df, _) => df.select(col("id"),
+        greatest(col("value"), coalesce(col("msg"), col("value"))).as("value")),
+      checkpointEvery = 5)
+    val vals = res.select("value").as[Long].collect()
+    assert(vals.forall(_ >= 29L))
+  }
+}
