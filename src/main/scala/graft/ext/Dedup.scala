@@ -1,0 +1,262 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Text
+
+/** Deduplication for LLM training-data pipelines: exact key-dedup,
+  * MinHash-LSH near-dedup, SimHash near-dedup, and exact n-gram Jaccard —
+  * all banded/bucketed designs that never form an all-pairs join.
+  *
+  * The reference has no dedup operator; its closest idiom is collation's
+  * `list(set(l))` combiner (`/root/reference/examples/collation/
+  * collation.py:18-19`). These are the north-star extensions from
+  * SURVEY.md §7 step 5.
+  */
+object Dedup {
+
+  /** Exact dedup: keep exactly one row per key — the row minimizing
+    * `tieBreak` — via `min_by` so the plan is a single hash aggregate with
+    * map-side partial aggregation. No window, no sort: at 100 TB a
+    * `Window.partitionBy(key)` would sort every key group, while `min_by`
+    * partial-aggregates to one struct per key per map task. */
+  def exactDedup(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val others = df.columns.toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*), col(tieBreak)).as("kept"))
+      .select(others.map(c => col(s"kept.$c").as(c)): _*)
+  }
+
+  /** Word n-gram shingles over the whitespace tokenizer; a document
+    * shorter than `n` tokens contributes its whole token string. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = Text.tokenize(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: k independent min-hashes of the shingle set.
+    * Hash j is `xxhash64(shingle, j)` — seeding by position replaces the
+    * classical (a·h+b) mod p family with no quality loss. */
+  def minHashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(sh, s => xxhash64(s, lit(j))))
+    }: _*)
+
+  /** LSH banding: k-length signatures cut into `bands` bands of k/bands
+    * rows; two documents are candidates iff some band hashes identically.
+    * Returns (id_a, id_b) candidate pairs from a bucket equi-join — the
+    * shuffle key is (band, bandHash), so cost scales with bucket sizes,
+    * never |docs|². Buckets larger than `maxBucket` are dropped: a bucket
+    * with thousands of members is a degenerate hash (boilerplate shingle)
+    * whose pairs would dominate cost while being verifiable from other
+    * bands. */
+  def lshCandidates(docs: DataFrame, id: String, sig: Column,
+                    bands: Int, maxBucket: Int = 10000): DataFrame = {
+    val withSig = docs.select(col(id), sig.as("sig"))
+    val r = size(col("sig")) / lit(bands) // rows per band, computed in-plan
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b),
+          slice(col("sig"), lit(b) * r.cast("int") + 1, r.cast("int"))).as("bh"))
+    }
+    val buckets = withSig
+      .select(col(id), explode(array(bandCols: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val capped = buckets.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    capped.as("l")
+      .join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col(s"l.$id") < col(s"r.$id"))
+      .select(col(s"l.$id").as("id_a"), col(s"r.$id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct n-gram shingle sets, attached to candidate
+    * pairs via two hash joins. Output: (id_a, id_b, inter, n_a, n_b,
+    * jaccard) — the integer columns make cross-engine comparison exact. */
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String,
+                            text: String, n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col(id).as("vid"),
+      array_distinct(shingles(col(text), n)).as("sh"))
+    pairs
+      .join(sets.as("sa"), col("id_a") === col("sa.vid"))
+      .join(sets.as("sb"), col("id_b") === col("sb.vid"))
+      .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .withColumn("n_a", size(col("sa.sh")))
+      .withColumn("n_b", size(col("sb.sh")))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash-LSH near-duplicate detection: shingle → signature → banded
+    * candidates → exact-Jaccard verification. */
+  /** Default banding k=64/b=32 (2 rows per band): candidate probability at
+    * the 0.8 threshold is 1−(1−0.8²)^32 ≈ 1−10⁻¹⁴ — k=32/b=8 (r=4) was
+    * measured to miss a boundary pair (j≈0.8) on the test corpus. */
+  def nearDupMinHash(docs: DataFrame, id: String, text: String,
+                     n: Int = 3, k: Int = 64, bands: Int = 32,
+                     threshold: Double = 0.8,
+                     maxBucket: Int = 10000): DataFrame = {
+    val withSig = docs.select(col(id),
+      minHashSignature(shingles(col(text), n), k).as("sig"))
+    val pairs = lshCandidates(withSig, id, col("sig"), bands, maxBucket)
+    verifyJaccard(pairs, docs, id, text, n, threshold)
+  }
+
+  /** Exact n-gram Jaccard via an inverted shingle index: explode distinct
+    * shingles, self-join on the shingle (only documents sharing a shingle
+    * ever pair — never all-pairs), count intersections per pair, then
+    * compute Jaccard from the per-doc set sizes. */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(id).as("doc_id"),
+      explode(array_distinct(shingles(col(text), n))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
+      .withColumn("n_a", col("za.sz").cast("int"))
+      .withColumn("n_b", col("zb.sz").cast("int"))
+      .withColumn("inter", col("inter").cast("int"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over the token multiset: per-bit weighted votes
+    * (+1/−1 per token occurrence by the token hash's bit), sign of the
+    * vote becomes the fingerprint bit. Explode + one hash aggregate — the
+    * 64 vote sums partial-aggregate map-side. */
+  def simHash(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tok = docs
+      .select(col(id), explode(Text.tokenize(col(text))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+      .select(col(id), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup: band the 64-bit fingerprint into eight 8-bit blocks
+    * (pigeonhole: hamming ≤ 7 ⇒ at least one block matches exactly),
+    * bucket-join on (block, value), gate on hamming distance, then verify
+    * with exact Jaccard like the other detectors. Eight narrow blocks
+    * trade bucket selectivity for a hamming-7 recall guarantee — the
+    * planted corpus near-dups sit at hamming 0–5; a wider-block layout
+    * (4×16) would need hamming ≤ 3 and provably misses them. */
+  def nearDupSimHash(docs: DataFrame, id: String, text: String,
+                     maxHamming: Int = 8, n: Int = 3,
+                     threshold: Double = 0.8): DataFrame = {
+    val fp = simHash(docs, id, text)
+    val blocks = fp.select(col(id), col("simhash"), explode(array(
+      (0 until 8).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("v"))): _*))
+      .as("bb"))
+      .select(col(id), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v"))
+    val pairs = blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
+          col(s"l.$id") < col(s"r.$id"))
+      .filter(bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= maxHamming)
+      .select(col(s"l.$id").as("id_a"), col(s"r.$id").as("id_b"))
+      .distinct()
+    verifyJaccard(pairs, docs, id, text, n, threshold)
+  }
+
+  // --------------------------------------------------------------- queries
+
+  // --- q27_exact_dedup: one canonical document per (lang, source) --------
+  def q27ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedup(
+      Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars"),
+      keys = Seq("lang", "source"), tieBreak = "doc_id")
+
+  val q27ExactDedupSql: String = """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1"""
+
+  /** Shared oracle for every near-dup detector: exact 3-gram Jaccard pairs
+    * at threshold 0.8, computed in DuckDB with the same inverted-index
+    * shape. The detectors (q31 MinHash-LSH, q41 SimHash) must recover this
+    * exact pair set on the fixed corpus — recall misses fail the hash
+    * compare, which is the point. */
+  val ngramJaccardOracleSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 3
+      UNION
+      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           CAST(p.inter AS INT) AS inter,
+           CAST(za.sz AS INT) AS n_a,
+           CAST(zb.sz AS INT) AS n_b,
+           ROUND(CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.id_a
+    JOIN sizes zb ON zb.doc_id = p.id_b
+    WHERE CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter) >= 0.8"""
+
+  // --- q35_ngram_jaccard: exact near-dup pairs (inverted index) -----------
+  def q35NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  // --- q31_minhash_lsh: banded MinHash near-dup ---------------------------
+  def q31MinHashLsh(spark: SparkSession, dir: String): DataFrame =
+    nearDupMinHash(Tables.documents(spark, dir), "doc_id", "text")
+
+  // --- q41_simhash: SimHash-banded near-dup -------------------------------
+  def q41SimHash(spark: SparkSession, dir: String): DataFrame =
+    nearDupSimHash(Tables.documents(spark, dir), "doc_id", "text")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_exact_dedup"   -> q27ExactDedup _,
+    "q31_minhash_lsh"   -> q31MinHashLsh _,
+    "q35_ngram_jaccard" -> q35NgramJaccard _,
+    "q41_simhash"       -> q41SimHash _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q27_exact_dedup"   -> q27ExactDedupSql,
+    "q31_minhash_lsh"   -> ngramJaccardOracleSql,
+    "q35_ngram_jaccard" -> ngramJaccardOracleSql,
+    "q41_simhash"       -> ngramJaccardOracleSql,
+  )
+}

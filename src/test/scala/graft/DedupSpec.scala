@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("exactDedup keeps exactly the min-tiebreak row per key") {
+    val df = Seq(
+      (3L, "a", "x"), (1L, "a", "y"), (2L, "b", "z"), (5L, "a", "w"))
+      .toDF("id", "k", "payload")
+    val out = Dedup.exactDedup(df, Seq("k"), "id")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getString(2))).toSet
+    assert(out == Set(("a", 1L, "y"), ("b", 2L, "z")))
+  }
+
+  test("shingles produce n-grams and degrade gracefully on short docs") {
+    val df = Seq("one two three four", "hi").toDF("t")
+    val sh = df.select(Dedup.shingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(sh(0) == Seq("one two three", "two three four"))
+    assert(sh(1) == Seq("hi"))
+  }
+
+  test("golden planted near-dup pair is found by all three detectors") {
+    // two near-identical docs (one word changed), two unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "red green blue cyan magenta yellow black white gray pink"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L))
+    assert(pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)) == expected)
+    assert(pairs(Dedup.nearDupMinHash(docs, "doc_id", "text", 3, 32, 8, 0.5)) == expected)
+    // short docs carry more per-bit vote noise than the corpus — open the
+    // hamming gate wide; the jaccard verification still does the filtering
+    assert(pairs(Dedup.nearDupSimHash(docs, "doc_id", "text", 24, 3, 0.5)) == expected)
+  }
+
+  test("MinHash-LSH recovers the exact-Jaccard pair set on the corpus") {
+    // recall check at sf0.001: banding (k=64, b=32) at threshold 0.8 must
+    // not miss a single true pair — this is what lets q31 share q35's oracle
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupMinHash(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+    // SimHash contract: never a false positive (jaccard verify), and the
+    // 8-block pigeonhole guarantees recall for pairs at hamming ≤ 7 — a
+    // short-doc pair can legitimately exceed that (more per-bit vote noise),
+    // so assert exactly the guarantee, not more.
+    val sim = Dedup.nearDupSimHash(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(p: (Long, Long)) = java.lang.Long.bitCount(fp(p._1) ^ fp(p._2))
+    assert(sim.subsetOf(exact))
+    val guaranteed = exact.filter(hamming(_) <= 7)
+    assert(guaranteed.subsetOf(sim),
+      s"pairs within the hamming-7 guarantee missed: ${guaranteed -- sim}")
+  }
+
+  test("simHash is 64-bit stable and near-dups have small hamming distance") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-dups are closer than unrelated docs; absolute distances are
+    // noisy on 10-token docs, the ordering is the invariant
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
+    // determinism across evaluations
+    val fp2 = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == fp2)
+  }
+
+  test("lsh bucket cap drops degenerate buckets") {
+    val docs = (1L to 50L).map(i => (i, "same same same text here")).toDF("doc_id", "text")
+    val sig = Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 32)
+    val withSig = docs.select(col("doc_id"), sig.as("sig"))
+    val capped = Dedup.lshCandidates(withSig, "doc_id", col("sig"), 8, maxBucket = 10)
+    assert(capped.count() == 0) // every bucket has 50 members > cap
+  }
+}
