@@ -1,0 +1,200 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Windows
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per the north-star brief:
+  *   - brute-force cosine top-k — the exactness baseline: broadcast the
+  *     query set, one scan of the corpus, salted two-phase top-k; no
+  *     shuffle of the corpus itself, so it scales to any corpus size
+  *     as long as the query set broadcasts;
+  *   - sign-LSH (random-hyperplane) bucketed ANN — the scale path when
+  *     the query set itself is large: both sides bucket by hyperplane
+  *     sign bits, candidates come only from matching (multiprobe)
+  *     buckets, so cost is per-bucket, never |corpus|×|queries|.
+  *
+  * All arithmetic is double (`Array[Float]` cast element-wise): Spark's
+  * `aggregate` folds sequentially, which makes the dot product
+  * deterministic and bit-identical to DuckDB's `list_dot_product` on the
+  * same doubles — ranks are computed on ROUND(cos, 6) with an id tiebreak
+  * so the cross-engine ordering is stable.
+  */
+object Similarity {
+
+  /** Element-wise cast to double — float accumulation would both drift
+    * from the oracle and lose precision at dim≫64. */
+  def vecAsDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product: deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query against every corpus vector,
+    * ranked per query on the rounded cosine. `queries` is broadcast — the
+    * corpus is never shuffled; the only shuffle is the two-phase top-k on
+    * (query, salt), so the plan survives a corpus 1000× larger. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+    Windows.perGroupTopK(pairs,
+      group = Seq(col("qid")),
+      order = Seq(col("cos").desc, col("vec_id")),
+      saltSrc = col("vec_id"), k = k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn").cast("int").as("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane components (explicit LCG — no dependence
+    * on JVM PRNG stream stability). */
+  private def hyperplane(plane: Int, dim: Int): Seq[Double] = {
+    var x = 0x9E3779B97F4A7C15L ^ (plane * 0xBF58476D1CE4E5B9L)
+    Seq.fill(dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 62) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-LSH bucket id: bit j = sign of ⟨v, hyperplane_j⟩. Nearby vectors
+    * (small angle) agree on most sign bits, so they collide in buckets. */
+  def signLshBucket(v: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { j =>
+      val h = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(v, h) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN cosine top-k: bucket both sides, probe the exact bucket plus all
+    * hamming-1 neighbors (multiprobe — recovers most boundary losses),
+    * rank candidates per query. Approximate by design: verified against
+    * the brute-force baseline by a recall test, not an oracle. */
+  def annCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    planes: Int = 6, dim: Int = 64): DataFrame = {
+    val bucketed = corpus.withColumn("bkt", signLshBucket(col("v"), planes, dim))
+    val probes = (0 until planes).map(j => lit(1 << j)).foldLeft(array(lit(0)))(
+      (acc, m) => concat(acc, array(m)))
+    val qb = queries
+      .withColumn("qbkt", signLshBucket(col("qv"), planes, dim))
+      .withColumn("probe", explode(probes))
+      .withColumn("bkt", col("qbkt").bitwiseXOR(col("probe")))
+      .drop("qbkt", "probe")
+    val pairs = bucketed.join(broadcast(qb), Seq("bkt"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+    Windows.perGroupTopK(pairs.dropDuplicates("qid", "vec_id"),
+      group = Seq(col("qid")),
+      order = Seq(col("cos").desc, col("vec_id")),
+      saltSrc = col("vec_id"), k = k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn").cast("int").as("rank"))
+  }
+
+  // --------------------------------------------------------------- queries
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+
+  private def queryVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), vecAsDouble(col("embedding")).as("qv"))
+
+  // --- q28_similarity_topk: exact cosine top-5 for 10 query vectors -------
+  def q28SimilarityTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopK(corpus(spark, dir), queryVecs(spark, dir), 5)
+
+  val q28SimilarityTopKSql: String = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+    p AS (SELECT qid, vec_id,
+                 ROUND(list_dot_product(qv, v) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                       6) AS cos
+          FROM q, v WHERE vec_id <> qid),
+    r AS (SELECT qid, vec_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM p)
+    SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 5"""
+
+  // --- q42_ann_topk: bucketed approximate variant (recall-tested) ---------
+  def q42AnnTopK(spark: SparkSession, dir: String): DataFrame =
+    annCosineTopK(corpus(spark, dir), queryVecs(spark, dir), 5)
+
+  // --- embedding-cosine near-dup (API; spec-tested with planted vectors) --
+  /** Vector pairs above a cosine threshold, found through sign-LSH buckets
+    * with hamming-1 multiprobe on one side — the embedding-space cousin of
+    * q31/q35, never an all-pairs join. Intended for genuine near-dups
+    * (cos ≥ ~0.9, small angles) where sign bits mostly agree; the test
+    * corpus has no such pairs (max pairwise cos ≈ 0.51), so this ships as
+    * an API with a planted-pair spec rather than a corpus query. */
+  def embeddingNearDup(corpus: DataFrame, threshold: Double,
+                       planes: Int = 6, dim: Int = 64): DataFrame = {
+    val b = corpus.withColumn("bkt", signLshBucket(col("v"), planes, dim))
+    val probes = (0 until planes).map(j => lit(1 << j)).foldLeft(array(lit(0)))(
+      (acc, m) => concat(acc, array(m)))
+    val probed = b.withColumn("probe", explode(probes))
+      .withColumn("bkt", col("bkt").bitwiseXOR(col("probe")))
+      .drop("probe")
+    b.as("l").join(probed.as("r"),
+        col("l.bkt") === col("r.bkt") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
+  // --- q43_ivf_label_pairs: IVF-style partitioned top pairs ---------------
+  // Inverted-file search with the `label` column as the coarse quantizer:
+  // pairs form only within a label partition (the IVF cell), top-3 most
+  // similar per cell. Exact within cells, so fully oracle-able — and the
+  // label-partitioned join is the shape an IVF index join has at scale.
+  def ivfLabelTopPairs(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vecAsDouble(col("embedding")).as("v"))
+    val pairs = b.as("l").join(b.as("r"),
+        col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.label").as("label"),
+        col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+    Windows.perGroupTopK(pairs,
+      group = Seq(col("label")),
+      order = Seq(col("cos").desc, col("id_a"), col("id_b")),
+      saltSrc = col("id_a"), k = k)
+      .select(col("label"), col("id_a"), col("id_b"), col("cos"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  def q43IvfLabelPairs(spark: SparkSession, dir: String): DataFrame =
+    ivfLabelTopPairs(spark, dir, 3)
+
+  val q43IvfLabelPairsSql: String = """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                       6) AS cos
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+    r AS (SELECT label, id_a, id_b, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                         ORDER BY cos DESC, id_a, id_b) AS INT) AS rank
+          FROM p)
+    SELECT label, id_a, id_b, cos, rank FROM r WHERE rank <= 3"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_similarity_topk" -> q28SimilarityTopK _,
+    "q42_ann_topk"        -> q42AnnTopK _,
+    "q43_ivf_label_pairs" -> q43IvfLabelPairs _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q28_similarity_topk" -> q28SimilarityTopKSql,
+    "q43_ivf_label_pairs" -> q43IvfLabelPairsSql,
+  )
+}
