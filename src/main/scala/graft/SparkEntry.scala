@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
       ops.Scalars.queries ++ ops.Text.queries ++ graph.Algorithms.queries ++
-      ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries
+      ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries ++
+      ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Joins.oracles ++ ops.Windows.oracles ++
       ops.Scalars.oracles ++ ops.Text.oracles ++ graph.Algorithms.oracles ++
-      ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles
+      ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles ++
+      ext.Multimodal.oracles
 }

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One media row: opaque payload + typed metadata. */
+final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
+                          width: Int, height: Int)
+
+/** Output of the (stubbed) decode + feature-extraction stage. */
+final case class MediaFeatures(doc_id: Long, n_bytes: Int, byte_sum: Long,
+                               mean_byte: Double, width: Int, height: Int,
+                               decoder: String)
+
+/** A sampled "frame": a fixed-size byte slice of the payload. */
+final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+/** Multimodal columns: image/audio/video as opaque `BinaryType` payloads
+  * with a typed metadata struct, plus the executor-side batch plumbing a
+  * real decode/feature-extract stage needs.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic stub — but everything Spark-side is real
+  * and tested: binary payload column, metadata struct with predicate
+  * pushdown on the scan, batched `mapPartitions` with the same batch shape
+  * `mapInPandas` would stream (iterator of fixed-size batches, one output
+  * row per input row), and frame sampling via byte-range slicing.
+  */
+object Multimodal {
+
+  /** `documents` lifted to a media table: payload = UTF-8 bytes of `text`
+    * (stand-in for real image/audio bytes), metadata derived
+    * deterministically so an oracle can recompute it. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(1008))).cast("int").as("width"),
+        (lit(16) + pmod(col("doc_id") * 13, lit(752))).cast("int").as("height"))
+        .as("meta"))
+
+  /** Batched decode + feature extraction — the `mapInPandas` shape in
+    * Scala: partitions stream through in `batchSize` groups so a real
+    * decoder could amortize model/codec setup per batch, and memory stays
+    * bounded by batch × payload size, not partition size. Byte statistics
+    * are computed for real; pixel decode is the stub. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // STUB: a real implementation decodes batch payloads here
+        // (e.g. JPEG → pixels) — codecs are unavailable in this
+        // environment, so dimensions pass through from metadata and only
+        // byte-level features are computed genuinely.
+        batch.iterator.map { m =>
+          val sum = m.payload.foldLeft(0L)((a, b) => a + (b & 0xFF))
+          MediaFeatures(m.doc_id, m.payload.length, sum,
+            if (m.payload.length == 0) 0.0 else sum.toDouble / m.payload.length,
+            m.width, m.height, "stub-v1")
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th `frameBytes`-sized slice of the
+    * payload — the byte-plumbing of video frame extraction. Pure
+    * `Column` expressions (substring on binary), stays in codegen. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media.select(col("doc_id"),
+      posexplode(
+        filter(
+          transform(
+            sequence(lit(0),
+              floor((length(col("payload")) - 1) / lit(frameBytes * stride)).cast("int")),
+            i => substring(col("payload"),
+              (i * frameBytes * stride + 1).cast("int"), lit(frameBytes))),
+          f => length(f) === frameBytes))
+        .as(Seq("frame_idx", "frame")))
+
+  // --- q34_multimodal_meta: metadata-side query, pushdown-friendly --------
+  // Filter + projection touch only metadata and payload length — at scale
+  // the parquet reader never materializes payload bytes for pruned rows.
+  def q34MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("meta.width") >= 256 && col("meta.mime") =!= "video/mp4")
+      .select(
+        col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("payload")).as("n_bytes"),
+        (col("meta.width").cast("long") * col("meta.height")).as("n_pixels"))
+
+  val q34MultimodalMetaSql: String = """
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                             WHEN 1 THEN 'audio/wav'
+                             ELSE 'video/mp4' END AS mime,
+             CAST(16 + (doc_id * 7) % 1008 AS INT) AS width,
+             CAST(16 + (doc_id * 13) % 752 AS INT) AS height,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      FROM documents)
+    SELECT doc_id, mime, width, height, n_bytes,
+           CAST(width AS BIGINT) * height AS n_pixels
+    FROM m
+    WHERE width >= 256 AND mime <> 'video/mp4'"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_multimodal_meta" -> q34MultimodalMeta _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q34_multimodal_meta" -> q34MultimodalMetaSql,
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{MediaRow, Multimodal}
+
+class MultimodalSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def media = Multimodal.mediaTable(spark, sf)
+
+  test("media table carries binary payload + typed metadata") {
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val r = media.filter(col("doc_id") === 0).head()
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[String]("mime") == "image/png") // 0 % 3
+    assert(meta.getAs[Int]("width") == 16 && meta.getAs[Int]("height") == 16)
+  }
+
+  test("feature extraction computes real byte statistics in batches") {
+    val ds = media.select(col("doc_id"), col("payload"),
+        col("meta.mime").as("mime"), col("meta.width").as("width"),
+        col("meta.height").as("height")).as[MediaRow]
+    val feats = Multimodal.extractFeatures(ds, batchSize = 16)
+      .collect().map(f => f.doc_id -> f).toMap
+    val doc0 = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val bytes = doc0.getBytes("UTF-8")
+    assert(feats(0L).n_bytes == bytes.length)
+    assert(feats(0L).byte_sum == bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)))
+    assert(feats(0L).decoder == "stub-v1")
+    assert(feats.size == media.count())
+  }
+
+  test("frame sampling slices payloads into fixed-size frames") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+    val f = frames.filter(col("doc_id") === 0).collect()
+    assert(f.nonEmpty)
+    f.foreach(r => assert(r.getAs[Array[Byte]]("frame").length == 16))
+    val idx = f.map(_.getAs[Int]("frame_idx")).sorted
+    assert(idx.head == 0 && idx.toSeq == (0 until f.length))
+  }
+
+  test("metadata filter prunes payload reads (pushdown-friendly projection)") {
+    val rows = Multimodal.q34MultimodalMeta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") >= 256)
+      assert(r.getAs[String]("mime") != "video/mp4")
+      assert(r.getAs[Long]("n_pixels") ==
+        r.getAs[Int]("width").toLong * r.getAs[Int]("height"))
+    }
+  }
+}
