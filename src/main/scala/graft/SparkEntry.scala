@@ -17,15 +17,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
-      ops.Scalars.queries ++ ops.Text.queries ++ graph.Algorithms.queries ++
+      ops.Scalars.queries ++ ops.Text.queries ++ ops.Collections.queries ++
+      graph.Algorithms.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries ++
-      ext.Multimodal.queries
+      ext.Multimodal.queries ++ streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Joins.oracles ++ ops.Windows.oracles ++
-      ops.Scalars.oracles ++ ops.Text.oracles ++ graph.Algorithms.oracles ++
+      ops.Scalars.oracles ++ ops.Text.oracles ++ ops.Collections.oracles ++
+      graph.Algorithms.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles ++
-      ext.Multimodal.oracles
+      ext.Multimodal.oracles ++ streaming.Streams.oracles
 }

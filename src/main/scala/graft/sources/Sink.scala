@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Result materialization — `TextReduceWriter` parity
+  * (`/root/reference/daemons/core/remap.py:178-188`: append `"k,v\n"` rows
+  * to `data/<out>/reduce_<partition>`). Spark's writer subsumes it: format
+  * choice instead of a writer class, `partitionBy` instead of the
+  * per-partition file naming, atomic job commit instead of raw appends.
+  * Parquet is the canonical sink (columnar, splittable, statistics);
+  * CSV/text exist for interop with the reference's downstream consumers.
+  */
+object Sink {
+
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               partitionBy: Seq[String] = Nil,
+               mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode).option("header", header.toString)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(path)
+  }
+
+  /** The literal `"k,v"` text-line sink of the reference. The caller
+    * guarantees keys contain no commas — the same (documented) constraint
+    * remap imposes (`remap.py:139`, split on first comma). */
+  def writeKvText(df: DataFrame, keyCol: String, valueCol: String,
+                  path: String, mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    df.select(concat_ws(",", col(keyCol), col(valueCol)).as("value"))
+      .write.mode(mode).text(path)
+  }
+}
