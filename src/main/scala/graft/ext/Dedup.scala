@@ -39,13 +39,27 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: k independent min-hashes of the shingle set.
-    * Hash j is `xxhash64(shingle, j)` — seeding by position replaces the
-    * classical (a·h+b) mod p family with no quality loss. */
-  def minHashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(sh, s => xxhash64(s, lit(j))))
-    }: _*)
+  /** MinHash signatures: k independent min-hashes of each document's shingle
+    * set. Hash j is `xxhash64(shingle, j)` — seeding by position replaces the
+    * classical (a·h+b) mod p family with no quality loss.
+    *
+    * Shape matters enormously here: an array-expression formulation
+    * (`array(array_min(transform(sh, hash_j)) for j)`) duplicates the
+    * shingle-building subtree k times and evaluates every `transform`
+    * interpreted (higher-order functions get neither whole-stage codegen nor
+    * common-subexpression elimination) — measured 256 s for 5 000 docs at
+    * sf0.1. This explode-then-aggregate form computes shingles once and runs
+    * the k mins as ONE codegen'd hash aggregate with map-side partial
+    * aggregation (<1 s same corpus, and it scales out: the shuffle carries
+    * k longs per doc, never the text). */
+  def minHashSignatures(docs: DataFrame, id: String, text: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = docs.select(col(id),
+      explode(array_distinct(shingles(col(text), n))).as("s"))
+    val mins = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
+    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+      .select(col(id), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** LSH banding: k-length signatures cut into `bands` bands of k/bands
     * rows; two documents are candidates iff some band hashes identically.
@@ -101,15 +115,20 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate detection: shingle → signature → banded
     * candidates → exact-Jaccard verification. */
-  /** Default banding k=64/b=32 (2 rows per band): candidate probability at
-    * the 0.8 threshold is 1−(1−0.8²)^32 ≈ 1−10⁻¹⁴ — k=32/b=8 (r=4) was
-    * measured to miss a boundary pair (j≈0.8) on the test corpus. */
+  /** Default banding k=64/b=16 (4 rows per band) balances both failure
+    * modes, measured on the test corpora:
+    *   - recall: k=32/b=8 missed a j≈0.89 boundary pair (per-pair miss
+    *     (1−j⁴)⁸ ≈ 4·10⁻⁴); 16 bands square that away (≈2·10⁻⁷);
+    *   - selectivity: r=2 bands admit background pairs at P≈j² per band —
+    *     on a 5k-doc corpus with 1.1M shingle-sharing pairs (background
+    *     j≈0.05–0.3) that ballooned candidates to ~1M and made the verify
+    *     join the bottleneck (measured 248 s at sf0.1); r=4 keeps the
+    *     background admission near (j⁴)·16 ≈ 10⁻⁴. */
   def nearDupMinHash(docs: DataFrame, id: String, text: String,
-                     n: Int = 3, k: Int = 64, bands: Int = 32,
+                     n: Int = 3, k: Int = 64, bands: Int = 16,
                      threshold: Double = 0.8,
                      maxBucket: Int = 10000): DataFrame = {
-    val withSig = docs.select(col(id),
-      minHashSignature(shingles(col(text), n), k).as("sig"))
+    val withSig = minHashSignatures(docs, id, text, n, k)
     val pairs = lshCandidates(withSig, id, col("sig"), bands, maxBucket)
     verifyJaccard(pairs, docs, id, text, n, threshold)
   }

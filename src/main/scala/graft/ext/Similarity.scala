@@ -29,9 +29,11 @@ object Similarity {
     * from the oracle and lose precision at dim≫64. */
   def vecAsDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product: deterministic summation order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd expression — same left-to-right
+    * summation order as a sequential fold (bit-identical to DuckDB's
+    * `list_dot_product`), but a primitive loop inside whole-stage codegen
+    * instead of an interpreted `aggregate(zip_with(...))` HOF. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -40,11 +42,15 @@ object Similarity {
   /** Brute-force cosine top-k: every query against every corpus vector,
     * ranked per query on the rounded cosine. `queries` is broadcast — the
     * corpus is never shuffled; the only shuffle is the two-phase top-k on
-    * (query, salt), so the plan survives a corpus 1000× larger. */
+    * (query, salt), so the plan survives a corpus 1000× larger. Norms are
+    * precomputed once per side (projections below the join), so the
+    * per-pair work is a single dot product, not three. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val pairs = corpus.crossJoin(broadcast(queries))
+    val pairs = corpus.withColumn("nv", norm(col("v")))
+      .crossJoin(broadcast(queries.withColumn("nq", norm(col("qv")))))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
     Windows.perGroupTopK(pairs,
       group = Seq(col("qid")),
       order = Seq(col("cos").desc, col("vec_id")),
@@ -84,9 +90,11 @@ object Similarity {
       .withColumn("probe", explode(probes))
       .withColumn("bkt", col("qbkt").bitwiseXOR(col("probe")))
       .drop("qbkt", "probe")
-    val pairs = bucketed.join(broadcast(qb), Seq("bkt"))
+    val pairs = bucketed.withColumn("nv", norm(col("v")))
+      .join(broadcast(qb.withColumn("nq", norm(col("qv")))), Seq("bkt"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
     Windows.perGroupTopK(pairs.dropDuplicates("qid", "vec_id"),
       group = Seq(col("qid")),
       order = Seq(col("cos").desc, col("vec_id")),
@@ -137,6 +145,7 @@ object Similarity {
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
                        planes: Int = 6, dim: Int = 64): DataFrame = {
     val b = corpus.withColumn("bkt", signLshBucket(col("v"), planes, dim))
+      .withColumn("nrm", norm(col("v")))
     val probes = (0 until planes).map(j => lit(1 << j)).foldLeft(array(lit(0)))(
       (acc, m) => concat(acc, array(m)))
     val probed = b.withColumn("probe", explode(probes))
@@ -145,7 +154,7 @@ object Similarity {
     b.as("l").join(probed.as("r"),
         col("l.bkt") === col("r.bkt") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+        round(dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }
@@ -158,11 +167,12 @@ object Similarity {
   def ivfLabelTopPairs(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val b = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val pairs = b.as("l").join(b.as("r"),
         col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.label").as("label"),
         col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+        round(dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 6).as("cos"))
     Windows.perGroupTopK(pairs,
       group = Seq(col("label")),
       order = Seq(col("cos").desc, col("id_a"), col("id_b")),

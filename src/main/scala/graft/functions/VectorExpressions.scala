@@ -1,0 +1,13 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.GraftVectorExpressions
+
+/** Graft-facing vector functions backed by native Catalyst expressions
+  * (implementation in `org.apache.spark.sql.graft` — see the packaging
+  * note there). */
+object VectorExpressions {
+  /** Codegen'd dot product over two Array[Double] columns; left-to-right
+    * summation order, bit-identical to a sequential fold. */
+  def dot(a: Column, b: Column): Column = GraftVectorExpressions.dot(a, b)
+}

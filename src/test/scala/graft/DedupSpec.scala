@@ -42,7 +42,7 @@ class DedupSpec extends GraftSuite {
   }
 
   test("MinHash-LSH recovers the exact-Jaccard pair set on the corpus") {
-    // recall check at sf0.001: banding (k=64, b=32) at threshold 0.8 must
+    // recall check at sf0.001: banding (k=64, b=16) at threshold 0.8 must
     // not miss a single true pair — this is what lets q31 share q35's oracle
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
@@ -86,8 +86,7 @@ class DedupSpec extends GraftSuite {
 
   test("lsh bucket cap drops degenerate buckets") {
     val docs = (1L to 50L).map(i => (i, "same same same text here")).toDF("doc_id", "text")
-    val sig = Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 32)
-    val withSig = docs.select(col("doc_id"), sig.as("sig"))
+    val withSig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 32)
     val capped = Dedup.lshCandidates(withSig, "doc_id", col("sig"), 8, maxBucket = 10)
     assert(capped.count() == 0) // every bucket has 50 members > cap
   }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+class VectorExpressionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** The HOF formulation the codegen expression replaces — kept here as the
+    * semantic reference: left-to-right sequential fold. */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("dot_product is bit-identical to the sequential-fold HOF form") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pairs = vecs.as("l").join(vecs.as("r"),
+        col("l.vec_id") < col("r.vec_id") && col("r.vec_id") < 40)
+      .select(col("l.v").as("a"), col("r.v").as("b"))
+    val mismatches = pairs.select(
+        VectorExpressions.dot(col("a"), col("b")).as("fast"),
+        hofDot(col("a"), col("b")).as("ref"))
+      // bit-identity, not tolerance: both must fold in the same order
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("dot_product handles empty arrays and null inputs") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])),
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+    val out = df.select(VectorExpressions.dot(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).getDouble(0) == 0.0)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("dot_product evaluates both codegen and interpreted paths") {
+    // interpreted path: eval via a filter on a literal-free comparison after
+    // disabling whole-stage codegen
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val expected = 32.0
+    assert(df.select(VectorExpressions.dot(col("a"), col("b"))).head().getDouble(0) == expected)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.select(VectorExpressions.dot(col("a"), col("b"))).head().getDouble(0) == expected)
+    }
+  }
+
+  private def withSQLConf(confs: (String, String)*)(f: => Unit): Unit = {
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
