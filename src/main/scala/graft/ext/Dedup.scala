@@ -186,10 +186,38 @@ object Dedup {
     * with exact Jaccard like the other detectors. Eight narrow blocks
     * trade bucket selectivity for a hamming-7 recall guarantee — the
     * planted corpus near-dups sit at hamming 0–5; a wider-block layout
-    * (4×16) would need hamming ≤ 3 and provably misses them. */
+    * (4×16) would need hamming ≤ 3 and provably misses them.
+    *
+    * Length stratification: a document with few tokens has too little
+    * per-bit vote signal for a stable 64-bit fingerprint (one changed word
+    * out of 11 flips many bits), so documents with ≤ `shortDocTokens`
+    * distinct shingles take the exact inverted-index path instead. That
+    * path is complete, and cheap by construction: Jaccard ≥ t bounds the
+    * partner's set size to shortDocTokens/t, so only docs that small join
+    * the index — the pair space is (short × short-ish), never (short ×
+    * corpus). Pairs where both sides exceed the cutoff go through SimHash,
+    * which has real signal there. The two emitted pair sets are disjoint
+    * (min side ≤ cutoff vs both > cutoff). */
   def nearDupSimHash(docs: DataFrame, id: String, text: String,
                      maxHamming: Int = 8, n: Int = 3,
-                     threshold: Double = 0.8): DataFrame = {
+                     threshold: Double = 0.8,
+                     shortDocTokens: Int = 24): DataFrame = {
+    val sized = docs.withColumn("__sz",
+      size(array_distinct(shingles(col(text), n))))
+    val partnerMax = math.floor(shortDocTokens / threshold).toInt
+    val exactShort =
+      ngramJaccardPairs(sized.filter(col("__sz") <= partnerMax).drop("__sz"),
+          id, text, n, threshold)
+        .filter(least(col("n_a"), col("n_b")) <= shortDocTokens)
+    val longDocs = sized.filter(col("__sz") > shortDocTokens).drop("__sz")
+    simHashPairs(longDocs, id, text, maxHamming, n, threshold)
+      .union(exactShort)
+  }
+
+  /** The raw SimHash detector over one stratum — see [[nearDupSimHash]]. */
+  private def simHashPairs(docs: DataFrame, id: String, text: String,
+                           maxHamming: Int, n: Int,
+                           threshold: Double): DataFrame = {
     val fp = simHash(docs, id, text)
     val blocks = fp.select(col(id), col("simhash"), explode(array(
       (0 until 8).map(b =>

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Relational.{dsum, dsumSql}
@@ -99,12 +100,83 @@ object Joins {
     FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
     ON c.nationkey = s.nationkey"""
 
+  // --- q44_asof_join: time-series as-of join ------------------------------
+  /** As-of join: attach to each left row the single most recent right row
+    * with right `ts` <= left `ts` on the same key — the time-series join
+    * Spark has no native operator for. Left rows with no preceding right
+    * row keep nulls (left-outer semantics).
+    *
+    * Shape: union both sides, ONE shuffle on the key, ONE sort per key on
+    * `(ts, side, tieBreak)` with rights ordered before lefts at equal ts
+    * (inclusive <=), then `last(right_payload, ignoreNulls)` over the
+    * running frame fills the latest right row forward. Never a per-key
+    * loop, a range cross-join, or an unbounded right broadcast — at 100 TB
+    * this is a single sort-merge pass; a hot key degrades to one in-partition
+    * sort, the same skew profile as any window (salt upstream if a key
+    * exceeds a task).
+    *
+    * @param tieBreak column present on BOTH sides ordering rows within an
+    *                 equal (key, ts); makes the filled value deterministic
+    * @param rightPayload right columns carried onto left rows (as `asof_*`)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               tieBreak: String, rightPayload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lStruct = struct(lCols.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+    val l2 = left.select(col(key).as("__k"), col(ts).as("__ts"),
+      col(tieBreak).as("__tb"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val r2 = right.select(col(key).as("__k"), col(ts).as("__ts"),
+      col(tieBreak).as("__tb"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.union(r2)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Each click event joined to the user's latest preceding purchase.
+    * Tie note: two purchases of one user in the same microsecond would be
+    * engine-ambiguous in the oracle's ASOF JOIN; the corpus timestamps are
+    * ns-grained so that never occurs. */
+  def q44AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    asOfJoin(clicks, purchases, key = "user_id", ts = "ts",
+      tieBreak = "event_id", rightPayload = Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts"), col("asof_value"))
+  }
+
+  // DuckDB's native ASOF JOIN — an independent implementation of the same
+  // semantics, which is exactly what makes it a strong oracle. CASTs map
+  // ns-parquet to the µs timestamps Spark computes (truncating, like
+  // `ts div 1000`).
+  val q44AsofJoinSql: String = """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type, value FROM events),
+    c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q6_semi_join"  -> q6SemiJoin _,
     "q7_anti_join"  -> q7AntiJoin _,
     "q8_outer_join" -> q8OuterJoin _,
     "q16_range_join" -> q16RangeJoin _,
     "q21_full_outer" -> q21FullOuter _,
+    "q44_asof_join" -> q44AsofJoin _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -113,5 +185,6 @@ object Joins {
     "q8_outer_join" -> q8OuterJoinSql,
     "q16_range_join" -> q16RangeJoinSql,
     "q21_full_outer" -> q21FullOuterSql,
+    "q44_asof_join" -> q44AsofJoinSql,
   )
 }

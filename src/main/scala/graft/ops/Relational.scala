@@ -182,6 +182,29 @@ object Relational {
            TRUE AS approx_ok
     FROM lineitem GROUP BY l_returnflag"""
 
+  // --- q46_percentiles: exact interpolated quantiles per group ------------
+  // `percentile` is exact (the aggregate buffers and sorts each group's
+  // values) — right for an oracled check against DuckDB's `quantile_cont`,
+  // which uses the same linear interpolation at rank p·(n−1). At 100 TB the
+  // scale path is `approx_percentile` (mergeable sketch, bounded memory);
+  // RelationalExtSpec bounds its drift against the exact values, q13-style.
+  def q46Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+
+  val q46PercentilesSql: String = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag"""
+
   // --- q14_cube / q15_rollup: grouping sets ---------------------------------
   def q14Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -266,6 +289,7 @@ object Relational {
     "q15_rollup"    -> q15Rollup _,
     "q20_setops"    -> q20SetOps _,
     "q23_sql_subquery" -> q23SqlSubquery _,
+    "q46_percentiles" -> q46Percentiles _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -280,5 +304,6 @@ object Relational {
     "q15_rollup"    -> q15RollupSql,
     "q20_setops"    -> q20SetOpsSql,
     "q23_sql_subquery" -> q23SqlSubquerySql,
+    "q46_percentiles" -> q46PercentilesSql,
   )
 }

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
@@ -50,6 +52,117 @@ object Streams {
       .start()
   }
 
+  // ------------------------------------------------------- sessionization
+  /** One user's activity burst: events with gaps <= the session gap. */
+  final case class Session(user_id: Long, session_id: Int,
+                           session_start_us: Long, n_events: Int,
+                           duration_us: Long)
+  /** `ts` carries the watermark (the stateful operator's analysis requires
+    * the event-time column to reach it); `ts_us` is what the logic uses.
+    * Both classes stay public: encoder-generated code instantiates them. */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+                             ts_us: Long)
+  final case class SessState(start_us: Long, last_us: Long,
+                             n: Int, sid: Int)
+
+  /** Batch sessionization, fully declarative: a gap > `gapMinutes` (or the
+    * first event) starts a new session; `lag` marks boundaries, a running
+    * `sum` numbers sessions, one aggregate folds each session. One shuffle
+    * on `user_id` shared by both window passes and the aggregate —
+    * partitioning by user is the natural key at any scale (a user's events
+    * fit a task; there is no cross-user state). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("__new",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+             col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(run).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        count(lit(1)).cast("int").as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
+  /** Streaming sessionization with explicit state: the
+    * `flatMapGroupsWithState` form of [[sessionizeBatch]] (SURVEY §2.11
+    * headroom; the brief's custom-state requirement). Sessions close when a
+    * later event exceeds the gap, or when the event-time watermark passes
+    * `last + gap` (the timeout) — so state per user is ONE open session,
+    * bounded regardless of stream length. The spec asserts closed sessions
+    * match the batch form on the same data. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) => {
+          def close(s: SessState) =
+            Session(user, s.sid, s.start_us, s.n, s.last_us - s.start_us)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close)
+            state.remove()
+            out.iterator
+          } else {
+            var st = state.getOption
+            val closed = List.newBuilder[Session]
+            evs.toSeq.sortBy(_.ts_us).foreach { e =>
+              st = st match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  Some(s.copy(last_us = math.max(s.last_us, e.ts_us), n = s.n + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  Some(SessState(e.ts_us, e.ts_us, 1, s.sid + 1))
+                case None =>
+                  Some(SessState(e.ts_us, e.ts_us, 1, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // GroupState timeouts are millisecond event-time; round UP so
+              // the watermark must strictly clear the gap before closing
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+
+  // --- q45_sessionize: batch sessions over events, oracled ----------------
+  def q45Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(spark, dir), gapMinutes = 30)
+
+  val q45SessionizeSql: String = """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events),
+    d AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    s AS (
+      SELECT user_id, ts_us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM d)
+    SELECT user_id, session_id,
+           MIN(ts_us) AS session_start_us,
+           CAST(COUNT(*) AS INT) AS n_events,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM s
+    GROUP BY user_id, session_id"""
+
   // --- q40_event_window: the same aggregation, batch, oracled -------------
   def q40EventWindow(spark: SparkSession, dir: String): DataFrame =
     eventWindowAgg(Tables.events(spark, dir))
@@ -63,9 +176,11 @@ object Streams {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_event_window" -> q40EventWindow _,
+    "q45_sessionize"   -> q45Sessionize _,
   )
 
   def oracles: Map[String, String] = Map(
     "q40_event_window" -> q40EventWindowSql,
+    "q45_sessionize"   -> q45SessionizeSql,
   )
 }

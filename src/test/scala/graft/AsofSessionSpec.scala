@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops.Joins
+import graft.streaming.Streams
+
+class AsofSessionSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest preceding right row, inclusive, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00"))) // right rows only after this one
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 09:30:00"), 5.0),
+      (102L, 10L, ts("2024-01-01 10:00:00"), 7.0), // same instant → inclusive
+      (103L, 10L, ts("2024-01-01 11:00:00"), 9.0),
+      (104L, 20L, ts("2024-01-01 09:30:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Joins.asOfJoin(left, right, key = "user_id", ts = "ts",
+        tieBreak = "event_id", rightPayload = Seq("value"))
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> Some(7.0), 2L -> Some(9.0), 3L -> None))
+  }
+
+  test("sessionizeBatch splits on gaps and aggregates per session") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:10:00")),
+      (3L, 10L, ts("2024-01-01 11:30:00")), // > 30 min gap → new session
+      (4L, 20L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = Streams.sessionizeBatch(ev, gapMinutes = 30)
+      .select("user_id", "session_id", "n_events", "duration_us")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (10L, 1, 2, 600000000L), // 10:00–10:10
+      (10L, 2, 1, 0L),
+      (20L, 1, 1, 0L)))
+  }
+
+  test("streaming sessionize closed sessions match the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val batch1 = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:10:00")),
+      (3L, 20L, ts("2024-01-01 10:05:00")))
+    val batch2 = Seq(
+      (4L, 10L, ts("2024-01-01 11:30:00")), // gap > 30 min closes 10's session
+      (5L, 20L, ts("2024-01-01 10:20:00"))) // within gap, extends 20's session
+    val q = Streams.sessionizeStream(
+        ms.toDF().toDF("event_id", "user_id", "ts"), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sessions").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // two far-future events: the first advances the watermark past every
+      // open session's timeout, the second triggers the timeout sweep
+      ms.addData(Seq((6L, 30L, ts("2024-01-02 10:00:00")))); q.processAllAvailable()
+      ms.addData(Seq((7L, 30L, ts("2024-01-02 12:00:00")))); q.processAllAvailable()
+      val streamed = spark.table("graft_sessions")
+        .select("user_id", "session_start_us", "n_events", "duration_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      val batchAll = Streams.sessionizeBatch(
+          (batch1 ++ batch2).toDF("event_id", "user_id", "ts"), gapMinutes = 30)
+        .select("user_id", "session_start_us", "n_events", "duration_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      // every batch session is eventually closed and emitted by the stream
+      assert(batchAll.subsetOf(streamed),
+        s"missing sessions: ${batchAll -- streamed}")
+    } finally q.stop()
+  }
+
+  test("q46 exact percentiles are ordered and grouped correctly") {
+    val rows = graft.ops.Relational.q46Percentiles(spark, sf).collect()
+    assert(rows.length == 3) // A, N, R
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+}
