@@ -41,6 +41,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
+      // GC between queries (untimed) so one query's allocation debt doesn't
+      // bill the next one's wall time — per-query attribution was ±10×
+      // noisy without it.
+      System.gc()
       val t0 = System.nanoTime()
       try exec(SparkEntry.queries(name)(spark, sfDir))
       catch { case e: Throwable =>

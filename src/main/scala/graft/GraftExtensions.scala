@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graft.GraftVectorExpressions
+
+/** Spark session extension wiring graft's native expressions into SQL —
+  * the supported injection point for expression libraries:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or for spark-submit / cluster deployment:
+  *   //   --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * For a session that already exists, `GraftVectorExpressions.register`
+  * adds the same functions to its registry directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftVectorExpressions.dotProductDescription)
+  }
+}

@@ -30,14 +30,12 @@ object Dedup {
   }
 
   /** Word n-gram shingles over the whitespace tokenizer; a document
-    * shorter than `n` tokens contributes its whole token string. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = Text.tokenize(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+    * shorter than `n` tokens contributes its whole token string. Backed by
+    * the native codegen'd `ngram_shingles` expression — the equivalent
+    * four-level HOF formulation evaluates interpreted and floored every
+    * dedup query at ~0.7 ms/doc (see the expression's Scaladoc). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.ngramShingles(text, n)
 
   /** MinHash signatures: k independent min-hashes of each document's shingle
     * set. Hash j is `xxhash64(shingle, j)` — seeding by position replaces the
@@ -133,27 +131,51 @@ object Dedup {
     verifyJaccard(pairs, docs, id, text, n, threshold)
   }
 
-  /** Exact n-gram Jaccard via an inverted shingle index: explode distinct
-    * shingles, self-join on the shingle (only documents sharing a shingle
-    * ever pair — never all-pairs), count intersections per pair, then
-    * compute Jaccard from the per-doc set sizes. */
+  /** Exact n-gram Jaccard with prefix filtering (the AllPairs/PPJoin
+    * candidate bound): under a global rarity order of shingles, a pair with
+    * Jaccard ≥ t must share a token among each side's first
+    * `|X| − ⌈t·|X|⌉ + 1` tokens — because J ≥ t forces an overlap of at
+    * least ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|X|⌉, and a pair sharing nothing in
+    * either prefix cannot reach it. So only the RAREST ~(1−t) fraction of
+    * each document's shingles generates candidates, instead of every
+    * shared shingle (a naive inverted index pairs every pair of docs
+    * sharing ANY shingle — millions of background pairs on a 5k-doc
+    * corpus, and quadratic blowup on common boilerplate at 100 TB).
+    * Candidates are then verified exactly on the full shingle sets. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(id).as("doc_id"),
       explode(array_distinct(shingles(col(text), n))).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    // document frequency as a window count, not an agg+join: one shuffle on
+    // shingle and the expensive shingle-building subtree evaluates ONCE
+    // (an agg+join shape re-evaluates it per plan branch)
+    val ranked = sh.withColumn("dfq",
+      count(lit(1)).over(Window.partitionBy("shingle")))
+    // per doc: full set sorted by (df, shingle) — rarest first — and the
+    // prefix length from the bound above
+    val sets = ranked
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("dfq"), col("shingle"))))
+        .as("ranked"))
+      .select(col("doc_id"),
+        transform(col("ranked"), r => r("shingle")).as("sh"),
+        size(col("ranked")).as("sz"))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+    val prefixes = sets.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
-      .withColumn("n_a", col("za.sz").cast("int"))
-      .withColumn("n_b", col("zb.sz").cast("int"))
-      .withColumn("inter", col("inter").cast("int"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.as("fa"), col("id_a") === col("fa.doc_id"))
+      .join(sets.as("fb"), col("id_b") === col("fb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("fa.sh"), col("fb.sh"))))
+      .withColumn("n_a", col("fa.sz").cast("int"))
+      .withColumn("n_b", col("fb.sz").cast("int"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")), 6))

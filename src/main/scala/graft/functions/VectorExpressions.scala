@@ -11,3 +11,10 @@ object VectorExpressions {
     * summation order, bit-identical to a sequential fold. */
   def dot(a: Column, b: Column): Column = GraftVectorExpressions.dot(a, b)
 }
+
+/** Graft-facing text functions backed by native Catalyst expressions. */
+object TextExpressions {
+  /** Codegen'd word n-gram shingles (lowercase, whitespace-split). */
+  def ngramShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.GraftTextExpressions.ngramShingles(text, n)
+}

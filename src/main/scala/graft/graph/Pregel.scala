@@ -88,9 +88,12 @@ object Pregel {
       val voteToHalt = nv0.columns.contains("halt")
 
       // Materialize every superstep (bounded lineage between checkpoints);
-      // hard-truncate lineage every `checkpointEvery` supersteps.
+      // hard-truncate lineage every `checkpointEvery` supersteps. The
+      // checkpoint is LAZY: the halt-check action below materializes it in
+      // the same Spark job — an eager checkpoint would run a second job per
+      // checkpointed superstep for nothing.
       val nv =
-        if ((step + 1) % checkpointEvery == 0) nv0.localCheckpoint(true)
+        if ((step + 1) % checkpointEvery == 0) nv0.localCheckpoint(false)
         else nv0.persist(StorageLevel.MEMORY_AND_DISK)
       allHalt =
         if (voteToHalt) nv.filter(!col("halt")).isEmpty // action → barrier

@@ -68,4 +68,21 @@ object GraftVectorExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  val dotProductDescription:
+      (org.apache.spark.sql.catalyst.FunctionIdentifier,
+       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+       Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** Register `dot_product` on an EXISTING session's function registry so
+    * `spark.sql("... dot_product(a, b) ...")` resolves — the
+    * already-running-session counterpart of `GraftExtensions`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = dotProductDescription
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }

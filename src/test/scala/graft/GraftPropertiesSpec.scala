@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Joins
+import graft.streaming.Streams
+import graft.ext.Dedup
+import graft.graph.Algorithms
+
+/** Randomized properties (SURVEY §5): deterministic ScalaCheck generators
+  * (fixed seeds, reproducible) against naive Scala reference
+  * implementations. These target the operators whose correctness rests on
+  * a non-obvious argument — the AllPairs prefix bound, as-of tie rules,
+  * session-gap folding, BSP convergence — where example tests can miss a
+  * boundary the generator will hit. */
+class GraftPropertiesSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("property: asOfJoin matches the naive per-row latest-preceding rule") {
+    val gen = for {
+      nl <- Gen.choose(5, 30)
+      nr <- Gen.choose(0, 30)
+      lefts <- Gen.listOfN(nl,
+        Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 200L)))
+      rights <- Gen.listOfN(nr,
+        Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 200L), Gen.choose(0, 99)))
+    } yield (lefts, rights)
+    (1L to 6L).foreach { s =>
+      val (l0, r0) = sample(gen, s)
+      // the small ts range forces equal-ts collisions, exercising tie rules
+      val lefts = l0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rights = r0.zipWithIndex.map { case ((k, t, v), i) =>
+        (1000L + i, k, t, v.toDouble) }
+      val got = Joins.asOfJoin(
+          lefts.toDF("event_id", "key", "ts"),
+          rights.toDF("event_id", "key", "ts", "value"),
+          key = "key", ts = "ts", tieBreak = "event_id",
+          rightPayload = Seq("value"))
+        .select("event_id", "asof_value").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val expected = lefts.map { case (id, k, t) =>
+        val c = rights.filter(r => r._2 == k && r._3 <= t)
+        id -> (if (c.isEmpty) None else Some(c.maxBy(r => (r._3, r._1))._4))
+      }.toMap
+      assert(got == expected, s"seed $s")
+    }
+  }
+
+  test("property: sessionizeBatch matches a naive gap fold") {
+    val gapMin = 30
+    val gapUs = gapMin * 60L * 1000000L
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 4L * 3600)))
+    (1L to 6L).foreach { s =>
+      val evs = sample(gen, s).zipWithIndex.map { case ((u, sec), i) =>
+        (i.toLong, u, new Timestamp(sec * 1000L)) }
+      val got = Streams.sessionizeBatch(
+          evs.toDF("event_id", "user_id", "ts"), gapMin)
+        .select("user_id", "session_start_us", "n_events", "duration_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      val expected = evs.groupBy(_._2).flatMap { case (u, es) =>
+        val ts = es.map(e => e._3.getTime * 1000L).sorted
+        ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
+          else List(t) :: acc
+        }.map(sess => (u, sess.min, sess.size, sess.max - sess.min))
+      }.toSet
+      assert(got == expected, s"seed $s")
+    }
+  }
+
+  test("property: prefix-filtered jaccard equals brute force over all pairs") {
+    // tiny vocabulary forces heavy shingle collisions, so the prefix filter
+    // actually prunes; threshold varies so the prefix length does too
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5")
+    val gen = for {
+      nd <- Gen.choose(8, 20)
+      docs <- Gen.listOfN(nd, Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield docs
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    for (s <- 1L to 4L; t <- Seq(0.5, 0.8)) {
+      val docs = sample(gen, s).zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+      val got = Dedup.ngramJaccardPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expected = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = (sa & sb).size
+        if round6(inter.toDouble / (sa.size + sb.size - inter)) >= t
+      } yield (a, b, inter)).toSet
+      assert(got == expected, s"seed $s threshold $t")
+    }
+  }
+
+  test("property: maxValuePropagation reaches the global max on any ring") {
+    val gen = for {
+      n <- Gen.choose(4, 8)
+      vals <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+      chords <- Gen.listOfN(3, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, vals, chords)
+    (1L to 3L).foreach { s =>
+      val (n, vals, chords) = sample(gen, s)
+      val vertices = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+      val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      val edges = (ring ++ chords.map { case (a, b) => (a.toLong, b.toLong) })
+        .toDF("src", "dst")
+      val result = Algorithms.maxValuePropagation(vertices, edges, maxIter = n + 2)
+      val got = result.vertices.select("value").as[Long].collect().toSet
+      assert(got == Set(vals.max), s"seed $s: $got != ${vals.max}")
+    }
+  }
+}

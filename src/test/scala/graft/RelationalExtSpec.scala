@@ -13,6 +13,15 @@ class RelationalExtSpec extends GraftSuite {
     }
   }
 
+  test("approx_percentile tracks the exact percentiles within sketch bounds") {
+    import org.apache.spark.sql.functions._
+    val r = Tables.lineitem(spark, sf).agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).head()
+    val (e, a) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(a - e) / e < 0.05, s"approx $a drifted from exact $e")
+  }
+
   test("q20 set-op chain equals hand-computed set algebra") {
     import org.apache.spark.sql.functions.col
     val c = Tables.customer(spark, sf).collect()

@@ -49,6 +49,56 @@ class VectorExpressionsSpec extends GraftSuite {
     }
   }
 
+  test("ngram_shingles equals the declarative HOF formulation on the corpus") {
+    import graft.ops.Text
+    val declarative = {
+      val toks = Text.tokenize(col("text"))
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+    val diff = Tables.documents(spark, sf).select(
+        graft.functions.TextExpressions.ngramShingles(col("text"), 3).as("fast"),
+        declarative.as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+      .count()
+    assert(diff == 0)
+    // edge cases: empty text, single token, exact-n tokens
+    val edge = Seq("", "one", "a b c").toDF("text").select(
+      graft.functions.TextExpressions.ngramShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(edge(0) == Seq(""))
+    assert(edge(1) == Seq("one"))
+    assert(edge(2) == Seq("a b c"))
+  }
+
+  test("dot_product registers for SQL on an existing session") {
+    org.apache.spark.sql.graft.GraftVectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("GraftExtensions injects dot_product into a new session") {
+    import org.apache.spark.sql.SparkSession
+    // builder().getOrCreate() would return the shared test session and skip
+    // extension wiring; clearing the defaults forces a NEW SparkSession on
+    // the SAME SparkContext, with the extensions applied
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val fresh = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      val r = fresh.sql(
+        "SELECT dot_product(array(1.0D, 1.0D), array(2.0D, 5.0D)) AS d").head()
+      assert(r.getDouble(0) == 7.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   private def withSQLConf(confs: (String, String)*)(f: => Unit): Unit = {
     val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
