@@ -136,6 +136,18 @@ object Streams {
         })
   }
 
+  /** Exact dedup on a stream: keep the first row per key, with state
+    * bounded by the event-time watermark — `dropDuplicatesWithinWatermark`
+    * expires a key's entry once the watermark passes it, so state size
+    * tracks the horizon's key cardinality, never the stream's. The batch
+    * form of the same call is plain `dropDuplicates` (the streaming-only
+    * variant rejects batch plans). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  horizon: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   // --- q45_sessionize: batch sessions over events, oracled ----------------
   def q45Sessionize(spark: SparkSession, dir: String): DataFrame =
     sessionizeBatch(Tables.events(spark, dir), gapMinutes = 30)

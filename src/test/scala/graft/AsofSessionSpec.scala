@@ -80,6 +80,29 @@ class AsofSessionSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first row per key across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.dedupStream(
+        ms.toDF().toDF("event_id", "ts", "payload"), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_dedup_stream").start()
+    try {
+      ms.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), "first"),
+        (1L, ts("2024-01-01 10:00:01"), "dup-same-batch"),
+        (2L, ts("2024-01-01 10:00:02"), "two")))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        (1L, ts("2024-01-01 10:05:00"), "dup-next-batch"),
+        (3L, ts("2024-01-01 10:05:01"), "three")))
+      q.processAllAvailable()
+      val out = spark.table("graft_dedup_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(out == Map(1L -> "first", 2L -> "two", 3L -> "three"))
+    } finally q.stop()
+  }
+
   test("q46 exact percentiles are ordered and grouped correctly") {
     val rows = graft.ops.Relational.q46Percentiles(spark, sf).collect()
     assert(rows.length == 3) // A, N, R

@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression guards for the scale-critical shapes: these
+  * queries are only 100 TB-safe because of a specific plan property
+  * (single shuffle, broadcast dim, no nested-loop join, pushed filters).
+  * A refactor that silently loses the property still returns correct rows
+  * at test scale — these assertions are what catch it. */
+class PlanShapeSpec extends GraftSuite {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q44 as-of join: exactly one shuffle and one sort — never a range join blowup") {
+    val p = plan("q44_asof_join")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(400))
+    assert(count(p, "+- Sort ") == 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q5 dimension joins broadcast, fact side never shuffles for the join") {
+    val p = plan("q5_join_region")
+    assert(count(p, "BroadcastHashJoin") == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q2 filter reaches the parquet scan (pushdown + column pruning)") {
+    val p = plan("q2_filter_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(600))
+    // projection pruned to the 4 referenced columns — a scan of all 8
+    // lineitem columns would mean pruning regressed
+    assert(!p.contains("l_orderkey"))
+  }
+
+  test("near-dup detectors never fall back to a nested-loop or cartesian join") {
+    for (q <- Seq("q31_minhash_lsh", "q35_ngram_jaccard", "q41_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q16 range join keeps the equi-key shuffle (band is a post-join filter)") {
+    val p = plan("q16_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q28 brute-force cosine broadcasts queries; corpus side is never shuffled") {
+    val p = plan("q28_similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query side must broadcast")
+    // the only hash shuffles allowed are the two-phase top-k on (qid, salt)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(400))
+  }
+}
