@@ -119,9 +119,9 @@ object Dedup {
     *     (1−j⁴)⁸ ≈ 4·10⁻⁴); 16 bands square that away (≈2·10⁻⁷);
     *   - selectivity: r=2 bands admit background pairs at P≈j² per band —
     *     on a 5k-doc corpus with 1.1M shingle-sharing pairs (background
-    *     j≈0.05–0.3) that ballooned candidates to ~1M and made the verify
-    *     join the bottleneck (measured 248 s at sf0.1); r=4 keeps the
-    *     background admission near (j⁴)·16 ≈ 10⁻⁴. */
+    *     j≈0.05–0.3) that ballooned candidates to ~1M; r=4 keeps the
+    *     background admission near (j⁴)·16 ≈ 10⁻⁴, so verification cost
+    *     tracks true near-dups, not corpus noise. */
   def nearDupMinHash(docs: DataFrame, id: String, text: String,
                      n: Int = 3, k: Int = 64, bands: Int = 16,
                      threshold: Double = 0.8,
