@@ -277,8 +277,9 @@ object Dedup {
     * shape. The detectors (q31 MinHash-LSH, q41 SimHash) must recover this
     * exact pair set on the fixed corpus — recall misses fail the hash
     * compare, which is the point. */
-  val ngramJaccardOracleSql: String = """
-    WITH toks AS (
+  /** Shared CTE chain computing the exact 3-gram shingle pair overlaps —
+    * composed into both the pair-set oracle and q47's cluster oracle. */
+  private val ngramPairCtes: String = """toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
       FROM documents),
@@ -292,7 +293,10 @@ object Dedup {
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
+      GROUP BY 1, 2)"""
+
+  val ngramJaccardOracleSql: String = s"""
+    WITH $ngramPairCtes
     SELECT p.id_a, p.id_b,
            CAST(p.inter AS INT) AS inter,
            CAST(za.sz AS INT) AS n_a,
@@ -315,11 +319,49 @@ object Dedup {
   def q41SimHash(spark: SparkSession, dir: String): DataFrame =
     nearDupSimHash(Tables.documents(spark, dir), "doc_id", "text")
 
+  // --- q47_dedup_clusters: pairs → canonical clusters ---------------------
+  /** The step that finishes a dedup pipeline: the exact near-dup PAIRS
+    * become canonical CLUSTERS via connected components (min-label
+    * propagation on the Pregel loop) — every document labeled with the
+    * smallest doc_id in its near-dup group, singletons labeling
+    * themselves. Keeping min(cluster) per group is then `exactDedup` on
+    * the cluster column. Oracle: DuckDB recursive-CTE transitive closure
+    * over the same pair set — an independent algorithm for the same
+    * fixed point. */
+  def q47DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = ngramJaccardPairs(docs, "doc_id", "text")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.graph.Algorithms
+      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+  }
+
+  val q47DedupClustersSql: String = s"""
+    WITH RECURSIVE $ngramPairCtes,
+    tp AS (
+      SELECT p.id_a, p.id_b FROM pairs p
+      JOIN sizes za ON za.doc_id = p.id_a
+      JOIN sizes zb ON zb.doc_id = p.id_b
+      WHERE CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter) >= 0.8),
+    e AS (SELECT id_a AS a, id_b AS b FROM tp
+          UNION SELECT id_b, id_a FROM tp),
+    reach AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup"   -> q27ExactDedup _,
     "q31_minhash_lsh"   -> q31MinHashLsh _,
     "q35_ngram_jaccard" -> q35NgramJaccard _,
     "q41_simhash"       -> q41SimHash _,
+    "q47_dedup_clusters" -> q47DedupClusters _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -327,5 +369,6 @@ object Dedup {
     "q31_minhash_lsh"   -> ngramJaccardOracleSql,
     "q35_ngram_jaccard" -> ngramJaccardOracleSql,
     "q41_simhash"       -> ngramJaccardOracleSql,
+    "q47_dedup_clusters" -> q47DedupClustersSql,
   )
 }

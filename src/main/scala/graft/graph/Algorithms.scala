@@ -59,6 +59,29 @@ object Algorithms {
         // halt unless a strictly greater value arrived (highest.py:29-33)
         coalesce(col("msg") <= col("value"), lit(true)).as("halt")))
 
+  /** Connected components by min-label propagation: every vertex starts as
+    * its own component (its id) and adopts the smallest label reachable
+    * over undirected edges; halts when no label decreases. The third
+    * golden vertex program — and the step that finishes a dedup pipeline:
+    * near-dup PAIRS become canonical CLUSTERS only after a transitive
+    * closure, which is exactly what this computes (see q47).
+    *
+    * @param edges directed rows; pass both directions for undirected CC
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 30): DataFrame =
+    Pregel.run(
+      vertices.select(col("id"), col("id").as("component")),
+      edges, maxIter,
+      sendMsg = col("component"),
+      mergeMsg = min,
+      vprog = (df, _) => df.select(
+        col("id"),
+        least(col("component"), coalesce(col("msg"), col("component")))
+          .as("component"),
+        // halt unless a strictly smaller label arrived
+        coalesce(col("msg") >= col("component"), lit(true)).as("halt")))
+
   // --------------------------------------------------------------- queries
 
   /** Deterministic 25-node graph derived from `nation`: every node i has

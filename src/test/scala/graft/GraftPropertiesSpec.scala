@@ -109,6 +109,35 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: connectedComponents equals union-find on random graphs") {
+    val gen = for {
+      n <- Gen.choose(3, 12)
+      ne <- Gen.choose(0, 12)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es)
+    (1L to 5L).foreach { s =>
+      val (n, es) = sample(gen, s)
+      val vertices = (0 until n).map(_.toLong).toDF("id")
+      // self-loops keep the frame non-empty and never change components
+      val edges = ((0 until n).map(i => (i.toLong, i.toLong)) ++
+        es.flatMap { case (a, b) =>
+          Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }).toDF("src", "dst")
+      val got = Algorithms.connectedComponents(vertices, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots = (0 until n).map(find)
+      val minOf = (0 until n).groupBy(roots).map { case (r, m) => r -> m.min }
+      val expected = (0 until n).map(i => i.toLong -> minOf(roots(i)).toLong).toMap
+      assert(got == expected, s"seed $s")
+    }
+  }
+
   test("property: maxValuePropagation reaches the global max on any ring") {
     val gen = for {
       n <- Gen.choose(4, 8)
