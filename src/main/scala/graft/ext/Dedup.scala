@@ -206,9 +206,12 @@ object Dedup {
     * (pigeonhole: hamming ≤ 7 ⇒ at least one block matches exactly),
     * bucket-join on (block, value), gate on hamming distance, then verify
     * with exact Jaccard like the other detectors. Eight narrow blocks
-    * trade bucket selectivity for a hamming-7 recall guarantee — the
-    * planted corpus near-dups sit at hamming 0–5; a wider-block layout
-    * (4×16) would need hamming ≤ 3 and provably misses them.
+    * trade bucket selectivity for a hamming-7 recall guarantee — so
+    * `maxHamming` defaults to 7, the largest distance the banding
+    * provably generates a candidate for (a hamming-8 pair with one
+    * differing bit per block matches no block). The planted corpus
+    * near-dups sit at hamming 0–5; a wider-block layout (4×16) would
+    * need hamming ≤ 3 and provably misses them.
     *
     * Length stratification: a document with few tokens has too little
     * per-bit vote signal for a stable 64-bit fingerprint (one changed word
@@ -221,7 +224,7 @@ object Dedup {
     * which has real signal there. The two emitted pair sets are disjoint
     * (min side ≤ cutoff vs both > cutoff). */
   def nearDupSimHash(docs: DataFrame, id: String, text: String,
-                     maxHamming: Int = 8, n: Int = 3,
+                     maxHamming: Int = 7, n: Int = 3,
                      threshold: Double = 0.8,
                      shortDocTokens: Int = 24): DataFrame = {
     val sized = docs.withColumn("__sz",

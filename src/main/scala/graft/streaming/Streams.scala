@@ -32,7 +32,15 @@ object Streams {
 
   /** Stream → transform → sink wiring: read a parquet directory as a
     * stream (one-file-per-trigger caps ingest), apply the windowed agg,
-    * write to a sink. Returns the started query; caller owns lifecycle. */
+    * write to a sink. Returns the started query; caller owns lifecycle.
+    *
+    * Output mode is `update`, not `complete`: complete mode retains every
+    * window in the state store forever (the watermark evicts nothing),
+    * which defeats the state bound [[eventWindowAgg]] documents. Update
+    * emits each window's refreshed aggregate per trigger while the
+    * watermark finalizes and DROPS windows older than the horizon — and,
+    * unlike append, it still produces output when the input is a single
+    * file whose watermark never advances past its own windows. */
   def streamEventCounts(spark: SparkSession, inputDir: String,
                         checkpointDir: String, outputTable: String) = {
     // the stream must read the RAW parquet schema (ts = nanos long, per the
@@ -45,7 +53,7 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     eventWindowAgg(stream)
       .writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(outputTable)
       .option("checkpointLocation", checkpointDir)
@@ -62,8 +70,11 @@ object Streams {
     * Both classes stay public: encoder-generated code instantiates them. */
   final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
                              ts_us: Long)
+  /** `open=false` marks a closed-session sentinel: it carries only the last
+    * issued `sid` so the per-user session counter survives a timeout and
+    * numbering stays 1..k like [[sessionizeBatch]]. */
   final case class SessState(start_us: Long, last_us: Long,
-                             n: Int, sid: Int)
+                             n: Int, sid: Int, open: Boolean)
 
   /** Batch sessionization, fully declarative: a gap > `gapMinutes` (or the
     * first event) starts a new session; `lag` marks boundaries, a running
@@ -91,9 +102,19 @@ object Streams {
     * `flatMapGroupsWithState` form of [[sessionizeBatch]] (SURVEY §2.11
     * headroom; the brief's custom-state requirement). Sessions close when a
     * later event exceeds the gap, or when the event-time watermark passes
-    * `last + gap` (the timeout) — so state per user is ONE open session,
-    * bounded regardless of stream length. The spec asserts closed sessions
-    * match the batch form on the same data. */
+    * `last + gap` (the timeout).
+    *
+    * A timeout does NOT discard state: it flips the record to a closed
+    * sentinel (`open=false`) that keeps only the last issued `sid`, so the
+    * user's next session continues the 1..k numbering and `(user_id,
+    * session_id)` stays a key, exactly like the batch form. State is
+    * therefore one small record per user EVER seen (the sentinel has no
+    * timeout and persists) — bounded by user cardinality like any
+    * user-keyed streaming aggregate, not by stream length. An event
+    * arriving after its session already timed out starts a new session
+    * even if it lands within the gap; such an event is behind the
+    * watermark by construction, so this divergence from batch is confined
+    * to late data. */
   def sessionizeStream(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
     val gapUs = gapMinutes * 60L * 1000000L
     val spark = events.sparkSession
@@ -108,28 +129,32 @@ object Streams {
           def close(s: SessState) =
             Session(user, s.sid, s.start_us, s.n, s.last_us - s.start_us)
           if (state.hasTimedOut) {
-            val out = state.getOption.map(close)
-            state.remove()
+            val out = state.getOption.filter(_.open).map(close)
+            // keep the sid counter; no new timeout — the sentinel just waits
+            state.getOption.foreach(s => state.update(s.copy(open = false)))
             out.iterator
           } else {
             var st = state.getOption
             val closed = List.newBuilder[Session]
             evs.toSeq.sortBy(_.ts_us).foreach { e =>
               st = st match {
-                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                case Some(s) if s.open && e.ts_us - s.last_us <= gapUs =>
                   Some(s.copy(last_us = math.max(s.last_us, e.ts_us), n = s.n + 1))
                 case Some(s) =>
-                  closed += close(s)
-                  Some(SessState(e.ts_us, e.ts_us, 1, s.sid + 1))
+                  if (s.open) closed += close(s)
+                  Some(SessState(e.ts_us, e.ts_us, 1, s.sid + 1, open = true))
                 case None =>
-                  Some(SessState(e.ts_us, e.ts_us, 1, 1))
+                  Some(SessState(e.ts_us, e.ts_us, 1, 1, open = true))
               }
             }
             st.foreach { s =>
               state.update(s)
               // GroupState timeouts are millisecond event-time; round UP so
-              // the watermark must strictly clear the gap before closing
-              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L)
+              // the watermark must strictly clear the gap before closing.
+              // Only open sessions arm a timeout: a sentinel that timed out
+              // again would re-emit nothing but still costs a state scan.
+              if (s.open)
+                state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L)
             }
             closed.result().iterator
           }

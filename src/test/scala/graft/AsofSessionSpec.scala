@@ -46,7 +46,7 @@ class AsofSessionSpec extends GraftSuite {
       (20L, 1, 1, 0L)))
   }
 
-  test("streaming sessionize closed sessions match the batch form") {
+  test("streaming sessionize closed sessions match the batch form, ids included") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Long, Timestamp)]
     val batch1 = Seq(
@@ -56,6 +56,10 @@ class AsofSessionSpec extends GraftSuite {
     val batch2 = Seq(
       (4L, 10L, ts("2024-01-01 11:30:00")), // gap > 30 min closes 10's session
       (5L, 20L, ts("2024-01-01 10:20:00"))) // within gap, extends 20's session
+    // arrives AFTER user 10's session 2 closed via timeout: the closed
+    // sentinel must carry the sid counter so this becomes session 3, not 1
+    val batch3 = Seq(
+      (8L, 10L, ts("2024-01-02 13:00:00")))
     val q = Streams.sessionizeStream(
         ms.toDF().toDF("event_id", "user_id", "ts"), gapMinutes = 30)
       .writeStream.outputMode("append").format("memory")
@@ -67,14 +71,23 @@ class AsofSessionSpec extends GraftSuite {
       // open session's timeout, the second triggers the timeout sweep
       ms.addData(Seq((6L, 30L, ts("2024-01-02 10:00:00")))); q.processAllAvailable()
       ms.addData(Seq((7L, 30L, ts("2024-01-02 12:00:00")))); q.processAllAvailable()
+      ms.addData(batch3); q.processAllAvailable()
+      // second sweep pair closes user 10's post-timeout session 3
+      ms.addData(Seq((9L, 30L, ts("2024-01-03 10:00:00")))); q.processAllAvailable()
+      ms.addData(Seq((10L, 30L, ts("2024-01-03 12:00:00")))); q.processAllAvailable()
       val streamed = spark.table("graft_sessions")
-        .select("user_id", "session_start_us", "n_events", "duration_us")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+        .select("user_id", "session_id", "session_start_us", "n_events", "duration_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+        .toSet
       val batchAll = Streams.sessionizeBatch(
-          (batch1 ++ batch2).toDF("event_id", "user_id", "ts"), gapMinutes = 30)
-        .select("user_id", "session_start_us", "n_events", "duration_us")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
-      // every batch session is eventually closed and emitted by the stream
+          (batch1 ++ batch2 ++ batch3).toDF("event_id", "user_id", "ts"), gapMinutes = 30)
+        .select("user_id", "session_id", "session_start_us", "n_events", "duration_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+        .toSet
+      // every batch session — INCLUDING its 1..k session_id — is eventually
+      // closed and emitted by the stream
       assert(batchAll.subsetOf(streamed),
         s"missing sessions: ${batchAll -- streamed}")
     } finally q.stop()

@@ -37,6 +37,31 @@ class VectorExpressionsSpec extends GraftSuite {
     assert(out(2).isNullAt(0))
   }
 
+  test("dot_product nulls on length mismatch and null elements, like the HOF form") {
+    // the HOF reference yields NULL for a dimension mismatch (zip_with pads
+    // with null) and for null elements; the codegen expression must agree
+    // rather than silently summing the shorter prefix
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+              col("b").cast("array<double>").as("b"))
+    val out = df.select(
+      VectorExpressions.dot(col("a"), col("b")).as("fast"),
+      hofDot(col("a"), col("b")).as("ref")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1)) // length mismatch
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1)) // null element
+    assert(out(2).getDouble(0) == 11.0 && out(2).getDouble(1) == 11.0)
+    // interpreted path agrees
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val o2 = df.select(VectorExpressions.dot(col("a"), col("b"))).collect()
+      assert(o2(0).isNullAt(0) && o2(1).isNullAt(0) && o2(2).getDouble(0) == 11.0)
+    }
+  }
+
   test("dot_product evaluates both codegen and interpreted paths") {
     // interpreted path: eval via a filter on a literal-free comparison after
     // disabling whole-stage codegen
