@@ -25,6 +25,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE re-coalesce shuffles feeding cached plans (off by default);
+      // iterative ops persist per step and would pin full-width shuffles
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,12 +41,19 @@ object Bench {
       exec(ops.Relational.q3JoinAgg(spark, sfDir))
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_ONLY=q32_pagerank,q47_dedup_clusters → targeted profiling
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
-      // GC between queries (untimed) so one query's allocation debt doesn't
-      // bill the next one's wall time — per-query attribution was ±10×
-      // noisy without it.
+      // Between queries (untimed): drop any cache a library op persisted and
+      // GC, so one query's allocation debt doesn't bill the next one's wall
+      // time — per-query attribution was ±10× noisy without it, and cache
+      // buildup over 47 queries inflated the full run well beyond the sum
+      // of standalone timings.
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       try exec(SparkEntry.queries(name)(spark, sfDir))

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.ops.Text
 
@@ -79,10 +80,13 @@ object Dedup {
     val buckets = withSig
       .select(col(id), explode(array(bandCols: _*)).as("bb"))
       .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // persisted: the bucket self-join references `capped` on both sides,
+    // and its lineage holds the whole signature computation
     val capped = buckets.withColumn("bsz",
         count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -96,8 +100,11 @@ object Dedup {
     * jaccard) — the integer columns make cross-engine comparison exact. */
   private def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String,
                             text: String, n: Int, threshold: Double): DataFrame = {
+    // persisted: the plan references `sets` twice (side a, side b); without
+    // the persist the whole shingle-building subtree evaluates twice
     val sets = docs.select(col(id).as("vid"),
-      array_distinct(shingles(col(text), n)).as("sh"))
+        array_distinct(shingles(col(text), n)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sets.as("sa"), col("id_a") === col("sa.vid"))
       .join(sets.as("sb"), col("id_b") === col("sb.vid"))
@@ -152,7 +159,11 @@ object Dedup {
     val ranked = sh.withColumn("dfq",
       count(lit(1)).over(Window.partitionBy("shingle")))
     // per doc: full set sorted by (df, shingle) — rarest first — and the
-    // prefix length from the bound above
+    // prefix length from the bound above. Persisted: this subtree feeds the
+    // plan FOUR times (prefix sides a+b, full-set sides fa+fb) — without
+    // the persist the shingle window + aggregation runs 4× per query.
+    // Cache lifetime is left to the session (LRU / clearCache): at corpus
+    // scale it spills to disk, which still beats recomputation.
     val sets = ranked
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("dfq"), col("shingle"))))
@@ -162,6 +173,7 @@ object Dedup {
         size(col("ranked")).as("sz"))
       .withColumn("plen",
         (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val prefixes = sets.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
     val cand = prefixes.as("a")
@@ -227,8 +239,11 @@ object Dedup {
                      maxHamming: Int = 7, n: Int = 3,
                      threshold: Double = 0.8,
                      shortDocTokens: Int = 24): DataFrame = {
+    // persisted: both strata filter this frame, and the shingle sizing is
+    // the expensive part of it
     val sized = docs.withColumn("__sz",
-      size(array_distinct(shingles(col(text), n))))
+        size(array_distinct(shingles(col(text), n))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val partnerMax = math.floor(shortDocTokens / threshold).toInt
     val exactShort =
       ngramJaccardPairs(sized.filter(col("__sz") <= partnerMax).drop("__sz"),
@@ -244,12 +259,15 @@ object Dedup {
                            maxHamming: Int, n: Int,
                            threshold: Double): DataFrame = {
     val fp = simHash(docs, id, text)
+    // persisted: the block self-join references `blocks` on both sides,
+    // and its lineage holds the 64-vote fingerprint aggregation
     val blocks = fp.select(col(id), col("simhash"), explode(array(
       (0 until 8).map(b =>
         struct(lit(b).as("blk"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("v"))): _*))
       .as("bb"))
       .select(col(id), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
@@ -334,8 +352,13 @@ object Dedup {
   def q47DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = ngramJaccardPairs(docs, "doc_id", "text")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions from ONE pass over the pairs: a union of two selects
+    // would plant the whole jaccard pipeline twice in the plan and compute
+    // it twice when Pregel materializes the edge cache
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     graft.graph.Algorithms
       .connectedComponents(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("component").as("cluster"))

@@ -35,7 +35,9 @@ object Algorithms {
         col("id"),
         (lit((1.0 - damping) / n) +
           lit(damping) * coalesce(col("msg"), lit(0.0))).as("val"),
-        col("outdeg")))
+        col("outdeg")),
+      // fixed iteration count → block-batching is exact, not approximate
+      blockSize = 3)
       .select(col("id"), col("val").as("pagerank"))
   }
 
@@ -57,7 +59,10 @@ object Algorithms {
         col("id"),
         greatest(col("value"), coalesce(col("msg"), col("value"))).as("value"),
         // halt unless a strictly greater value arrived (highest.py:29-33)
-        coalesce(col("msg") <= col("value"), lit(true)).as("halt")))
+        coalesce(col("msg") <= col("value"), lit(true)).as("halt")),
+      // max-propagation is monotone: the converged state is a fixed point,
+      // so overshooting the vote by < blockSize supersteps is a no-op
+      blockSize = 3)
 
   /** Connected components by min-label propagation: every vertex starts as
     * its own component (its id) and adopts the smallest label reachable
@@ -80,7 +85,9 @@ object Algorithms {
         least(col("component"), coalesce(col("msg"), col("component")))
           .as("component"),
         // halt unless a strictly smaller label arrived
-        coalesce(col("msg") >= col("component"), lit(true)).as("halt")))
+        coalesce(col("msg") >= col("component"), lit(true)).as("halt")),
+      // min-label propagation is monotone (see maxValuePropagation)
+      blockSize = 3)
 
   // --------------------------------------------------------------- queries
 

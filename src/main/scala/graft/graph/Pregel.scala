@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Result of a Pregel run: final vertex state + how many supersteps ran. */
+/** Result of a Pregel run: final vertex state + how many supersteps ran
+  * (with `blockSize` > 1 this can overshoot convergence by up to
+  * blockSize−1 — the vote is only read at block boundaries). */
 final case class PregelResult(vertices: DataFrame, supersteps: Int)
 
 /** DataFrame-native Pregel/BSP loop — the Spark form of the reference's
@@ -28,11 +30,15 @@ final case class PregelResult(vertices: DataFrame, supersteps: Int)
   *     `examples/pagerank/pagerank.py:39-43`).
   *
   * Scale design: vertices and messages both hash-partition on `id`, so the
-  * post-aggregation join can reuse the exchange; per-superstep state is
-  * persisted (memory-and-disk) and lineage is truncated with an eager
+  * post-aggregation join can reuse the exchange; per-block state is
+  * persisted (memory-and-disk) and lineage is truncated with a lazy
   * `localCheckpoint` every `checkpointEvery` supersteps — without it the
   * join-per-iteration plan grows exponentially and kills the driver long
-  * before 100 TB kills the executors.
+  * before 100 TB kills the executors. The loop additionally sizes its
+  * shuffle partitions to the graph (see `runWithStats`) and can batch
+  * `blockSize` supersteps per plan to amortize Catalyst's fixed planning
+  * cost — the two costs that dominate iterative dataflow once per-task
+  * work is small.
   */
 object Pregel {
 
@@ -52,49 +58,108 @@ object Pregel {
     *                 0-based superstep; returns the new state with the same
     *                 `id` + state columns, optionally a `halt` boolean for
     *                 vote-to-halt (G5)
+    * @param blockSize supersteps composed into ONE plan per materialization.
+    *                 Catalyst planning (~200 ms/plan regardless of data
+    *                 size) dominates a superstep once tasks are cheap, so
+    *                 batching k supersteps per action cuts driver overhead
+    *                 ~k×. The halt vote is only checked at block
+    *                 boundaries, so a converged program runs up to
+    *                 blockSize−1 extra supersteps — only set blockSize > 1
+    *                 when that is harmless: fixed-iteration programs
+    *                 (PageRank) or monotone ones whose converged state is a
+    *                 fixed point (max/min propagation, components)
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int,
           sendMsg: Column, mergeMsg: Column => Column,
           vprog: (DataFrame, Int) => DataFrame,
-          checkpointEvery: Int = 2): DataFrame =
+          checkpointEvery: Int = 2, blockSize: Int = 1): DataFrame =
     runWithStats(vertices, edges, maxIter, sendMsg, mergeMsg, vprog,
-      checkpointEvery).vertices
+      checkpointEvery, blockSize).vertices
+
+  /** Target rows per shuffle partition inside the superstep loop. */
+  private val rowsPerLoopPartition = 500000L
 
   def runWithStats(vertices: DataFrame, edges: DataFrame, maxIter: Int,
                    sendMsg: Column, mergeMsg: Column => Column,
                    vprog: (DataFrame, Int) => DataFrame,
-                   checkpointEvery: Int = 2): PregelResult = {
+                   checkpointEvery: Int = 2, blockSize: Int = 1): PregelResult = {
     require(vertices.columns.contains("id"), "vertices need an `id` column")
     require(edges.columns.contains("src") && edges.columns.contains("dst"),
       "edges need `src` and `dst` columns")
 
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = vertices.sparkSession
+    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
     var v = vertices.localCheckpoint(true)
+
+    // Size the superstep shuffles to the GRAPH, not the session default.
+    // Cached/checkpointed plans are exempt from AQE partition coalescing
+    // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning defaults
+    // to false), so every superstep of a small graph would otherwise pay
+    // `spark.sql.shuffle.partitions` near-empty tasks per shuffle — at
+    // local[32] that made a 25-vertex PageRank ~10× slower than the data
+    // justifies, and on a 1000-executor cluster it is the same waste in
+    // scheduler RPCs. At real scale rows/rowsPerLoopPartition exceeds the
+    // session setting and the clamp keeps full parallelism.
+    val nEdges = e0.count() // also materializes the edge cache
+    val nVerts = v.count()  // cheap: v is checkpointed
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.min(sessionParts.toLong,
+      math.max(nVerts, nEdges) / rowsPerLoopPartition + 1).toInt
+    // compact the cached inputs too: their partition count drives the map
+    // task count of every superstep's first stage
+    val e =
+      if (e0.rdd.getNumPartitions > 2 * loopParts) {
+        val c = e0.coalesce(loopParts).persist(StorageLevel.MEMORY_AND_DISK)
+        c.count() // re-materialize (reads the old cache, no recompute)
+        e0.unpersist(false)
+        c
+      } else e0
+    if (v.rdd.getNumPartitions > 2 * loopParts)
+      v = v.coalesce(loopParts).localCheckpoint(true)
+
     var prev: DataFrame = null
     var step = 0
     var allHalt = false
-
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // AQE's per-stage replanning is pure driver overhead here: the loop
+    // already sizes its shuffles explicitly, and the superstep cadence
+    // makes planning cost, not task time, the bottleneck
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    var sinceCkpt = 0
     while (step < maxIter && !allHalt) {
-      // Plan aliases (not df("col") attribute refs): after superstep 1 the
-      // vertex frame's lineage contains the edge frame, so attribute-id
-      // references would trip DetectAmbiguousSelfJoin.
-      val triplets = v.as("__v").join(e.as("__e"), col("__v.id") === col("__e.src"))
-      val msgs = triplets
-        .select(col("__e.dst").as("id"), sendMsg.as("msg"))
-        .filter(col("msg").isNotNull)
-      val agg = msgs.groupBy(col("id")).agg(mergeMsg(col("msg")).as("msg"))
-      val joined = v.join(agg, Seq("id"), "left_outer")
-      val nv0 = vprog(joined, step)
-      val voteToHalt = nv0.columns.contains("halt")
+      val block = math.min(blockSize, maxIter - step)
+      // Compose `block` supersteps into one lazy plan. Plan aliases (not
+      // df("col") attribute refs): the vertex frame's lineage contains the
+      // edge frame both across materializations and within a block, so
+      // attribute-id references would trip DetectAmbiguousSelfJoin; the
+      // innermost SubqueryAlias shadows outer ones, so reusing __v/__e
+      // per superstep resolves correctly.
+      var cur = v
+      var voteToHalt = false
+      for (i <- 0 until block) {
+        val triplets = cur.as("__v").join(e.as("__e"), col("__v.id") === col("__e.src"))
+        val msgs = triplets
+          .select(col("__e.dst").as("id"), sendMsg.as("msg"))
+          .filter(col("msg").isNotNull)
+        val agg = msgs.groupBy(col("id")).agg(mergeMsg(col("msg")).as("msg"))
+        val joined = cur.join(agg, Seq("id"), "left_outer")
+        val nv0 = vprog(joined, step + i)
+        voteToHalt = nv0.columns.contains("halt")
+        cur = nv0
+      }
 
-      // Materialize every superstep (bounded lineage between checkpoints);
+      // Materialize once per block (bounded lineage between checkpoints);
       // hard-truncate lineage every `checkpointEvery` supersteps. The
       // checkpoint is LAZY: the halt-check action below materializes it in
       // the same Spark job — an eager checkpoint would run a second job per
-      // checkpointed superstep for nothing.
+      // checkpointed block for nothing.
+      sinceCkpt += block
       val nv =
-        if ((step + 1) % checkpointEvery == 0) nv0.localCheckpoint(false)
-        else nv0.persist(StorageLevel.MEMORY_AND_DISK)
+        if (sinceCkpt >= checkpointEvery) { sinceCkpt = 0; cur.localCheckpoint(false) }
+        else cur.persist(StorageLevel.MEMORY_AND_DISK)
       allHalt =
         if (voteToHalt) nv.filter(!col("halt")).isEmpty // action → barrier
         else { nv.count(); false }                      // action → barrier
@@ -102,7 +167,7 @@ object Pregel {
       if (prev != null) prev.unpersist(false)
       prev = v
       v = nv
-      step += 1
+      step += block
     }
 
     val result = v.drop("halt").localCheckpoint(true)
@@ -110,5 +175,9 @@ object Pregel {
     v.unpersist(false)
     e.unpersist(false)
     PregelResult(result, step)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
   }
 }

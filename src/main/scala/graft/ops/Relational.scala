@@ -167,11 +167,21 @@ object Relational {
   // within the 5% bound — DuckDB trivially produces `TRUE`, and the hash
   // check fails iff the sketch drifts out of bounds. ScalaTest additionally
   // pins the raw relative error.
+  //
+  // Shape matters: `agg(approx_count_distinct(k), countDistinct(k))` in ONE
+  // aggregate makes the distinct rewrite evaluate the HLL's PARTIAL step per
+  // (group, k) pair — one 2^12-register buffer per distinct orderkey, gigabytes
+  // of aggregation state for a 3-group result. Deduplicating first and
+  // aggregating the distinct rows costs one extra exchange, keeps HLL buffers
+  // at one per GROUP, and leaves the estimate bit-identical (HLL is
+  // insensitive to duplicates).
   def q13ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .distinct()
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-           countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(count(lit(1)).as("exact_orders"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .select(col("l_returnflag"), col("exact_orders"),
         (abs(col("approx_orders") - col("exact_orders")) /
           col("exact_orders") < 0.05).as("approx_ok"))
