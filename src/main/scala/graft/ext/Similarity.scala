@@ -131,9 +131,45 @@ object Similarity {
           FROM p)
     SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 5"""
 
-  // --- q42_ann_topk: bucketed approximate variant (recall-tested) ---------
+  // --- q42_ann_topk: bucketed approximate variant -------------------------
+  // "Approximate" refers to recall vs the exhaustive q28, not to
+  // nondeterminism: the hyperplanes are fixed, so bucketing, multiprobe and
+  // ranking are a pure function of the data — which makes the ANN result
+  // itself oracle-able. The SQL below replays the exact pipeline in DuckDB
+  // with the hyperplane components inlined as literals (generated from the
+  // same LCG, so the engines cannot drift). A recall spec against q28
+  // additionally guards the ALGORITHM's quality, which a replay oracle
+  // cannot.
   def q42AnnTopK(spark: SparkSession, dir: String): DataFrame =
     annCosineTopK(corpus(spark, dir), queryVecs(spark, dir), 5)
+
+  val q42AnnTopKSql: String = {
+    val planes = 6
+    val dim = 64
+    def arr(j: Int): String =
+      hyperplane(j, dim).map(d => if (d > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    def bkt(vec: String): String = (0 until planes).map { j =>
+      s"(CASE WHEN list_dot_product($vec, ${arr(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = (Seq(0) ++ (0 until planes).map(1 << _)).mkString("[", ",", "]")
+    s"""
+    WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ${bkt("v")} AS bkt FROM ve),
+    q AS (SELECT vec_id AS qid, v AS qv, bkt AS qbkt FROM b WHERE vec_id < 10),
+    qp AS (SELECT qid, qv, CAST(xor(qbkt, probe) AS INT) AS bkt
+           FROM q, (SELECT unnest($probeList) AS probe)),
+    p AS (SELECT qp.qid, b.vec_id,
+                 ROUND(list_dot_product(qp.qv, b.v) /
+                       (sqrt(list_dot_product(qp.qv, qp.qv)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+          FROM qp JOIN b ON qp.bkt = b.bkt AND b.vec_id <> qp.qid),
+    r AS (SELECT qid, vec_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM p)
+    SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 5"""
+  }
 
   // --- embedding-cosine near-dup (API; spec-tested with planted vectors) --
   /** Vector pairs above a cosine threshold, found through sign-LSH buckets
@@ -205,6 +241,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q28_similarity_topk" -> q28SimilarityTopKSql,
+    "q42_ann_topk"        -> q42AnnTopKSql,
     "q43_ivf_label_pairs" -> q43IvfLabelPairsSql,
   )
 }
