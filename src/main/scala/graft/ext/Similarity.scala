@@ -143,16 +143,24 @@ object Similarity {
   def q42AnnTopK(spark: SparkSession, dir: String): DataFrame =
     annCosineTopK(corpus(spark, dir), queryVecs(spark, dir), 5)
 
-  val q42AnnTopKSql: String = {
-    val planes = 6
-    val dim = 64
-    def arr(j: Int): String =
-      hyperplane(j, dim).map(d => if (d > 0) "1.0" else "-1.0")
-        .mkString("[", ",", "]")
-    def bkt(vec: String): String = (0 until planes).map { j =>
-      s"(CASE WHEN list_dot_product($vec, ${arr(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+  // --- DuckDB replay helpers: the hyperplane components as SQL literals ----
+  private def hyperplaneSql(j: Int, dim: Int): String =
+    hyperplane(j, dim).map(d => if (d > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+
+  /** The `signLshBucket` expression over a SQL vector column. */
+  private def bucketSql(vec: String, planes: Int = 6, dim: Int = 64): String =
+    (0 until planes).map { j =>
+      s"(CASE WHEN list_dot_product($vec, ${hyperplaneSql(j, dim)}) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
-    val probeList = (Seq(0) ++ (0 until planes).map(1 << _)).mkString("[", ",", "]")
+
+  /** The exact-plus-hamming-1 multiprobe mask list. */
+  private def probeSql(planes: Int = 6): String =
+    (Seq(0) ++ (0 until planes).map(1 << _)).mkString("[", ",", "]")
+
+  val q42AnnTopKSql: String = {
+    def bkt(vec: String): String = bucketSql(vec)
+    val probeList = probeSql()
     s"""
     WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     b AS (SELECT vec_id, v, ${bkt("v")} AS bkt FROM ve),
@@ -171,13 +179,14 @@ object Similarity {
     SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 5"""
   }
 
-  // --- embedding-cosine near-dup (API; spec-tested with planted vectors) --
+  // --- embedding-cosine near-dup -------------------------------------------
   /** Vector pairs above a cosine threshold, found through sign-LSH buckets
     * with hamming-1 multiprobe on one side — the embedding-space cousin of
     * q31/q35, never an all-pairs join. Intended for genuine near-dups
-    * (cos ≥ ~0.9, small angles) where sign bits mostly agree; the test
-    * corpus has no such pairs (max pairwise cos ≈ 0.51), so this ships as
-    * an API with a planted-pair spec rather than a corpus query. */
+    * (cos ≥ ~0.9, small angles) where sign bits mostly agree; the synthetic
+    * corpus has no such pairs (max pairwise cos ≈ 0.51), so the q48 query
+    * derives a planted variant in-query (see [[q48EmbedNearDup]]); a
+    * planted-pair spec covers the API directly. */
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
                        planes: Int = 6, dim: Int = 64): DataFrame = {
     val b = corpus.withColumn("bkt", signLshBucket(col("v"), planes, dim))
@@ -194,6 +203,43 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  // --- q48_embed_neardup: embedding-cosine near-dup over a planted corpus --
+  // The corpus is the embeddings table plus, for vec_id < 50, a shifted copy
+  // (vec_id + 100000, v + 0.02): cos(v, v + 0.02·1) ≈ 0.987 on this data,
+  // cleanly above the 0.9 threshold while every background pair stays below
+  // ~0.51. The derivation is elementwise-deterministic, so the DuckDB oracle
+  // rebuilds the identical corpus and replays the detector (buckets from the
+  // same literal hyperplanes, hamming-1 multiprobe, threshold) — like q42,
+  // the oracle checks the pipeline bit-for-bit, and the pair set it must
+  // reproduce is exactly the planted one.
+  def q48EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(nearDupCorpus(spark, dir), threshold = 0.9)
+
+  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir)
+    base.unionByName(
+      base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), x => x + lit(0.02)).as("v")))
+  }
+
+  val q48EmbedNearDupSql: String = s"""
+    WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM ve
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
+      FROM ve WHERE vec_id < 50),
+    b AS (SELECT vec_id, v, ${bucketSql("v")} AS bkt FROM corpus),
+    pr AS (SELECT vec_id, v, CAST(xor(bkt, probe) AS INT) AS bkt
+           FROM b, (SELECT unnest(${probeSql()}) AS probe)),
+    p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                 ROUND(list_dot_product(l.v, r.v) /
+                       (sqrt(list_dot_product(l.v, l.v)) *
+                        sqrt(list_dot_product(r.v, r.v))), 6) AS cos
+          FROM b l JOIN pr r ON l.bkt = r.bkt AND l.vec_id < r.vec_id)
+    SELECT DISTINCT id_a, id_b, cos FROM p WHERE cos >= 0.9"""
 
   // --- q43_ivf_label_pairs: IVF-style partitioned top pairs ---------------
   // Inverted-file search with the `label` column as the coarse quantizer:
@@ -237,11 +283,13 @@ object Similarity {
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
     "q43_ivf_label_pairs" -> q43IvfLabelPairs _,
+    "q48_embed_neardup"   -> q48EmbedNearDup _,
   )
 
   def oracles: Map[String, String] = Map(
     "q28_similarity_topk" -> q28SimilarityTopKSql,
     "q42_ann_topk"        -> q42AnnTopKSql,
     "q43_ivf_label_pairs" -> q43IvfLabelPairsSql,
+    "q48_embed_neardup"   -> q48EmbedNearDupSql,
   )
 }
