@@ -198,19 +198,29 @@ object Dedup {
   /** 64-bit SimHash over the token multiset: per-bit weighted votes
     * (+1/−1 per token occurrence by the token hash's bit), sign of the
     * vote becomes the fingerprint bit. Explode + one hash aggregate — the
-    * 64 vote sums partial-aggregate map-side. */
+    * vote sums partial-aggregate map-side.
+    *
+    * The votes are packed two 32-bit set-bit counters per long (32 sums +
+    * one row count instead of 64 ±1 sums): an aggregate with 64 buffers
+    * blows past `spark.sql.codegen.maxFields` (100) and silently drops the
+    * whole stage to interpreted execution — measured 5× slower on this
+    * corpus. The sign test is algebraically identical: the ±1 vote for bit
+    * j is positive iff 2·(set-bit count) > token count. Lane width 32 bits
+    * caps documents at 2³² tokens — not a real limit. */
   def simHash(docs: DataFrame, id: String, text: String): DataFrame = {
-    val tok = docs
-      .select(col(id), explode(Text.tokenize(col(text))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$i")
+    val tok = Text.explodeTokens(docs.select(col(id), col(text)), text, "t")
+      .select(col(id), xxhash64(col("t")).as("h"))
+    val packed = (0 until 32).map { g =>
+      val lo = shiftright(col("h"), 2 * g).bitwiseAND(lit(1L))
+      val hi = shiftright(col("h"), 2 * g + 1).bitwiseAND(lit(1L))
+      sum(lo + shiftleft(hi, 32)).as(s"p$g")
     }
-    val fp = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    val fp = (0 until 64).map { j =>
+      val c = shiftright(col(s"p${j / 2}"), 32 * (j % 2))
+        .bitwiseAND(lit(0xFFFFFFFFL))
+      when(c * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+    tok.groupBy(col(id)).agg(count(lit(1)).as("n"), packed: _*)
       .select(col(id), fp.as("simhash"))
   }
 

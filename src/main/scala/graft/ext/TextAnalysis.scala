@@ -35,8 +35,8 @@ object TextAnalysis {
   // bounded by vocabulary size, so partitionBy(doc_id) never sees an
   // unbounded partition (unlike a low-cardinality key — cf. q9's salting).
   def tfIdf(docs: DataFrame, nDocs: Long): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(Text.tokenize(col("text"))).as("word"))
+    val toks = Text.explodeTokens(docs.select("doc_id", "text"), "text", "word")
+      .select("doc_id", "word")
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = toks.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("dfq"))

@@ -96,14 +96,23 @@ object Text {
   def tokenizeSql(expr: String): String =
     s"(SELECT unnest(string_split_regex(lower($expr), '\\s+')))"
 
+  /** `explode(tokenize(text))` without the higher-order `filter`: HOF
+    * lambdas evaluate interpreted inside the Generate operator (no
+    * whole-stage codegen) — measured ~3× slower over the documents corpus.
+    * Exploding the raw split and dropping empties with a plain, codegen'd
+    * Filter yields identical rows. Use this in exploded hot paths;
+    * [[tokenize]] remains for per-row array contexts. */
+  def explodeTokens(df: DataFrame, text: String, as: String): DataFrame =
+    df.withColumn(as, explode(split(lower(col(text)), "\\s+")))
+      .filter(col(as) =!= "")
+
   // --- q24_wordcount: flagship MR example as one declarative pipeline ----
   // map → label-route → combine → reduce (wordcount.py:20-41) collapses to
   // explode + groupBy.count: partial agg gives the combiner, the shuffle
   // gives the partitioner, and hash partitioning fixes the reference's
   // hand-rolled a2e/f2n/o2s/t2z ranges (whose `_default` bucket skews).
   def q24Wordcount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(tokenize(col("text"))).as("word"))
+    explodeTokens(Tables.documents(spark, dir).select("text"), "text", "word")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
 
@@ -120,8 +129,9 @@ object Text {
   // partial aggregation; the sorted CSV rendering makes the set
   // deterministic for cross-engine hashing.
   def q25Collation(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(tokenize(col("text"))).as("word"), col("source"))
+    explodeTokens(Tables.documents(spark, dir).select("text", "source"),
+        "text", "word")
+      .select(col("word"), col("source"))
       .groupBy(col("word"))
       .agg(collect_set(col("source")).as("sources"))
       .select(col("word"),
