@@ -47,6 +47,29 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exploded token pipelines carry no interpreted lambda (HOF) expressions") {
+    // HOFs (filter/transform/aggregate over arrays) evaluate interpreted —
+    // fine per-row over a small array, fatal in an exploded hot path. The
+    // exploded pipelines must tokenize via explode(split) + plain Filter.
+    // (q41/q35 keep deliberate per-row lambdas on grouped arrays, so only
+    // the pure exploded pipelines are asserted lambda-free.)
+    for (q <- Seq("q24_wordcount", "q29_tfidf")) {
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"), s"$q: ${p.take(400)}")
+    }
+  }
+
+  test("simhash vote aggregate stays under the codegen field limit") {
+    // 64 one-sum-per-bit buffers exceed spark.sql.codegen.maxFields (100)
+    // and silently drop the aggregate out of whole-stage codegen; the
+    // packed form needs 33 (32 lane-pairs + row count). The whole q41 plan
+    // holds ~48 partial_sums across all its aggregates; unpacked votes
+    // would push it past 80.
+    val p = plan("q41_simhash")
+    assert(count(p, "partial_sum") <= 60, "vote packing regressed: " +
+      count(p, "partial_sum") + " partial sums")
+  }
+
   test("q28 brute-force cosine broadcasts queries; corpus side is never shuffled") {
     val p = plan("q28_similarity_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
