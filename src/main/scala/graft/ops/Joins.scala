@@ -14,6 +14,30 @@ import Relational.{dsum, dsumSql}
   */
 object Joins {
 
+  /** Skew-safe equi-join by explicit key salting: the skewed (probe) side
+    * tags each row with `pmod(xxhash64(saltSrc), salts)` and the other
+    * (build) side is replicated once per salt value, so one hot key's rows
+    * spread across `salts` tasks instead of piling onto one.
+    *
+    * When to reach for this instead of AQE's runtime skew-join split
+    * (which handles most cases for free): the build side is too large to
+    * broadcast but cheap to replicate `salts`×, the skew is known ahead of
+    * time (e.g. a null-heavy or celebrity key), or the operator must
+    * GUARANTEE the spread rather than depend on runtime stats. `saltSrc`
+    * must be a column of the skewed side with per-row variety (a unique id
+    * is ideal); results are provably identical to the unsalted join —
+    * pinned by a property in MapReduceSpec.
+    */
+  def saltedJoin(skewed: DataFrame, build: DataFrame, key: String,
+                 saltSrc: org.apache.spark.sql.Column,
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = skewed.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts)))
+    val r = build.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   // --- q6_semi_join: EXISTS as left-semi (no row multiplication) ----------
   def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

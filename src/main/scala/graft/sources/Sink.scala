@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 
 /** Result materialization — `TextReduceWriter` parity
   * (`/root/reference/daemons/core/remap.py:178-188`: append `"k,v\n"` rows
@@ -34,5 +35,25 @@ object Sink {
     import org.apache.spark.sql.functions.{col, concat_ws}
     df.select(concat_ws(",", col(keyCol), col(valueCol)).as("value"))
       .write.mode(mode).text(path)
+  }
+
+  /** Compat reader for the reference's own `"k,json"` line format — the
+    * shuffle-run files `TextPartFileReader` consumes (S4,
+    * `/root/reference/daemons/core/remap.py:150-170`: split each line on
+    * the FIRST comma, `json.loads` the remainder). Lets a user point this
+    * engine at data a remap deployment already wrote. The parse is all
+    * codegen'd string/JSON expressions — no UDF, splittable like any text
+    * scan.
+    *
+    * @param valueType JSON schema of the value part; remap always writes a
+    *                  list, so the default mirrors its `(key, [values])`
+    */
+  def readKvText(spark: SparkSession, path: String,
+                 valueType: DataType = ArrayType(StringType)): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, from_json, substring_index}
+    spark.read.text(path).select(
+      substring_index(col("value"), ",", 1).as("k"),
+      from_json(expr("substring(value, instr(value, ',') + 1)"), valueType)
+        .as("values"))
   }
 }

@@ -161,6 +161,25 @@ object Streams {
         })
   }
 
+  /** Stream-stream interval join: left rows match right rows with the same
+    * `key` whose `ts` falls in `[l.ts, l.ts + maxDelay]`. Both sides carry
+    * a watermark and the join condition is time-bounded in BOTH directions,
+    * which is what lets Structured Streaming evict buffered rows once the
+    * watermark clears their match window — an unbounded condition would
+    * buffer each side forever. The same transform joins batch frames
+    * (watermarks only attach to streaming plans), so the spec can assert
+    * stream ≡ batch on identical data. Output keeps both sides' columns
+    * under `l`/`r` aliases; callers project with qualified names. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   maxDelay: String = "10 minutes"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", maxDelay) else df
+    wm(left).as("l").join(wm(right).as("r"),
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Exact dedup on a stream: keep the first row per key, with state
     * bounded by the event-time watermark — `dropDuplicatesWithinWatermark`
     * expires a key's entry once the watermark passes it, so state size

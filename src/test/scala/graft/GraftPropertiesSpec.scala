@@ -156,4 +156,29 @@ class GraftPropertiesSpec extends GraftSuite {
       assert(got == Set(vals.max), s"seed $s: $got != ${vals.max}")
     }
   }
+
+  test("property: saltedJoin equals the plain equi-join on skewed keys") {
+    val gen = for {
+      nl <- Gen.choose(20, 120)
+      nr <- Gen.choose(1, 20)
+      // 70% of probe rows pile onto key 1 — the skew the salt must spread
+      lefts <- Gen.listOfN(nl, Gen.frequency(
+        7 -> Gen.const(1L), 3 -> Gen.choose(2L, 6L)))
+      rights <- Gen.listOfN(nr, Gen.zip(Gen.choose(1L, 6L), Gen.choose(0, 99)))
+    } yield (lefts, rights)
+    (1L to 4L).foreach { s =>
+      val (l0, r0) = sample(gen, s)
+      val left = l0.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("row_id", "key")
+      val right = r0.map { case (k, v) => (k, v) }.toDF("key", "payload")
+      val salted = Joins.saltedJoin(left, right, "key",
+          saltSrc = col("row_id"), salts = 4)
+        .select("row_id", "key", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val plain = left.join(right, "key")
+        .select("row_id", "key", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(salted == plain, s"seed $s")
+    }
+  }
 }

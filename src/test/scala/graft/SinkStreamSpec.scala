@@ -39,6 +39,17 @@ class SinkStreamSpec extends GraftSuite {
     assert(lines.toSeq == Seq("alpha,3", "beta,5"))
   }
 
+  test("k,json round-trips through the reference's shuffle-run format") {
+    val out = Files.createTempDirectory("graft_kv_rt").toString
+    val df = Seq(("alpha", Seq("x", "y")), ("beta", Seq("z")))
+      .toDF("k", "values")
+      .select(col("k"), to_json(col("values")).as("v"))
+    Sink.writeKvText(df, "k", "v", s"$out/kv")
+    val back = Sink.readKvText(spark, s"$out/kv")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(back == Map("alpha" -> Seq("x", "y"), "beta" -> Seq("z")))
+  }
+
   test("streaming tumbling-window agg matches the batch transform") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
@@ -69,6 +80,40 @@ class SinkStreamSpec extends GraftSuite {
       q.processAllAvailable()
       val n = spark.table("graft_file_stream").count()
       assert(n > 0)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lData = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+                    (2L, 10L, ts("2024-01-01 11:00:00")),
+                    (3L, 20L, ts("2024-01-01 10:00:00")))
+    val rData = Seq((101L, 10L, ts("2024-01-01 10:05:00")), // joins 1
+                    (102L, 10L, ts("2024-01-01 10:30:00")), // > 10 min: joins none
+                    (103L, 20L, ts("2024-01-01 10:01:00"))) // joins 3
+    val lms = MemoryStream[(Long, Long, Timestamp)]
+    val rms = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+        lms.toDF().toDF("event_id", "user_id", "ts"),
+        rms.toDF().toDF("event_id", "user_id", "ts"),
+        key = "user_id")
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_ss_join").start()
+    try {
+      lms.addData(lData); rms.addData(rData)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ss_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Streams.intervalJoin(
+          lData.toDF("event_id", "user_id", "ts"),
+          rData.toDF("event_id", "user_id", "ts"),
+          key = "user_id")
+        .select(col("l.event_id"), col("r.event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(batch == Set((1L, 101L), (3L, 103L)))
     } finally q.stop()
   }
 }
