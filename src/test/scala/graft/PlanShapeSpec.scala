@@ -7,8 +7,13 @@ package graft
   * at test scale — these assertions are what catch it. */
 class PlanShapeSpec extends GraftSuite {
 
-  private def plan(q: String): String =
+  private def plan(q: String): String = {
+    // other suites leave library-persisted frames behind; the cache manager
+    // would swap matching subtrees for InMemoryRelations (whose stringified
+    // inner plan differs), making these assertions order-dependent
+    spark.catalog.clearCache()
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
