@@ -219,6 +219,27 @@ object Streams {
     FROM s
     GROUP BY user_id, session_id"""
 
+  // --- q49_interval_join: the intervalJoin transform, batch, oracled ------
+  // Per-user pairs of events at most 10 minutes apart, counted per user —
+  // the aggregation keeps the result small while the join itself (equi-key
+  // shuffle + two-sided time band) is exactly what the streaming form runs.
+  def q49IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    intervalJoin(ev, ev, key = "user_id", maxDelay = "10 minutes")
+      .filter(col("l.event_id") =!= col("r.event_id"))
+      .groupBy(col("l.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val q49IntervalJoinSql: String = """
+    SELECT l.user_id, COUNT(*) AS n_pairs
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+     AND l.event_id <> r.event_id
+    GROUP BY l.user_id"""
+
   // --- q40_event_window: the same aggregation, batch, oracled -------------
   def q40EventWindow(spark: SparkSession, dir: String): DataFrame =
     eventWindowAgg(Tables.events(spark, dir))
@@ -231,12 +252,14 @@ object Streams {
     GROUP BY 1, 2"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q40_event_window" -> q40EventWindow _,
-    "q45_sessionize"   -> q45Sessionize _,
+    "q40_event_window"  -> q40EventWindow _,
+    "q45_sessionize"    -> q45Sessionize _,
+    "q49_interval_join" -> q49IntervalJoin _,
   )
 
   def oracles: Map[String, String] = Map(
-    "q40_event_window" -> q40EventWindowSql,
-    "q45_sessionize"   -> q45SessionizeSql,
+    "q40_event_window"  -> q40EventWindowSql,
+    "q45_sessionize"    -> q45SessionizeSql,
+    "q49_interval_join" -> q49IntervalJoinSql,
   )
 }
