@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.GraftVectorExpressions
+import org.apache.spark.sql.graft.{GraftTextExpressions, GraftVectorExpressions}
 
 /** Spark session extension wiring graft's native expressions into SQL —
   * the supported injection point for expression libraries:
@@ -18,5 +18,6 @@ import org.apache.spark.sql.graft.GraftVectorExpressions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftVectorExpressions.dotProductDescription)
+    ext.injectFunction(GraftTextExpressions.ngramShinglesDescription)
   }
 }

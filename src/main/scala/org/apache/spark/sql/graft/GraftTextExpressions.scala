@@ -74,4 +74,32 @@ object NGramShingles {
 object GraftTextExpressions {
   def ngramShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(NGramShingles(ExpressionUtils.expression(text), n))
+
+  /** SQL registration triple: `ngram_shingles(text, n)` with `n` a literal
+    * integer (the shingle width is part of the compiled expression, so a
+    * column-valued n is rejected at analysis time). */
+  val ngramShinglesDescription:
+      (org.apache.spark.sql.catalyst.FunctionIdentifier,
+       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+       Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("ngram_shingles"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[NGramShingles].getName, "ngram_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "ngram_shingles(text, n) takes exactly two arguments")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"ngram_shingles: n must be an integer literal, got $other")
+      }
+      NGramShingles(children.head, n)
+    })
+
+  /** Register on an EXISTING session's function registry — the
+    * already-running-session counterpart of `GraftExtensions`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = ngramShinglesDescription
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }

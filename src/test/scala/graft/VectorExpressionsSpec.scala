@@ -105,6 +105,16 @@ class VectorExpressionsSpec extends GraftSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("ngram_shingles registers for SQL with a literal width") {
+    org.apache.spark.sql.graft.GraftTextExpressions.register(spark)
+    val r = spark.sql("SELECT ngram_shingles('A b c d', 3) AS s").head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    // a non-literal width is rejected at analysis time, not silently wrong
+    intercept[Exception] {
+      spark.sql("SELECT ngram_shingles('a b c', CAST(rand()*2 AS INT))").head()
+    }
+  }
+
   test("GraftExtensions injects dot_product into a new session") {
     import org.apache.spark.sql.SparkSession
     // builder().getOrCreate() would return the shared test session and skip
