@@ -157,6 +157,36 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: blocked Pregel equals superstep-at-a-time on random graphs") {
+    // blockSize composes supersteps into one plan; for monotone programs
+    // the final state must be identical to blockSize=1 (the overshoot past
+    // convergence is a fixed point). Random graphs + values across seeds.
+    import graft.graph.Pregel
+    val gen = for {
+      n <- Gen.choose(3, 12)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+      extra <- Gen.listOfN(4, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, vals, extra)
+    (1L to 3L).foreach { s =>
+      val (n, vals, extra) = sample(gen, s)
+      val vertices = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+      val edges = ((0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)) ++
+        extra.map { case (a, b) => (a.toLong, b.toLong) }).toDF("src", "dst")
+      def run(bs: Int) = Pregel.runWithStats(
+          vertices, edges, maxIter = 40,
+          sendMsg = col("value"),
+          mergeMsg = max,
+          vprog = (df, _) => df.select(
+            col("id"),
+            greatest(col("value"), coalesce(col("msg"), col("value"))).as("value"),
+            coalesce(col("msg") <= col("value"), lit(true)).as("halt")),
+          blockSize = bs)
+        .vertices.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(run(1) == run(3), s"seed $s: blocked != unblocked")
+    }
+  }
+
   test("property: saltedJoin equals the plain equi-join on skewed keys") {
     val gen = for {
       nl <- Gen.choose(20, 120)
