@@ -78,10 +78,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val filtered = only.isDefined
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","filtered":$filtered,"n_queries":${results.size},"queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
     println(line)
-    Files.writeString(Paths.get("bench_latest.json"), line + "\n")
+    // bench_latest.json always means "the full suite" — a SPARK_GRAFT_ONLY
+    // profiling run must not masquerade as a full-bench total
+    if (!filtered) Files.writeString(Paths.get("bench_latest.json"), line + "\n")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

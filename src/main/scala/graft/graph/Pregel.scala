@@ -86,6 +86,8 @@ object Pregel {
     require(vertices.columns.contains("id"), "vertices need an `id` column")
     require(edges.columns.contains("src") && edges.columns.contains("dst"),
       "edges need `src` and `dst` columns")
+    require(blockSize >= 1, "blockSize must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
 
     val spark = vertices.sparkSession
     val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -105,28 +107,40 @@ object Pregel {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.min(sessionParts.toLong,
       math.max(nVerts, nEdges) / rowsPerLoopPartition + 1).toInt
+
+    // The loop's conf overrides live on a CLONED session (`newSession()`:
+    // same SparkContext, catalog, and cache manager — isolated SQLConf), so
+    // concurrent queries on the caller's session are never planned with
+    // loop settings and two concurrent Pregel runs cannot race a
+    // save/restore. AQE is off in the clone: the loop sizes its shuffles
+    // explicitly, and AQE's per-stage replanning is pure driver overhead
+    // at superstep cadence.
+    val loopSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    }
+    def inLoop(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.GraftSessionBridge.rebind(df, loopSession)
+
     // compact the cached inputs too: their partition count drives the map
     // task count of every superstep's first stage
-    val e =
+    val e = inLoop {
       if (e0.rdd.getNumPartitions > 2 * loopParts) {
         val c = e0.coalesce(loopParts).persist(StorageLevel.MEMORY_AND_DISK)
         c.count() // re-materialize (reads the old cache, no recompute)
         e0.unpersist(false)
         c
       } else e0
+    }
     if (v.rdd.getNumPartitions > 2 * loopParts)
       v = v.coalesce(loopParts).localCheckpoint(true)
+    v = inLoop(v)
 
     var prev: DataFrame = null
     var step = 0
     var allHalt = false
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    // AQE's per-stage replanning is pure driver overhead here: the loop
-    // already sizes its shuffles explicitly, and the superstep cadence
-    // makes planning cost, not task time, the bottleneck
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
     var sinceCkpt = 0
     while (step < maxIter && !allHalt) {
@@ -170,14 +184,17 @@ object Pregel {
       step += block
     }
 
-    val result = v.drop("halt").localCheckpoint(true)
-    if (prev != null) prev.unpersist(false)
-    v.unpersist(false)
-    e.unpersist(false)
+    // hand the result back on the CALLER's session
+    val result = org.apache.spark.sql.graft.GraftSessionBridge
+      .rebind(v.drop("halt").localCheckpoint(true), spark)
     PregelResult(result, step)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      // also the exception path: without these a failing vprog would leave
+      // the edge cache (for q47, a whole materialized dedup pipeline) and
+      // the last vertex frames pinned for the session's lifetime
+      if (prev != null) prev.unpersist(false)
+      if (v != null) v.unpersist(false)
+      e.unpersist(false)
     }
   }
 }

@@ -26,12 +26,14 @@ object Joins {
     * GUARANTEE the spread rather than depend on runtime stats. `saltSrc`
     * must be a column of the skewed side with per-row variety (a unique id
     * is ideal); results are provably identical to the unsalted join —
-    * pinned by a property in MapReduceSpec.
+    * pinned by a property in GraftPropertiesSpec.
     */
   def saltedJoin(skewed: DataFrame, build: DataFrame, key: String,
                  saltSrc: org.apache.spark.sql.Column,
                  salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!skewed.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename the input column")
     val l = skewed.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts)))
     val r = build.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))

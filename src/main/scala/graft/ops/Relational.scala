@@ -178,6 +178,9 @@ object Relational {
   def q13ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_orderkey"))
+      // countDistinct ignores NULL keys; the dedupe-then-count form must
+      // drop them explicitly or a (flag, NULL) row would inflate the count
+      .filter(col("l_orderkey").isNotNull)
       .distinct()
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("exact_orders"),

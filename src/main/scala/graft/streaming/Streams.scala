@@ -40,7 +40,12 @@ object Streams {
     * emits each window's refreshed aggregate per trigger while the
     * watermark finalizes and DROPS windows older than the horizon — and,
     * unlike append, it still produces output when the input is a single
-    * file whose watermark never advances past its own windows. */
+    * file whose watermark never advances past its own windows.
+    *
+    * The memory sink therefore accumulates an UPDATE LOG: a window touched
+    * by k triggers appears k times, newest refresh last. Read the current
+    * state through [[currentEventCounts]], which keeps each window's
+    * latest refresh. */
   def streamEventCounts(spark: SparkSession, inputDir: String,
                         checkpointDir: String, outputTable: String) = {
     // the stream must read the RAW parquet schema (ts = nanos long, per the
@@ -59,6 +64,18 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .start()
   }
+
+  /** Collapse the update-log a memory-sink update-mode table accumulates
+    * (see [[streamEventCounts]]) to the CURRENT aggregate per window. Rows
+    * only ever arrive, so each refresh of a window strictly grows
+    * `n_events` — the latest refresh is the `max_by(n_events)` one. */
+  def currentEventCounts(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(max_by(struct(col("n_events"), col("sum_value")), col("n_events"))
+        .as("s"))
+      .select(col("win_start"), col("event_type"),
+        col("s.n_events").as("n_events"), col("s.sum_value").as("sum_value"))
 
   // ------------------------------------------------------- sessionization
   /** One user's activity burst: events with gaps <= the session gap. */

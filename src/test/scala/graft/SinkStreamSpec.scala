@@ -73,13 +73,21 @@ class SinkStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
-  test("file-stream wiring produces windowed output from events") {
+  test("file-stream wiring: current state of the update log matches batch") {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val q = Streams.streamEventCounts(spark, sf, ckpt, "graft_file_stream")
     try {
       q.processAllAvailable()
-      val n = spark.table("graft_file_stream").count()
-      assert(n > 0)
+      val streamed = Streams.currentEventCounts(spark, "graft_file_stream")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = Streams.eventWindowAgg(Tables.events(spark, sf))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
     } finally q.stop()
   }
 
