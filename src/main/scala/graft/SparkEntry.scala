@@ -20,7 +20,7 @@ object SparkEntry {
       ops.Scalars.queries ++ ops.Text.queries ++ ops.Collections.queries ++
       graph.Algorithms.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries ++
-      ext.Multimodal.queries ++ streaming.Streams.queries
+      ext.Multimodal.queries ++ ext.Pipeline.queries ++ streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +29,5 @@ object SparkEntry {
       ops.Scalars.oracles ++ ops.Text.oracles ++ ops.Collections.oracles ++
       graph.Algorithms.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles ++
-      ext.Multimodal.oracles ++ streaming.Streams.oracles
+      ext.Multimodal.oracles ++ ext.Pipeline.oracles ++ streaming.Streams.oracles
 }

@@ -310,7 +310,7 @@ object Dedup {
     * compare, which is the point. */
   /** Shared CTE chain computing the exact 3-gram shingle pair overlaps —
     * composed into both the pair-set oracle and q47's cluster oracle. */
-  private val ngramPairCtes: String = """toks AS (
+  private[ext] val ngramPairCtes: String = """toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
       FROM documents),
