@@ -236,6 +236,47 @@ object Streams {
     FROM s
     GROUP BY user_id, session_id"""
 
+  // --- q51_session_window: the BUILT-IN session primitive, oracled --------
+  // Spark's `session_window` is the declarative form of sessionizeBatch —
+  // same gap semantics, no window-function pass, and (unlike the lag/sum
+  // formulation) streamable with state eviction for free. Exposed alongside
+  // the explicit forms so a user can see both paths agree: the oracle is
+  // the same gap-fold CTE as q45 minus the session ordinal (session_window
+  // identifies sessions by their time range, not a 1..k counter).
+  // Durations come from min/max event time inside the group — the window's
+  // own end is gap-extended and engine-specific.
+  def q51SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+        count(lit(1)).cast("int").as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .select("user_id", "session_start_us", "n_events", "duration_us")
+
+  val q51SessionWindowSql: String = """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events),
+    d AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM d)
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           CAST(COUNT(*) AS INT) AS n_events,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM s
+    GROUP BY user_id, session_id"""
+
   // --- q49_interval_join: the intervalJoin transform, batch, oracled ------
   // Per-user pairs of events at most 10 minutes apart, counted per user —
   // the aggregation keeps the result small while the join itself (equi-key
@@ -269,14 +310,16 @@ object Streams {
     GROUP BY 1, 2"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q40_event_window"  -> q40EventWindow _,
-    "q45_sessionize"    -> q45Sessionize _,
-    "q49_interval_join" -> q49IntervalJoin _,
+    "q40_event_window"   -> q40EventWindow _,
+    "q45_sessionize"     -> q45Sessionize _,
+    "q49_interval_join"  -> q49IntervalJoin _,
+    "q51_session_window" -> q51SessionWindow _,
   )
 
   def oracles: Map[String, String] = Map(
-    "q40_event_window"  -> q40EventWindowSql,
-    "q45_sessionize"    -> q45SessionizeSql,
-    "q49_interval_join" -> q49IntervalJoinSql,
+    "q40_event_window"   -> q40EventWindowSql,
+    "q45_sessionize"     -> q45SessionizeSql,
+    "q49_interval_join"  -> q49IntervalJoinSql,
+    "q51_session_window" -> q51SessionWindowSql,
   )
 }
