@@ -174,8 +174,16 @@ object Pregel {
       val nv =
         if (sinceCkpt >= checkpointEvery) { sinceCkpt = 0; cur.localCheckpoint(false) }
         else cur.persist(StorageLevel.MEMORY_AND_DISK)
+      // The halt vote is an AGGREGATE, not filter(...).isEmpty: isEmpty is
+      // a limit(1) that can stop after the first non-halting partition,
+      // leaving this block's cache partially materialized — the next block
+      // would then silently recompute the missing partitions from lineage.
+      // bool_and scans every partition, so the same job that answers the
+      // vote also finishes the materialization (empty frame → vacuous halt).
       allHalt =
-        if (voteToHalt) nv.filter(!col("halt")).isEmpty // action → barrier
+        if (voteToHalt)
+          nv.agg(coalesce(bool_and(col("halt")), lit(true)))
+            .head.getBoolean(0)                         // action → barrier
         else { nv.count(); false }                      // action → barrier
 
       if (prev != null) prev.unpersist(false)
