@@ -218,6 +218,27 @@ object Relational {
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag"""
 
+  // --- q52_pivot: wide-format aggregation ----------------------------------
+  // `pivot` with an explicit value list compiles to conditional aggregation
+  // (one agg expression per value) — a single hash aggregate, no extra
+  // shuffle vs the long-format groupBy, which is also exactly how the
+  // oracle expresses it. Listing the values explicitly matters at scale:
+  // an unlisted pivot first runs a distinct query over the pivot column.
+  def q52Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).as("qty_f"),
+        coalesce(col("O"), lit(0.0)).as("qty_o"))
+
+  val q52PivotSql: String = s"""
+    SELECT l_returnflag,
+           COALESCE(${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 0.0) AS qty_f,
+           COALESCE(${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}, 0.0) AS qty_o
+    FROM lineitem GROUP BY l_returnflag"""
+
   // --- q14_cube / q15_rollup: grouping sets ---------------------------------
   def q14Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -300,6 +321,7 @@ object Relational {
     "q13_approx_distinct" -> q13ApproxDistinct _,
     "q14_cube"      -> q14Cube _,
     "q15_rollup"    -> q15Rollup _,
+    "q52_pivot"     -> q52Pivot _,
     "q20_setops"    -> q20SetOps _,
     "q23_sql_subquery" -> q23SqlSubquery _,
     "q46_percentiles" -> q46Percentiles _,
@@ -315,6 +337,7 @@ object Relational {
     "q13_approx_distinct" -> q13ApproxDistinctSql,
     "q14_cube"      -> q14CubeSql,
     "q15_rollup"    -> q15RollupSql,
+    "q52_pivot"     -> q52PivotSql,
     "q20_setops"    -> q20SetOpsSql,
     "q23_sql_subquery" -> q23SqlSubquerySql,
     "q46_percentiles" -> q46PercentilesSql,
