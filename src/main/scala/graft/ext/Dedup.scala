@@ -374,8 +374,10 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("cluster"))
   }
 
-  val q47DedupClustersSql: String = s"""
-    WITH RECURSIVE $ngramPairCtes,
+  /** The transitive-closure clustering CTE chain (threshold 0.8), shared
+    * by the q47 oracle and q50's pipeline oracle so the clustering
+    * definition lives in exactly one place. Prepend `WITH RECURSIVE`. */
+  private[ext] val clusterCtes: String = s"""$ngramPairCtes,
     tp AS (
       SELECT p.id_a, p.id_b FROM pairs p
       JOIN sizes za ON za.doc_id = p.id_a
@@ -386,11 +388,16 @@ object Dedup {
     reach AS (
       SELECT a, b FROM e
       UNION
-      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-    SELECT d.doc_id,
-           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
-    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-    GROUP BY d.doc_id"""
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    clusters AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id)"""
+
+  val q47DedupClustersSql: String = s"""
+    WITH RECURSIVE $clusterCtes
+    SELECT doc_id, cluster FROM clusters"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup"   -> q27ExactDedup _,

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** End-to-end training-data curation: the composition the north-star
   * operators exist FOR, as one declarative pipeline —
@@ -20,41 +21,27 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Curated corpus: canonical (lowest-doc_id) representative of every
-    * near-dup cluster that clears the quality bar, with its token stats. */
+    * near-dup cluster that clears the quality bar, with its token stats.
+    * Quality and token columns come from ONE scan+tokenization
+    * ([[TextAnalysis.docStats]]) — joining the standalone q37/q38 queries
+    * instead would read and tokenize the corpus once per stage, since
+    * Catalyst does not merge scans across plan branches. */
   def trainPipeline(spark: SparkSession, dir: String,
                     minQuality: Double): DataFrame = {
     val clusters = Dedup.q47DedupClusters(spark, dir)       // doc_id, cluster
-    val quality = TextAnalysis.q37QualityScore(spark, dir)  // doc_id, ..., quality
-    val tokens = TextAnalysis.q38TokenStats(spark, dir)     // doc_id, n_tokens, ...
-      .select(col("doc_id"), col("n_tokens"), col("est_bpe"))
+    val stats = TextAnalysis.docStats(Tables.documents(spark, dir))
     clusters.filter(col("doc_id") === col("cluster"))
       .select("doc_id")
-      .join(quality.select("doc_id", "quality"), "doc_id")
+      .join(stats, "doc_id")
       .filter(col("quality") >= minQuality)
-      .join(tokens, "doc_id")
+      .select("doc_id", "quality", "n_tokens", "est_bpe")
   }
 
   def q50TrainPipeline(spark: SparkSession, dir: String): DataFrame =
     trainPipeline(spark, dir, minQuality = 0.7)
 
   val q50TrainPipelineSql: String = s"""
-    WITH RECURSIVE ${Dedup.ngramPairCtes},
-    tp AS (
-      SELECT p.id_a, p.id_b FROM pairs p
-      JOIN sizes za ON za.doc_id = p.id_a
-      JOIN sizes zb ON zb.doc_id = p.id_b
-      WHERE CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter) >= 0.8),
-    e AS (SELECT id_a AS a, id_b AS b FROM tp
-          UNION SELECT id_b, id_a FROM tp),
-    reach AS (
-      SELECT a, b FROM e
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-    clusters AS (
-      SELECT d.doc_id,
-             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
-      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-      GROUP BY d.doc_id),
+    WITH RECURSIVE ${Dedup.clusterCtes},
     q AS (${TextAnalysis.q37QualityScoreSql}),
     tk AS (${TextAnalysis.q38TokenStatsSql})
     SELECT c.doc_id, q.quality, tk.n_tokens, tk.est_bpe

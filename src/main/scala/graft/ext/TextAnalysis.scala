@@ -120,10 +120,11 @@ object TextAnalysis {
   // --- q37_quality_score: composite document quality ----------------------
   // length band + stopword ratio + mean token length, the standard cheap
   // pre-filter in front of expensive pipeline stages.
-  def q37QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Quality columns appended in one pass over `text` — shared by q37 and
+    * [[docStats]] so the formula lives in exactly one place. */
+  private def withQualityCols(df: DataFrame): DataFrame = {
     val toks = Text.tokenize(col("text"))
-    Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(toks))
+    df.withColumn("n_tokens", size(toks))
       .withColumn("stop_ratio",
         round(size(filter(toks, t => t.isin("the", "a"))).cast("double") /
           col("n_tokens"), 6))
@@ -134,8 +135,22 @@ object TextAnalysis {
         round(lit(0.3) * least(col("n_tokens").cast("double") / 100, lit(1.0)) +
           lit(0.4) * (lit(1.0) - col("stop_ratio")) +
           lit(0.3) * least(col("mean_tok_len") / 8, lit(1.0)), 6))
-      .select("doc_id", "n_tokens", "stop_ratio", "mean_tok_len", "quality")
   }
+
+  def q37QualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQualityCols(Tables.documents(spark, dir))
+      .select("doc_id", "n_tokens", "stop_ratio", "mean_tok_len", "quality")
+
+  /** Per-document quality + token-budget stats from a SINGLE scan and
+    * tokenization of `text` — what a pipeline composition should join
+    * against: Catalyst does not merge the separate q37/q38 scans across
+    * plan branches, so joining those two queries would tokenize the whole
+    * corpus twice. */
+  def docStats(docs: DataFrame): DataFrame =
+    withQualityCols(docs)
+      .withColumn("est_bpe",
+        ceil(length(col("text")).cast("double") / 4).cast("long"))
+      .select("doc_id", "n_tokens", "quality", "est_bpe")
 
   val q37QualityScoreSql: String = """
     WITH t AS (

@@ -90,8 +90,16 @@ object Pregel {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
 
     val spark = vertices.sparkSession
-    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var v = vertices.localCheckpoint(true)
+    var e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var v: DataFrame = null
+    var prev: DataFrame = null
+    var step = 0
+    var allHalt = false
+    // everything after the first persist sits inside the try so a failure
+    // anywhere — including setup (materializing the edge cache can run a
+    // whole dedup pipeline for q47) — unpersists in the finally
+    try {
+    v = vertices.localCheckpoint(true)
 
     // Size the superstep shuffles to the GRAPH, not the session default.
     // Cached/checkpointed plans are exempt from AQE partition coalescing
@@ -102,21 +110,21 @@ object Pregel {
     // justifies, and on a 1000-executor cluster it is the same waste in
     // scheduler RPCs. At real scale rows/rowsPerLoopPartition exceeds the
     // session setting and the clamp keeps full parallelism.
-    val nEdges = e0.count() // also materializes the edge cache
-    val nVerts = v.count()  // cheap: v is checkpointed
+    val nEdges = e.count() // also materializes the edge cache
+    val nVerts = v.count() // cheap: v is checkpointed
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.min(sessionParts.toLong,
       math.max(nVerts, nEdges) / rowsPerLoopPartition + 1).toInt
 
-    // The loop's conf overrides live on a CLONED session (`newSession()`:
-    // same SparkContext, catalog, and cache manager — isolated SQLConf), so
-    // concurrent queries on the caller's session are never planned with
-    // loop settings and two concurrent Pregel runs cannot race a
-    // save/restore. AQE is off in the clone: the loop sizes its shuffles
-    // explicitly, and AQE's per-stage replanning is pure driver overhead
-    // at superstep cadence.
+    // The loop's conf overrides live on a CLONE of the caller's session
+    // (same SparkContext, catalog, cache manager, runtime conf state, and
+    // temp views — only the SQLConf overrides below differ), so concurrent
+    // queries on the caller's session are never planned with loop settings
+    // and two concurrent Pregel runs cannot race a save/restore. AQE is
+    // off in the clone: the loop sizes its shuffles explicitly, and AQE's
+    // per-stage replanning is pure driver overhead at superstep cadence.
     val loopSession = {
-      val s = spark.newSession()
+      val s = org.apache.spark.sql.graft.GraftSessionBridge.cloneSession(spark)
       s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s
@@ -126,22 +134,17 @@ object Pregel {
 
     // compact the cached inputs too: their partition count drives the map
     // task count of every superstep's first stage
-    val e = inLoop {
-      if (e0.rdd.getNumPartitions > 2 * loopParts) {
-        val c = e0.coalesce(loopParts).persist(StorageLevel.MEMORY_AND_DISK)
+    e = inLoop {
+      if (e.rdd.getNumPartitions > 2 * loopParts) {
+        val c = e.coalesce(loopParts).persist(StorageLevel.MEMORY_AND_DISK)
         c.count() // re-materialize (reads the old cache, no recompute)
-        e0.unpersist(false)
+        e.unpersist(false)
         c
-      } else e0
+      } else e
     }
     if (v.rdd.getNumPartitions > 2 * loopParts)
       v = v.coalesce(loopParts).localCheckpoint(true)
     v = inLoop(v)
-
-    var prev: DataFrame = null
-    var step = 0
-    var allHalt = false
-    try {
     var sinceCkpt = 0
     while (step < maxIter && !allHalt) {
       val block = math.min(blockSize, maxIter - step)
@@ -197,9 +200,9 @@ object Pregel {
       .rebind(v.drop("halt").localCheckpoint(true), spark)
     PregelResult(result, step)
     } finally {
-      // also the exception path: without these a failing vprog would leave
-      // the edge cache (for q47, a whole materialized dedup pipeline) and
-      // the last vertex frames pinned for the session's lifetime
+      // also the exception path: without these a failure anywhere above
+      // would leave the edge cache and the last vertex frames pinned for
+      // the session's lifetime
       if (prev != null) prev.unpersist(false)
       if (v != null) v.unpersist(false)
       e.unpersist(false)

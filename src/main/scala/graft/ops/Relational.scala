@@ -178,16 +178,18 @@ object Relational {
   def q13ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_orderkey"))
-      // countDistinct ignores NULL keys; the dedupe-then-count form must
-      // drop them explicitly or a (flag, NULL) row would inflate the count
-      .filter(col("l_orderkey").isNotNull)
       .distinct()
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("exact_orders"),
+      // count(col) skips the one (flag, NULL) row distinct() may keep —
+      // matching countDistinct's null semantics while still EMITTING a
+      // group whose keys are all NULL (a pre-aggregation isNotNull filter
+      // would drop that group entirely; COUNT DISTINCT keeps it at 0)
+      .agg(count(col("l_orderkey")).as("exact_orders"),
            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .select(col("l_returnflag"), col("exact_orders"),
-        (abs(col("approx_orders") - col("exact_orders")) /
-          col("exact_orders") < 0.05).as("approx_ok"))
+        (col("exact_orders") === 0 ||
+          abs(col("approx_orders") - col("exact_orders")) /
+            col("exact_orders") < 0.05).as("approx_ok"))
 
   val q13ApproxDistinctSql: String = """
     SELECT l_returnflag,

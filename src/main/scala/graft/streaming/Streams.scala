@@ -213,8 +213,9 @@ object Streams {
   def q45Sessionize(spark: SparkSession, dir: String): DataFrame =
     sessionizeBatch(Tables.events(spark, dir), gapMinutes = 30)
 
-  val q45SessionizeSql: String = """
-    WITH e AS (
+  /** The 30-minute gap-fold CTE chain shared by the q45 and q51 oracles —
+    * one place owns the gap constant and the (ts_us, event_id) tie-break. */
+  private val sessionCtes: String = """e AS (
       SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
       FROM events),
     d AS (
@@ -228,7 +229,10 @@ object Streams {
       SELECT user_id, ts_us,
              CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
-      FROM d)
+      FROM d)"""
+
+  val q45SessionizeSql: String = s"""
+    WITH $sessionCtes
     SELECT user_id, session_id,
            MIN(ts_us) AS session_start_us,
            CAST(COUNT(*) AS INT) AS n_events,
@@ -254,22 +258,8 @@ object Streams {
           .as("duration_us"))
       .select("user_id", "session_start_us", "n_events", "duration_us")
 
-  val q51SessionWindowSql: String = """
-    WITH e AS (
-      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-      FROM events),
-    d AS (
-      SELECT user_id, event_id, ts_us,
-             CASE WHEN lag(ts_us) OVER w IS NULL
-                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
-                  ELSE 0 END AS new_s
-      FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-    s AS (
-      SELECT user_id, ts_us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM d)
+  val q51SessionWindowSql: String = s"""
+    WITH $sessionCtes
     SELECT user_id,
            MIN(ts_us) AS session_start_us,
            CAST(COUNT(*) AS INT) AS n_events,

@@ -18,4 +18,13 @@ object GraftSessionBridge {
 
   def rebind(df: DataFrame, to: SparkSession): DataFrame =
     ofRows(to, df.queryExecution.logical)
+
+  /** A true clone: unlike `newSession()` (which resets SQLConf to
+    * builder-time values and drops temp views), `cloneSession()` copies the
+    * CURRENT runtime conf state and the temp-view catalog — so a plan
+    * rebound into the clone is planned under exactly the caller's SQL
+    * semantics plus whatever overrides the caller then sets on the clone.
+    * `cloneSession` is `private[sql]`, hence this bridge. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }
