@@ -62,6 +62,7 @@ object Bench {
       // time — per-query attribution was ±10× noisy without it, and cache
       // buildup over 47 queries inflated the full run well beyond the sum
       // of standalone timings.
+      CacheRegistry.unpersistAll() // drain the library-operator cache registry
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()

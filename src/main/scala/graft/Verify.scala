@@ -23,6 +23,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      CacheRegistry.unpersistAll() // drain the library-operator cache registry
       spark.catalog.clearCache() // drop any cache a library op persisted
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

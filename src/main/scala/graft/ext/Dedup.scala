@@ -1,10 +1,8 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
-import graft.Tables
+import graft.{CacheRegistry, Tables}
 import graft.ops.Text
 
 /** Deduplication for LLM training-data pipelines: exact key-dedup,
@@ -77,16 +75,24 @@ object Dedup {
         xxhash64(lit(b),
           slice(col("sig"), lit(b) * r.cast("int") + 1, r.cast("int"))).as("bh"))
     }
-    val buckets = withSig
-      .select(col(id), explode(array(bandCols: _*)).as("bb"))
-      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // persisted: the bucket self-join references `capped` on both sides,
+    // persisted: the frame feeds bucket sizing AND the capped self-join,
     // and its lineage holds the whole signature computation
-    val capped = buckets.withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("band", "bh")))
+    val buckets = CacheRegistry.persist(withSig
+      .select(col(id), explode(array(bandCols: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh")))
+    // Bucket sizes via groupBy.count + semi join, NOT a value-keyed window:
+    // count().over(Window.partitionBy(band, bh)) would shuffle every member
+    // of a hot bucket onto ONE task before the size filter runs — and the
+    // degenerate buckets this cap exists to drop are precisely the hot
+    // keys. groupBy.count partial-aggregates map-side (one row per bucket
+    // per map task crosses the wire), and the semi join back is a shuffle
+    // on the same key with no per-key concentration.
+    val smallBuckets = buckets.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select("band", "bh")
+    val capped = CacheRegistry.persist(
+      buckets.join(smallBuckets, Seq("band", "bh"), "left_semi"))
     capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -102,9 +108,8 @@ object Dedup {
                             text: String, n: Int, threshold: Double): DataFrame = {
     // persisted: the plan references `sets` twice (side a, side b); without
     // the persist the whole shingle-building subtree evaluates twice
-    val sets = docs.select(col(id).as("vid"),
-        array_distinct(shingles(col(text), n)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = CacheRegistry.persist(docs.select(col(id).as("vid"),
+      array_distinct(shingles(col(text), n)).as("sh")))
     pairs
       .join(sets.as("sa"), col("id_a") === col("sa.vid"))
       .join(sets.as("sb"), col("id_b") === col("sb.vid"))
@@ -151,20 +156,26 @@ object Dedup {
     * Candidates are then verified exactly on the full shingle sets. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(id).as("doc_id"),
-      explode(array_distinct(shingles(col(text), n))).as("shingle"))
-    // document frequency as a window count, not an agg+join: one shuffle on
-    // shingle and the expensive shingle-building subtree evaluates ONCE
-    // (an agg+join shape re-evaluates it per plan branch)
-    val ranked = sh.withColumn("dfq",
-      count(lit(1)).over(Window.partitionBy("shingle")))
+    // persisted: the exploded frame feeds both the df aggregation and the
+    // join back, so the expensive shingle-building subtree evaluates ONCE
+    val sh = CacheRegistry.persist(docs.select(col(id).as("doc_id"),
+      explode(array_distinct(shingles(col(text), n))).as("shingle")))
+    // Document frequency via groupBy.count + join, NOT a value-keyed
+    // window: count().over(Window.partitionBy(shingle)) puts every row of
+    // a hot shingle on ONE task — a boilerplate 3-gram present in 10% of a
+    // 100 TB corpus lands billions of rows on one task before any filter
+    // runs. The aggregate partial-aggregates map-side (one row per shingle
+    // per map task crosses the wire) and the join back distributes a hot
+    // shingle's rows across however many tasks hold them.
+    val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("dfq"))
+    val ranked = sh.join(dfCounts, Seq("shingle"))
     // per doc: full set sorted by (df, shingle) — rarest first — and the
     // prefix length from the bound above. Persisted: this subtree feeds the
     // plan FOUR times (prefix sides a+b, full-set sides fa+fb) — without
-    // the persist the shingle window + aggregation runs 4× per query.
-    // Cache lifetime is left to the session (LRU / clearCache): at corpus
-    // scale it spills to disk, which still beats recomputation.
-    val sets = ranked
+    // the persist the shingle df + aggregation runs 4× per query.
+    // Cache lifetime: registered with [[CacheRegistry]]; at corpus scale
+    // it spills to disk, which still beats recomputation.
+    val sets = CacheRegistry.persist(ranked
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("dfq"), col("shingle"))))
         .as("ranked"))
@@ -172,8 +183,7 @@ object Dedup {
         transform(col("ranked"), r => r("shingle")).as("sh"),
         size(col("ranked")).as("sz"))
       .withColumn("plen",
-        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")))
     val prefixes = sets.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
     val cand = prefixes.as("a")
@@ -251,9 +261,8 @@ object Dedup {
                      shortDocTokens: Int = 24): DataFrame = {
     // persisted: both strata filter this frame, and the shingle sizing is
     // the expensive part of it
-    val sized = docs.withColumn("__sz",
-        size(array_distinct(shingles(col(text), n))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sized = CacheRegistry.persist(docs.withColumn("__sz",
+      size(array_distinct(shingles(col(text), n)))))
     val partnerMax = math.floor(shortDocTokens / threshold).toInt
     val exactShort =
       ngramJaccardPairs(sized.filter(col("__sz") <= partnerMax).drop("__sz"),
@@ -271,13 +280,13 @@ object Dedup {
     val fp = simHash(docs, id, text)
     // persisted: the block self-join references `blocks` on both sides,
     // and its lineage holds the 64-vote fingerprint aggregation
-    val blocks = fp.select(col(id), col("simhash"), explode(array(
-      (0 until 8).map(b =>
-        struct(lit(b).as("blk"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("v"))): _*))
-      .as("bb"))
-      .select(col(id), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocks = CacheRegistry.persist(fp.select(col(id), col("simhash"),
+      explode(array(
+        (0 until 8).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("v"))): _*))
+        .as("bb"))
+      .select(col(id), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v")))
     val pairs = blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&

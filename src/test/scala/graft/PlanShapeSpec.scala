@@ -47,6 +47,18 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("dedup substrate carries no value-keyed window (df/bucket sizing is agg+join)") {
+    // count().over(Window.partitionBy(valueCol)) concentrates every row of
+    // a hot key on one task — the df-count and bucket-size computations
+    // must stay groupBy.count + join (map-side partial agg, no single-task
+    // key concentration). Any Window node in these plans is a regression.
+    for (q <- Seq("q31_minhash_lsh", "q35_ngram_jaccard", "q41_simhash",
+                  "q47_dedup_clusters")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: value-keyed window in dedup plan")
+    }
+  }
+
   test("q16 range join keeps the equi-key shuffle (band is a post-join filter)") {
     val p = plan("q16_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
