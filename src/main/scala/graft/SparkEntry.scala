@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
       ops.Scalars.queries ++ ops.Text.queries ++ ops.Collections.queries ++
+      ops.MapReduce.queries ++ sources.Sink.queries ++
       graph.Algorithms.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries ++
       ext.Multimodal.queries ++ ext.Pipeline.queries ++ streaming.Streams.queries
@@ -27,6 +28,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Joins.oracles ++ ops.Windows.oracles ++
       ops.Scalars.oracles ++ ops.Text.oracles ++ ops.Collections.oracles ++
+      ops.MapReduce.oracles ++ sources.Sink.oracles ++
       graph.Algorithms.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles ++
       ext.Multimodal.oracles ++ ext.Pipeline.oracles ++ streaming.Streams.oracles

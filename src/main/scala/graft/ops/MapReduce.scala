@@ -88,4 +88,37 @@ object MapReduce {
   /** M3: app-chosen partition-label routing, physical-only parity knob. */
   def routeByLabel(df: DataFrame, label: Column): DataFrame =
     df.repartition(label)
+
+  // --------------------------------------------------------------- queries
+
+  // --- q59_typed_mr: the typed map/reduce contract, oracled ---------------
+  /** Wordcount through the TYPED [[mapReduce]] path — the literal remap
+    * user contract (`map` yields `(label, word, 1)` with the reference's
+    * a2e/f2n/o2s/t2z/_default routing, `reduce` sums;
+    * `examples/wordcount/wordcount.py:20-41`) — sharing q24's oracle, so
+    * the generator-based API is hash-certified equivalent to the
+    * declarative pipeline, not just spec-equivalent. */
+  def q59TypedMr(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def label(w: String): String = w.head match {
+      case c if c >= 'a' && c <= 'e' => "a2e"
+      case c if c >= 'f' && c <= 'n' => "f2n"
+      case c if c >= 'o' && c <= 's' => "o2s"
+      case c if c >= 't' && c <= 'z' => "t2z"
+      case _ => "_default"
+    }
+    val lines = graft.Tables.documents(spark, dir).select("text").as[String]
+    mapReduce[String, String, Long, String, Long](
+      lines,
+      line => line.toLowerCase.split("\\s+").iterator
+        .filter(_.nonEmpty).map(w => (label(w), w, 1L)),
+      (w, vs) => Iterator.single((w, vs.sum)))
+      .toDF("word", "n")
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q59_typed_mr" -> q59TypedMr _)
+
+  def oracles: Map[String, String] =
+    Map("q59_typed_mr" -> graft.ops.Text.q24WordcountSql)
 }

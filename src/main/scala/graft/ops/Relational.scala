@@ -220,6 +220,41 @@ object Relational {
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag"""
 
+  // --- q54_approx_percentiles: the 100 TB percentile plan, oracled --------
+  // The scale path: `approx_percentile` (KLL-style mergeable sketch, bounded
+  // memory per group, partial-aggregates map-side) instead of q46's exact
+  // `percentile` (buffers every group's value set — fine for an oracle, a
+  // scale-killer at 100×). q13-style derived oracle: the exact columns
+  // hash-check against DuckDB; the sketch's values are implementation-
+  // specific, so they are asserted within a relative bound instead. The
+  // accuracy knob 10000 bounds RANK error at n/10000 rows; at sf0.01
+  // (~20k rows/group) that is ±2 ranks — far inside the 1% value bound.
+  def q54ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_exact"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_exact"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"), col("n"),
+        (abs(col("ap")(0) - col("p50_exact")) / col("p50_exact") < 0.01 &&
+         abs(col("ap")(1) - col("p90_exact")) / col("p90_exact") < 0.01 &&
+         abs(col("ap")(2) - col("p99_exact")) / col("p99_exact") < 0.01)
+          .as("approx_ok"))
+  }
+
+  val q54ApproxPercentilesSql: String = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+           COUNT(*) AS n, TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag"""
+
   // --- q52_pivot: wide-format aggregation ----------------------------------
   // `pivot` with an explicit value list compiles to conditional aggregation
   // (one agg expression per value) — a single hash aggregate, no extra
@@ -327,6 +362,7 @@ object Relational {
     "q20_setops"    -> q20SetOps _,
     "q23_sql_subquery" -> q23SqlSubquery _,
     "q46_percentiles" -> q46Percentiles _,
+    "q54_approx_percentiles" -> q54ApproxPercentiles _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -343,5 +379,6 @@ object Relational {
     "q20_setops"    -> q20SetOpsSql,
     "q23_sql_subquery" -> q23SqlSubquerySql,
     "q46_percentiles" -> q46PercentilesSql,
+    "q54_approx_percentiles" -> q54ApproxPercentilesSql,
   )
 }

@@ -171,15 +171,115 @@ object Text {
     FROM lineitem
     GROUP BY l_orderkey"""
 
+  // ------------------------------------------------- fixture-source queries
+  /** Checked-in fixtures exercising the file sources end-to-end; tiny and
+    * hand-authored (mirroring the reference's `testdata/gutenberg/`,
+    * `testdata/html/`, `testdata/csv/insurance_sample.csv` shapes), so the
+    * DuckDB oracle can independently read the same bytes. */
+  val fixturesDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
+
+  private def basename(c: Column): Column = regexp_extract(c, "[^/]+$", 0)
+
+  // --- q53_text_source: S1 reader → per-file wordcount --------------------
+  /** The reference's primary intake (`TextFileReader` → wordcount map),
+    * oracled against DuckDB's `read_text` over the same fixture files —
+    * the filename column proves the `(filename, line)` contract, not just
+    * the line payload. */
+  def q53TextSource(spark: SparkSession, dir: String): DataFrame =
+    explodeTokens(
+      textLines(spark, s"$fixturesDir/text")
+        .select(basename(col("filename")).as("filename"), col("line")),
+      "line", "word")
+      .groupBy(col("filename"), col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  val q53TextSourceSql: String = s"""
+    SELECT parse_filename(filename) AS filename, word, COUNT(*) AS n
+    FROM (SELECT filename,
+                 unnest(string_split_regex(lower(content), '\\s+')) AS word
+          FROM read_text('$fixturesDir/text/*.txt')) t
+    WHERE word <> ''
+    GROUP BY filename, word"""
+
+  // --- q55_xml_source: S2 reader, element text in document order ----------
+  /** Oracle is a hand-derived VALUES literal (DuckDB has no XML parser;
+    * the fixture is checked-in and immutable, so the expected rows are a
+    * constant — same pattern as q42's inlined-literal replay oracle).
+    * Derivation: single-line XML (no whitespace text nodes); ElementTree
+    * `.text` = direct text before the first child element, null when the
+    * element starts with a child or is empty. */
+  def q55XmlSource(spark: SparkSession, dir: String): DataFrame =
+    xmlElementText(spark, s"$fixturesDir/xml")
+      .select(basename(col("filename")).as("filename"), col("text"))
+
+  val q55XmlSourceSql: String = """
+    SELECT * FROM (VALUES
+      ('catalog.xml', CAST(NULL AS VARCHAR)),
+      ('catalog.xml', NULL),
+      ('catalog.xml', NULL),
+      ('catalog.xml', 'the art of spark'),
+      ('catalog.xml', '2014'),
+      ('catalog.xml', 'stream processing'),
+      ('catalog.xml', '2018'),
+      ('catalog.xml', 'end of catalog'),
+      ('feed.xml', NULL),
+      ('feed.xml', NULL),
+      ('feed.xml', 'alpha release'),
+      ('feed.xml', 'beta release')
+    ) t(filename, text)"""
+
+  // --- q56_html_source: S3 reader, last text node per line ----------------
+  /** DuckDB recomputes the same spec independently: strip tags to NUL
+    * separators, keep the last non-blank segment per line. `rtrim` drops
+    * the file's final newline (Spark's text reader emits no trailing empty
+    * line; DuckDB's split would). */
+  def q56HtmlSource(spark: SparkSession, dir: String): DataFrame =
+    htmlLineText(spark, s"$fixturesDir/html")
+      .select(basename(col("filename")).as("filename"), col("text"))
+
+  val q56HtmlSourceSql: String = s"""
+    SELECT parse_filename(filename) AS filename,
+           CASE WHEN len(segs) = 0 THEN NULL ELSE segs[-1] END AS text
+    FROM (SELECT filename,
+                 list_filter(
+                   string_split(regexp_replace(line, '<[^>]*>', chr(0), 'g'),
+                                chr(0)),
+                   x -> trim(x) <> '') AS segs
+          FROM (SELECT filename,
+                       unnest(string_split(rtrim(content, chr(10)), chr(10))) AS line
+                FROM read_text('$fixturesDir/html/*.html')) l) s"""
+
+  // --- q57_cr_csv: S6 reader, CR-only line endings ------------------------
+  def q57CrCsv(spark: SparkSession, dir: String): DataFrame =
+    crCsv(spark, s"$fixturesDir/csv/claims_cr.csv")
+      .groupBy(col("county"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("long")).as("total_value"))
+
+  val q57CrCsvSql: String = s"""
+    SELECT county, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS BIGINT)) AS BIGINT) AS total_value
+    FROM read_csv('$fixturesDir/csv/claims_cr.csv', header=true)
+    GROUP BY county"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_wordcount"      -> q24Wordcount _,
     "q25_collation"      -> q25Collation _,
     "q26_secondary_sort" -> q26SecondarySort _,
+    "q53_text_source"    -> q53TextSource _,
+    "q55_xml_source"     -> q55XmlSource _,
+    "q56_html_source"    -> q56HtmlSource _,
+    "q57_cr_csv"         -> q57CrCsv _,
   )
 
   def oracles: Map[String, String] = Map(
     "q24_wordcount"      -> q24WordcountSql,
     "q25_collation"      -> q25CollationSql,
     "q26_secondary_sort" -> q26SecondarySortSql,
+    "q53_text_source"    -> q53TextSourceSql,
+    "q55_xml_source"     -> q55XmlSourceSql,
+    "q56_html_source"    -> q56HtmlSourceSql,
+    "q57_cr_csv"         -> q57CrCsvSql,
   )
 }

@@ -56,4 +56,41 @@ object Sink {
       from_json(expr("substring(value, instr(value, ',') + 1)"), valueType)
         .as("values"))
   }
+
+  // --------------------------------------------------------------- queries
+
+  // --- q58_kv_roundtrip: K2 writer → S4 compat reader → aggregate ---------
+  /** Round-trips the reference's exact output contract: per-lang doc-id
+    * lists written as `"k,json(list)\n"` lines ([[writeKvText]], matching
+    * `remap.py:178-188`), read back through the compat reader
+    * ([[readKvText]], matching `TextPartFileReader` `remap.py:150-170`),
+    * then aggregated. The oracle computes the same aggregate straight from
+    * the source parquet — so a corrupted write OR parse fails the hash. */
+  def q58KvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = graft.Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(to_json(sort_array(collect_list(col("doc_id").cast("string")))).as("v"))
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_kv_roundtrip_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    writeKvText(agg, "lang", "v", path)
+    readKvText(spark, path)
+      .select(col("k").as("lang"), explode(col("values")).as("d"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("d").cast("long")).as("min_doc"),
+        max(col("d").cast("long")).as("max_doc"))
+  }
+
+  val q58KvRoundtripSql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY lang"""
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q58_kv_roundtrip" -> q58KvRoundtrip _)
+
+  def oracles: Map[String, String] =
+    Map("q58_kv_roundtrip" -> q58KvRoundtripSql)
 }
