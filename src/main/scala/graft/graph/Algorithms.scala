@@ -89,6 +89,45 @@ object Algorithms {
       // min-label propagation is monotone (see maxValuePropagation)
       blockSize = 3)
 
+  /** k-core: the maximal subgraph where every vertex has degree ≥ k,
+    * computed by iterative peeling — remove vertices with degree < k,
+    * remove their edges, repeat until stable. The G7 dynamic-topology
+    * program: each peel round DELETES edge rows between supersteps via the
+    * Pregel `updateEdges` hook (the reference's unsubscribe,
+    * `/root/reference/daemons/core/module_vertex.py:98-102`), so dead
+    * vertices stop contributing degree. blockSize must be 1: peeling
+    * semantics need the topology refreshed after every superstep.
+    *
+    * Messages carry each edge's +1 degree contribution; a vertex dies when
+    * its degree drops below k, votes halt when its state is unchanged.
+    * Returns every input vertex with an `in_core` flag.
+    *
+    * @param edges directed rows; pass both directions for the undirected
+    *              degree semantics k-core assumes
+    */
+  def kCore(vertices: DataFrame, edges: DataFrame, k: Int,
+            maxIter: Int = 50): DataFrame = {
+    val dropDead = (e: DataFrame, v: DataFrame, _: Int) => {
+      val alive = v.filter(col("alive")).select(col("id"))
+      e.join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    }
+    Pregel.run(
+      vertices.select(col("id"), lit(true).as("alive")),
+      edges, maxIter,
+      sendMsg = lit(1L),
+      mergeMsg = sum,
+      vprog = (df, _) => df.select(
+        col("id"),
+        (col("alive") && coalesce(col("msg"), lit(0L)) >= k).as("alive"),
+        // halt unless this round changed the vertex's fate
+        ((col("alive") && coalesce(col("msg"), lit(0L)) >= k) === col("alive"))
+          .as("halt")),
+      blockSize = 1,
+      updateEdges = Some(dropDead))
+      .select(col("id"), col("alive").as("in_core"))
+  }
+
   // --------------------------------------------------------------- queries
 
   /** Deterministic 25-node graph derived from `nation`: every node i has
@@ -157,13 +196,75 @@ object Algorithms {
            (SELECT MAX(CAST(n_nationkey AS BIGINT)) FROM nation) AS value
     FROM nation"""
 
+  /** Deterministic peel graph on the 25 nation keys: a 15-vertex chain
+    * (0—1—…—14) attached to a 5-clique (15..19), a pendant 20—15, and
+    * isolated 21..24. Its 2-core is exactly the clique, and the chain
+    * peels ONE vertex per round — so q60 genuinely exercises ~16 rounds of
+    * mid-run edge deletion, not a single-step filter. */
+  private def peelGraph(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val key = col("n_nationkey")
+    val chain = nat.filter(key <= 14).select(key.as("a"), (key + 1).as("b"))
+    val clique = nat.filter(key.between(15, 19)).select(key.as("a"))
+      .crossJoin(nat.filter(key.between(15, 19)).select(key.as("b")))
+      .filter(col("a") < col("b"))
+    val pendant = nat.filter(key === 20).select(key.as("a"), lit(15).as("b"))
+    val und = chain.union(clique).union(pendant)
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  def q60KCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(Tables.nation(spark, dir).select(col("n_nationkey").as("id")),
+      peelGraph(spark, dir), k = 2, maxIter = 40)
+
+  /** Oracle: the same peeling unrolled as chained CTEs (q32's pattern —
+    * generated, so round count is pinned in one place). The chain needs 15
+    * rounds to drain; 17 gives a verified-stable margin. MATERIALIZED is
+    * load-bearing: each round references the previous round's CTEs more
+    * than once, so DuckDB's default CTE inlining would expand the chain
+    * into 2^rounds scans (observed as fd exhaustion, not just slowness). */
+  val q60KCoreSql: String = {
+    val peelRounds = 17
+    val prelude = """
+      WITH und AS MATERIALIZED (
+        SELECT n_nationkey AS a, n_nationkey + 1 AS b FROM nation
+        WHERE n_nationkey <= 14
+        UNION ALL
+        SELECT i.n_nationkey, j.n_nationkey FROM nation i, nation j
+        WHERE i.n_nationkey BETWEEN 15 AND 19
+          AND j.n_nationkey BETWEEN 15 AND 19
+          AND i.n_nationkey < j.n_nationkey
+        UNION ALL
+        SELECT 20, 15 FROM nation WHERE n_nationkey = 20
+      ),
+      e0 AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+      v0 AS MATERIALIZED (SELECT n_nationkey AS id FROM nation)"""
+    val steps = (1 to peelRounds).map { i => s""",
+      d$i AS MATERIALIZED (
+        SELECT src AS id, COUNT(*) AS deg FROM e${i - 1} GROUP BY src),
+      v$i AS MATERIALIZED (
+        SELECT v.id FROM v${i - 1} v JOIN d$i d ON d.id = v.id
+        WHERE d.deg >= 2),
+      e$i AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e${i - 1} e
+        WHERE e.src IN (SELECT id FROM v$i)
+          AND e.dst IN (SELECT id FROM v$i))"""
+    }.mkString
+    s"$prelude$steps\n      SELECT n_nationkey AS id, " +
+      s"n_nationkey IN (SELECT id FROM v$peelRounds) AS in_core FROM nation"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q33_max_propagation" -> q33MaxPropagation _,
+    "q60_kcore"           -> q60KCore _,
   )
 
   def oracles: Map[String, String] = Map(
     "q32_pagerank"        -> q32PageRankSql,
     "q33_max_propagation" -> q33MaxPropagationSql,
+    "q60_kcore"           -> q60KCoreSql,
   )
 }

@@ -68,13 +68,24 @@ object Pregel {
     *                 when that is harmless: fixed-iteration programs
     *                 (PageRank) or monotone ones whose converged state is a
     *                 fixed point (max/min propagation, components)
+    * @param updateEdges G7 dynamic topology — the reference lets a vertex
+    *                 subscribe/unsubscribe topics mid-computation
+    *                 (`module_vertex.py:98-102`), i.e. rewire who it hears
+    *                 from. Edges are just a DataFrame here, so the hook is
+    *                 `(edges, vertices, nextStep) => edges'`, applied at
+    *                 every BLOCK boundary (the new frame is re-persisted and
+    *                 the old cache dropped). Within a block the topology is
+    *                 frozen — programs whose semantics need edge updates
+    *                 after every superstep (k-core peeling) must run with
+    *                 blockSize = 1.
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int,
           sendMsg: Column, mergeMsg: Column => Column,
           vprog: (DataFrame, Int) => DataFrame,
-          checkpointEvery: Int = 2, blockSize: Int = 1): DataFrame =
+          checkpointEvery: Int = 2, blockSize: Int = 1,
+          updateEdges: Option[(DataFrame, DataFrame, Int) => DataFrame] = None): DataFrame =
     runWithStats(vertices, edges, maxIter, sendMsg, mergeMsg, vprog,
-      checkpointEvery, blockSize).vertices
+      checkpointEvery, blockSize, updateEdges).vertices
 
   /** Target rows per shuffle partition inside the superstep loop. */
   private val rowsPerLoopPartition = 500000L
@@ -82,7 +93,8 @@ object Pregel {
   def runWithStats(vertices: DataFrame, edges: DataFrame, maxIter: Int,
                    sendMsg: Column, mergeMsg: Column => Column,
                    vprog: (DataFrame, Int) => DataFrame,
-                   checkpointEvery: Int = 2, blockSize: Int = 1): PregelResult = {
+                   checkpointEvery: Int = 2, blockSize: Int = 1,
+                   updateEdges: Option[(DataFrame, DataFrame, Int) => DataFrame] = None): PregelResult = {
     require(vertices.columns.contains("id"), "vertices need an `id` column")
     require(edges.columns.contains("src") && edges.columns.contains("dst"),
       "edges need `src` and `dst` columns")
@@ -93,6 +105,7 @@ object Pregel {
     var e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     var v: DataFrame = null
     var prev: DataFrame = null
+    var staleE: DataFrame = null
     var step = 0
     var allHalt = false
     // everything after the first persist sits inside the try so a failure
@@ -174,8 +187,9 @@ object Pregel {
       // the same Spark job — an eager checkpoint would run a second job per
       // checkpointed block for nothing.
       sinceCkpt += block
+      val didCkpt = sinceCkpt >= checkpointEvery
       val nv =
-        if (sinceCkpt >= checkpointEvery) { sinceCkpt = 0; cur.localCheckpoint(false) }
+        if (didCkpt) { sinceCkpt = 0; cur.localCheckpoint(false) }
         else cur.persist(StorageLevel.MEMORY_AND_DISK)
       // The halt vote is an AGGREGATE, not filter(...).isEmpty: isEmpty is
       // a limit(1) that can stop after the first non-halting partition,
@@ -193,6 +207,26 @@ object Pregel {
       prev = v
       v = nv
       step += block
+
+      // The PREVIOUS generation's edge cache retires only now: the current
+      // e's first materialization (this block's halt action, which scanned
+      // every partition) read through it, so dropping it any earlier would
+      // have forced a recompute mid-block. One extra cached generation
+      // buys zero extra jobs per block.
+      if (staleE != null) { staleE.unpersist(false); staleE = null }
+
+      // G7: rewire the topology between blocks. The new frame hard-truncates
+      // lineage on the same cadence as the vertex side — an edge chain of
+      // persists across hundreds of blocks would otherwise recompute
+      // transitively on eviction. No action here: the next block's halt
+      // vote materializes it in the same job that materializes the
+      // vertices (an eager count() would be one extra job per block).
+      if (!allHalt && step < maxIter && updateEdges.isDefined) {
+        val ne0 = inLoop(updateEdges.get(e, nv, step))
+        staleE = e
+        e = if (didCkpt) ne0.localCheckpoint(false)
+            else ne0.persist(StorageLevel.MEMORY_AND_DISK)
+      }
     }
 
     // hand the result back on the CALLER's session
@@ -205,6 +239,7 @@ object Pregel {
       // the session's lifetime
       if (prev != null) prev.unpersist(false)
       if (v != null) v.unpersist(false)
+      if (staleE != null) staleE.unpersist(false)
       e.unpersist(false)
     }
   }

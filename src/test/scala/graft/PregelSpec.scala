@@ -63,6 +63,53 @@ class PregelSpec extends GraftSuite {
     assert(r2(2L) == 9L) // now reached
   }
 
+  test("k-core via mid-run edge deletion matches from-scratch recomputation") {
+    // Independent check: a plain-Scala peel loop that recomputes degrees
+    // from scratch each round — no Pregel, no incremental edge state.
+    val n = 40
+    val k = 3
+    val dir = (for {
+      i <- 0 until n
+      j <- Seq((i * 7 + 3) % n, (i * 11 + 5) % n) if i != j
+    } yield (i.toLong, j.toLong)).distinct
+    val und = (dir ++ dir.map(_.swap)).distinct
+    var alive = (0 until n).map(_.toLong).toSet
+    var changed = true
+    while (changed) {
+      val live = und.filter(e => alive(e._1) && alive(e._2))
+      val deg = live.groupBy(_._1).view.mapValues(_.size).toMap
+      val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+      changed = next != alive
+      alive = next
+    }
+    val got = Algorithms.kCore(
+        (0 until n).map(_.toLong).toDF("id"), und.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet == (0 until n).map(_.toLong).toSet)
+    assert(got.filter(_._2).keySet == alive,
+      s"pregel core ${got.filter(_._2).keySet} != recomputed $alive")
+  }
+
+  test("updateEdges hook can ADD edges mid-run (subscribe parity)") {
+    // The reference's subscribe(): a vertex starts hearing a new topic
+    // mid-computation. Here the 1→2 link only exists from superstep 2 on —
+    // a static-topology run provably leaves vertex 2 at its initial value
+    // (previous test), so 2 reaching 9 proves the mid-run rewire.
+    val v = Seq((0L, 9L), (1L, 1L), (2L, 1L)).toDF("id", "value")
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    val addLate = (edges: org.apache.spark.sql.DataFrame,
+                   _: org.apache.spark.sql.DataFrame, step: Int) =>
+      if (step == 1) edges.union(Seq((1L, 2L)).toDF("src", "dst")) else edges
+    val res = Pregel.run(v, e, maxIter = 10,
+      sendMsg = col("value"), mergeMsg = max,
+      vprog = (df, _) => df.select(col("id"),
+        greatest(col("value"), coalesce(col("msg"), col("value"))).as("value"),
+        coalesce(col("msg") <= col("value"), lit(true)).as("halt")),
+      updateEdges = Some(addLate))
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 9L, s"edge added at step 1 must carry the max: $got")
+  }
+
   test("lineage stays bounded across checkpoint cadence") {
     // 30 supersteps with checkpointEvery=5 must not blow the plan up —
     // this is the Pregel-lineage risk from SURVEY §7.
