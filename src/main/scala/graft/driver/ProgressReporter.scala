@@ -1,0 +1,114 @@
+package graft.driver
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.Success
+
+/** Driver-surface parity: job progress / completion / retry reporting as a
+  * `SparkListener` (SURVEY §3 step 10 — the last piece of remap's driver
+  * surface with no Spark-free equivalent).
+  *
+  * The reference's initiator tracks per-task state in three dicts and
+  * updates them from `corestatus` / `complete` worker messages
+  * (`/root/reference/daemons/initiator/initiator.py:137-154`: liveness
+  * refresh on `corestatus`, `tasks → allocatedtasks → completedtasks`
+  * movement plus a "N tasks left, N committed, N complete, N failed" log
+  * line on `complete`), with failed attempts re-planned up to a retry cap
+  * (`daemons/initiator/planner.py` `attempts`). Under Spark the scheduler
+  * already owns allocation and retry; what remains of the surface is
+  * OBSERVATION — and the idiomatic form is a listener on the driver's
+  * event bus, not a message protocol.
+  *
+  * Scale note: callbacks run on the listener bus thread and must never
+  * block (a slow listener stalls every metrics consumer on a busy
+  * 1000-executor driver, and Spark drops events when the bus backs up).
+  * All state here is O(active stages) counters behind a ConcurrentHashMap;
+  * the `onEvent` hook defaults to a no-op and is documented as
+  * must-not-block.
+  */
+object ProgressReporter {
+
+  sealed trait Event
+  /** A job entered the scheduler — remap's task moving into
+    * `allocatedtasks`. */
+  final case class JobStarted(jobId: Int, stageCount: Int) extends Event
+  /** Job left the scheduler — remap's `complete` handling (succeeded) or a
+    * task exhausting its attempts (failed). */
+  final case class JobEnded(jobId: Int, succeeded: Boolean) extends Event
+  /** Stage-level completion fraction — remap's `corestatus` heartbeat
+    * carried an input-file byte fraction per worker
+    * (`daemons/core/remap.py:33-39` progress()). */
+  final case class StageProgress(stageId: Int, completedTasks: Int,
+                                 totalTasks: Int) extends Event
+  /** A task attempt failed and the scheduler will retry it — remap's
+    * attempt counting in the planner. */
+  final case class TaskRetried(stageId: Int, failuresSoFar: Int) extends Event
+
+  /** Aggregate counters — the Spark form of the initiator's
+    * "N tasks left, N committed, N complete, N failed" log line. */
+  final case class Snapshot(jobsSubmitted: Int, jobsSucceeded: Int,
+                            jobsFailed: Int, tasksCompleted: Int,
+                            taskFailures: Int, activeStages: Int) {
+    override def toString: String =
+      s"jobs $jobsSubmitted submitted / $jobsSucceeded ok / $jobsFailed failed; " +
+        s"tasks $tasksCompleted complete / $taskFailures retried; " +
+        s"$activeStages stages active"
+  }
+
+  /** Attach a fresh reporter to the session's listener bus. Caller owns
+    * detachment: `spark.sparkContext.removeSparkListener(reporter)`. */
+  def attach(spark: SparkSession,
+             onEvent: Event => Unit = _ => ()): ProgressReporter = {
+    val r = new ProgressReporter(onEvent)
+    spark.sparkContext.addSparkListener(r)
+    r
+  }
+}
+
+final class ProgressReporter(onEvent: ProgressReporter.Event => Unit)
+    extends SparkListener {
+  import ProgressReporter._
+
+  private val jobsSubmitted = new AtomicInteger
+  private val jobsSucceeded = new AtomicInteger
+  private val jobsFailed = new AtomicInteger
+  private val tasksCompleted = new AtomicInteger
+  private val taskFailures = new AtomicInteger
+  // stageId → (completed tasks so far, total tasks)
+  private val stages = new ConcurrentHashMap[Int, (AtomicInteger, Int)]()
+
+  def snapshot: Snapshot = Snapshot(
+    jobsSubmitted.get, jobsSucceeded.get, jobsFailed.get,
+    tasksCompleted.get, taskFailures.get, stages.size)
+
+  override def onJobStart(ev: SparkListenerJobStart): Unit = {
+    jobsSubmitted.incrementAndGet()
+    onEvent(JobStarted(ev.jobId, ev.stageInfos.size))
+  }
+
+  override def onJobEnd(ev: SparkListenerJobEnd): Unit = {
+    val ok = ev.jobResult == JobSucceeded
+    if (ok) jobsSucceeded.incrementAndGet() else jobsFailed.incrementAndGet()
+    onEvent(JobEnded(ev.jobId, ok))
+  }
+
+  override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit =
+    stages.put(ev.stageInfo.stageId,
+      (new AtomicInteger, ev.stageInfo.numTasks))
+
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+    stages.remove(ev.stageInfo.stageId)
+
+  override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
+    if (ev.reason == Success) {
+      tasksCompleted.incrementAndGet()
+      val st = stages.get(ev.stageId)
+      if (st != null)
+        onEvent(StageProgress(ev.stageId, st._1.incrementAndGet(), st._2))
+    } else {
+      onEvent(TaskRetried(ev.stageId, taskFailures.incrementAndGet()))
+    }
+}
