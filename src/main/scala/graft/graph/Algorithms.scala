@@ -37,6 +37,8 @@ object Algorithms {
           lit(damping) * coalesce(col("msg"), lit(0.0))).as("val"),
         col("outdeg")),
       // fixed iteration count → block-batching is exact, not approximate
+      // (blockSize=3 is the measured planning sweet spot — see Pregel's
+      // adaptive-blocks rejection note)
       blockSize = 3)
       .select(col("id"), col("val").as("pagerank"))
   }

@@ -68,6 +68,15 @@ object Pregel {
     *                 when that is harmless: fixed-iteration programs
     *                 (PageRank) or monotone ones whose converged state is a
     *                 fixed point (max/min propagation, components)
+    * Adaptive block growth (double the block each materialization) was
+    * tried and REJECTED, twice, with measurements: per-plan Catalyst
+    * analysis + codegen cost grows super-linearly in composed supersteps,
+    * so bigger blocks lose more on planning than they save on plan count —
+    * blocks of 12 burned minutes of driver CPU (vs sub-second at 3), and
+    * even a cap of 6 made the 27-superstep q33 4× slower (26.9s vs 6.4s at
+    * fixed blockSize=3; sf0.1, local[32]). blockSize=3 is the measured
+    * sweet spot for this loop's join+agg+join superstep shape.
+    *
     * @param updateEdges G7 dynamic topology — the reference lets a vertex
     *                 subscribe/unsubscribe topics mid-computation
     *                 (`module_vertex.py:98-102`), i.e. rewire who it hears
@@ -147,15 +156,17 @@ object Pregel {
 
     // compact the cached inputs too: their partition count drives the map
     // task count of every superstep's first stage
+    // partition introspection via queryExecution.toRdd: the physical plan's
+    // RDD without the row-deserializer mapping df.rdd would add
     e = inLoop {
-      if (e.rdd.getNumPartitions > 2 * loopParts) {
+      if (e.queryExecution.toRdd.getNumPartitions > 2 * loopParts) {
         val c = e.coalesce(loopParts).persist(StorageLevel.MEMORY_AND_DISK)
         c.count() // re-materialize (reads the old cache, no recompute)
         e.unpersist(false)
         c
       } else e
     }
-    if (v.rdd.getNumPartitions > 2 * loopParts)
+    if (v.queryExecution.toRdd.getNumPartitions > 2 * loopParts)
       v = v.coalesce(loopParts).localCheckpoint(true)
     v = inLoop(v)
     var sinceCkpt = 0
