@@ -55,33 +55,48 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Each query runs SPARK_GRAFT_RUNS times (default 3) and reports the
+    // per-query MEDIAN plus the min-max spread: single runs of the
+    // iterative queries swung >2× run-to-run (q47 recorded 11.3s in one
+    // round vs ~4.5s instrumented), which is larger than most queries'
+    // totals — a median with a recorded spread makes cross-round
+    // comparisons trustworthy.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
-      // Between queries (untimed): drop any cache a library op persisted and
-      // GC, so one query's allocation debt doesn't bill the next one's wall
-      // time — per-query attribution was ±10× noisy without it, and cache
-      // buildup over 47 queries inflated the full run well beyond the sum
-      // of standalone timings.
-      CacheRegistry.unpersistAll() // drain the library-operator cache registry
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      try exec(SparkEntry.queries(name)(spark, sfDir))
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val times = (1 to runs).flatMap { _ =>
+        if (errors.contains(name)) None // failed: don't re-fail N more times
+        else {
+          // Between runs (untimed): drop any cache a library op persisted
+          // and GC, so one run's allocation debt doesn't bill the next —
+          // per-query attribution was ±10× noisy without it.
+          CacheRegistry.unpersistAll()
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          try exec(SparkEntry.queries(name)(spark, sfDir))
+          catch { case e: Throwable =>
+            errors(name) =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          Some((System.nanoTime() - t0) / 1e9)
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sorted = times.sorted
+      val median = sorted(sorted.size / 2)
+      name -> (median, sorted.last - sorted.head)
     }
 
     def jq(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (m, _)) => s"${jq(k)}:$m" }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, s)) => s"${jq(k)}:$s" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._1).sum
     val filtered = only.isDefined
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","filtered":$filtered,"n_queries":${results.size},"queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","filtered":$filtered,"runs_per_query":$runs,"n_queries":${results.size},"queries":$qs,"spread":$spreads,"errors":$errs,"sf":${jq(sfDir)}}"""
     println(line)
     // bench_latest.json always means "the full suite" — a SPARK_GRAFT_ONLY
     // profiling run must not masquerade as a full-bench total
