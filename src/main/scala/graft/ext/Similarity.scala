@@ -42,10 +42,19 @@ object Similarity {
   /** Brute-force cosine top-k: every query against every corpus vector,
     * ranked per query on the rounded cosine. `queries` is broadcast — the
     * corpus is never shuffled; the only shuffle is the two-phase top-k on
-    * (query, salt), so the plan survives a corpus 1000× larger. Norms are
-    * precomputed once per side (projections below the join), so the
-    * per-pair work is a single dot product, not three. */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * (query, salt), so the plan survives a corpus 1000× larger — but ONLY
+    * while the query side fits a broadcast. `maxQueryRows` makes that
+    * precondition a loud failure instead of a driver OOM: a 10M-row query
+    * set must go through [[annCosineTopK]] (or a corpus⋈corpus shuffle
+    * join), not through this operator with a bigger cap. The guard costs
+    * one count() on the query side — rows the driver is about to
+    * materialize anyway. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 maxQueryRows: Long = 500000L): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueryRows,
+      s"cosineTopK broadcasts the query side: $nq rows exceeds the " +
+        s"$maxQueryRows cap — use annCosineTopK for large query sets")
     val pairs = corpus.withColumn("nv", norm(col("v")))
       .crossJoin(broadcast(queries.withColumn("nq", norm(col("qv")))))
       .filter(col("vec_id") =!= col("qid"))
@@ -79,9 +88,16 @@ object Similarity {
   /** ANN cosine top-k: bucket both sides, probe the exact bucket plus all
     * hamming-1 neighbors (multiprobe — recovers most boundary losses),
     * rank candidates per query. Approximate by design: verified against
-    * the brute-force baseline by a recall test, not an oracle. */
+    * the brute-force baseline by a recall test, not an oracle.
+    *
+    * @param broadcastQueries true (default) map-side-joins the probe side —
+    *        right while queries×(planes+1) rows fit a broadcast. For query
+    *        sets past that, pass false: the bucket equi-join shuffles both
+    *        sides on `bkt` instead, which scales with data size — unlike
+    *        [[cosineTopK]], whose all-pairs shape has no shuffle form. */
   def annCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    planes: Int = 6, dim: Int = 64): DataFrame = {
+                    planes: Int = 6, dim: Int = 64,
+                    broadcastQueries: Boolean = true): DataFrame = {
     val bucketed = corpus.withColumn("bkt", signLshBucket(col("v"), planes, dim))
     val probes = (0 until planes).map(j => lit(1 << j)).foldLeft(array(lit(0)))(
       (acc, m) => concat(acc, array(m)))
@@ -90,8 +106,9 @@ object Similarity {
       .withColumn("probe", explode(probes))
       .withColumn("bkt", col("qbkt").bitwiseXOR(col("probe")))
       .drop("qbkt", "probe")
+    val qside = qb.withColumn("nq", norm(col("qv")))
     val pairs = bucketed.withColumn("nv", norm(col("v")))
-      .join(broadcast(qb.withColumn("nq", norm(col("qv")))), Seq("bkt"))
+      .join(if (broadcastQueries) broadcast(qside) else qside, Seq("bkt"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos",
         round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))

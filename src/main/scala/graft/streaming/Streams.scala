@@ -45,7 +45,15 @@ object Streams {
     * The memory sink therefore accumulates an UPDATE LOG: a window touched
     * by k triggers appears k times, newest refresh last. Read the current
     * state through [[currentEventCounts]], which keeps each window's
-    * latest refresh. */
+    * latest refresh.
+    *
+    * DEMO/TEST WIRING ONLY: the memory sink stores that log in driver
+    * memory with no compaction, so it grows with trigger count — fine for
+    * a spec or a bounded replay, wrong for a long-running stream. A real
+    * deployment should replace the sink with `foreachBatch` doing an
+    * idempotent upsert keyed on (win_start, event_type) into a real store,
+    * which keeps the materialized table at one row per window; the
+    * upstream transform ([[eventWindowAgg]]) is unchanged. */
   def streamEventCounts(spark: SparkSession, inputDir: String,
                         checkpointDir: String, outputTable: String) = {
     // the stream must read the RAW parquet schema (ts = nanos long, per the
@@ -121,19 +129,24 @@ object Streams {
     * later event exceeds the gap, or when the event-time watermark passes
     * `last + gap` (the timeout).
     *
-    * A timeout does NOT discard state: it flips the record to a closed
-    * sentinel (`open=false`) that keeps only the last issued `sid`, so the
-    * user's next session continues the 1..k numbering and `(user_id,
-    * session_id)` stays a key, exactly like the batch form. State is
-    * therefore one small record per user EVER seen (the sentinel has no
-    * timeout and persists) — bounded by user cardinality like any
-    * user-keyed streaming aggregate, not by stream length. An event
+    * A timeout does NOT immediately discard state: it flips the record to
+    * a closed sentinel (`open=false`) that keeps only the last issued
+    * `sid`, so the user's next session continues the 1..k numbering and
+    * `(user_id, session_id)` stays a key, exactly like the batch form. The
+    * sentinel itself arms a LONG timeout (`sentinelTtlDays`, default 30)
+    * and is evicted when it fires — so state is bounded by the horizon's
+    * ACTIVE user cardinality, not by every user id ever seen (a rotating
+    * or synthetic id domain would otherwise grow state monotonically). A
+    * user silent past the TTL restarts numbering at session_id 1; pass a
+    * larger TTL if stable numbering matters more than state size. An event
     * arriving after its session already timed out starts a new session
     * even if it lands within the gap; such an event is behind the
     * watermark by construction, so this divergence from batch is confined
     * to late data. */
-  def sessionizeStream(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       sentinelTtlDays: Int = 30): Dataset[Session] = {
     val gapUs = gapMinutes * 60L * 1000000L
+    val ttlMs = sentinelTtlDays * 24L * 3600L * 1000L
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -146,10 +159,22 @@ object Streams {
           def close(s: SessState) =
             Session(user, s.sid, s.start_us, s.n, s.last_us - s.start_us)
           if (state.hasTimedOut) {
-            val out = state.getOption.filter(_.open).map(close)
-            // keep the sid counter; no new timeout — the sentinel just waits
-            state.getOption.foreach(s => state.update(s.copy(open = false)))
-            out.iterator
+            val cur = state.getOption
+            if (cur.exists(!_.open)) {
+              // the sentinel's TTL fired: the user has been silent for the
+              // whole TTL — evict (numbering restarts at 1 if they return)
+              state.remove()
+              Iterator.empty
+            } else {
+              val out = cur.filter(_.open).map(close)
+              // keep the sid counter in a closed sentinel; arm the TTL so
+              // the sentinel itself is eventually evicted
+              cur.foreach { s =>
+                state.update(s.copy(open = false))
+                state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L + ttlMs)
+              }
+              out.iterator
+            }
           } else {
             var st = state.getOption
             val closed = List.newBuilder[Session]

@@ -88,10 +88,20 @@ object GraftTextExpressions {
     (children: Seq[Expression]) => {
       require(children.length == 2,
         "ngram_shingles(text, n) takes exactly two arguments")
+      // Any foldable int expression works, not just a bare Literal:
+      // function builders run during resolution BEFORE constant folding,
+      // so `ngram_shingles(t, 1 + 2)` or `CAST(3 AS INT)` arrive unfolded
+      // even though they are constants — eval() folds them here.
       val n = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case e if e.foldable &&
+            e.dataType == org.apache.spark.sql.types.IntegerType =>
+          e.eval() match {
+            case i: Int => i
+            case _ => throw new IllegalArgumentException(
+              "ngram_shingles: n must not be null")
+          }
         case other => throw new IllegalArgumentException(
-          s"ngram_shingles: n must be an integer literal, got $other")
+          s"ngram_shingles: n must be a constant integer, got $other")
       }
       NGramShingles(children.head, n)
     })

@@ -109,10 +109,16 @@ class VectorExpressionsSpec extends GraftSuite {
     org.apache.spark.sql.graft.GraftTextExpressions.register(spark)
     val r = spark.sql("SELECT ngram_shingles('A b c d', 3) AS s").head()
     assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
-    // a non-literal width is rejected at analysis time, not silently wrong
+    // a non-constant width is rejected at analysis time, not silently wrong
     intercept[Exception] {
       spark.sql("SELECT ngram_shingles('a b c', CAST(rand()*2 AS INT))").head()
     }
+    // foldable CONSTANT expressions work: builders run before constant
+    // folding, so the builder must eval them itself
+    val f = spark.sql("SELECT ngram_shingles('a b c d', 1 + 2) AS s").head()
+    assert(f.getSeq[String](0) == Seq("a b c", "b c d"))
+    val c = spark.sql("SELECT ngram_shingles('a b c d', CAST(3 AS INT)) AS s").head()
+    assert(c.getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
   test("GraftExtensions injects dot_product into a new session") {
