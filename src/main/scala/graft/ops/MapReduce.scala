@@ -116,9 +116,35 @@ object MapReduce {
       .toDF("word", "n")
   }
 
+  // --- q61_typed_combiner: the A1 combiner contract, oracled --------------
+  /** Collation through the TYPED combiner path — remap's `list(set(l))`
+    * combiner applied at every partial-merge boundary
+    * (`examples/collation/collation.py:8,18-19,41-42`) becomes a
+    * [[combinerAggregator]] whose buffers Catalyst merges map-side. Shares
+    * q25's oracle, so the Aggregator-based combiner is hash-certified
+    * equivalent to the declarative collect_set pipeline. */
+  def q61TypedCombiner(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairs = graft.Tables.documents(spark, dir)
+      .select("text", "source").as[(String, String)]
+      .flatMap { case (text, source) =>
+        text.toLowerCase.split("\\s+").iterator
+          .filter(_.nonEmpty).map(w => (w, source))
+      }
+    groupWithCombiner[String, String](pairs, vs => vs.distinct)
+      .toDF("word", "sources")
+      .select(col("word"),
+        size(col("sources")).as("n_sources"),
+        array_join(array_sort(col("sources")), ",").as("sources_csv"))
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q59_typed_mr" -> q59TypedMr _)
+    Map("q59_typed_mr" -> q59TypedMr _,
+        "q61_typed_combiner" -> q61TypedCombiner _)
 
   def oracles: Map[String, String] =
-    Map("q59_typed_mr" -> graft.ops.Text.q24WordcountSql)
+    Map("q59_typed_mr" -> graft.ops.Text.q24WordcountSql,
+        "q61_typed_combiner" -> graft.ops.Text.q25CollationSql)
 }
