@@ -205,6 +205,36 @@ object Dedup {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Benchmark decontamination — the training-data step that removes
+    * evaluation contamination: a corpus document is contaminated when it
+    * shares at least one distinct word n-gram with any benchmark document.
+    * The reference has no such operator; it is standard practice for LLM
+    * training corpora (n-gram overlap against held-out benchmarks).
+    *
+    * Shape for 100 TB: the benchmark side is small by definition, so its
+    * DISTINCT shingle set is broadcast — the corpus is scanned once and
+    * never shuffled for the membership test; the only corpus-sized shuffle
+    * is the per-doc hit count (map-side partial agg on doc id). Returns
+    * every corpus doc with its hit count and a `contaminated` flag —
+    * filtering is the caller's one-liner, keeping the counts inspectable.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    id: String, text: String, n: Int = 5): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .distinct()
+    val hits = corpus
+      .select(col(id), explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"), "inner")
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_hit_shingles"))
+    corpus.select(col(id))
+      .join(hits, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_hit_shingles"), lit(0)).as("n_hit_shingles"),
+        (coalesce(col("n_hit_shingles"), lit(0)) > 0).as("contaminated"))
+  }
+
   /** 64-bit SimHash over the token multiset: per-bit weighted votes
     * (+1/−1 per token occurrence by the token hash's bit), sign of the
     * vote becomes the fingerprint bit. Explode + one hash aggregate — the
@@ -408,12 +438,49 @@ object Dedup {
     WITH RECURSIVE $clusterCtes
     SELECT doc_id, cluster FROM clusters"""
 
+  // --- q62_decontaminate: benchmark n-gram overlap removal ----------------
+  /** Deterministic split: docs with doc_id % 97 == 0 play the "benchmark";
+    * the rest are the training corpus to scrub. */
+  def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  val q62DecontaminateSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+             ts[i+3] || ' ' || ts[i+4] AS shingle
+      FROM toks, unnest(range(1, len(ts) - 3)) AS u(i)
+      WHERE len(ts) >= 5
+      UNION
+      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 5),
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hit
+      FROM sh s JOIN bsh b ON s.shingle = b.shingle
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit_shingles,
+           COALESCE(h.n_hit, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 97 <> 0"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup"   -> q27ExactDedup _,
     "q31_minhash_lsh"   -> q31MinHashLsh _,
     "q35_ngram_jaccard" -> q35NgramJaccard _,
     "q41_simhash"       -> q41SimHash _,
     "q47_dedup_clusters" -> q47DedupClusters _,
+    "q62_decontaminate" -> q62Decontaminate _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -422,5 +489,6 @@ object Dedup {
     "q35_ngram_jaccard" -> ngramJaccardOracleSql,
     "q41_simhash"       -> ngramJaccardOracleSql,
     "q47_dedup_clusters" -> q47DedupClustersSql,
+    "q62_decontaminate" -> q62DecontaminateSql,
   )
 }

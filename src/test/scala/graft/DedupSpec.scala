@@ -84,6 +84,27 @@ class DedupSpec extends GraftSuite {
     assert(fp == fp2)
   }
 
+  test("decontaminate flags exactly the docs sharing a benchmark n-gram") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains "the quick brown fox jumps" → contaminated
+      (1L, "witnesses saw the quick brown fox jumps over everything here"),
+      // shares words but no 5-gram run → clean
+      (2L, "the brown dog and the lazy fox were quick tonight"),
+      // unrelated → clean
+      (3L, "completely different subject matter entirely"),
+      // shorter than 5 tokens can only hit via the whole-string shingle
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1, s"doc 1 should be contaminated: $out")
+    assert(!out(2L)._2 && !out(3L)._2 && !out(4L)._2, s"2/3/4 clean: $out")
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("lsh bucket cap drops degenerate buckets") {
     val docs = (1L to 50L).map(i => (i, "same same same text here")).toDF("doc_id", "text")
     val withSig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 32)
