@@ -449,29 +449,34 @@ object Dedup {
       "doc_id", "text", n = 5)
   }
 
-  val q62DecontaminateSql: String = """
-    WITH toks AS (
+  /** The 5-gram contamination CTE chain (benchmark = doc_id % 97 == 0),
+    * shared by the q62 oracle and q63's full-pipeline oracle. Names are
+    * suffixed `5` to compose cleanly next to the 3-gram [[clusterCtes]]. */
+  private[ext] val contaminationCtes: String = """toks5 AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
       FROM documents),
-    sh AS (
+    sh5 AS (
       SELECT DISTINCT doc_id,
              ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
              ts[i+3] || ' ' || ts[i+4] AS shingle
-      FROM toks, unnest(range(1, len(ts) - 3)) AS u(i)
+      FROM toks5, unnest(range(1, len(ts) - 3)) AS u(i)
       WHERE len(ts) >= 5
       UNION
-      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 5),
-    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
-    hits AS (
+      SELECT doc_id, array_to_string(ts, ' ') FROM toks5 WHERE len(ts) < 5),
+    bsh5 AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 97 = 0),
+    hits5 AS (
       SELECT s.doc_id, COUNT(*) AS n_hit
-      FROM sh s JOIN bsh b ON s.shingle = b.shingle
+      FROM sh5 s JOIN bsh5 b ON s.shingle = b.shingle
       WHERE s.doc_id % 97 <> 0
-      GROUP BY s.doc_id)
+      GROUP BY s.doc_id)"""
+
+  val q62DecontaminateSql: String = s"""
+    WITH $contaminationCtes
     SELECT d.doc_id,
            CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit_shingles,
            COALESCE(h.n_hit, 0) > 0 AS contaminated
-    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    FROM documents d LEFT JOIN hits5 h ON h.doc_id = d.doc_id
     WHERE d.doc_id % 97 <> 0"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -40,6 +40,45 @@ object Pipeline {
   def q50TrainPipeline(spark: SparkSession, dir: String): DataFrame =
     trainPipeline(spark, dir, minQuality = 0.7)
 
+  /** [[trainPipeline]] plus the decontamination stage — the full modern
+    * curation chain: near-dup clustering → canonical per cluster →
+    * benchmark n-gram scrub → quality gate → token stats. Kept as its own
+    * query (q63) so q50's cross-round bench series stays comparable. */
+  def fullPipeline(spark: SparkSession, dir: String,
+                   minQuality: Double): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clean = Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text")
+      .filter(!col("contaminated"))
+      .select("doc_id")
+    val clusters = Dedup.q47DedupClusters(spark, dir)
+    val stats = TextAnalysis.docStats(docs)
+    clusters.filter(col("doc_id") === col("cluster"))
+      .select("doc_id")
+      .join(clean, "doc_id")
+      .join(stats, "doc_id")
+      .filter(col("quality") >= minQuality)
+      .select("doc_id", "quality", "n_tokens", "est_bpe")
+  }
+
+  def q63FullPipeline(spark: SparkSession, dir: String): DataFrame =
+    fullPipeline(spark, dir, minQuality = 0.7)
+
+  val q63FullPipelineSql: String = s"""
+    WITH RECURSIVE ${Dedup.clusterCtes},
+    ${Dedup.contaminationCtes},
+    q AS (${TextAnalysis.q37QualityScoreSql}),
+    tk AS (${TextAnalysis.q38TokenStatsSql})
+    SELECT c.doc_id, q.quality, tk.n_tokens, tk.est_bpe
+    FROM clusters c
+    JOIN q ON q.doc_id = c.doc_id
+    JOIN tk ON tk.doc_id = c.doc_id
+    LEFT JOIN hits5 h ON h.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster AND q.quality >= 0.7
+      AND c.doc_id % 97 <> 0 AND COALESCE(h.n_hit, 0) = 0"""
+
   val q50TrainPipelineSql: String = s"""
     WITH RECURSIVE ${Dedup.clusterCtes},
     q AS (${TextAnalysis.q37QualityScoreSql}),
@@ -52,9 +91,11 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_train_pipeline" -> q50TrainPipeline _,
+    "q63_full_pipeline"  -> q63FullPipeline _,
   )
 
   def oracles: Map[String, String] = Map(
     "q50_train_pipeline" -> q50TrainPipelineSql,
+    "q63_full_pipeline"  -> q63FullPipelineSql,
   )
 }
