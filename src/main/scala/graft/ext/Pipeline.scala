@@ -89,13 +89,48 @@ object Pipeline {
     JOIN tk ON tk.doc_id = c.doc_id
     WHERE c.doc_id = c.cluster AND q.quality >= 0.7"""
 
+  // --- q64_source_cap: per-source document cap (domain balancing) ---------
+  /** Keep at most k documents per source, best quality first — the
+    * domain-balancing step that stops one crawl domain from dominating a
+    * training mix. Pure composition of verified pieces: quality from the
+    * single-scan [[TextAnalysis.docStats]], capping via the salted
+    * two-phase [[graft.ops.Windows.perGroupTopK]] (a hot source's rows
+    * spread over 64 salt partitions before the final per-source rank, so
+    * a domain with billions of pages cannot pin one task). Determinism
+    * across engines holds because q37 already hash-certifies the quality
+    * doubles bit-identical. */
+  def q64SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = TextAnalysis.docStats(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    graft.ops.Windows.perGroupTopK(stats,
+      group = Seq(col("source")),
+      order = Seq(col("quality").desc, col("doc_id")),
+      saltSrc = col("doc_id"), k = 5)
+      .select(col("source"), col("doc_id"), col("quality"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  val q64SourceCapSql: String = s"""
+    WITH q AS (${TextAnalysis.q37QualityScoreSql}),
+    s AS (SELECT q.doc_id, q.quality, d.source
+          FROM q JOIN documents d ON d.doc_id = q.doc_id),
+    r AS (SELECT source, doc_id, quality,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id) AS rank
+          FROM s)
+    SELECT source, doc_id, quality, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_train_pipeline" -> q50TrainPipeline _,
     "q63_full_pipeline"  -> q63FullPipeline _,
+    "q64_source_cap"     -> q64SourceCap _,
   )
 
   def oracles: Map[String, String] = Map(
     "q50_train_pipeline" -> q50TrainPipelineSql,
     "q63_full_pipeline"  -> q63FullPipelineSql,
+    "q64_source_cap"     -> q64SourceCapSql,
   )
 }
