@@ -59,6 +59,15 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("q62 decontamination broadcasts the benchmark; corpus joins are hash, never nested-loop") {
+    // the benchmark side is small by definition — its distinct shingles
+    // must reach the corpus as a broadcast, so the corpus text is scanned
+    // once and never shuffled for the membership test
+    val p = plan("q62_decontaminate")
+    assert(p.contains("BroadcastExchange"), "benchmark shingles must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q16 range join keeps the equi-key shuffle (band is a post-join filter)") {
     val p = plan("q16_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
