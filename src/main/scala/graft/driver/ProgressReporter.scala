@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.Success
+import org.apache.spark.{Success, TaskFailedReason}
 
 /** Driver-surface parity: job progress / completion / retry reporting as a
   * `SparkListener` (SURVEY §3 step 10 — the last piece of remap's driver
@@ -77,8 +77,12 @@ final class ProgressReporter(onEvent: ProgressReporter.Event => Unit)
   private val jobsFailed = new AtomicInteger
   private val tasksCompleted = new AtomicInteger
   private val taskFailures = new AtomicInteger
-  // stageId → (completed tasks so far, total tasks)
-  private val stages = new ConcurrentHashMap[Int, (AtomicInteger, Int)]()
+  // (stageId, attempt) → (completed tasks so far, total tasks). Keyed by
+  // ATTEMPT too: after a fetch-failure resubmit, the failed attempt's
+  // StageCompleted event arrives while the new attempt is live — a
+  // stageId-only key would let it delete the live attempt's tracking.
+  private val stages =
+    new ConcurrentHashMap[(Int, Int), (AtomicInteger, Int)]()
 
   def snapshot: Snapshot = Snapshot(
     jobsSubmitted.get, jobsSucceeded.get, jobsFailed.get,
@@ -96,19 +100,23 @@ final class ProgressReporter(onEvent: ProgressReporter.Event => Unit)
   }
 
   override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit =
-    stages.put(ev.stageInfo.stageId,
+    stages.put((ev.stageInfo.stageId, ev.stageInfo.attemptNumber),
       (new AtomicInteger, ev.stageInfo.numTasks))
 
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
-    stages.remove(ev.stageInfo.stageId)
+    stages.remove((ev.stageInfo.stageId, ev.stageInfo.attemptNumber))
 
-  override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
-    if (ev.reason == Success) {
+  override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = ev.reason match {
+    case Success =>
       tasksCompleted.incrementAndGet()
-      val st = stages.get(ev.stageId)
+      val st = stages.get((ev.stageId, ev.stageAttemptId))
       if (st != null)
         onEvent(StageProgress(ev.stageId, st._1.incrementAndGet(), st._2))
-    } else {
+    // Only attempts the scheduler counts as failures are "retries" — a
+    // TaskKilled from speculation or job cancellation is normal operation
+    // and must not make a healthy run report failed attempts.
+    case r: TaskFailedReason if r.countTowardsTaskFailures =>
       onEvent(TaskRetried(ev.stageId, taskFailures.incrementAndGet()))
-    }
+    case _ => ()
+  }
 }

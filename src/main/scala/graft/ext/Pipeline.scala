@@ -42,7 +42,9 @@ object Pipeline {
 
   /** [[trainPipeline]] plus the decontamination stage — the full modern
     * curation chain: near-dup clustering → canonical per cluster →
-    * benchmark n-gram scrub → quality gate → token stats. Kept as its own
+    * benchmark n-gram scrub → quality gate → token stats. COMPOSED from
+    * trainPipeline (not a re-spelling of it), so the canonical-selection
+    * and quality-gate logic lives in exactly one place. Kept as its own
     * query (q63) so q50's cross-round bench series stays comparable. */
   def fullPipeline(spark: SparkSession, dir: String,
                    minQuality: Double): DataFrame = {
@@ -53,14 +55,7 @@ object Pipeline {
         "doc_id", "text")
       .filter(!col("contaminated"))
       .select("doc_id")
-    val clusters = Dedup.q47DedupClusters(spark, dir)
-    val stats = TextAnalysis.docStats(docs)
-    clusters.filter(col("doc_id") === col("cluster"))
-      .select("doc_id")
-      .join(clean, "doc_id")
-      .join(stats, "doc_id")
-      .filter(col("quality") >= minQuality)
-      .select("doc_id", "quality", "n_tokens", "est_bpe")
+    trainPipeline(spark, dir, minQuality).join(clean, "doc_id")
   }
 
   def q63FullPipeline(spark: SparkSession, dir: String): DataFrame =
@@ -101,8 +96,9 @@ object Pipeline {
     * doubles bit-identical. */
   def q64SourceCap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val stats = TextAnalysis.docStats(docs)
-      .join(docs.select("doc_id", "source"), "doc_id")
+    // source rides the docStats scan — a join back onto a second documents
+    // scan would re-read the corpus for one column
+    val stats = TextAnalysis.docStats(docs, carry = Seq("source"))
     graft.ops.Windows.perGroupTopK(stats,
       group = Seq(col("source")),
       order = Seq(col("quality").desc, col("doc_id")),

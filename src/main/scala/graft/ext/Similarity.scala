@@ -46,15 +46,14 @@ object Similarity {
     * while the query side fits a broadcast. `maxQueryRows` makes that
     * precondition a loud failure instead of a driver OOM: a 10M-row query
     * set must go through [[annCosineTopK]] (or a corpus⋈corpus shuffle
-    * join), not through this operator with a bigger cap. The guard costs
-    * one count() on the query side — rows the driver is about to
-    * materialize anyway. */
+    * join), not through this operator with a bigger cap. The guard reads
+    * at most cap+1 rows (limit before count), so a violating caller pays
+    * a bounded probe, never a full scan of the oversized side. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 maxQueryRows: Long = 500000L): DataFrame = {
-    val nq = queries.count()
-    require(nq <= maxQueryRows,
-      s"cosineTopK broadcasts the query side: $nq rows exceeds the " +
-        s"$maxQueryRows cap — use annCosineTopK for large query sets")
+                 maxQueryRows: Int = 500000): DataFrame = {
+    require(queries.limit(maxQueryRows + 1).count() <= maxQueryRows,
+      s"cosineTopK broadcasts the query side: more than " +
+        s"$maxQueryRows rows — use annCosineTopK for large query sets")
     val pairs = corpus.withColumn("nv", norm(col("v")))
       .crossJoin(broadcast(queries.withColumn("nq", norm(col("qv")))))
       .filter(col("vec_id") =!= col("qid"))

@@ -145,12 +145,15 @@ object TextAnalysis {
     * tokenization of `text` — what a pipeline composition should join
     * against: Catalyst does not merge the separate q37/q38 scans across
     * plan branches, so joining those two queries would tokenize the whole
-    * corpus twice. */
-  def docStats(docs: DataFrame): DataFrame =
+    * corpus twice. `carry` lets a caller thread extra per-doc columns
+    * (e.g. `source`) through the same scan instead of joining a second
+    * scan of the corpus back on doc_id. */
+  def docStats(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     withQualityCols(docs)
       .withColumn("est_bpe",
         ceil(length(col("text")).cast("double") / 4).cast("long"))
-      .select("doc_id", "n_tokens", "quality", "est_bpe")
+      .select((Seq("doc_id", "n_tokens", "quality", "est_bpe") ++ carry)
+        .map(col): _*)
 
   val q37QualityScoreSql: String = """
     WITH t AS (

@@ -233,10 +233,19 @@ object Pregel {
       // vote materializes it in the same job that materializes the
       // vertices (an eager count() would be one extra job per block).
       if (!allHalt && step < maxIter && updateEdges.isDefined) {
-        val ne0 = inLoop(updateEdges.get(e, nv, step))
-        staleE = e
-        e = if (didCkpt) ne0.localCheckpoint(false)
-            else ne0.persist(StorageLevel.MEMORY_AND_DISK)
+        val ne0 = updateEdges.get(e, nv, step)
+        // A no-op hook (returning the edge frame, or an equal plan) must
+        // NOT rotate the cache: persist() on an already-cached plan is a
+        // no-op in the shared CacheManager, so the staleE.unpersist would
+        // evict the LIVE cache and every later superstep would recompute
+        // the edge lineage (which can hold a whole dedup pipeline).
+        if (!(ne0 eq e) &&
+            ne0.queryExecution.logical != e.queryExecution.logical) {
+          val nePlan = inLoop(ne0)
+          staleE = e
+          e = if (didCkpt) nePlan.localCheckpoint(false)
+              else nePlan.persist(StorageLevel.MEMORY_AND_DISK)
+        }
       }
     }
 

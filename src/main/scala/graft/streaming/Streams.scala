@@ -158,6 +158,15 @@ object Streams {
         (user: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) => {
           def close(s: SessState) =
             Session(user, s.sid, s.start_us, s.n, s.last_us - s.start_us)
+          // setTimeoutTimestamp THROWS if the target is not strictly past
+          // the current watermark — reachable whenever the watermark jumps
+          // further than the delay being armed (a backfill replaying months
+          // advances it by more than the gap in one micro-batch; an
+          // IllegalArgumentException here kills the whole query). Clamp
+          // every arm to watermark + 1 ms.
+          def armTimeout(atMs: Long): Unit =
+            state.setTimeoutTimestamp(
+              math.max(atMs, state.getCurrentWatermarkMs() + 1L))
           if (state.hasTimedOut) {
             val cur = state.getOption
             if (cur.exists(!_.open)) {
@@ -171,7 +180,7 @@ object Streams {
               // the sentinel itself is eventually evicted
               cur.foreach { s =>
                 state.update(s.copy(open = false))
-                state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L + ttlMs)
+                armTimeout((s.last_us + gapUs) / 1000L + 1L + ttlMs)
               }
               out.iterator
             }
@@ -196,7 +205,7 @@ object Streams {
               // Only open sessions arm a timeout: a sentinel that timed out
               // again would re-emit nothing but still costs a state scan.
               if (s.open)
-                state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L)
+                armTimeout((s.last_us + gapUs) / 1000L + 1L)
             }
             closed.result().iterator
           }
