@@ -13,9 +13,6 @@ final case class MediaFeatures(doc_id: Long, n_bytes: Int, byte_sum: Long,
                                mean_byte: Double, width: Int, height: Int,
                                decoder: String)
 
-/** A sampled "frame": a fixed-size byte slice of the payload. */
-final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
-
 /** Multimodal columns: image/audio/video as opaque `BinaryType` payloads
   * with a typed metadata struct, plus the executor-side batch plumbing a
   * real decode/feature-extract stage needs.
@@ -67,19 +64,21 @@ object Multimodal {
   }
 
   /** Frame sampling: every `stride`-th `frameBytes`-sized slice of the
-    * payload — the byte-plumbing of video frame extraction. Pure
-    * `Column` expressions (substring on binary), stays in codegen. */
+    * payload — the byte-plumbing of video frame extraction. The slice is
+    * computed AFTER the explode as a plain codegen'd substring + Filter:
+    * a transform/filter HOF inside the Generate would evaluate its
+    * lambdas interpreted per element (the Text.explodeTokens pitfall),
+    * which is exactly wrong for a per-payload video hot path. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    media.select(col("doc_id"),
-      posexplode(
-        filter(
-          transform(
-            sequence(lit(0),
-              floor((length(col("payload")) - 1) / lit(frameBytes * stride)).cast("int")),
-            i => substring(col("payload"),
-              (i * frameBytes * stride + 1).cast("int"), lit(frameBytes))),
-          f => length(f) === frameBytes))
-        .as(Seq("frame_idx", "frame")))
+    media.select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          floor((length(col("payload")) - 1) / lit(frameBytes * stride)).cast("int")))
+          .as("frame_idx"))
+      .withColumn("frame", substring(col("payload"),
+        (col("frame_idx") * (frameBytes * stride) + 1).cast("int"),
+        lit(frameBytes)))
+      .filter(length(col("frame")) === frameBytes)
+      .select("doc_id", "frame_idx", "frame")
 
   // --- q34_multimodal_meta: metadata-side query, pushdown-friendly --------
   // Filter + projection touch only metadata and payload length — at scale

@@ -30,7 +30,11 @@ object Collections {
       .select(
         col("event_id"),
         col("k"),
-        to_json(struct(col("event_type"), col("k"))).as("json_out"),
+        // ignoreNullFields=false: Spark's default DROPS null fields while
+        // the oracle's struct_pack emits an explicit "k":null — a props
+        // row without a numeric k would otherwise hash-mismatch
+        to_json(struct(col("event_type"), col("k")),
+          Map("ignoreNullFields" -> "false")).as("json_out"),
         to_json(col("arr")).as("arr_json"),
         size(col("arr")).as("arr_n"),
         array_contains(col("arr"), 3).as("has_three"),

@@ -155,9 +155,19 @@ object Joins {
     val l2 = left.select(col(key).as("__k"), col(ts).as("__ts"),
       col(tieBreak).as("__tb"), lit(1).as("__side"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val r2 = right.select(col(key).as("__k"), col(ts).as("__ts"),
-      col(tieBreak).as("__tb"), lit(0).as("__side"),
-      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    // SQL ASOF null semantics: a right row with NULL ts or NULL key can
+    // never satisfy `l.ts >= r.ts AND l.key = r.key`, but ascending sort
+    // puts NULL ts FIRST — without this filter such a row's payload would
+    // forward-fill into every left row that has no genuine predecessor.
+    // Left-side NULLs need no handling: a NULL-ts left row sorts before
+    // every (non-null) right row and a NULL-key left row shares its
+    // partition only with other left rows, so both fill NULL, matching
+    // the no-match SQL result.
+    val r2 = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__ts"),
+        col(tieBreak).as("__tb"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

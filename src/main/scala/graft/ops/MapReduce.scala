@@ -110,7 +110,10 @@ object MapReduce {
     val lines = graft.Tables.documents(spark, dir).select("text").as[String]
     mapReduce[String, String, Long, String, Long](
       lines,
-      line => line.toLowerCase.split("\\s+").iterator
+      // Locale.ROOT: default-locale toLowerCase diverges from Catalyst's
+      // locale-independent lower() under e.g. tr_TR ('I' → dotless 'ı'),
+      // which would break the hash-shared q24 oracle
+      line => line.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
         .filter(_.nonEmpty).map(w => (label(w), w, 1L)),
       (w, vs) => Iterator.single((w, vs.sum)))
       .toDF("word", "n")
@@ -130,7 +133,7 @@ object MapReduce {
     val pairs = graft.Tables.documents(spark, dir)
       .select("text", "source").as[(String, String)]
       .flatMap { case (text, source) =>
-        text.toLowerCase.split("\\s+").iterator
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
           .filter(_.nonEmpty).map(w => (w, source))
       }
     groupWithCombiner[String, String](pairs, vs => vs.distinct)

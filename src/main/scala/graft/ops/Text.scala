@@ -92,10 +92,6 @@ object Text {
   def tokenize(c: Column): Column =
     filter(split(lower(c), "\\s+"), w => w =!= "")
 
-  /** SQL fragment mirroring [[tokenize]] for the DuckDB oracle. */
-  def tokenizeSql(expr: String): String =
-    s"(SELECT unnest(string_split_regex(lower($expr), '\\s+')))"
-
   /** `explode(tokenize(text))` without the higher-order `filter`: HOF
     * lambdas evaluate interpreted inside the Generate operator (no
     * whole-stage codegen) — measured ~3× slower over the documents corpus.
@@ -188,7 +184,9 @@ object Text {
     * the line payload. */
   def q53TextSource(spark: SparkSession, dir: String): DataFrame =
     explodeTokens(
-      textLines(spark, s"$fixturesDir/text")
+      // *.txt glob matches the oracle's read_text('.../*.txt') — a bare
+      // directory read would also pick up any future non-.txt file
+      textLines(spark, s"$fixturesDir/text/*.txt")
         .select(basename(col("filename")).as("filename"), col("line")),
       "line", "word")
       .groupBy(col("filename"), col("word"))

@@ -29,6 +29,11 @@ object Windows {
     */
   def perGroupTopK(df: DataFrame, group: Seq[Column], order: Seq[Column],
                    saltSrc: Column, k: Int, salts: Int = 64): DataFrame = {
+    // the output claims `rn` and the intermediate claims `gtk_salt_rn`;
+    // silently overwriting a caller column of either name would drop rows
+    // by a ranking the caller never asked for
+    require(!df.columns.contains("rn") && !df.columns.contains("gtk_salt_rn"),
+      "perGroupTopK reserves the `rn` and `gtk_salt_rn` column names")
     val salted = Window.partitionBy(group :+ pmod(saltSrc, lit(salts)): _*)
       .orderBy(order: _*)
     val fin = Window.partitionBy(group: _*).orderBy(order: _*)

@@ -29,11 +29,17 @@ object Sink {
 
   /** The literal `"k,v"` text-line sink of the reference. The caller
     * guarantees keys contain no commas — the same (documented) constraint
-    * remap imposes (`remap.py:139`, split on first comma). */
+    * remap imposes (`remap.py:139`, split on first comma). NULL keys fail
+    * loudly at write time: concat_ws silently SKIPS null arguments, so a
+    * null key would write the bare value as the whole line and the row
+    * would come back masquerading as a different key. */
   def writeKvText(df: DataFrame, keyCol: String, valueCol: String,
                   path: String, mode: String = "overwrite"): Unit = {
-    import org.apache.spark.sql.functions.{col, concat_ws}
-    df.select(concat_ws(",", col(keyCol), col(valueCol)).as("value"))
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, when}
+    val k = when(col(keyCol).isNull,
+        raise_error(lit(s"writeKvText: null key in column $keyCol")))
+      .otherwise(col(keyCol))
+    df.select(concat_ws(",", k, col(valueCol)).as("value"))
       .write.mode(mode).text(path)
   }
 
@@ -71,7 +77,12 @@ object Sink {
     val agg = graft.Tables.documents(spark, dir)
       .groupBy(col("lang"))
       .agg(to_json(sort_array(collect_list(col("doc_id").cast("string")))).as("v"))
-    val path = System.getProperty("java.io.tmpdir") +
+    // GRAFT_SCRATCH_DIR must be a SHARED filesystem on a multi-host
+    // cluster (HDFS/S3/NFS): a driver-local tmpdir scatters part files
+    // across executor-local disks and the read-back sees partial data.
+    // The local default serves the single-JVM driver harness.
+    val path = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+      System.getProperty("java.io.tmpdir")) +
       "/graft_kv_roundtrip_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     writeKvText(agg, "lang", "v", path)
     readKvText(spark, path)
