@@ -21,7 +21,8 @@ object SparkEntry {
       ops.MapReduce.queries ++ sources.Sink.queries ++
       graph.Algorithms.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries ++
-      ext.Multimodal.queries ++ ext.Pipeline.queries ++ streaming.Streams.queries
+      ext.Multimodal.queries ++ ext.Pipeline.queries ++ ext.Sampling.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
       ops.MapReduce.oracles ++ sources.Sink.oracles ++
       graph.Algorithms.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles ++
-      ext.Multimodal.oracles ++ ext.Pipeline.oracles ++ streaming.Streams.oracles
+      ext.Multimodal.oracles ++ ext.Pipeline.oracles ++ ext.Sampling.oracles ++
+      streaming.Streams.oracles
 }

@@ -66,20 +66,26 @@ object Dedup {
     * with thousands of members is a degenerate hash (boilerplate shingle)
     * whose pairs would dominate cost while being verifiable from other
     * bands. */
-  def lshCandidates(docs: DataFrame, id: String, sig: Column,
-                    bands: Int, maxBucket: Int = 10000): DataFrame = {
-    val withSig = docs.select(col(id), sig.as("sig"))
+  /** One (id, band, bandHash) row per document per band — the LSH bucket
+    * index. Shared by the batch self-join ([[lshCandidates]]) and the
+    * incremental probe join ([[incrementalNearDups]]). */
+  private def bandBuckets(withSig: DataFrame, id: String, bands: Int): DataFrame = {
     val r = size(col("sig")) / lit(bands) // rows per band, computed in-plan
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b),
           slice(col("sig"), lit(b) * r.cast("int") + 1, r.cast("int"))).as("bh"))
     }
+    withSig.select(col(id), explode(array(bandCols: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def lshCandidates(docs: DataFrame, id: String, sig: Column,
+                    bands: Int, maxBucket: Int = 10000): DataFrame = {
+    val withSig = docs.select(col(id), sig.as("sig"))
     // persisted: the frame feeds bucket sizing AND the capped self-join,
     // and its lineage holds the whole signature computation
-    val buckets = CacheRegistry.persist(withSig
-      .select(col(id), explode(array(bandCols: _*)).as("bb"))
-      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh")))
+    val buckets = CacheRegistry.persist(bandBuckets(withSig, id, bands))
     // Bucket sizes via groupBy.count + semi join, NOT a value-keyed window:
     // count().over(Window.partitionBy(band, bh)) would shuffle every member
     // of a hot bucket onto ONE task before the size filter runs — and the
@@ -233,6 +239,105 @@ object Dedup {
       .select(col(id),
         coalesce(col("n_hit_shingles"), lit(0)).as("n_hit_shingles"),
         (coalesce(col("n_hit_shingles"), lit(0)) > 0).as("contaminated"))
+  }
+
+  /** Bloom-filter decontamination — [[decontaminate]]'s scale path for when
+    * the benchmark's distinct shingle set is too large to broadcast as rows.
+    * A 2²⁰-bit filter is 128 KB no matter how many shingles feed it (as
+    * strings, a large benchmark suite's 5-grams run to tens of GB); the
+    * price is a bounded false-positive rate, which decontamination
+    * tolerates by construction — a false positive drops one extra clean
+    * document, a false negative would leak an eval answer into training,
+    * and a Bloom filter provably never produces the latter.
+    *
+    * Build: k probe positions per benchmark shingle (`xxhash64(shingle, i)
+    * mod m`), OR'd into 64-bit words with a map-side-partial `bit_or`
+    * aggregate, assembled into ONE map row and broadcast. Probe: the corpus
+    * is scanned once; each shingle tests its k bits via `element_at` on the
+    * broadcast map — no join, no shuffle until the per-doc aggregate (which
+    * partial-aggregates map-side). The exact membership flag rides the same
+    * scan (broadcast left join against the benchmark set) so the returned
+    * frame certifies the filter against ground truth:
+    * `missed` (exact hit the filter failed to flag) is FALSE for every row
+    * by Bloom's no-false-negative guarantee, and `fp_ok` asserts the
+    * observed per-document false-positive fraction stays under
+    * `maxDocFpFrac`. Output: (id, contaminated, missed, fp_ok).
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         id: String, text: String, n: Int = 5,
+                         mBits: Int = 1 << 20, kHashes: Int = 3,
+                         maxDocFpFrac: Double = 0.05): DataFrame = {
+    require((mBits & (mBits - 1)) == 0 && mBits >= 64,
+      s"bloomDecontaminate: mBits must be a power of two >= 64, got $mBits")
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .distinct()
+    val bloomMap = benchSh
+      .select(explode(array((0 until kHashes).map(i =>
+        pmod(xxhash64(col("shingle"), lit(i)), lit(mBits.toLong))): _*)).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).as("widx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)))")
+        .as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("widx"), col("bits")))).as("bm"))
+    val probed = corpus
+      .select(col(id), explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .join(broadcast(benchSh.withColumn("__bench", lit(true))),
+        Seq("shingle"), "left_outer")
+      .crossJoin(broadcast(bloomMap))
+    val allBitsSet = (0 until kHashes).map { i =>
+      expr(s"(shiftright(coalesce(element_at(bm, shiftright(" +
+        s"pmod(xxhash64(shingle, $i), CAST($mBits AS BIGINT)), 6)), " +
+        s"CAST(0 AS BIGINT)), " +
+        s"CAST(pmod(pmod(xxhash64(shingle, $i), CAST($mBits AS BIGINT)), 64) AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+    val perDoc = probed
+      .groupBy(col(id))
+      .agg(max(coalesce(col("__bench"), lit(false))).as("contaminated"),
+        max(allBitsSet).as("bloom_hit"))
+    val fpStats = perDoc.agg(
+      (sum(when(col("bloom_hit") && !col("contaminated"), 1L).otherwise(0L)) <=
+        count(lit(1)).cast("double") * maxDocFpFrac).as("fp_ok"))
+    perDoc.crossJoin(broadcast(fpStats))
+      .select(col(id), col("contaminated"),
+        (col("contaminated") && !col("bloom_hit")).as("missed"),
+        col("fp_ok"))
+  }
+
+  /** Incremental near-dup detection: check a NEW batch of documents against
+    * an existing corpus (and against itself) without re-pairing the corpus.
+    * The batch-mode [[nearDupMinHash]] self-joins the full bucket index —
+    * right for a one-time corpus dedup, quadratic waste when 0.1% of a
+    * 100 TB corpus arrives daily. Here only the new batch's buckets probe
+    * the combined index, so join work scales with |new|, not |corpus|²;
+    * in production the corpus side's signatures come from a signature
+    * store written by the original dedup pass (they are recomputed here —
+    * per-document work that maps over the corpus once, no pairing).
+    * Returns exactly the near-dup pairs involving at least one new
+    * document, in [[nearDupMinHash]]'s output schema. */
+  def incrementalNearDups(corpus: DataFrame, newDocs: DataFrame,
+                          id: String, text: String,
+                          n: Int = 3, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.8,
+                          maxBucket: Int = 10000): DataFrame = {
+    val bNew = CacheRegistry.persist(bandBuckets(
+      minHashSignatures(newDocs, id, text, n, k), id, bands))
+    val bAll = CacheRegistry.persist(bNew.unionByName(bandBuckets(
+      minHashSignatures(corpus, id, text, n, k), id, bands)))
+    // degenerate-bucket cap sized on the FULL index: a boilerplate bucket
+    // is hot regardless of which batch its members arrived in
+    val small = bAll.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select("band", "bh")
+    val pairs = bNew.join(small, Seq("band", "bh"), "left_semi").as("l")
+      .join(bAll.join(small, Seq("band", "bh"), "left_semi").as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col(s"l.$id") =!= col(s"r.$id"))
+      // canonical (min, max) ordering: a new×new pair is seen from both
+      // sides, a new×old pair from the new side only — distinct unifies
+      .select(least(col(s"l.$id"), col(s"r.$id")).as("id_a"),
+        greatest(col(s"l.$id"), col(s"r.$id")).as("id_b"))
+      .distinct()
+    verifyJaccard(pairs, corpus.unionByName(newDocs), id, text, n, threshold)
   }
 
   /** 64-bit SimHash over the token multiset: per-bit weighted votes
@@ -479,6 +584,45 @@ object Dedup {
     FROM documents d LEFT JOIN hits5 h ON h.doc_id = d.doc_id
     WHERE d.doc_id % 97 <> 0"""
 
+  // --- q69_bloom_decontaminate: Bloom-filter membership at scale ----------
+  /** Same corpus/benchmark split as q62; the oracle recomputes EXACT
+    * contamination and pins the Bloom path's guarantees as derived
+    * booleans (q13's pattern for sketches): `contaminated` must
+    * hash-match the exact CTE, `missed` must be FALSE everywhere (no
+    * false negatives), `fp_ok` must be TRUE (observed FP fraction under
+    * the documented bound). */
+  def q69BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bloomDecontaminate(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  val q69BloomDecontaminateSql: String = s"""
+    WITH $contaminationCtes
+    SELECT d.doc_id,
+           COALESCE(h.n_hit, 0) > 0 AS contaminated,
+           FALSE AS missed,
+           TRUE AS fp_ok
+    FROM documents d LEFT JOIN hits5 h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 97 <> 0"""
+
+  // --- q70_incremental_dedup: new batch vs existing corpus ----------------
+  /** New batch = doc_id % 5 == 1 (a stable 20% at every scale factor);
+    * the oracle is the exact-Jaccard pair set restricted to pairs with at
+    * least one new side — recall misses fail the hash, exactly as q31. */
+  def q70IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalNearDups(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 1),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 1),
+      "doc_id", "text")
+  }
+
+  val q70IncrementalDedupSql: String =
+    s"$ngramJaccardOracleSql AND (p.id_a % 5 = 1 OR p.id_b % 5 = 1)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup"   -> q27ExactDedup _,
     "q31_minhash_lsh"   -> q31MinHashLsh _,
@@ -486,6 +630,8 @@ object Dedup {
     "q41_simhash"       -> q41SimHash _,
     "q47_dedup_clusters" -> q47DedupClusters _,
     "q62_decontaminate" -> q62Decontaminate _,
+    "q69_bloom_decontaminate" -> q69BloomDecontaminate _,
+    "q70_incremental_dedup" -> q70IncrementalDedup _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -495,5 +641,7 @@ object Dedup {
     "q41_simhash"       -> ngramJaccardOracleSql,
     "q47_dedup_clusters" -> q47DedupClustersSql,
     "q62_decontaminate" -> q62DecontaminateSql,
+    "q69_bloom_decontaminate" -> q69BloomDecontaminateSql,
+    "q70_incremental_dedup" -> q70IncrementalDedupSql,
   )
 }

@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines.
+  *
+  * Everything here keys on a HASH of a stable id, never on `rand()`:
+  * a sample that changes between runs (or between engines) poisons
+  * ablations and makes incremental reprocessing impossible. The hash is
+  * md5 — deliberately, although xxhash64 is faster — because every engine
+  * that might audit or re-derive the sample (the DuckDB oracle here, a
+  * Python sanity notebook in production) computes the identical lowercase
+  * hex for the identical string, which xxhash64 seeds do not guarantee
+  * across libraries. One md5 per ROW (not per token) is noise at scale.
+  *
+  * The reference has no sampling operator; its closest idiom is the
+  * app-chosen partition label (`/root/reference/examples/wordcount/
+  * wordcount.py:28-37`) — a deterministic row→label function, which is
+  * exactly what these are.
+  */
+object Sampling {
+
+  /** Uniform 1/256-granular hash bucket of a key: the first two hex digits
+    * of `md5(string(key))`, lexicographically comparable against a
+    * threshold byte. */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 2)
+
+  /** Quantized threshold: rate → two lowercase hex digits such that
+    * P[bucket < threshold] = round(rate·256)/256. Rates ≥ 1 map to a
+    * sentinel above every hex bucket. */
+  private[graft] def rateThreshold(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"sample rate out of [0,1]: $rate")
+    val q = math.round(rate * 256).toInt
+    if (q >= 256) "g0" else f"$q%02x" // 'g' > 'f': admits every bucket
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its key's hash
+    * bucket falls under its stratum's threshold. Strata missing from
+    * `rates` default to rate 0 (dropped) — a sampling plan should name
+    * every stratum it intends to keep. The filter is one codegen'd
+    * projection over whatever scan feeds it: no shuffle, no count pass,
+    * no per-stratum job — at 100 TB this samples in the same pass that
+    * reads the data, unlike `DataFrame.stat.sampleBy` which keys on
+    * `rand()` and is neither reproducible across runs nor auditable by
+    * another engine. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double]): DataFrame = {
+    val thr = rates.foldLeft(lit(rateThreshold(0.0))) { case (acc, (s, r)) =>
+      when(stratum === lit(s), lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(key)).filter(col("bucket") < thr)
+  }
+
+  /** Leakage-safe train/val/test assignment: the split keys on the
+    * near-dup CLUSTER id, not the document id, so two near-duplicate
+    * documents can never land in different splits (the classic eval-leak:
+    * a test document's near-twin in train). Assignment is pure projection
+    * over the cluster column — the expensive part (clustering) is the
+    * dedup pipeline the split composes with, already paid. */
+  def clusterSplit(clusters: DataFrame, clusterCol: String,
+                   trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"invalid split fractions: train=$trainFrac val=$valFrac")
+    val b = hashBucket(col(clusterCol))
+    clusters.withColumn("split",
+      when(b < lit(rateThreshold(trainFrac)), "train")
+        .when(b < lit(rateThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
+  // --------------------------------------------------------------- queries
+
+  /** Per-language sampling plan for q67 — also the source of the oracle's
+    * CASE arms, so Scala and SQL can never disagree on a threshold. */
+  val q67Rates: Seq[(String, Double)] = Seq(
+    "en" -> 0.8, "es" -> 0.4, "de" -> 0.2, "fr" -> 0.1, "zh" -> 0.05)
+
+  // --- q67_stratified_sample: per-language downsampling -------------------
+  /** The language-rebalancing step of a corpus mix: keep 80% of English,
+    * 5% of the dominant crawl language, etc. Emitting `bucket` makes the
+    * decision auditable row-by-row. */
+  def q67StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir).select("doc_id", "lang"),
+      col("lang"), col("doc_id"), q67Rates.toMap)
+      .select("doc_id", "lang", "bucket")
+
+  val q67StratifiedSampleSql: String = {
+    val arms = q67Rates.map { case (l, r) =>
+      s"WHEN '$l' THEN '${rateThreshold(r)}'"
+    }.mkString("\n             ")
+    s"""
+    WITH b AS (
+      SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket FROM b
+    WHERE bucket < CASE lang
+             $arms
+             ELSE '${rateThreshold(0.0)}' END"""
+  }
+
+  // --- q68_cluster_split: near-dup-safe train/val/test --------------------
+  /** Composes q47's verified clustering with the hash split; the oracle
+    * replays the same recursive-CTE closure and md5 arithmetic. */
+  def q68ClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSplit(Dedup.q47DedupClusters(spark, dir), "cluster")
+      .select("doc_id", "cluster", "split")
+
+  val q68ClusterSplitSql: String = s"""
+    WITH RECURSIVE ${Dedup.clusterCtes}
+    SELECT doc_id, cluster,
+           CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2)
+                     < '${rateThreshold(0.8)}' THEN 'train'
+                WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2)
+                     < '${rateThreshold(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_stratified_sample" -> q67StratifiedSample _,
+    "q68_cluster_split"     -> q68ClusterSplit _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q67_stratified_sample" -> q67StratifiedSampleSql,
+    "q68_cluster_split"     -> q68ClusterSplitSql,
+  )
+}

@@ -229,12 +229,133 @@ object TextAnalysis {
                        (acc, v) -> (acc * 1000003 + v) % 1000000007) AS fingerprint
     FROM t"""
 
+  // --- q65_repetition: Gopher-style repetition quality signals ------------
+  /** Per-document repetition signals — the filters that catch low-quality
+    * generated/boilerplate text that length and stopword ratios miss:
+    * duplicate 5-gram fraction (what share of the document's 5-grams are
+    * repeats) and top 2-gram fraction (how much of the document one bigram
+    * dominates). The 5-gram stats are per-row array arithmetic computed
+    * BEFORE the 2-gram explode, so the whole signal set costs one corpus
+    * scan, one tokenize pass per n, and one doc-keyed aggregate (map-side
+    * partial; the (doc, bigram) pre-aggregate bounds the shuffle by
+    * per-doc vocabulary, exactly like tf-idf's).
+    */
+  def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
+    import graft.functions.TextExpressions.ngramShingles
+    val g5 = ngramShingles(col(text), 5)
+    val exploded = docs.select(col(id),
+      size(g5).as("n5"), size(array_distinct(g5)).as("nd5"),
+      explode(ngramShingles(col(text), 2)).as("g2"))
+    exploded
+      .groupBy(col(id), col("n5"), col("nd5"), col("g2"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(id), col("n5"), col("nd5"))
+      .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+      .select(col(id),
+        col("n5").cast("int").as("n_5grams"),
+        round((col("n5") - col("nd5")).cast("double") / col("n5"), 6)
+          .as("dup_5gram_frac"),
+        col("n2").cast("int").as("n_2grams"),
+        round(col("top2").cast("double") / col("n2"), 6).as("top_2gram_frac"))
+  }
+
+  def q65Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q65RepetitionSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      FROM documents),
+    g5 AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+             ts[i+3] || ' ' || ts[i+4] AS g
+      FROM toks, unnest(range(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 5
+      UNION ALL
+      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 5),
+    s5 AS (SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT g) AS nd5
+           FROM g5 GROUP BY 1),
+    g2 AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      FROM toks, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2
+      UNION ALL
+      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 2),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, MAX(c) AS top2, SUM(c) AS n2 FROM c2 GROUP BY 1)
+    SELECT s5.doc_id, CAST(s5.n5 AS INT) AS n_5grams,
+           ROUND(CAST(s5.n5 - s5.nd5 AS DOUBLE) / s5.n5, 6) AS dup_5gram_frac,
+           CAST(s2.n2 AS INT) AS n_2grams,
+           ROUND(CAST(s2.top2 AS DOUBLE) / s2.n2, 6) AS top_2gram_frac
+    FROM s5 JOIN s2 ON s2.doc_id = s5.doc_id"""
+
+  // --- q66_pii_scrub: pattern redaction over the corpus -------------------
+  /** The regexes stick to the Java-regex ∩ RE2 common subset (character
+    * classes, bounded repetition, \b) so an external engine auditing the
+    * scrub sees identical matches. */
+  val emailPattern: String = "[a-z0-9._]+@[a-z0-9.]+"
+  val phonePattern: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrubbing: count and redact email/phone patterns in one
+    * projection — all codegen'd `regexp_*` expressions, no UDF, so the
+    * scrub rides whatever scan the pipeline already does and shuffles
+    * nothing. Returns the input columns plus (n_emails, n_phones,
+    * scrubbed). */
+  def piiScrub(docs: DataFrame, text: String): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(text), lit(emailPattern)).cast("int"))
+      .withColumn("n_phones", regexp_count(col(text), lit(phonePattern)).cast("int"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(text), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+
+  /** The synthetic corpus carries no PII, so the query plants a
+    * deterministic email/phone per doc_id residue class and scrubs it back
+    * out — both engines derive the same injected text, making the scrub
+    * itself the thing under test. */
+  def q66PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com for access")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" now")))
+        .otherwise(lit(""))).as("text"))
+    piiScrub(injected, "text")
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+  }
+
+  val q66PiiScrubSql: String = """
+    WITH inj AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                        || '@example.com for access'
+               WHEN doc_id % 3 = 1 THEN ' call 555-'
+                                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                        || ' now'
+               ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS INT)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+    FROM inj"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
     "q37_quality_score" -> q37QualityScore _,
     "q38_token_stats"   -> q38TokenStats _,
     "q39_fingerprint"   -> q39Fingerprint _,
+    "q65_repetition"    -> q65Repetition _,
+    "q66_pii_scrub"     -> q66PiiScrub _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -243,5 +364,7 @@ object TextAnalysis {
     "q37_quality_score" -> q37QualityScoreSql,
     "q38_token_stats"   -> q38TokenStatsSql,
     "q39_fingerprint"   -> q39FingerprintSql,
+    "q65_repetition"    -> q65RepetitionSql,
+    "q66_pii_scrub"     -> q66PiiScrubSql,
   )
 }

@@ -111,4 +111,32 @@ class DedupSpec extends GraftSuite {
     val capped = Dedup.lshCandidates(withSig, "doc_id", col("sig"), 8, maxBucket = 10)
     assert(capped.count() == 0) // every bucket has 50 members > cap
   }
+
+  test("bloomDecontaminate matches exact decontamination with zero misses") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val rows = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text").collect()
+    assert(rows.forall(r => !r.getBoolean(2)), "Bloom produced a false negative")
+    assert(rows.forall(r => r.getBoolean(3)), "false-positive fraction over bound")
+    val flags = rows.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(flags == exact, "exact contamination flags diverge")
+  }
+
+  test("incremental dedup equals the batch pair set restricted to new docs") {
+    val docs = Tables.documents(spark, sf)
+    val isNew = pmod(col("doc_id"), lit(5)) === 1
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incremental = pairSet(Dedup.incrementalNearDups(
+      docs.filter(!isNew), docs.filter(isNew), "doc_id", "text"))
+    val batchRestricted = pairSet(Dedup.nearDupMinHash(docs, "doc_id", "text")
+      .filter(pmod(col("id_a"), lit(5)) === 1 || pmod(col("id_b"), lit(5)) === 1))
+    assert(incremental == batchRestricted)
+    // and at least one cross (new×old) pair exists, or the test is vacuous
+    assert(incremental.exists { case (a, b, _) => a % 5 == 1 ^ b % 5 == 1 })
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Sampling}
+
+class SamplingSpec extends GraftSuite {
+
+  test("rate thresholds quantize to /256 and cover the endpoints") {
+    assert(Sampling.rateThreshold(0.0) == "00") // bucket < "00" admits nothing
+    assert(Sampling.rateThreshold(1.0) == "g0") // 'g' > 'f' admits everything
+    assert(Sampling.rateThreshold(0.5) == "80")
+    intercept[IllegalArgumentException](Sampling.rateThreshold(1.5))
+  }
+
+  test("stratified sample is deterministic, within tolerance, strata-scoped") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val rates = Map("en" -> 0.5, "es" -> 0.1) // other langs: dropped
+    def run() = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), rates)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = run().toSet
+    assert(a == run().toSet, "sample must be identical across runs")
+    assert(a.forall { case (_, l) => rates.contains(l) },
+      "unlisted strata must be dropped")
+    val byLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (l, r) =>
+      val got = byLang.getOrElse(l, 0).toDouble / totals(l)
+      // md5 buckets are uniform; on dozens of rows per stratum allow a
+      // generous binomial tolerance — determinism, not precision, is the
+      // contract under test
+      assert(math.abs(got - r) < 0.25, s"stratum $l: kept $got, wanted ~$r")
+    }
+  }
+
+  test("cluster split keeps every near-dup cluster in exactly one split") {
+    val clusters = Dedup.q47DedupClusters(spark, sf)
+    val out = Sampling.clusterSplit(clusters, "cluster")
+      .select("doc_id", "cluster", "split").collect()
+    assert(out.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+    val byCluster = out.groupBy(_.getLong(1)).values
+    assert(byCluster.forall(_.map(_.getString(2)).toSet.size == 1),
+      "a cluster straddled two splits — that's the leak this exists to stop")
+    // the corpus has enough clusters that all three splits are non-empty is
+    // NOT guaranteed at a 0.8/0.1 split over ~490 clusters; train must be
+    assert(out.exists(_.getString(2) == "train"))
+  }
+}

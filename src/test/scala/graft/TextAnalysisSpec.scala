@@ -62,4 +62,37 @@ class TextAnalysisSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) != fp(2L))
   }
+
+  test("repetition signals: hand-computed fractions on known docs") {
+    val docs = Seq(
+      // 8 tokens, 4 distinct 5-grams of which "a b c d e" repeats? no —
+      // "a b c d e a b c": 5-grams = [abcde, bcdea, cdeab, deabc], all
+      // distinct → dup frac 0. 2-grams: ab,bc,cd,de,ea,ab,bc → "a b"×2,
+      // "b c"×2 of 7 → top 2/7
+      (1L, "a b c d e a b c"),
+      // "x x x x x x": 5-grams = [xxxxx, xxxxx] → dup frac 1/2;
+      // 2-grams: "x x"×5 of 5 → top 1.0
+      (2L, "x x x x x x"),
+      // short doc: 2 tokens → one whole-string 5-gram, one 2-gram
+      (3L, "hi there")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4, 0.0, 7, math.BigDecimal(2.0 / 7).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2L) == ((2, 0.5, 5, 1.0)))
+    assert(out(3L) == ((1, 0.0, 1, 1.0)))
+  }
+
+  test("pii scrub redacts and counts emails and phone numbers") {
+    val docs = Seq(
+      (1L, "mail bob.smith@corp.example then call 555-0142 or 555-9999"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "text")
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((1, 2, "mail <EMAIL> then call <PHONE> or <PHONE>")))
+    assert(out(2L) == ((0, 0, "no pii here at all")))
+  }
 }
