@@ -19,7 +19,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
       ops.Scalars.queries ++ ops.Text.queries ++ ops.Collections.queries ++
       ops.MapReduce.queries ++ sources.Sink.queries ++
-      graph.Algorithms.queries ++
+      sources.Bucketing.queries ++ graph.Algorithms.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries ++
       ext.Multimodal.queries ++ ext.Pipeline.queries ++ ext.Sampling.queries ++
       streaming.Streams.queries
@@ -30,7 +30,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Joins.oracles ++ ops.Windows.oracles ++
       ops.Scalars.oracles ++ ops.Text.oracles ++ ops.Collections.oracles ++
       ops.MapReduce.oracles ++ sources.Sink.oracles ++
-      graph.Algorithms.oracles ++
+      sources.Bucketing.oracles ++ graph.Algorithms.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles ++
       ext.Multimodal.oracles ++ ext.Pipeline.oracles ++ ext.Sampling.oracles ++
       streaming.Streams.oracles

@@ -355,6 +355,73 @@ object TextAnalysis {
              '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
     FROM inj"""
 
+  // --- q72_heavy_hitters: count-min-sketch token frequencies --------------
+  /** Count-min sketch over the token stream, built declaratively: each
+    * token occurrence contributes `depth` (row, hash-cell) increments, and
+    * the groupBy over cells partial-aggregates map-side — so the shuffle
+    * carries at most depth×width rows TOTAL (the sketch size, here 4×1024),
+    * regardless of corpus size. That is the point of the sketch at 100 TB:
+    * token frequencies without a vocabulary-sized shuffle, mergeable across
+    * any partitioning (cells are counters — union-then-sum ≡ sum-then-sum).
+    *
+    * The estimate for a token is the MIN over its depth cells; collisions
+    * only ever inflate it, giving the classic one-sided guarantee
+    *   true_n ≤ estimate ≤ true_n + (collision mass in the best row).
+    * The returned frame pins both sides against an exact count computed
+    * from the same scan: `over_ok` (estimate never undercounts — the hard
+    * guarantee) and `bound_ok` (estimate within depth·N/width slack — a
+    * generous form of the ε·N bound that holds deterministically for any
+    * hash row, since one row's total collision mass cannot exceed N).
+    * On a real corpus the exact join side would be replaced by a candidate
+    * sample; here it doubles as the verification oracle. */
+  def tokenHeavyHitters(docs: DataFrame, text: String,
+                        depth: Int = 4, width: Int = 1024,
+                        minShare: Double = 0.001): DataFrame = {
+    val toks = Text.explodeTokens(docs.select(col(text)), text, "tok")
+    val cells = toks
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("r"),
+          pmod(xxhash64(col("tok"), lit(i)), lit(width.toLong)).as("h"))): _*))
+        .as("c"))
+      .groupBy(col("c.r").as("r"), col("c.h").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val est = exact
+      .select(col("tok"), col("n"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("r"),
+            pmod(xxhash64(col("tok"), lit(i)), lit(width.toLong)).as("h"))): _*))
+          .as("c"))
+      .join(broadcast(cells),
+        col("c.r") === col("r") && col("c.h") === col("h"))
+      .groupBy(col("tok"), col("n"))
+      .agg(min(col("cnt")).as("est"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    est.crossJoin(broadcast(total))
+      .filter(col("n") >= col("total") * minShare)
+      .select(col("tok"), col("n"),
+        (col("est") >= col("n")).as("over_ok"),
+        (col("est") <= col("n") + lit(depth) * col("total") / width)
+          .as("bound_ok"))
+  }
+
+  def q72HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    tokenHeavyHitters(Tables.documents(spark, dir), "text")
+
+  /** Exact counts hash-checked; the sketch columns are derived booleans
+    * (q13's pattern — DuckDB has no xxhash64, so the oracle pins the
+    * guarantees, not the estimates). */
+  val q72HeavyHittersSql: String = """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents),
+    n AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    t AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT tok, n, TRUE AS over_ok, TRUE AS bound_ok
+    FROM n CROSS JOIN t
+    WHERE n >= total * 0.001"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
@@ -363,6 +430,7 @@ object TextAnalysis {
     "q39_fingerprint"   -> q39Fingerprint _,
     "q65_repetition"    -> q65Repetition _,
     "q66_pii_scrub"     -> q66PiiScrub _,
+    "q72_heavy_hitters" -> q72HeavyHitters _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -373,5 +441,6 @@ object TextAnalysis {
     "q39_fingerprint"   -> q39FingerprintSql,
     "q65_repetition"    -> q65RepetitionSql,
     "q66_pii_scrub"     -> q66PiiScrubSql,
+    "q72_heavy_hitters" -> q72HeavyHittersSql,
   )
 }

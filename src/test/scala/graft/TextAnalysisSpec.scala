@@ -84,6 +84,24 @@ class TextAnalysisSpec extends GraftSuite {
     assert(out(3L) == ((1, 0.0, 1, 1.0)))
   }
 
+  test("count-min heavy hitters: exact counts, one-sided even under collisions") {
+    val docs = Seq(
+      (1L, "spark spark spark join scan merge"),
+      (2L, "spark join join scan scan scan")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenHeavyHitters(docs, "text", minShare = 0.0)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set("spark", "join", "scan", "merge"))
+    assert(out("spark")._1 == 4 && out("scan")._1 == 4 &&
+      out("join")._1 == 3 && out("merge")._1 == 1)
+    assert(out.values.forall { case (_, over, bound) => over && bound })
+    // width=2 forces collisions: the estimate may inflate but never
+    // undercounts — the one-sided guarantee is structural, not statistical
+    val crowded = TextAnalysis.tokenHeavyHitters(docs, "text",
+      depth = 2, width = 2, minShare = 0.0)
+    assert(crowded.filter(!col("over_ok")).count() == 0)
+  }
+
   test("pii scrub redacts and counts emails and phone numbers") {
     val docs = Seq(
       (1L, "mail bob.smith@corp.example then call 555-0142 or 555-9999"),
