@@ -295,11 +295,100 @@ object Similarity {
           FROM p)
     SELECT label, id_a, id_b, cos, rank FROM r WHERE rank <= 3"""
 
+  // --- q73_kmeans: Lloyd iterations — the IVF coarse-quantizer trainer ----
+  /** Deterministic k-means over the embedding corpus: seed centroids are
+    * the k lowest-id vectors, then `iters` Lloyd rounds (assign → mean),
+    * then a final assignment. This is the training step q43's IVF cells
+    * assume, and the workhorse of semantic dedup / diversity sampling over
+    * embedding spaces.
+    *
+    * Scale shape per round: centroids broadcast (k×dim doubles — trivially
+    * small at any corpus size), ONE pass over the corpus computing k
+    * distances per vector via the codegen'd `dot_product` (the corpus is
+    * never shuffled for assignment — only the (id, cid) argmin partial-
+    * aggregates), and the centroid update partial-aggregates per (cid,
+    * dim) map-side, so the update shuffle carries k×dim rows per map task
+    * regardless of corpus size.
+    *
+    * Determinism across engines (what the oracle certifies): distances are
+    * index-ordered double sums (`dot` ≡ DuckDB `list_dot_product`, the
+    * bit-identity q43/q48 already pin); argmin ties break on cid; the
+    * per-dimension mean is an order-free DECIMAL sum cast to double before
+    * the divide (the `dsum` pattern) — so two engines, or two partitionings
+    * of the same engine, produce identical centroids bit-for-bit. */
+  def kMeans(vecs0: DataFrame, id: String, vec: String,
+             k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ve = graft.CacheRegistry.persist(
+      vecs0.select(col(id), vecAsDouble(col(vec)).as("v")))
+    def assign(cent: DataFrame): DataFrame =
+      ve.crossJoin(broadcast(cent))
+        .withColumn("d2", dot(col("v"), col("v")) -
+          lit(2) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
+        .groupBy(col(id))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col(id), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    def update(asg: DataFrame): DataFrame =
+      asg.join(ve, id)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("x"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("ps"))
+        // per-row HOF over k tiny rows — interpreted is fine here
+        .select(col("cid"), transform(col("ps"), p => p("x")).as("c"))
+    var cent = ve.filter(col(id) < k)
+      .select(col(id).cast("int").as("cid"), col("v").as("c"))
+    for (_ <- 1 to iters) cent = update(assign(cent))
+    assign(cent)
+      .select(col(id), col("cid").as("cluster"), round(col("d2"), 6).as("d2"))
+  }
+
+  val kMeansK = 8
+  val kMeansIters = 2
+
+  def q73KMeans(spark: SparkSession, dir: String): DataFrame =
+    kMeans(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      kMeansK, kMeansIters)
+
+  /** Oracle: the same Lloyd iterations unrolled as generated CTEs (q32's
+    * pattern — Spark and SQL can never disagree on k or the round count). */
+  val q73KMeansSql: String = {
+    val prelude = s"""
+    WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM ve
+           WHERE vec_id < $kMeansK)"""
+    def assignSql(i: String, prev: String) = s"""
+    s$i AS (SELECT ve.vec_id, c.cid,
+                   list_dot_product(ve.v, ve.v) - 2*list_dot_product(ve.v, c.c)
+                     + list_dot_product(c.c, c.c) AS d2
+            FROM ve CROSS JOIN $prev c),
+    a$i AS (SELECT vec_id, cid, d2 FROM (
+              SELECT vec_id, cid, d2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cid) AS rn
+              FROM s$i) t WHERE rn = 1)"""
+    val steps = (1 to kMeansIters).map { i =>
+      s""",${assignSql(i.toString, s"c${i - 1}")},
+    m$i AS (SELECT a.cid, r.i AS pos,
+                   CAST(SUM(CAST(e.v[r.i] AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*) AS x
+            FROM a$i a JOIN ve e USING (vec_id),
+                 unnest(range(1, len(e.v) + 1)) AS r(i)
+            GROUP BY a.cid, r.i),
+    c$i AS (SELECT cid, list(x ORDER BY pos) AS c FROM m$i GROUP BY cid)"""
+    }.mkString
+    s"""$prelude$steps,${assignSql("f", s"c$kMeansIters")}
+    SELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM af"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
     "q43_ivf_label_pairs" -> q43IvfLabelPairs _,
     "q48_embed_neardup"   -> q48EmbedNearDup _,
+    "q73_kmeans"          -> q73KMeans _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -307,5 +396,6 @@ object Similarity {
     "q42_ann_topk"        -> q42AnnTopKSql,
     "q43_ivf_label_pairs" -> q43IvfLabelPairsSql,
     "q48_embed_neardup"   -> q48EmbedNearDupSql,
+    "q73_kmeans"          -> q73KMeansSql,
   )
 }

@@ -103,4 +103,32 @@ class PlanShapeSpec extends GraftSuite {
     // the only hash shuffles allowed are the two-phase top-k on (qid, salt)
     assert(count(p, "Exchange hashpartitioning") <= 2, p.take(400))
   }
+
+  test("q69 bloom path: benchmark reaches the corpus only as broadcasts") {
+    // the corpus scan must meet the benchmark as a broadcast set (exact
+    // flag) and a broadcast one-row map (bloom bits) — any sort-merge join
+    // against the benchmark side means the corpus shuffled for membership
+    val p = plan("q69_bloom_decontaminate")
+    assert(p.contains("BroadcastExchange"), "benchmark must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "exact membership must hash-join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to meet the benchmark side:\n" + p.take(600))
+  }
+
+  test("q70 incremental dedup joins stay bucketed — no nested-loop fallback") {
+    val p = plan("q70_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(!p.contains("Window"), "value-keyed window in dedup plan")
+  }
+
+  test("q72 count-min cells meet the probe side as a broadcast") {
+    // the sketch is depth×width rows by construction; if it ever arrives
+    // at the estimate join via a shuffle instead of a broadcast, the
+    // sketch-sized-shuffle contract is broken
+    val p = plan("q72_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "cells must broadcast-hash-join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -66,4 +66,40 @@ class SimilaritySpec extends GraftSuite {
     }
     rows.groupBy(_.getInt(0)).values.foreach(g => assert(g.length <= 3))
   }
+
+  test("kMeans matches a plain-Scala Lloyd recompute on the corpus") {
+    val k = 4; val iters = 2
+    val got = Similarity.kMeans(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", k, iters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // independent recompute: driver-side Lloyd with the same seeding and
+    // decimal-mean rule
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      // same association order as dot(v,v) - 2*dot(v,c) + dot(c,c)
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    }
+    var cent: Map[Int, Array[Double]] =
+      (0 until k).map(i => i -> vecs(i.toLong)).toMap
+    def assign(c: Map[Int, Array[Double]]): Map[Long, Int] =
+      vecs.map { case (id, v) =>
+        id -> c.toSeq.map { case (cid, cv) => (d2(v, cv), cid) }.min._2
+      }
+    for (_ <- 1 to iters) {
+      val a = assign(cent)
+      cent = a.groupBy(_._2).map { case (cid, members) =>
+        val vs = members.keys.toSeq.map(vecs)
+        cid -> Array.tabulate(vs.head.length) { i =>
+          val sum = vs.map(v => BigDecimal(v(i)).setScale(12,
+            BigDecimal.RoundingMode.HALF_UP)).sum
+          (sum.toDouble / vs.size)
+        }
+      }
+    }
+    assert(got == assign(cent))
+  }
 }
