@@ -59,8 +59,8 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=q32_pagerank,q47_dedup_clusters → targeted profiling
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    // (parser shared with Verify via SparkEntry.onlyFilter)
+    val only = SparkEntry.onlyFilter
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Each query runs SPARK_GRAFT_RUNS times (default 3) and reports the

@@ -24,6 +24,14 @@ object SparkEntry {
       ext.Multimodal.queries ++ ext.Pipeline.queries ++ ext.Sampling.queries ++
       streaming.Streams.queries
 
+  /** SPARK_GRAFT_ONLY=q1_agg,q2_filter_agg → run only those queries.
+    * One parser shared by Verify and Bench so the convention cannot
+    * diverge; blank/empty values mean "all", never "none". */
+  def onlyFilter: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =

@@ -17,10 +17,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=q65_repetition,q66_pii_scrub → targeted local runs
-    // (Bench's convention); the driver leaves it unset and dumps everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_ONLY → targeted local runs (parser shared with Bench);
+    // the driver leaves it unset and dumps everything
+    val only = SparkEntry.onlyFilter
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

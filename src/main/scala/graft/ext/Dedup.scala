@@ -262,6 +262,14 @@ object Dedup {
     * by Bloom's no-false-negative guarantee, and `fp_ok` asserts the
     * observed per-document false-positive fraction stays under
     * `maxDocFpFrac`. Output: (id, contaminated, missed, fp_ok).
+    *
+    * SIZING CONTRACT: the defaults (2²⁰ bits, k=3) are sized for up to
+    * ~50k distinct benchmark shingles (fill ≲ 15%, per-probe FP ≲ 0.3%).
+    * A benchmark suite with millions of shingles needs a proportionally
+    * larger `mBits` (rule of thumb: ≥ 16–20 bits per distinct shingle) —
+    * still KBs-to-MBs where the raw strings are GBs. `fp_ok` is the
+    * runtime check that the sizing held: an undersized filter fails the
+    * flag (and the q69 oracle) loudly instead of silently over-dropping.
     */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                          id: String, text: String, n: Int = 5,
@@ -269,9 +277,12 @@ object Dedup {
                          maxDocFpFrac: Double = 0.05): DataFrame = {
     require((mBits & (mBits - 1)) == 0 && mBits >= 64,
       s"bloomDecontaminate: mBits must be a power of two >= 64, got $mBits")
-    val benchSh = benchmark
+    // persisted: the distinct benchmark set feeds BOTH the Bloom build and
+    // the exact-membership broadcast — without it the benchmark is
+    // shingled and distinct-aggregated twice
+    val benchSh = CacheRegistry.persist(benchmark
       .select(explode(array_distinct(shingles(col(text), n))).as("shingle"))
-      .distinct()
+      .distinct())
     val bloomMap = benchSh
       .select(explode(array((0 until kHashes).map(i =>
         pmod(xxhash64(col("shingle"), lit(i)), lit(mBits.toLong))): _*)).as("pos"))
@@ -294,10 +305,19 @@ object Dedup {
       .groupBy(col(id))
       .agg(max(coalesce(col("__bench"), lit(false))).as("contaminated"),
         max(allBitsSet).as("bloom_hit"))
-    val fpStats = perDoc.agg(
+    // rejoin onto the corpus ids: a NULL-text document produces no shingle
+    // rows (explode of a null array emits nothing) and would silently
+    // vanish from the output — decontaminate() keeps every corpus doc, so
+    // this path must too
+    val allDocs = corpus.select(col(id))
+      .join(perDoc, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"))
+    val fpStats = allDocs.agg(
       (sum(when(col("bloom_hit") && !col("contaminated"), 1L).otherwise(0L)) <=
         count(lit(1)).cast("double") * maxDocFpFrac).as("fp_ok"))
-    perDoc.crossJoin(broadcast(fpStats))
+    allDocs.crossJoin(broadcast(fpStats))
       .select(col(id), col("contaminated"),
         (col("contaminated") && !col("bloom_hit")).as("missed"),
         col("fp_ok"))

@@ -338,8 +338,11 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("ps"))
         // per-row HOF over k tiny rows — interpreted is fine here
         .select(col("cid"), transform(col("ps"), p => p("x")).as("c"))
-    var cent = ve.filter(col(id) < k)
-      .select(col(id).cast("int").as("cid"), col("v").as("c"))
+    // seed = the k lowest-id vectors (orderBy+limit, NOT `id < k`: ids need
+    // not be dense or zero-based, and a sparse id space must still yield k
+    // seeds). The cid label is the seed's own id — stable under any id set.
+    var cent = ve.orderBy(col(id)).limit(k)
+      .select(col(id).cast("long").as("cid"), col("v").as("c"))
     for (_ <- 1 to iters) cent = update(assign(cent))
     assign(cent)
       .select(col(id), col("cid").as("cluster"), round(col("d2"), 6).as("d2"))
@@ -357,8 +360,8 @@ object Similarity {
   val q73KMeansSql: String = {
     val prelude = s"""
     WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM ve
-           WHERE vec_id < $kMeansK)"""
+    c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM ve
+           ORDER BY vec_id LIMIT $kMeansK)"""
     def assignSql(i: String, prev: String) = s"""
     s$i AS (SELECT ve.vec_id, c.cid,
                    list_dot_product(ve.v, ve.v) - 2*list_dot_product(ve.v, c.c)

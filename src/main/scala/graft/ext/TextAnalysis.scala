@@ -368,16 +368,22 @@ object TextAnalysis {
     * only ever inflate it, giving the classic one-sided guarantee
     *   true_n ≤ estimate ≤ true_n + (collision mass in the best row).
     * The returned frame pins both sides against an exact count computed
-    * from the same scan: `over_ok` (estimate never undercounts — the hard
-    * guarantee) and `bound_ok` (estimate within depth·N/width slack — a
-    * generous form of the ε·N bound that holds deterministically for any
-    * hash row, since one row's total collision mass cannot exceed N).
-    * On a real corpus the exact join side would be replaced by a candidate
-    * sample; here it doubles as the verification oracle. */
+    * from the same scan: `over_ok` (estimate never undercounts — that one
+    * is structural, collisions only add) and `bound_ok` (estimate within
+    * depth·N/width slack — the CM error bound, which is probabilistic:
+    * it holds with overwhelming probability for these depth/width choices
+    * and is VERIFIED on the fixture corpora the way q31 pins LSH recall;
+    * a refactor that degrades the hashing or shrinks the sketch fails the
+    * oracle rather than silently losing accuracy). On a real corpus the
+    * exact join side would be replaced by a candidate sample; here it
+    * doubles as the verification oracle. */
   def tokenHeavyHitters(docs: DataFrame, text: String,
                         depth: Int = 4, width: Int = 1024,
                         minShare: Double = 0.001): DataFrame = {
-    val toks = Text.explodeTokens(docs.select(col(text)), text, "tok")
+    // persisted: the token stream feeds both the sketch build and the
+    // exact counts — without it the corpus is scanned and tokenized twice
+    val toks = graft.CacheRegistry.persist(
+      Text.explodeTokens(docs.select(col(text)), text, "tok"))
     val cells = toks
       .select(explode(array((0 until depth).map(i =>
         struct(lit(i).as("r"),
@@ -396,9 +402,15 @@ object TextAnalysis {
         col("c.r") === col("r") && col("c.h") === col("h"))
       .groupBy(col("tok"), col("n"))
       .agg(min(col("cnt")).as("est"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // total token count derived from the exact counts — not a third pass
+    val total = exact.agg(sum(col("n")).as("total"))
+    // threshold in DECIMAL: `total * 0.001` must admit the same boundary
+    // tokens in every engine — double arithmetic would make n == total/1000
+    // an engine-dependent membership (3000 * 0.001 is 3.0000000000000004
+    // as a double, exactly 3.000 as a decimal, which is what SQL computes)
+    val share = lit(BigDecimal(minShare).underlying())
     est.crossJoin(broadcast(total))
-      .filter(col("n") >= col("total") * minShare)
+      .filter(col("n") >= col("total") * share)
       .select(col("tok"), col("n"),
         (col("est") >= col("n")).as("over_ok"),
         (col("est") <= col("n") + lit(depth) * col("total") / width)

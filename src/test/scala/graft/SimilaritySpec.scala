@@ -71,7 +71,7 @@ class SimilaritySpec extends GraftSuite {
     val k = 4; val iters = 2
     val got = Similarity.kMeans(Tables.embeddings(spark, sf),
         "vec_id", "embedding", k, iters)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // independent recompute: driver-side Lloyd with the same seeding and
     // decimal-mean rule
@@ -83,9 +83,9 @@ class SimilaritySpec extends GraftSuite {
         x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
       dot(a, a) - 2 * dot(a, b) + dot(b, b)
     }
-    var cent: Map[Int, Array[Double]] =
-      (0 until k).map(i => i -> vecs(i.toLong)).toMap
-    def assign(c: Map[Int, Array[Double]]): Map[Long, Int] =
+    var cent: Map[Long, Array[Double]] =
+      (0 until k).map(i => i.toLong -> vecs(i.toLong)).toMap
+    def assign(c: Map[Long, Array[Double]]): Map[Long, Long] =
       vecs.map { case (id, v) =>
         id -> c.toSeq.map { case (cid, cv) => (d2(v, cv), cid) }.min._2
       }
