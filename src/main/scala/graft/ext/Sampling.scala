@@ -72,6 +72,49 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** α-temperature mixture sampling (α = 1/2, the multilingual-corpus
+    * rebalancing rule of mC4/XLM-R): stratum s gets weight
+    * w_s = √n_s / Σ√n_s, flattening the natural distribution so dominant
+    * strata stop drowning the tail, and a target fraction of the corpus is
+    * drawn per-stratum at rate min(1, targetFrac·N·w_s/n_s). Unlike
+    * [[stratifiedSample]] the rates are COMPUTED from observed counts, not
+    * authored — the operator is the planning step and the sample in one.
+    *
+    * Scale shape: one map-side-partial count pass, a ≤|strata|-row rate
+    * frame broadcast back, and the same codegen'd hash-threshold filter as
+    * q67 over the main scan — no shuffle of the corpus, no rand().
+    *
+    * Cross-engine determinism (what lets the oracle hash-match): α is
+    * HARDWIRED to 1/2 because IEEE-754 guarantees sqrt correctly rounded
+    * (pow(x, α) for general α is not), the Σ√n_s fold runs over the strata
+    * sorted by name (collect_list order would be partition-dependent), and
+    * the final rate is quantized to 1/256 buckets exactly as
+    * [[rateThreshold]] — so both engines derive the identical threshold
+    * byte from the identical op sequence. */
+  def temperatureMix(df: DataFrame, stratum: String, key: Column,
+                     targetFrac: Double): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"target fraction out of (0,1]: $targetFrac")
+    val rates = df.groupBy(col(stratum)).agg(count(lit(1)).as("ns"))
+      .agg(sort_array(collect_list(struct(col(stratum), col("ns")))).as("arr"),
+        sum(col("ns")).as("n_tot")) // integer sum — order-free, exact
+      .select(col("arr"), col("n_tot"),
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + sqrt(x.getField("ns"))).as("den"))
+      .select(explode(col("arr")).as("s"), col("n_tot"), col("den"))
+      .select(col(s"s.$stratum").as(stratum),
+        least(lit(1.0), lit(targetFrac) * col("n_tot") *
+          (sqrt(col("s.ns")) / col("den")) / col("s.ns")).as("rate"))
+      .select(col(stratum),
+        when(floor(col("rate") * 256) >= 256, lit("g0"))
+          .otherwise(format_string("%02x",
+            floor(col("rate") * 256).cast("int"))).as("thr"))
+    df.join(broadcast(rates), stratum)
+      .withColumn("bucket", hashBucket(key))
+      .filter(col("bucket") < col("thr"))
+      .drop("thr")
+  }
+
   // --------------------------------------------------------------- queries
 
   /** Per-language sampling plan for q67 — also the source of the oracle's
@@ -119,13 +162,46 @@ object Sampling {
                 ELSE 'test' END AS split
     FROM clusters"""
 
+  // --- q77_temperature_mix: α=1/2 language rebalancing --------------------
+  /** Draw half the corpus with the temperature rule over the (skewed)
+    * language distribution: English (~43% of documents) is downsampled
+    * hardest, tail languages keep proportionally more. The oracle replays
+    * the whole derivation — counts, sorted-fold Σ√n, rate, threshold byte,
+    * md5 bucket — so a drifted weight, fold order, or quantization both
+    * engines must agree on fails the hash. */
+  def q77TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir).select("doc_id", "lang"),
+      "lang", col("doc_id"), targetFrac = 0.5)
+      .select("doc_id", "lang", "bucket")
+
+  val q77TemperatureMixSql: String = """
+    WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+    t AS (SELECT SUM(ns) AS n_tot FROM n),
+    d AS (SELECT list_reduce(
+                   list_transform(list(ns ORDER BY lang), x -> sqrt(x)),
+                   (x, y) -> x + y) AS den FROM n),
+    r AS (SELECT lang,
+                 LEAST(1.0, 0.5::DOUBLE * n_tot * (sqrt(ns) / den) / ns) AS rate
+          FROM n, t, d),
+    th AS (SELECT lang,
+                  CASE WHEN FLOOR(rate * 256) >= 256 THEN 'g0'
+                       ELSE printf('%02x', CAST(FLOOR(rate * 256) AS INT))
+                  END AS thr
+           FROM r),
+    b AS (SELECT doc_id, dd.lang,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket, thr
+          FROM documents dd JOIN th ON dd.lang = th.lang)
+    SELECT doc_id, lang, bucket FROM b WHERE bucket < thr"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q68_cluster_split"     -> q68ClusterSplit _,
+    "q77_temperature_mix"   -> q77TemperatureMix _,
   )
 
   def oracles: Map[String, String] = Map(
     "q67_stratified_sample" -> q67StratifiedSampleSql,
     "q68_cluster_split"     -> q68ClusterSplitSql,
+    "q77_temperature_mix"   -> q77TemperatureMixSql,
   )
 }

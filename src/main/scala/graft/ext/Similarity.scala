@@ -356,12 +356,16 @@ object Similarity {
       kMeansK, kMeansIters)
 
   /** Oracle: the same Lloyd iterations unrolled as generated CTEs (q32's
-    * pattern — Spark and SQL can never disagree on k or the round count). */
-  val q73KMeansSql: String = {
+    * pattern — Spark and SQL can never disagree on k or the round count).
+    * Parameterized by the corpus CTE body (`veSql` must yield
+    * `(vec_id, v DOUBLE[])`) so q74's planted-corpus replay reuses the
+    * identical chain; the caller appends its own final SELECT over `af`
+    * (= the post-training assignment `(vec_id, cid, d2)`). */
+  private[ext] def kMeansCtes(veSql: String, k: Int, iters: Int): String = {
     val prelude = s"""
-    WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ve AS ($veSql),
     c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM ve
-           ORDER BY vec_id LIMIT $kMeansK)"""
+           ORDER BY vec_id LIMIT $k)"""
     def assignSql(i: String, prev: String) = s"""
     s$i AS (SELECT ve.vec_id, c.cid,
                    list_dot_product(ve.v, ve.v) - 2*list_dot_product(ve.v, c.c)
@@ -372,7 +376,7 @@ object Similarity {
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY d2, cid) AS rn
               FROM s$i) t WHERE rn = 1)"""
-    val steps = (1 to kMeansIters).map { i =>
+    val steps = (1 to iters).map { i =>
       s""",${assignSql(i.toString, s"c${i - 1}")},
     m$i AS (SELECT a.cid, r.i AS pos,
                    CAST(SUM(CAST(e.v[r.i] AS DECIMAL(28,12))) AS DOUBLE)
@@ -382,9 +386,84 @@ object Similarity {
             GROUP BY a.cid, r.i),
     c$i AS (SELECT cid, list(x ORDER BY pos) AS c FROM m$i GROUP BY cid)"""
     }.mkString
-    s"""$prelude$steps,${assignSql("f", s"c$kMeansIters")}
-    SELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM af"""
+    s"""$prelude$steps,${assignSql("f", s"c$iters")}"""
   }
+
+  val q73KMeansSql: String = s"""
+    WITH ${kMeansCtes("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+      kMeansK, kMeansIters)}
+    SELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM af"""
+
+  // --- q74_semantic_dedup: SemDeDup — k-means cells, then cosine prune ----
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space with [[kMeans]], detect near-duplicate pairs only
+    * WITHIN a cluster, and among each above-threshold pair keep the member
+    * FARTHER from its centroid (larger `d2` — the paper's keep-the-least-
+    * typical rule, which preserves diversity; ties break on lower id).
+    * Output is every corpus row with its cluster and a `kept` flag, so the
+    * decision is auditable row-by-row rather than a silent drop.
+    *
+    * Scale shape: the cluster count `k` is THE knob — pair cost is
+    * Σ|cell|², so k grows with the corpus (k ≈ N/⟨target cell size⟩,
+    * e.g. 100k cells for 100M docs) and the within-cell join shuffles both
+    * sides on `cluster`, never forming |corpus|² candidates. Training cost
+    * is [[kMeans]]'s: one corpus pass per Lloyd round against broadcast
+    * centroids. The keep rule needs no global order — each cell resolves
+    * independently, and the anti-join side (`dropped`) partial-aggregates
+    * map-side via `distinct`. */
+  def semanticDedup(corpus0: DataFrame, id: String, vec: String,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    val asg = kMeans(corpus0, id, vec, k, iters)
+    val ve = corpus0.select(col(id), vecAsDouble(col(vec)).as("v"))
+    val m = graft.CacheRegistry.persist(
+      asg.join(ve, id).withColumn("nrm", norm(col("v"))))
+    val dropped = m.as("l").join(m.as("r"),
+        col("l.cluster") === col("r.cluster") &&
+          col(s"l.$id") =!= col(s"r.$id") &&
+          (col("r.d2") > col("l.d2") ||
+            (col("r.d2") === col("l.d2") && col(s"r.$id") < col(s"l.$id"))))
+      .filter(round(dot(col("l.v"), col("r.v")) /
+        (col("l.nrm") * col("r.nrm")), 6) >= threshold)
+      .select(col(s"l.$id").as(id)).distinct()
+      .withColumn("drp", lit(true))
+    m.select(col(id), col("cluster"))
+      .join(dropped, Seq(id), "left_outer")
+      .select(col(id), col("cluster"), col("drp").isNull.as("kept"))
+  }
+
+  /** q74 runs [[semanticDedup]] over q48's planted corpus (base embeddings
+    * plus a +0.02 elementwise shift of vec_id < 50, cos ≈ 0.987 to their
+    * originals vs ≤ ~0.51 background): the planted twins are the semantic
+    * duplicates the operator must find and prune. The DuckDB oracle replays
+    * the whole pipeline — unrolled Lloyd CTEs over the identical planted
+    * corpus, the same rounded cosine, the same farther-from-centroid keep
+    * rule — so clustering drift, a missed twin, or a wrong keep decision
+    * all fail the hash. */
+  def q74SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(
+      nearDupCorpus(spark, dir).select(col("vec_id"), col("v")),
+      "vec_id", "v", kMeansK, kMeansIters, threshold = 0.9)
+
+  private val plantedVeSql: String = """
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.02)
+      FROM embeddings WHERE vec_id < 50"""
+
+  val q74SemanticDedupSql: String = s"""
+    WITH ${kMeansCtes(plantedVeSql, kMeansK, kMeansIters)},
+    r AS (SELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM af),
+    mv AS (SELECT r.vec_id, r.cluster, r.d2, ve.v,
+                  sqrt(list_dot_product(ve.v, ve.v)) AS nrm
+           FROM r JOIN ve USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT l.vec_id
+      FROM mv l JOIN mv rr
+        ON l.cluster = rr.cluster AND l.vec_id <> rr.vec_id
+       AND (rr.d2 > l.d2 OR (rr.d2 = l.d2 AND rr.vec_id < l.vec_id))
+      WHERE ROUND(list_dot_product(l.v, rr.v) / (l.nrm * rr.nrm), 6) >= 0.9)
+    SELECT mv.vec_id, mv.cluster, (d.vec_id IS NULL) AS kept
+    FROM mv LEFT JOIN dropped d ON d.vec_id = mv.vec_id"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
@@ -392,6 +471,7 @@ object Similarity {
     "q43_ivf_label_pairs" -> q43IvfLabelPairs _,
     "q48_embed_neardup"   -> q48EmbedNearDup _,
     "q73_kmeans"          -> q73KMeans _,
+    "q74_semantic_dedup"  -> q74SemanticDedup _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -400,5 +480,6 @@ object Similarity {
     "q43_ivf_label_pairs" -> q43IvfLabelPairsSql,
     "q48_embed_neardup"   -> q48EmbedNearDupSql,
     "q73_kmeans"          -> q73KMeansSql,
+    "q74_semantic_dedup"  -> q74SemanticDedupSql,
   )
 }

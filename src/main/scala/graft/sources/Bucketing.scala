@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bucketed table layout — the storage-side half of shuffle avoidance.
@@ -24,6 +24,96 @@ object Bucketing {
     val w1 = path.fold(w0)(p => w0.option("path", p)) // external when given
     (if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*) else w1)
       .saveAsTable(table)
+  }
+
+  // ------------------------------------------------------- z-order layout
+
+  /** The classic 16-bit Morton spread mask/shift ladder — one (shift,
+    * mask) pair per step, shared verbatim by the Column chain and the
+    * oracle SQL generator so the two engines compute from the same
+    * constants by construction. */
+  private val spreadSteps: Seq[(Int, Long)] = Seq(
+    8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  /** Low 16 bits of `x`, spread so bit i lands at position 2i. */
+  private def spread16(x: Column): Column =
+    spreadSteps.foldLeft(x.cast("long").bitwiseAND(lit(0xFFFFL))) {
+      case (a, (s, m)) => (a.bitwiseOR(shiftleft(a, s))).bitwiseAND(lit(m))
+    }
+
+  private[graft] def spread16Sql(x: String): String =
+    spreadSteps.foldLeft(s"(CAST($x AS BIGINT) & 65535)") {
+      case (a, (s, m)) => s"(($a | ($a << $s)) & $m)"
+    }
+
+  /** Z-order (Morton) value of two dimension columns, each quantized to
+    * its low 16 bits: interleaves the bits so records close in BOTH
+    * dimensions are close in one scalar sort key. */
+  def zValue16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  private[graft] def zValue16Sql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
+  /** Balanced binary-search CASE tree mapping `x` to its bucket index
+    * (= #boundaries ≤ x) in log₂ comparisons per row, all codegen'd CASE
+    * WHEN — no interpreted HOF, no per-row array scan. NULL follows every
+    * otherwise-branch down to bucket 0, deterministically. */
+  private def bucketOf(x: Column, bounds: IndexedSeq[Double]): Column = {
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(x >= lit(bounds(mid - 1)), go(mid, hi)).otherwise(go(lo, mid - 1))
+      }
+    go(0, bounds.length)
+  }
+
+  /** Z-order-clustered parquet write: range-partition on the Morton key,
+    * sort within each partition, drop the key. Multi-dimensional data
+    * skipping at scale: parquet keeps per-row-group min/max for BOTH
+    * source dimensions, and because z-neighbors agree on the high bits of
+    * both, every file/row-group covers a narrow range of each — so a
+    * predicate on EITHER dimension prunes most of a 100 TB table at scan
+    * time, where a single-column sort serves only its leading column.
+    * The write's one shuffle (the range exchange) is paid once and
+    * amortized over every subsequent pruned scan — bucketing's argument,
+    * applied to range predicates instead of equi-joins.
+    *
+    * `normalizeBits` > 0 (the default) rank-normalizes each dimension to
+    * 2^bits quantile buckets before interleaving — the Delta-OPTIMIZE-style
+    * fix for asymmetric ranges: interleaving RAW values when one column
+    * spans 4 bits and the other 20 puts every decisive bit on the wide
+    * column and clusters nothing on the narrow one. The boundary probe is
+    * one `approx_percentile` aggregate (a write-time planning step, the
+    * moral twin of RangePartitioner's sample pass), its ≤2×(2^bits−1)
+    * boundaries ship inside the bucket expressions as literals, and the
+    * per-row cost is 2×`bits` codegen'd comparisons. Pass 0 to interleave
+    * raw low-16-bit values (the [[zValue16]] arithmetic q76's oracle
+    * replays). */
+  def zOrderWrite(df: DataFrame, path: String, x: Column, y: Column,
+                  numFiles: Int, normalizeBits: Int = 8,
+                  mode: String = "overwrite"): Unit = {
+    require(normalizeBits >= 0 && normalizeBits <= 16,
+      s"normalizeBits out of [0,16]: $normalizeBits")
+    val z =
+      if (normalizeBits == 0) zValue16(x, y)
+      else {
+        val n = 1 << normalizeBits
+        val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+        val row = df.agg(
+          percentile_approx(x.cast("double"), probs, lit(10000)).as("bx"),
+          percentile_approx(y.cast("double"), probs, lit(10000)).as("by")).head()
+        def bounds(i: Int): IndexedSeq[Double] =
+          row.getSeq[Double](i).toIndexedSeq
+        spread16(bucketOf(x.cast("double"), bounds(0)))
+          .bitwiseOR(shiftleft(spread16(bucketOf(y.cast("double"), bounds(1))), 1))
+      }
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(mode).parquet(path)
   }
 
   // --------------------------------------------------------------- queries
@@ -65,9 +155,43 @@ object Bucketing {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority"""
 
+  // --- q76_zorder: Morton-clustered write → read → z-bucket aggregate -----
+  /** Round-trips events through [[zOrderWrite]] on (user_id, event_id),
+    * then recomputes the Morton key on the read-back rows and aggregates
+    * per high-byte z-bucket. The oracle replays the identical mask/shift
+    * ladder (generated from the same constants) straight from the source
+    * parquet — so a row lost by the clustered write, OR any bit-arithmetic
+    * divergence in the interleave, fails the hash. File-level clustering
+    * quality (per-file spread of both dimensions vs an unclustered write)
+    * is a physical property with no SQL oracle; `BucketingSpec` pins it. */
+  def q76Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+      System.getProperty("java.io.tmpdir")) +
+      "/graft_zorder_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    zOrderWrite(graft.Tables.events(spark, dir)
+        .select("event_id", "user_id", "value"),
+      scratch, col("user_id"), col("event_id"), numFiles = 8)
+    spark.read.parquet(scratch)
+      .withColumn("zv", zValue16(col("user_id"), col("event_id")))
+      .groupBy(shiftright(col("zv"), 16).as("zbucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("zv")).as("min_zv"), max(col("zv")).as("max_zv"),
+        graft.ops.Relational.dsum(col("value")).as("sum_value"))
+  }
+
+  val q76ZorderSql: String = s"""
+    WITH z AS (SELECT value, ${zValue16Sql("user_id", "event_id")} AS zv
+               FROM events)
+    SELECT (zv >> 16) AS zbucket, COUNT(*) AS n_events,
+           MIN(zv) AS min_zv, MAX(zv) AS max_zv,
+           ${graft.ops.Relational.dsumSql("value")} AS sum_value
+    FROM z GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q71_bucketed_join" -> q71BucketedJoin _)
+    Map("q71_bucketed_join" -> q71BucketedJoin _,
+        "q76_zorder" -> q76Zorder _)
 
   def oracles: Map[String, String] =
-    Map("q71_bucketed_join" -> q71BucketedJoinSql)
+    Map("q71_bucketed_join" -> q71BucketedJoinSql,
+        "q76_zorder" -> q76ZorderSql)
 }

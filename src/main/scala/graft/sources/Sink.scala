@@ -63,6 +63,22 @@ object Sink {
         .as("values"))
   }
 
+  /** JSON-Lines sink — the lingua franca of LLM training corpora (one JSON
+    * object per line, splittable, append-friendly). Spark's json writer IS
+    * the jsonl format; this wrapper exists so the engine's sink surface
+    * names it explicitly next to parquet/csv/kv-text. */
+  def writeJsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Schema-first JSONL reader. The schema is REQUIRED, not inferred:
+    * inference is a full extra pass over the data (ruinous at 100 TB) and
+    * silently widens types on dirty rows; a declared schema keeps the scan
+    * single-pass, codegen'd, and lets corrupt lines surface through the
+    * standard `_corrupt_record`/mode options instead of changing dtypes. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   // --------------------------------------------------------------- queries
 
   // --- q58_kv_roundtrip: K2 writer → S4 compat reader → aggregate ---------
@@ -99,9 +115,44 @@ object Sink {
            CAST(MAX(doc_id) AS BIGINT) AS max_doc
     FROM documents GROUP BY lang"""
 
+  // --- q75_jsonl_roundtrip: documents → jsonl → read → aggregate ----------
+  /** Round-trips the documents table through the JSONL sink/source, then
+    * aggregates per language. The oracle computes the same aggregates
+    * straight from the source parquet, so any JSON encode/decode infidelity
+    * — a mangled escape, a dropped row, a type widened by inference (the
+    * reader is schema-first precisely so this can't happen silently) —
+    * shifts `sum_text_len`/`n_texts` and fails the hash. */
+  def q75JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    // same shared-filesystem caveat as q58: GRAFT_SCRATCH_DIR on a cluster
+    val path = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+      System.getProperty("java.io.tmpdir")) +
+      "/graft_jsonl_roundtrip_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    writeJsonl(docs, path)
+    readJsonl(spark, path, docs.schema)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_text_len"),
+        countDistinct(col("text")).as("n_texts"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val q75JsonlRoundtripSql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           COUNT(DISTINCT text) AS n_texts,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang"""
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q58_kv_roundtrip" -> q58KvRoundtrip _)
+    Map("q58_kv_roundtrip" -> q58KvRoundtrip _,
+        "q75_jsonl_roundtrip" -> q75JsonlRoundtrip _)
 
   def oracles: Map[String, String] =
-    Map("q58_kv_roundtrip" -> q58KvRoundtripSql)
+    Map("q58_kv_roundtrip" -> q58KvRoundtripSql,
+        "q75_jsonl_roundtrip" -> q75JsonlRoundtripSql)
 }

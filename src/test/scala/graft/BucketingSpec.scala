@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Bucketing
 
 class BucketingSpec extends GraftSuite {
+  import spark.implicits._
 
   test("co-bucketed tables join with zero exchange and match the plain join") {
     // disable broadcast so the join would otherwise need a full shuffle
@@ -26,5 +27,42 @@ class BucketingSpec extends GraftSuite {
       spark.sql("DROP TABLE IF EXISTS g_orders_b")
       spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
     }
+  }
+
+  test("z-order write clusters BOTH dimensions despite asymmetric ranges") {
+    // events: user_id spans ~4 bits, event_id ~10 — raw interleave would
+    // put every decisive bit on event_id; the quantile normalization is
+    // what makes the narrow dimension cluster too. A hash layout is the
+    // no-clustering baseline: every file spans ~the full range of both.
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft_zspec").toString
+    Bucketing.zOrderWrite(ev, s"$base/z", col("user_id"), col("event_id"),
+      numFiles = 16)
+    ev.repartition(16).write.mode("overwrite").parquet(s"$base/plain")
+    def avgFileSpread(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("s"))
+        .agg(avg(col("s"))).head().getDouble(0)
+    assert(spark.read.parquet(s"$base/z").count() == ev.count(),
+      "clustered write lost rows")
+    val uz = avgFileSpread(s"$base/z", "user_id")
+    val up = avgFileSpread(s"$base/plain", "user_id")
+    val ez = avgFileSpread(s"$base/z", "event_id")
+    val ep = avgFileSpread(s"$base/plain", "event_id")
+    assert(uz < up * 0.7, s"user_id spread $uz not < 0.7 * $up")
+    assert(ez < ep * 0.7, s"event_id spread $ez not < 0.7 * $ep")
+  }
+
+  test("zValue16 interleaves bits exactly (known vectors)") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xFFFFL, 0L),
+      (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL), (0xABCDL, 0x1234L))
+    def spread(v: Long): Long =
+      (0 until 16).map(i => ((v >> i) & 1L) << (2 * i)).reduce(_ | _)
+    val got = rows.toDF("x", "y")
+      .select(Bucketing.zValue16(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = rows.map { case (x, y) => spread(x) | (spread(y) << 1) }
+    assert(got == want)
   }
 }

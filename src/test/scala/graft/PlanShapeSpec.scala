@@ -126,6 +126,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Window"), "value-keyed window in dedup plan")
   }
 
+  test("q74 semantic dedup: pairs form within cells only — no cartesian pair join") {
+    // the within-cluster self-join must stay an equi-join on the cluster
+    // id (cost Σ|cell|²), and the Lloyd assignment's only non-equi join is
+    // the deliberate k-row centroid broadcast cross — a CartesianProduct
+    // anywhere means a |corpus|² pair explosion at scale
+    val p = plan("q74_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+  }
+
+  test("q77 temperature mix: rates broadcast; the corpus never shuffles for the join") {
+    val p = plan("q77_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), "rate frame must broadcast-hash-join")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to meet the |strata|-row rate frame:\n" + p.take(600))
+  }
+
   test("q72 count-min cells meet the probe side as a broadcast") {
     // the sketch is depth×width rows by construction; if it ever arrives
     // at the estimate join via a shuffle instead of a broadcast, the

@@ -33,6 +33,37 @@ class SamplingSpec extends GraftSuite {
     }
   }
 
+  test("temperature mix matches an independent driver-side replay exactly") {
+    // the operator derives rates IN-PLAN; this recomputes the whole chain
+    // (counts → sorted-fold Σ√n → rate → /256 threshold byte → md5 bucket)
+    // in plain Scala and demands the identical selected set — any drift in
+    // fold order, quantization, or hashing shows up as a set difference
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ns = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    val nTot = docs.length.toDouble
+    val den = ns.keys.toSeq.sorted.foldLeft(0.0)((a, l) => a + math.sqrt(ns(l)))
+    def thr(l: String): String = {
+      val rate = math.min(1.0, 0.5 * nTot * (math.sqrt(ns(l)) / den) / ns(l))
+      val q = math.floor(rate * 256).toInt
+      if (q >= 256) "g0" else f"$q%02x"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(2)
+    val expected = docs.filter { case (id, l) => bucket(id) < thr(l) }
+      .map(_._1).toSet
+    def run() = Sampling.temperatureMix(
+        Tables.documents(spark, sf).select("doc_id", "lang"),
+        "lang", col("doc_id"), targetFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = run()
+    assert(got == expected, s"selection drifted: ${(got diff expected).take(5)} " +
+      s"extra, ${(expected diff got).take(5)} missing")
+    assert(got == run(), "must be identical across runs")
+  }
+
   test("cluster split keeps every near-dup cluster in exactly one split") {
     val clusters = Dedup.q47DedupClusters(spark, sf)
     val out = Sampling.clusterSplit(clusters, "cluster")

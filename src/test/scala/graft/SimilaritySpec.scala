@@ -102,4 +102,21 @@ class SimilaritySpec extends GraftSuite {
     }
     assert(got == assign(cent))
   }
+
+  test("semanticDedup prunes planted twins only, keeping one member each") {
+    val out = Similarity.q74SemanticDedup(spark, sf).collect()
+    assert(out.length == 550) // 500 base + 50 planted twins
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val dropped = out.filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "no twin was pruned")
+    // only twin-pair members can cross the 0.9 threshold (background pairs
+    // top out near 0.51), so every dropped id is a twin-pair member...
+    assert(dropped.forall(id => id < 50 || id >= 100000))
+    // ...and its twin survives: a doc's only >=0.9 partner is its twin, and
+    // the keep rule retains exactly the farther-from-centroid member
+    dropped.foreach { id =>
+      val twin = if (id >= 100000) id - 100000 else id + 100000
+      assert(kept.contains(twin), s"dropped $id but twin $twin also gone")
+    }
+  }
 }

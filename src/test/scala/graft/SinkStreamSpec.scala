@@ -50,6 +50,21 @@ class SinkStreamSpec extends GraftSuite {
     assert(back == Map("alpha" -> Seq("x", "y"), "beta" -> Seq("z")))
   }
 
+  test("jsonl sink round-trips hostile text exactly") {
+    val out = Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq(
+      (1L, "plain ascii"),
+      (2L, "line\nbreak and\ttab"),
+      (3L, "quote\" backslash\\ slash/"),
+      (4L, "unicode 中文 café é and control \u0001\u001f"),
+      (5L, "{\"looks\":\"like json\"}"))
+      .toDF("id", "text")
+    Sink.writeJsonl(df, s"$out/docs")
+    val back = Sink.readJsonl(spark, s"$out/docs", df.schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("streaming tumbling-window agg matches the batch transform") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
