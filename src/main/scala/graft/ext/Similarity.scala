@@ -317,10 +317,17 @@ object Similarity {
     * the divide (the `dsum` pattern) — so two engines, or two partitionings
     * of the same engine, produce identical centroids bit-for-bit. */
   def kMeans(vecs0: DataFrame, id: String, vec: String,
-             k: Int, iters: Int): DataFrame = {
+             k: Int, iters: Int): DataFrame =
+    kMeansOnPersisted(graft.CacheRegistry.persist(
+      vecs0.select(col(id), vecAsDouble(col(vec)).as("v"))), id, k, iters)
+
+  /** Lloyd loop over an ALREADY-persisted `(id, v: array<double>)` frame —
+    * split out so [[semanticDedup]] can share one cached corpus projection
+    * between the training loop and its pair join instead of caching the
+    * corpus twice. */
+  private def kMeansOnPersisted(ve: DataFrame, id: String,
+                                k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val ve = graft.CacheRegistry.persist(
-      vecs0.select(col(id), vecAsDouble(col(vec)).as("v")))
     def assign(cent: DataFrame): DataFrame =
       ve.crossJoin(broadcast(cent))
         .withColumn("d2", dot(col("v"), col("v")) -
@@ -413,8 +420,9 @@ object Similarity {
     * map-side via `distinct`. */
   def semanticDedup(corpus0: DataFrame, id: String, vec: String,
                     k: Int, iters: Int, threshold: Double): DataFrame = {
-    val asg = kMeans(corpus0, id, vec, k, iters)
-    val ve = corpus0.select(col(id), vecAsDouble(col(vec)).as("v"))
+    val ve = graft.CacheRegistry.persist(
+      corpus0.select(col(id), vecAsDouble(col(vec)).as("v")))
+    val asg = kMeansOnPersisted(ve, id, k, iters)
     val m = graft.CacheRegistry.persist(
       asg.join(ve, id).withColumn("nrm", norm(col("v"))))
     val dropped = m.as("l").join(m.as("r"),

