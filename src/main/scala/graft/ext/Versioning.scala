@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-versioning operators: MERGE-style upsert and snapshot diff —
+  * the dataset-maintenance half of incremental reprocessing (the intake
+  * side is `Dedup.incrementalNearDups`). A training corpus is rebuilt in
+  * increments: a crawl refresh replaces changed pages and adds new ones
+  * (upsert), and every ablation needs to know exactly what moved between
+  * two corpus versions (diff).
+  *
+  * The reference has no table maintenance at all — its jobs are
+  * write-once runs (`/root/reference/daemons/core/remap.py:178-188`); these
+  * operators are the durable-dataset discipline that replaces re-running
+  * the whole intake.
+  */
+object Versioning {
+
+  /** MERGE: rows of `updates` replace same-key rows of `current`; new keys
+    * append. One anti-join plus a union — the join shuffles both sides on
+    * the key ONCE, and on a bucketed layout ([[graft.sources.Bucketing]])
+    * even that shuffle disappears. `updates` is typically a small refresh
+    * batch: the planner broadcasts it into the anti-join, so the current
+    * corpus is scanned once and never shuffled. Column sets must match —
+    * checked loudly instead of silently dropping or nulling columns. */
+  def upsert(current: DataFrame, updates: DataFrame,
+             key: Seq[String]): DataFrame = {
+    require(current.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert column mismatch: ${current.columns.sorted.mkString(",")} vs " +
+        updates.columns.sorted.mkString(","))
+    current.join(updates.select(key.map(col): _*), key, "left_anti")
+      .unionByName(updates)
+  }
+
+  /** Snapshot diff: per-key status across two corpus versions — `added`
+    * (key only in `next`), `removed` (only in `prev`), `changed` (present
+    * in both, any compare column differs under null-safe equality),
+    * `unchanged`. One full-outer join on the key; comparison is a
+    * codegen'd conjunction of `<=>` — no engine-specific row hashing, so
+    * an external auditor (or the DuckDB oracle) can replay the exact
+    * decision. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, key: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val p = prev.select((key ++ compareCols).map(col): _*)
+      .withColumn("_in_prev", lit(true))
+    val n = next.select((key ++ compareCols).map(col): _*)
+      .withColumn("_in_next", lit(true))
+    val joined = p.as("p").join(n.as("n"), key, "full_outer")
+    val same = compareCols
+      .map(c => col(s"p.$c") <=> col(s"n.$c"))
+      .reduce(_ && _)
+    joined.select(
+      key.map(col) :+
+        when(col("_in_prev").isNull, "added")
+          .when(col("_in_next").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed").as("status"): _*)
+  }
+
+  // --------------------------------------------------------------- queries
+
+  /** The deterministic refresh batch both queries derive: every doc_id
+    * divisible by 7 comes back re-crawled (text suffixed, n_chars bumped),
+    * every doc_id divisible by 13 also appears as a brand-new page under
+    * doc_id + 1000000. Shared so q79 and q80 can never drift apart. */
+  private def refreshBatch(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("text", concat(col("text"), lit(" [v2]")))
+      .withColumn("n_chars", col("n_chars") + 5)
+      .unionByName(
+        docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+
+  private val refreshBatchSql: String = """
+      SELECT doc_id, text || ' [v2]' AS text, lang, source,
+             n_chars + 5 AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 13 = 0"""
+
+  // --- q79_upsert: merge a refresh batch into the corpus ------------------
+  def q79Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    upsert(docs, refreshBatch(docs), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+  }
+
+  val q79UpsertSql: String = s"""
+    WITH upd AS ($refreshBatchSql),
+    merged AS (
+      SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      UNION ALL
+      SELECT * FROM upd)
+    SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+    FROM merged"""
+
+  // --- q80_snapshot_diff: what moved between corpus versions --------------
+  def q80SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    snapshotDiff(docs, upsert(docs, refreshBatch(docs), Seq("doc_id")),
+      Seq("doc_id"), Seq("text", "n_chars"))
+  }
+
+  val q80SnapshotDiffSql: String = s"""
+    WITH upd AS ($refreshBatchSql),
+    nxt AS (
+      SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      UNION ALL
+      SELECT * FROM upd)
+    SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN p.text IS NOT DISTINCT FROM n.text
+                 AND p.n_chars IS NOT DISTINCT FROM n.n_chars
+                  THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM documents p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_upsert"        -> q79Upsert _,
+    "q80_snapshot_diff" -> q80SnapshotDiff _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q79_upsert"        -> q79UpsertSql,
+    "q80_snapshot_diff" -> q80SnapshotDiffSql,
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Versioning
+
+class VersioningSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("upsert replaces matched keys, appends new ones, keeps the rest") {
+    val current = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "v", "n")
+    val updates = Seq((2L, "B2", 21), (9L, "new", 90)).toDF("id", "v", "n")
+    val out = Versioning.upsert(current, updates, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set((1L, "a", 10), (2L, "B2", 21), (3L, "c", 30),
+      (9L, "new", 90)))
+  }
+
+  test("upsert refuses mismatched column sets loudly") {
+    val current = Seq((1L, "a")).toDF("id", "v")
+    val updates = Seq((1L, "a", 1)).toDF("id", "v", "extra")
+    intercept[IllegalArgumentException](
+      Versioning.upsert(current, updates, Seq("id")))
+  }
+
+  test("snapshot diff labels all four statuses, null-safely") {
+    val prev = Seq(
+      (1L, Some("same"), 1), (2L, Some("old"), 2),
+      (3L, Some("gone"), 3), (5L, None: Option[String], 5))
+      .toDF("id", "v", "n")
+    val next = Seq(
+      (1L, Some("same"), 1), (2L, Some("new"), 2),
+      (4L, Some("born"), 4), (5L, None: Option[String], 5))
+      .toDF("id", "v", "n")
+    val out = Versioning.snapshotDiff(prev, next, Seq("id"), Seq("v", "n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
+  test("q80 derivation: refresh shows changed and added, never removed") {
+    val statuses = Versioning.q80SnapshotDiff(spark, sf)
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.contains("changed") && statuses.contains("added"))
+    assert(!statuses.contains("removed"))
+    val docs = Tables.documents(spark, sf)
+    assert(statuses("changed") ==
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0).count())
+    assert(statuses("added") ==
+      docs.filter(pmod(col("doc_id"), lit(13)) === 0).count())
+  }
+}
