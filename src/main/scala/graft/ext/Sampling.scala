@@ -88,9 +88,13 @@ object Sampling {
     * HARDWIRED to 1/2 because IEEE-754 guarantees sqrt correctly rounded
     * (pow(x, α) for general α is not), the Σ√n_s fold runs over the strata
     * sorted by name (collect_list order would be partition-dependent), and
-    * the final rate is quantized to 1/256 buckets exactly as
-    * [[rateThreshold]] — so both engines derive the identical threshold
-    * byte from the identical op sequence. */
+    * the final rate is FLOOR-quantized to 1/256 buckets — deliberately not
+    * [[rateThreshold]]'s round(): floor never admits a bucket the real
+    * rate hasn't fully earned, and an in-plan floor replays identically in
+    * any engine without round-half-mode questions. (Consequence: a derived
+    * rate in (255/256, 1) keeps 255/256 of the stratum, not all of it.)
+    * Both engines thus derive the identical threshold byte from the
+    * identical op sequence. */
   def temperatureMix(df: DataFrame, stratum: String, key: Column,
                      targetFrac: Double): DataFrame = {
     require(targetFrac > 0 && targetFrac <= 1,

@@ -404,11 +404,17 @@ object Similarity {
   // --- q74_semantic_dedup: SemDeDup — k-means cells, then cosine prune ----
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space with [[kMeans]], detect near-duplicate pairs only
-    * WITHIN a cluster, and among each above-threshold pair keep the member
-    * FARTHER from its centroid (larger `d2` — the paper's keep-the-least-
-    * typical rule, which preserves diversity; ties break on lower id).
-    * Output is every corpus row with its cluster and a `kept` flag, so the
-    * decision is auditable row-by-row rather than a silent drop.
+    * WITHIN a cluster, and keep a document iff NO above-threshold neighbor
+    * precedes it in the farthest-from-centroid-first order (larger `d2`
+    * first, ties break on lower id) — the paper's matrix rule with its
+    * keep-the-least-typical ordering. Note the rule checks against ALL
+    * preceding neighbors, dropped or not, exactly as the published
+    * algorithm does: in a similarity CHAIN a–b–c (a~b, b~c, a≁c, d2
+    * a<b<c), both a and b drop even though b itself is gone — the
+    * conservative, order-free-to-replay choice (a per-component champion
+    * would need the transitive closure). Output is every corpus row with
+    * its cluster and a `kept` flag, so the decision is auditable
+    * row-by-row rather than a silent drop.
     *
     * Scale shape: the cluster count `k` is THE knob — pair cost is
     * Σ|cell|², so k grows with the corpus (k ≈ N/⟨target cell size⟩,

@@ -452,7 +452,14 @@ object TextAnalysis {
   def removeBoilerplate(docs: DataFrame, id: String, text: String,
                         minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val lines = graft.CacheRegistry.persist(docs
+    // NULL-text docs: posexplode(split(NULL)) emits zero rows, which would
+    // silently DROP the document (the q69 bloom null-doc lesson). Route
+    // them around the line pipeline and re-attach with cleaned = NULL,
+    // zero counts — nullness preserved, every input id present exactly once.
+    val nullDocs = docs.filter(col(text).isNull)
+      .select(col(id), lit(null).cast("string").as("cleaned"),
+        lit(0L).as("n_lines"), lit(0L).as("n_removed"))
+    val lines = graft.CacheRegistry.persist(docs.filter(col(text).isNotNull)
       .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line"))))
     val hot = lines.select(col(id), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("nd"))
@@ -469,6 +476,7 @@ object TextAnalysis {
           p => p.getField("line")), "\n").as("cleaned"),
         count(lit(1)).as("n_lines"),
         count(col("hot")).as("n_removed"))
+      .unionByName(nullDocs)
   }
 
   // --- q78_boilerplate: fixture web corpus → scrubbed pages ---------------
@@ -479,7 +487,10 @@ object TextAnalysis {
     * threshold, and ordered reassembly in DuckDB from the same files. */
   def q78Boilerplate(spark: SparkSession, dir: String): DataFrame =
     removeBoilerplate(
-      spark.read.option("wholetext", "true").text(s"${Text.fixturesDir}/web")
+      // glob, not the bare dir, so a future non-.txt file (README, editor
+      // backup) can't become a 9th document the *.txt-reading oracle
+      // never sees — the q53 lesson
+      spark.read.option("wholetext", "true").text(s"${Text.fixturesDir}/web/*.txt")
         .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("doc"),
           col("value").as("text")),
       "doc", "text", minDocs = 5)

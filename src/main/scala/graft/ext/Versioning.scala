@@ -48,9 +48,11 @@ object Versioning {
     val n = next.select((key ++ compareCols).map(col): _*)
       .withColumn("_in_next", lit(true))
     val joined = p.as("p").join(n.as("n"), key, "full_outer")
+    // foldLeft from true, not reduce: empty compareCols is a legitimate
+    // key-presence-only diff (added/removed/unchanged), not a crash
     val same = compareCols
       .map(c => col(s"p.$c") <=> col(s"n.$c"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     joined.select(
       key.map(col) :+
         when(col("_in_prev").isNull, "added")

@@ -109,8 +109,12 @@ object Bucketing {
         val row = df.agg(
           percentile_approx(x.cast("double"), probs, lit(2000)).as("bx"),
           percentile_approx(y.cast("double"), probs, lit(2000)).as("by")).head()
+        // empty input (or an all-null dimension) yields NULL boundary
+        // arrays; empty bounds make bucketOf a constant 0, so the write
+        // degrades to a single-bucket layout instead of an NPE
         def bounds(i: Int): IndexedSeq[Double] =
-          row.getSeq[Double](i).toIndexedSeq
+          if (row.isNullAt(i)) IndexedSeq.empty
+          else row.getSeq[Double](i).toIndexedSeq
         spread16(bucketOf(x.cast("double"), bounds(0)))
           .bitwiseOR(shiftleft(spread16(bucketOf(y.cast("double"), bounds(1))), 1))
       }
@@ -135,9 +139,7 @@ object Bucketing {
     * filesystem on a real cluster; the local default serves the
     * single-JVM harness. */
   def q71BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-      System.getProperty("java.io.tmpdir")) +
-      "/graft_bucketed_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val scratch = Sink.scratchPath("graft_bucketed", dir)
     writeBucketed(graft.Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_quantity"),
       "g_lineitem_bkt", "l_orderkey", buckets = 8,
@@ -170,9 +172,7 @@ object Bucketing {
     * quality (per-file spread of both dimensions vs an unclustered write)
     * is a physical property with no SQL oracle; `BucketingSpec` pins it. */
   def q76Zorder(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-      System.getProperty("java.io.tmpdir")) +
-      "/graft_zorder_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val scratch = Sink.scratchPath("graft_zorder", dir)
     zOrderWrite(graft.Tables.events(spark, dir)
         .select("event_id", "user_id", "value"),
       scratch, col("user_id"), col("event_id"), numFiles = 8)

@@ -13,6 +13,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
   */
 object Sink {
 
+  /** Scratch location for round-trip queries: `GRAFT_SCRATCH_DIR` else the
+    * JVM tmpdir, suffixed with a sanitized input-dir tag so runs at
+    * different scale factors never collide. On a multi-host cluster
+    * GRAFT_SCRATCH_DIR must be a SHARED filesystem (HDFS/S3/NFS): a
+    * driver-local tmpdir scatters part files across executor-local disks
+    * and the read-back sees partial data. The local default serves the
+    * single-JVM driver harness. */
+  private[graft] def scratchPath(prefix: String, dir: String): String =
+    sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+      System.getProperty("java.io.tmpdir")) +
+      "/" + prefix + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def writeParquet(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Nil,
                    mode: String = "overwrite"): Unit = {
@@ -93,13 +105,7 @@ object Sink {
     val agg = graft.Tables.documents(spark, dir)
       .groupBy(col("lang"))
       .agg(to_json(sort_array(collect_list(col("doc_id").cast("string")))).as("v"))
-    // GRAFT_SCRATCH_DIR must be a SHARED filesystem on a multi-host
-    // cluster (HDFS/S3/NFS): a driver-local tmpdir scatters part files
-    // across executor-local disks and the read-back sees partial data.
-    // The local default serves the single-JVM driver harness.
-    val path = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-      System.getProperty("java.io.tmpdir")) +
-      "/graft_kv_roundtrip_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = scratchPath("graft_kv_roundtrip", dir)
     writeKvText(agg, "lang", "v", path)
     readKvText(spark, path)
       .select(col("k").as("lang"), explode(col("values")).as("d"))
@@ -125,10 +131,7 @@ object Sink {
   def q75JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, dir)
-    // same shared-filesystem caveat as q58: GRAFT_SCRATCH_DIR on a cluster
-    val path = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-      System.getProperty("java.io.tmpdir")) +
-      "/graft_jsonl_roundtrip_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = scratchPath("graft_jsonl_roundtrip", dir)
     writeJsonl(docs, path)
     readJsonl(spark, path, docs.schema)
       .groupBy(col("lang"))

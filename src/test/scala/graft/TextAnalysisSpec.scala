@@ -117,7 +117,8 @@ class TextAnalysisSpec extends GraftSuite {
   test("boilerplate scrub: threshold splits hot from cold, order survives, all-chrome docs empty") {
     // x in 4 docs, y in 3, z in 1 → minDocs=3 removes x and y only
     val df = Seq(
-      ("a", "x\ny"), ("b", "x\ny"), ("c", "y\nx"), ("d", "z\nx\nkeep me"))
+      ("a", "x\ny"), ("b", "x\ny"), ("c", "y\nx"), ("d", "z\nx\nkeep me"),
+      ("e", null))
       .toDF("doc", "text")
     val out = TextAnalysis.removeBoilerplate(df, "doc", "text", minDocs = 3)
       .collect().map(r => r.getString(0) ->
@@ -126,6 +127,8 @@ class TextAnalysisSpec extends GraftSuite {
     assert(out("b") == (("", 2L, 2L)))
     assert(out("c") == (("", 2L, 2L)))
     assert(out("d") == (("z\nkeep me", 3L, 1L)))
+    // NULL text survives as a row (nullness preserved), never silently drops
+    assert(out.contains("e") && out("e") == ((null, 0L, 0L)))
   }
 
   test("q78 fixture scrub strips exactly the shared chrome lines") {
