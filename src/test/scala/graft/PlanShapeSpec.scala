@@ -143,6 +143,16 @@ class PlanShapeSpec extends GraftSuite {
       "corpus shuffled to meet the |strata|-row rate frame:\n" + p.take(600))
   }
 
+  test("versioning joins stay key-partitioned — no cartesian or nested-loop blowup") {
+    // upsert's anti-join and the diff's full-outer join must both remain
+    // equi-joins on the key: a nested-loop fallback would be |corpus|²
+    for (q <- Seq("q79_upsert", "q80_snapshot_diff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("q72 count-min cells meet the probe side as a broadcast") {
     // the sketch is depth×width rows by construction; if it ever arrives
     // at the estimate join via a shuffle instead of a broadcast, the
