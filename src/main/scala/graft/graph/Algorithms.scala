@@ -258,15 +258,103 @@ object Algorithms {
       s"n_nationkey IN (SELECT id FROM v$peelRounds) AS in_core FROM nation"
   }
 
+  // --- q82_triangles: per-vertex triangle counts --------------------------
+  /** Per-vertex triangle counts via the degree-oriented wedge join — the
+    * join-based algorithm (Cohen's MapReduce triangles / Suri–Vassilvitskii),
+    * NOT a Pregel program: triangle counting is two equi-joins, and the
+    * whole trick is bounding the wedge (2-path) blowup.
+    *
+    * Orientation: each undirected edge points from its (degree, id)-lesser
+    * endpoint to its greater. Every wedge `u→v, u→w` then has its center u
+    * ranked below both endpoints, so a vertex of degree d contributes at
+    * most O(d·√m)-bounded oriented wedges overall — the hub that would
+    * generate deg² wedges un-oriented generates almost none, because a
+    * hub outranks most neighbors. Comparison is pairwise on a (deg, id)
+    * struct: no global rank assignment, hence no single-task global sort.
+    *
+    * Shuffles: canonicalize+distinct (1), degree count (map-side partial),
+    * degree attach (2 joins on vertex), the wedge self-join on the center
+    * (1), and the closing semi-join on the (v,w) pair (1). Per-vertex
+    * counts are orientation-independent, so the oracle replays plain
+    * id-ordered counting — it certifies the OUTPUT, letting the plan keep
+    * its scale-critical orientation.
+    *
+    * @param edges directed or undirected rows (`src`, `dst`); direction,
+    *              duplicates, and self-loops are all normalized away */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = graft.CacheRegistry.persist(
+      und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")))
+    // orient each edge toward the (deg, id)-greater endpoint
+    val oriented = graft.CacheRegistry.persist(
+      und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            struct(col("a").as("lo"), col("b").as("hi"),
+              col("da").as("dlo"), col("db").as("dhi")))
+            .otherwise(struct(col("b").as("lo"), col("a").as("hi"),
+              col("db").as("dlo"), col("da").as("dhi"))).as("e"))
+        .select(col("e.lo").as("u"), col("e.hi").as("v"),
+          col("e.dhi").as("dv")))
+    // wedges centered on u, endpoints ordered by the same (deg, id) rank;
+    // close each wedge against the oriented edge set
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val tris = wedges.join(oriented.select(col("u").as("y"), col("v").as("z")),
+      Seq("y", "z"), "left_semi")
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Triangle-rich deterministic graph over customer: c→c+1, c→c+2, c→c+3
+    * (targets filtered to existing keys), giving ~3 triangles per vertex
+    * on the dense TPC-H key range — large enough (15k vertices at sf0.1)
+    * that a wedge blowup would be visible in the bench. */
+  def q82Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(spark, dir).select(col("c_custkey"))
+    val edges = (1 to 3).map(off =>
+        keys.select(col("c_custkey").as("src"),
+          (col("c_custkey") + off).as("dst")))
+      .reduce(_ unionAll _)
+      .join(keys.withColumnRenamed("c_custkey", "dst"), Seq("dst"), "left_semi")
+    triangleCounts(edges)
+  }
+
+  val q82TrianglesSql: String = """
+    WITH k AS (SELECT c_custkey FROM customer),
+    e0 AS (
+      SELECT c_custkey AS src, c_custkey + 1 AS dst FROM k
+      UNION ALL SELECT c_custkey, c_custkey + 2 FROM k
+      UNION ALL SELECT c_custkey, c_custkey + 3 FROM k),
+    e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e0 WHERE dst IN (SELECT c_custkey FROM k) AND src <> dst),
+    t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    m AS (SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL
+          SELECT z FROM t)
+    SELECT id, COUNT(*) AS n_tri FROM m GROUP BY id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q33_max_propagation" -> q33MaxPropagation _,
     "q60_kcore"           -> q60KCore _,
+    "q82_triangles"       -> q82Triangles _,
   )
 
   def oracles: Map[String, String] = Map(
     "q32_pagerank"        -> q32PageRankSql,
     "q33_max_propagation" -> q33MaxPropagationSql,
     "q60_kcore"           -> q60KCoreSql,
+    "q82_triangles"       -> q82TrianglesSql,
   )
 }

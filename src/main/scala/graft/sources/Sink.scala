@@ -121,6 +121,44 @@ object Sink {
            CAST(MAX(doc_id) AS BIGINT) AS max_doc
     FROM documents GROUP BY lang"""
 
+  /** ORC sink/source — Spark's other built-in columnar format (predicate
+    * pushdown, column pruning, and min/max stripe statistics, same as
+    * parquet). Exists so a deployment standardized on ORC (Hive-lineage
+    * clusters) can use this engine without a format migration. */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  // --- q81_orc_roundtrip: documents → orc → read → aggregate --------------
+  /** Same contract as q75 for the ORC path: the oracle aggregates the
+    * source parquet, so a row or value lost in the ORC encode/decode
+    * fails the hash. (DuckDB cannot read ORC — the oracle deliberately
+    * checks the ROUND-TRIP against the source of truth instead.) */
+  def q81OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions._
+    val path = scratchPath("graft_orc_roundtrip", dir)
+    writeOrc(docs, path)
+    readOrc(spark, path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_text_len"),
+        countDistinct(col("text")).as("n_texts"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val q81OrcRoundtripSql: String = """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           COUNT(DISTINCT text) AS n_texts,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source"""
+
   // --- q75_jsonl_roundtrip: documents → jsonl → read → aggregate ----------
   /** Round-trips the documents table through the JSONL sink/source, then
     * aggregates per language. The oracle computes the same aggregates
@@ -153,9 +191,11 @@ object Sink {
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q58_kv_roundtrip" -> q58KvRoundtrip _,
-        "q75_jsonl_roundtrip" -> q75JsonlRoundtrip _)
+        "q75_jsonl_roundtrip" -> q75JsonlRoundtrip _,
+        "q81_orc_roundtrip" -> q81OrcRoundtrip _)
 
   def oracles: Map[String, String] =
     Map("q58_kv_roundtrip" -> q58KvRoundtripSql,
-        "q75_jsonl_roundtrip" -> q75JsonlRoundtripSql)
+        "q75_jsonl_roundtrip" -> q75JsonlRoundtripSql,
+        "q81_orc_roundtrip" -> q81OrcRoundtripSql)
 }

@@ -244,6 +244,69 @@ object Streams {
     else events.dropDuplicates(keys)
 
   // --- q45_sessionize: batch sessions over events, oracled ----------------
+  /** Streaming MERGE sink: applies each micro-batch as an upsert into a
+    * versioned parquet target — the streaming face of
+    * [[graft.ext.Versioning.upsert]], i.e. continuous corpus maintenance
+    * (a crawl refresh stream folding into the training corpus).
+    *
+    * Exactly-once without a transaction log: version directory `v<batchId>`
+    * is derived from the FOREACHBATCH batch id, so a replayed batch
+    * overwrites its own directory instead of double-applying, and the
+    * "current" version is simply the max `v*` directory ≤ the replayed id's
+    * predecessor. Readers pick the max committed version (parquet job
+    * commit is atomic per directory). Old versions are the retention story
+    * — a caller prunes them like any snapshot store.
+    *
+    * Within-batch key collisions are resolved BEFORE the merge by keeping
+    * the row with the highest `orderCol` (arrival order inside a batch is
+    * not deterministic; an explicit version/timestamp column is). */
+  def upsertSink(updates: DataFrame, path: String, key: Seq[String],
+                 orderCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestVersion(spark, path, below = batchId)
+        val current = latest match {
+          case Some(v) => spark.read.parquet(s"$path/v$v")
+          case None    => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        }
+        val keyW = Window.partitionBy(key.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val deduped = batch
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1).drop("_rn")
+        graft.ext.Versioning.upsert(current, deduped, key)
+          .write.mode("overwrite").parquet(s"$path/v$batchId")
+        ()
+      }
+      .start()
+
+  /** Max committed version directory strictly below `below` (the replay
+    * guard), or the overall max when reading the current state. */
+  private[streaming] def latestVersion(spark: SparkSession, path: String,
+                                       below: Long = Long.MaxValue): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong)
+      .filter(_ < below)
+      .reduceOption(_ max _)
+  }
+
+  /** Current merged state of an [[upsertSink]] target. */
+  def currentUpsertState(spark: SparkSession, path: String): DataFrame =
+    latestVersion(spark, path) match {
+      case Some(v) => spark.read.parquet(s"$path/v$v")
+      case None    => throw new IllegalStateException(
+        s"no committed version under $path")
+    }
+
   def q45Sessionize(spark: SparkSession, dir: String): DataFrame =
     sessionizeBatch(Tables.events(spark, dir), gapMinutes = 30)
 

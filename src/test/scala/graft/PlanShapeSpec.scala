@@ -153,6 +153,15 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("q82 triangles: wedge and closing joins stay equi-keyed") {
+    // the whole point of the degree orientation is that wedges form via an
+    // equi-join on the center vertex and close via an equi-semi-join on
+    // the endpoint pair — a nested-loop anywhere is the |E|² blowup
+    val p = plan("q82_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("q72 count-min cells meet the probe side as a broadcast") {
     // the sketch is depth×width rows by construction; if it ever arrives
     // at the estimate join via a shuffle instead of a broadcast, the

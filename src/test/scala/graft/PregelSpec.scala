@@ -125,4 +125,19 @@ class PregelSpec extends GraftSuite {
     val vals = res.select("value").as[Long].collect()
     assert(vals.forall(_ >= 29L))
   }
+
+  test("triangle counts: known graph, normalization of dups/direction/loops") {
+    // two disjoint triangles {1,2,3} and {4,5,6} bridged by 3-4; edge 1-2
+    // appears duplicated AND reversed, plus a self-loop — all must
+    // normalize away. A star center (7 with leaves 8,9,10) closes nothing.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L), (7L, 7L),
+      (7L, 8L), (7L, 9L), (7L, 10L))
+      .toDF("src", "dst")
+    val got = Algorithms.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
 }

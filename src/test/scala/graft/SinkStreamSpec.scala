@@ -65,6 +65,25 @@ class SinkStreamSpec extends GraftSuite {
     assert(back == df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("streaming upsert sink folds micro-batches into the batch merge result") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)] // (id, v, ver)
+    val target = Files.createTempDirectory("graft_upsert").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val q = Streams.upsertSink(ms.toDF().toDF("id", "v", "ver"),
+      target, Seq("id"), "ver", ckpt)
+    try {
+      ms.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      // 2 updated; 3 arrives twice in ONE batch — highest ver must win
+      ms.addData((2L, "b2", 2L), (3L, "c", 2L), (3L, "c2", 3L))
+      q.processAllAvailable()
+      val state = Streams.currentUpsertState(spark, target)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(state == Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c2", 3L)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling-window agg matches the batch transform") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
