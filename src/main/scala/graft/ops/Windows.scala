@@ -107,15 +107,75 @@ object Windows {
     FROM supplier
     WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)"""
 
+  // --- time-series resample + forward fill --------------------------------
+  /** Resample an event stream to a fixed grid per key and forward-fill the
+    * gaps — the feature-engineering primitive for per-entity time series
+    * (a user's daily activity with silent days carried forward).
+    *
+    * Three steps, each scale-bounded: (1) bucket-aggregate the raw events
+    * (map-side partial agg — the only pass over the full data); (2) build
+    * each key's grid with `sequence(min, max, step)` + explode — grid size
+    * is span/step per key, never data-sized; (3) left-join observations
+    * onto the grid and forward-fill with `last(ignoreNulls)` over a
+    * per-key ordered window — the window partition is ONE KEY'S GRID
+    * (bounded by span/step), not a value column, so the q31/q35 hot-key
+    * concentration cannot happen here. */
+  def resampleFfill(events: DataFrame, key: String, ts: String,
+                    value: String, unit: String = "day"): DataFrame = {
+    val buckets = events
+      .select(col(key), date_trunc(unit, col(ts)).as("bucket"),
+        col(value).as("v"))
+      .groupBy(col(key), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast(DecimalType(28, 6))).cast("double").as("sum_v"))
+    val grid = buckets.groupBy(col(key))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col(key),
+        explode(sequence(col("b0"), col("b1"), expr(s"interval 1 $unit")))
+          .as("bucket"))
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(buckets, Seq(key, "bucket"), "left_outer")
+      .select(col(key), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(last(col("sum_v"), ignoreNulls = true).over(w), 6)
+          .as("filled_v"))
+  }
+
+  // --- q83_resample: daily per-user activity, gaps forward-filled ---------
+  def q83Resample(spark: SparkSession, dir: String): DataFrame =
+    resampleFfill(Tables.events(spark, dir), "user_id", "ts", "value")
+
+  val q83ResampleSql: String = """
+    WITH b AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+             FROM b GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1,
+                      INTERVAL 1 DAY))::TIMESTAMP AS bucket
+             FROM span)
+    SELECT g.user_id, g.bucket,
+           COALESCE(b.n_events, 0) AS n_events,
+           ROUND(LAST_VALUE(b.sum_v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS filled_v
+    FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_window_topk"    -> q9WindowTopK _,
     "q10_window_running" -> q10WindowRunning _,
     "q11_window_rank"   -> q11WindowRank _,
+    "q83_resample"      -> q83Resample _,
   )
 
   def oracles: Map[String, String] = Map(
     "q9_window_topk"    -> q9WindowTopKSql,
     "q10_window_running" -> q10WindowRunningSql,
     "q11_window_rank"   -> q11WindowRankSql,
+    "q83_resample"      -> q83ResampleSql,
   )
 }

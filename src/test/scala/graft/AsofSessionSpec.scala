@@ -10,6 +10,24 @@ class AsofSessionSpec extends GraftSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("resampleFfill: per-key daily grid, zero-count gaps carry the last value") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2.0),
+      (1L, ts("2024-01-01 14:00:00"), 1.0), // same bucket: sums to 3
+      (1L, ts("2024-01-03 09:00:00"), 4.0), // day 2 is a gap
+      (2L, ts("2024-01-05 00:00:00"), 7.0)) // single-day key: 1-cell grid
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Windows.resampleFfill(ev, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 2L, 3.0),
+      (1L, "2024-01-02", 0L, 3.0), // gap: count 0, value carried forward
+      (1L, "2024-01-03", 1L, 4.0),
+      (2L, "2024-01-05", 1L, 7.0)))
+  }
+
   test("asOfJoin picks the latest preceding right row, inclusive, per key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),

@@ -211,4 +211,30 @@ class GraftPropertiesSpec extends GraftSuite {
       assert(salted == plain, s"seed $s")
     }
   }
+
+  test("property: oriented triangle counts equal brute force on random graphs") {
+    // the degree orientation is a pure optimization — per-vertex counts
+    // must match an O(n³) driver-side enumeration on any graph, including
+    // duplicates, reversed edges, and self-loops from the generator
+    val gen = for {
+      n <- Gen.choose(4, 14)
+      m <- Gen.choose(n, 3 * n)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es)
+    (1L to 3L).foreach { s =>
+      val (n, es) = sample(gen, s)
+      val und = es.map { case (a, b) => (a.toLong, b.toLong) }
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val expected = (0 until n).map(_.toLong).combinations(3)
+        .filter { case Seq(x, y, z) =>
+          und((x, y)) && und((y, z)) && und((x, z)) }
+        .foldLeft(Map.empty[Long, Long].withDefaultValue(0L)) { (acc, t) =>
+          t.foldLeft(acc)((a, v) => a.updated(v, a(v) + 1L)) }
+      val got = Algorithms.triangleCounts(
+          es.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.filter(_._2 > 0), s"seed $s: $got vs $expected")
+    }
+  }
 }
