@@ -118,15 +118,66 @@ object Pipeline {
     SELECT source, doc_id, quality, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5"""
 
+  // --- q84_sequence_pack: concat-and-chunk token packing ------------------
+  /** GPT-style sample packing: documents are (conceptually) concatenated
+    * in a deterministic order and chunked into fixed `budget`-token
+    * training sequences; each document reports which sequence its first
+    * token lands in and at what offset (documents straddle chunk
+    * boundaries — that IS concat-and-chunk packing, not bin packing).
+    *
+    * Scale shape: packing is per-SHARD (`doc_id % shards`), which is how
+    * real packers run — one global order would serialize the corpus. The
+    * per-shard running total is an ordered window whose partition is one
+    * shard; `shards` grows with the corpus (n/⟨docs-per-task⟩), so no task
+    * ever owns more than corpus/shards rows. All arithmetic is integer →
+    * bit-exact in any engine. Token counts use the est_bpe estimator
+    * (length/4, [[TextAnalysis.docStats]]) — swap in real tokenizer counts
+    * by passing a different `tokens` column. */
+  def packSequences(docs: DataFrame, id: String, tokens: org.apache.spark.sql.Column,
+                    budget: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && shards > 0, s"budget/shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(id), pmod(col(id), lit(shards)).as("shard"),
+        tokens.cast("long").as("n_tok"))
+      .withColumn("end_tok", sum(col("n_tok")).over(w))
+      .select(col(id), col("shard"), col("n_tok"),
+        ((col("end_tok") - col("n_tok")) / budget).cast("long").as("seq_idx"),
+        pmod(col("end_tok") - col("n_tok"), lit(budget)).as("seq_offset"))
+  }
+
+  def q84SequencePack(spark: SparkSession, dir: String): DataFrame =
+    packSequences(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), ceil(length(col("text")) / lit(4.0)).cast("long").as("t")),
+      "doc_id", col("t"), budget = 2048, shards = 8)
+
+  val q84SequencePackSql: String = """
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (SELECT doc_id, shard, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+          FROM d)
+    SELECT doc_id, shard, n_tok,
+           CAST(FLOOR((end_tok - n_tok) / 2048.0) AS BIGINT) AS seq_idx,
+           CAST((end_tok - n_tok) % 2048 AS BIGINT) AS seq_offset
+    FROM c"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_train_pipeline" -> q50TrainPipeline _,
     "q63_full_pipeline"  -> q63FullPipeline _,
     "q64_source_cap"     -> q64SourceCap _,
+    "q84_sequence_pack"  -> q84SequencePack _,
   )
 
   def oracles: Map[String, String] = Map(
     "q50_train_pipeline" -> q50TrainPipelineSql,
     "q63_full_pipeline"  -> q63FullPipelineSql,
     "q64_source_cap"     -> q64SourceCapSql,
+    "q84_sequence_pack"  -> q84SequencePackSql,
   )
 }

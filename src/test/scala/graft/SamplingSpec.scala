@@ -64,6 +64,22 @@ class SamplingSpec extends GraftSuite {
     assert(got == run(), "must be identical across runs")
   }
 
+  test("sequence packing is an exact per-shard prefix sum; docs straddle chunks") {
+    import spark.implicits._
+    // shard 0: docs 0, 8, 16 (sizes 1000, 1500, 600) concat to 3100 tokens
+    // → doc 8 straddles the 2048 boundary, doc 16 starts inside chunk 1
+    val docs = Seq((0L, 1000L), (8L, 1500L), (16L, 600L), (1L, 100L))
+      .toDF("doc_id", "t")
+    val out = ext.Pipeline.packSequences(docs, "doc_id", col("t"),
+        budget = 2048, shards = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((0L, 1000L, 0L, 0L)))
+    assert(out(8L) == ((0L, 1500L, 0L, 1000L))) // starts in chunk 0, crosses
+    assert(out(16L) == ((0L, 600L, 1L, 452L))) // 2500 = 2048 + 452
+    assert(out(1L) == ((1L, 100L, 0L, 0L))) // its own shard starts fresh
+  }
+
   test("cluster split keeps every near-dup cluster in exactly one split") {
     val clusters = Dedup.q47DedupClusters(spark, sf)
     val out = Sampling.clusterSplit(clusters, "cluster")
