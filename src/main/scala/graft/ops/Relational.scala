@@ -90,6 +90,13 @@ object Relational {
 
   // --- q3_join_agg: fact⋈fact⋈dim three-way join → agg --------------------
   // customer (1.5k) broadcasts; orders⋈lineitem is the real shuffle join.
+  // countDistinct stays MIXED into the agg list deliberately: its distinct
+  // rewrite does expand the scan 2×, but q3's other buffers are a decimal
+  // sum and a count (bytes, not q13's 4KB HLL sketches), so the expand is
+  // benign — a two-level (segment, orderkey)-then-segment rewrite was
+  // measured SLOWER (2.5s vs 2.0s solo at sf0.1: the extra ~|orders|-group
+  // shuffle costs more than doubling cheap partial-agg input). The q13
+  // dedupe-first rule is about buffer weight, not distinct counts per se.
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
