@@ -162,6 +162,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("q84 packing: exactly one shuffle (the shard exchange) feeds the prefix sum") {
+    // shard is the ONLY partitioning the plan needs: scan → project →
+    // exchange on shard → in-partition ordered sum. A second exchange
+    // means the window or a stray repartition re-shuffled the corpus.
+    val p = plan("q84_sequence_pack")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(600))
+  }
+
+  test("q83 resample: windows are entity-keyed (grid-bounded), never value-keyed") {
+    // partitionBy(user_id) over a span-sized grid is bounded by
+    // span/step rows per task — assert no cartesian grid blowup and no
+    // nested-loop in the grid join
+    val p = plan("q83_resample")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("q72 count-min cells meet the probe side as a broadcast") {
     // the sketch is depth×width rows by construction; if it ever arrives
     // at the estimate join via a shuffle instead of a broadcast, the
