@@ -142,8 +142,11 @@ object Pipeline {
     docs.select(col(id), pmod(col(id), lit(shards)).as("shard"),
         tokens.cast("long").as("n_tok"))
       .withColumn("end_tok", sum(col("n_tok")).over(w))
+      // `div`, not `/`: Spark rewrites long / long to DOUBLE division,
+      // which stops being exact past 2^53 cumulative tokens — `div` is
+      // true integer division, so the claimed bit-exactness actually holds
       .select(col(id), col("shard"), col("n_tok"),
-        ((col("end_tok") - col("n_tok")) / budget).cast("long").as("seq_idx"),
+        expr(s"(end_tok - n_tok) div $budget").as("seq_idx"),
         pmod(col("end_tok") - col("n_tok"), lit(budget)).as("seq_offset"))
   }
 
@@ -163,7 +166,7 @@ object Pipeline {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
           FROM d)
     SELECT doc_id, shard, n_tok,
-           CAST(FLOOR((end_tok - n_tok) / 2048.0) AS BIGINT) AS seq_idx,
+           CAST((end_tok - n_tok) // 2048 AS BIGINT) AS seq_idx,
            CAST((end_tok - n_tok) % 2048 AS BIGINT) AS seq_offset
     FROM c"""
 

@@ -122,9 +122,15 @@ object Windows {
     * concentration cannot happen here. */
   def resampleFfill(events: DataFrame, key: String, ts: String,
                     value: String, unit: String = "day"): DataFrame = {
+    // a NULL timestamp has no place on a time grid: its bucket would never
+    // join the grid and the row would vanish, silently under-reporting
+    // counts (the removeBoilerplate null-doc lesson). Fail loudly instead
+    // — writeKvText's null-key precedent.
+    val bucket = when(col(ts).isNull,
+        raise_error(lit(s"resampleFfill: null timestamp in column $ts")))
+      .otherwise(date_trunc(unit, col(ts)))
     val buckets = events
-      .select(col(key), date_trunc(unit, col(ts)).as("bucket"),
-        col(value).as("v"))
+      .select(col(key), bucket.as("bucket"), col(value).as("v"))
       .groupBy(col(key), col("bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("v").cast(DecimalType(28, 6))).cast("double").as("sum_v"))

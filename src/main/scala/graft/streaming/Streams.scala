@@ -252,14 +252,26 @@ object Streams {
     * Exactly-once without a transaction log: version directory `v<batchId>`
     * is derived from the FOREACHBATCH batch id, so a replayed batch
     * overwrites its own directory instead of double-applying, and the
-    * "current" version is simply the max `v*` directory ≤ the replayed id's
-    * predecessor. Readers pick the max committed version (parquet job
-    * commit is atomic per directory). Old versions are the retention story
-    * — a caller prunes them like any snapshot store.
+    * "current" version is the max `v*` directory bearing a `_SUCCESS`
+    * marker ≤ the replayed id's predecessor — an in-flight or
+    * crash-orphaned partial write has no marker and is invisible to
+    * readers. A target whose committed versions run AHEAD of the incoming
+    * batch id means a foreign history (a fresh checkpoint pointed at an
+    * old target, or two streams on one target) — the batch fails loudly
+    * instead of interleaving two runs. Old versions are the retention
+    * story — a caller prunes them like any snapshot store.
+    *
+    * Copy-on-write snapshots: every batch reads the full previous version
+    * and writes a full next version — O(|corpus|) I/O per trigger. That is
+    * the right trade for LOW-FREQUENCY refresh batches (a daily crawl
+    * drop); for high-frequency triggers the path is partition-pruned
+    * rewrites or a transactional table format, not this sink.
     *
     * Within-batch key collisions are resolved BEFORE the merge by keeping
-    * the row with the highest `orderCol` (arrival order inside a batch is
-    * not deterministic; an explicit version/timestamp column is). */
+    * the row with the highest `orderCol`, tie-broken on a content hash —
+    * arrival order inside a batch is not deterministic, and a replayed
+    * batch must elect the SAME winner or `v<batchId>` differs across
+    * replays. */
   def upsertSink(updates: DataFrame, path: String, key: Seq[String],
                  orderCol: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -267,6 +279,13 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        latestVersion(spark, path).filter(_ > batchId).foreach { ahead =>
+          throw new IllegalStateException(
+            s"upsertSink target $path has committed version v$ahead ahead of " +
+              s"batch $batchId — foreign run history (fresh checkpoint on an " +
+              "old target, or two streams sharing a target); refusing to " +
+              "interleave")
+        }
         val latest = latestVersion(spark, path, below = batchId)
         val current = latest match {
           case Some(v) => spark.read.parquet(s"$path/v$v")
@@ -274,7 +293,8 @@ object Streams {
             new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
         }
         val keyW = Window.partitionBy(key.map(col): _*)
-          .orderBy(col(orderCol).desc)
+          .orderBy(col(orderCol).desc,
+            xxhash64(struct(batch.columns.map(col): _*)))
         val deduped = batch
           .withColumn("_rn", row_number().over(keyW))
           .filter(col("_rn") === 1).drop("_rn")
@@ -284,14 +304,17 @@ object Streams {
       }
       .start()
 
-  /** Max committed version directory strictly below `below` (the replay
-    * guard), or the overall max when reading the current state. */
+  /** Max COMMITTED version directory (has the `_SUCCESS` job-commit
+    * marker) strictly below `below` (the replay guard), or the overall
+    * committed max when reading the current state. */
   private[streaming] def latestVersion(spark: SparkSession, path: String,
                                        below: Long = Long.MaxValue): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName)
       .filter(_.matches("v\\d+"))
       .map(_.drop(1).toLong)

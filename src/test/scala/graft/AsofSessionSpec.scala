@@ -26,6 +26,14 @@ class AsofSessionSpec extends GraftSuite {
       (1L, "2024-01-02", 0L, 3.0), // gap: count 0, value carried forward
       (1L, "2024-01-03", 1L, 4.0),
       (2L, "2024-01-05", 1L, 7.0)))
+    // a null timestamp must fail loudly, never silently drop the row
+    val withNull = ev.unionByName(
+      Seq((3L, null.asInstanceOf[Timestamp], 1.0)).toDF("user_id", "ts", "value"))
+    val e = intercept[Exception](
+      graft.ops.Windows.resampleFfill(withNull, "user_id", "ts", "value")
+        .collect())
+    assert(e.getMessage.contains("null timestamp")
+      || e.getCause != null && e.getCause.getMessage.contains("null timestamp"))
   }
 
   test("asOfJoin picks the latest preceding right row, inclusive, per key") {
