@@ -22,7 +22,7 @@ object SparkEntry {
       sources.Bucketing.queries ++ graph.Algorithms.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries ++
       ext.Multimodal.queries ++ ext.Pipeline.queries ++ ext.Sampling.queries ++
-      ext.Versioning.queries ++
+      ext.Versioning.queries ++ ext.Profiling.queries ++
       streaming.Streams.queries
 
   /** SPARK_GRAFT_ONLY=q1_agg,q2_filter_agg → run only those queries.
@@ -42,6 +42,6 @@ object SparkEntry {
       sources.Bucketing.oracles ++ graph.Algorithms.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles ++
       ext.Multimodal.oracles ++ ext.Pipeline.oracles ++ ext.Sampling.oracles ++
-      ext.Versioning.oracles ++
+      ext.Versioning.oracles ++ ext.Profiling.oracles ++
       streaming.Streams.oracles
 }

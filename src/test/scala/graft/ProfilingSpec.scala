@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Profiling
+
+class ProfilingSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("profileNumeric: hand-computed stats, nulls counted not averaged") {
+    val df = Seq(Some(2.0), Some(4.0), Some(6.0), None)
+      .toDF("x").withColumn("y", lit(1.0))
+    val p = Profiling.profileNumeric(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // x: n=3 (null excluded), mean 4, var (4+16+36)/3 - 16 = 2.666667
+    assert(p("x") == ((3L, 1L, 2.0, 6.0, 4.0, 1.632993)))
+    assert(p("y") == ((4L, 0L, 1.0, 1.0, 1.0, 0.0)))
+  }
+
+  test("uniqueViolations and fkViolations surface the violating rows") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (9L, "orphan2"))
+      .toDF("k", "v")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val orphans = Profiling.fkViolations(child, parent, Seq("k" -> "pk"))
+      .select("k").as[Long].collect().toSeq
+    assert(orphans == Seq(9L, 9L))
+    val dups = Profiling.uniqueViolations(child, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups == Map(9L -> 2L))
+  }
+
+  test("constraintReport: one row per check, zero and nonzero counts") {
+    val df = Seq(1L, 1L, 2L).toDF("k")
+    val rep = Profiling.constraintReport(Seq(
+        "has_dups" -> Profiling.uniqueViolations(df, Seq("k")),
+        "none_negative" -> df.filter(col("k") < 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("has_dups" -> 1L, "none_negative" -> 0L))
+  }
+}
