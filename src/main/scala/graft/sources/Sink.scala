@@ -131,6 +131,56 @@ object Sink {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files. THE operational chore of streaming/batch
+    * ingest at scale — a crawl drop landing 10k tiny files makes every
+    * subsequent scan pay 10k open/footer costs and floods the driver's
+    * split enumeration; compaction amortizes that once. File count comes
+    * from the actual on-disk byte size (FileSystem listing — metadata
+    * only, no data read); the rewrite is one round-robin repartition.
+    * Writes to a NEW directory: an in-place rewrite would delete its own
+    * input mid-scan. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20): Long = {
+    require(new org.apache.hadoop.fs.Path(inPath).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(outPath).toUri.getPath,
+      "compact: output must differ from input (in-place would self-destroy)")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.parquet(inPath)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  // --- q87_compaction: shatter → compact → read-back aggregate ------------
+  /** Writes documents as 64 deliberately tiny files, compacts them, and
+    * aggregates the compacted copy; the oracle aggregates the SOURCE
+    * parquet, so a row lost or duplicated by either rewrite fails the
+    * hash. The file-count reduction itself is a physical property pinned
+    * by SinkStreamSpec. */
+  def q87Compaction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val shattered = scratchPath("graft_shatter", dir)
+    val compacted = scratchPath("graft_compacted", dir)
+    graft.Tables.documents(spark, dir)
+      .repartition(64).write.mode("overwrite").parquet(shattered)
+    compact(spark, shattered, compacted, targetFileBytes = 4L << 20)
+    spark.read.parquet(compacted)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("doc_id")).as("n_ids"))
+  }
+
+  val q87CompactionSql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(DISTINCT doc_id) AS n_ids
+    FROM documents GROUP BY lang"""
+
   // --- q81_orc_roundtrip: documents → orc → read → aggregate --------------
   /** Same contract as q75 for the ORC path: the oracle aggregates the
     * source parquet, so a row or value lost in the ORC encode/decode
@@ -192,10 +242,12 @@ object Sink {
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q58_kv_roundtrip" -> q58KvRoundtrip _,
         "q75_jsonl_roundtrip" -> q75JsonlRoundtrip _,
-        "q81_orc_roundtrip" -> q81OrcRoundtrip _)
+        "q81_orc_roundtrip" -> q81OrcRoundtrip _,
+        "q87_compaction" -> q87Compaction _)
 
   def oracles: Map[String, String] =
     Map("q58_kv_roundtrip" -> q58KvRoundtripSql,
         "q75_jsonl_roundtrip" -> q75JsonlRoundtripSql,
-        "q81_orc_roundtrip" -> q81OrcRoundtripSql)
+        "q81_orc_roundtrip" -> q81OrcRoundtripSql,
+        "q87_compaction" -> q87CompactionSql)
 }

@@ -50,6 +50,35 @@ class SinkStreamSpec extends GraftSuite {
     assert(back == Map("alpha" -> Seq("x", "y"), "beta" -> Seq("z")))
   }
 
+  test("compaction shrinks file count, preserves rows, refuses in-place") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(32).write.mode("overwrite").parquet(s"$base/in")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts(s"$base/in") == 32)
+    Sink.compact(spark, s"$base/in", s"$base/out",
+      targetFileBytes = 64L << 20) // everything fits one target file
+    assert(parts(s"$base/out") == 1, "should compact to a single file")
+    assert(spark.read.parquet(s"$base/out").count() == docs.count())
+    intercept[IllegalArgumentException](
+      Sink.compact(spark, s"$base/in", s"$base/in"))
+  }
+
+  test("versioned parquet reads across schema evolution (mergeSchema)") {
+    // corpus v2 adds a column; a merged read sees the union schema with
+    // nulls for v1 rows — the read-side half of the versioning story
+    val base = Files.createTempDirectory("graft_schema").toString
+    Seq((1L, "a")).toDF("id", "text").write.parquet(s"$base/t/v=1")
+    Seq((2L, "b", 0.9)).toDF("id", "text", "quality")
+      .write.parquet(s"$base/t/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+    assert(merged.columns.toSet == Set("id", "text", "quality", "v"))
+    val byId = merged.collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("quality"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(0.9))
+  }
+
   test("jsonl sink round-trips hostile text exactly") {
     val out = Files.createTempDirectory("graft_jsonl").toString
     val df = Seq(
