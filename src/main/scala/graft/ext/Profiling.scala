@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Data profiling and quality constraints — the ANALYZE / Deequ-shaped
@@ -17,9 +16,10 @@ import graft.Tables
   */
 object Profiling {
 
-  /** Per-column numeric profile in ONE scan: every column's six aggregates
-    * ride the same pass (a per-column loop would scan the table once per
-    * column), then one `explode` unpivots to a row per column.
+  /** Per-column numeric profile in ONE scan: five aggregates per column
+    * plus one shared row count ride the same pass (a per-column loop would
+    * scan the table once per column), then one `explode` unpivots to a
+    * row per column.
     *
     * Cross-engine determinism: sums are decimal-exact ([[graft.ops
     * .Relational.dsum]] discipline) and the derived mean/stddev are fixed
@@ -28,30 +28,36 @@ object Profiling {
     * the double multiply is itself exactly reproducible, and the
     * DECIMAL(28,6) quantization of it is the same in both engines. */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import graft.ops.Relational.dsum
     require(cols.nonEmpty, "profileNumeric: no columns given")
-    val aggs = cols.flatMap { c =>
+    // ONE shared total-rows aggregate plus five per column; the sums are
+    // Relational.dsum — the decimal-sum discipline has one definition,
+    // not a re-spelling that could drift from it
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
-        count(lit(1)).as(s"${c}__rows"),
-        sum(col(c).cast(DecimalType(28, 6))).as(s"${c}__sum"),
-        sum((col(c) * col(c)).cast(DecimalType(28, 6))).as(s"${c}__sumsq"),
+        dsum(col(c)).as(s"${c}__sum"),
+        dsum(col(c) * col(c)).as(s"${c}__sumsq"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"))
     }
     val packed = cols.map { c =>
       val n = col(s"${c}__n").cast("double")
-      val mean = col(s"${c}__sum").cast("double") / n
-      val variance = col(s"${c}__sumsq").cast("double") / n - mean * mean
+      val mean = col(s"${c}__sum") / n
+      val variance = col(s"${c}__sumsq") / n - mean * mean
       struct(
         lit(c).as("column"),
         col(s"${c}__n").as("n"),
-        (col(s"${c}__rows") - col(s"${c}__n")).as("n_null"),
+        (col("__rows") - col(s"${c}__n")).as("n_null"),
         col(s"${c}__min").cast("double").as("min"),
         col(s"${c}__max").cast("double").as("max"),
         round(mean, 6).as("mean"),
         // population stddev; greatest(0) guards the tiny negative residue
-        // float cancellation can leave when variance ~ 0
-        round(sqrt(greatest(variance, lit(0.0))), 6).as("stddev"))
+        // float cancellation can leave when variance ~ 0. An ALL-NULL
+        // column gets NULL, not a fabricated 0.0 dispersion (greatest
+        // skips nulls, so the null variance must be gated explicitly).
+        when(col(s"${c}__n") > 0,
+          round(sqrt(greatest(variance, lit(0.0))), 6)).as("stddev"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(packed: _*)).as("p"))
@@ -59,19 +65,22 @@ object Profiling {
   }
 
   /** SQL fragment computing one column's profile row — mirrors
-    * [[profileNumeric]]'s arithmetic exactly; UNION ALL per column. */
-  private def profileSql(table: String, c: String): String = s"""
+    * [[profileNumeric]]'s arithmetic exactly (same [[graft.ops.Relational
+    * .dsumSql]] sums); UNION ALL per column. */
+  private def profileSql(table: String, c: String): String = {
+    import graft.ops.Relational.dsumSql
+    val mean = s"${dsumSql(c)} / COUNT($c)"
+    s"""
     SELECT '$c' AS "column", COUNT($c) AS n,
            COUNT(*) - COUNT($c) AS n_null,
            CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max,
-           ROUND(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6)
-             AS mean,
-           ROUND(sqrt(GREATEST(
-             CAST(SUM(CAST($c * $c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c)
-               - (CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c))
-               * (CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c)),
-             0.0)), 6) AS stddev
+           ROUND($mean, 6) AS mean,
+           CASE WHEN COUNT($c) = 0 THEN NULL
+                ELSE ROUND(sqrt(GREATEST(
+                  ${dsumSql(s"$c * $c")} / COUNT($c) - ($mean) * ($mean),
+                  0.0)), 6) END AS stddev
     FROM $table"""
+  }
 
   // --- q85_profile: one-scan numeric profile of lineitem ------------------
   val q85Cols: Seq[String] =
@@ -90,6 +99,7 @@ object Profiling {
     * one shuffle (or zero against a broadcast/bucketed parent). */
   def fkViolations(child: DataFrame, parent: DataFrame,
                    keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "fkViolations: no key columns given")
     val cond = keys.map { case (ck, pk) => child(ck) === parent(pk) }
       .reduce(_ && _)
     child.join(parent, cond, "left_anti")

@@ -142,13 +142,23 @@ object Sink {
     * input mid-scan. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long = 128L << 20): Long = {
-    require(new org.apache.hadoop.fs.Path(inPath).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(outPath).toUri.getPath,
-      "compact: output must differ from input (in-place would self-destroy)")
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(inPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
+    // compare FILESYSTEM-QUALIFIED paths: a raw string compare lets
+    // aliases through (relative vs absolute spelling of one directory)
+    // and the overwrite would delete the very directory being scanned;
+    // nesting either way is the same self-destruction
+    val qIn = fs.makeQualified(p).toString + "/"
+    val qOut = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(outPath)).toString + "/"
+    require(!qIn.startsWith(qOut) && !qOut.startsWith(qIn),
+      s"compact: output must be outside the input ($qIn vs $qOut) — " +
+        "an in-place or nested rewrite destroys its own input")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    require(nFiles <= Int.MaxValue,
+      s"compact: $nFiles target files exceeds Int.MaxValue — raise targetFileBytes")
     spark.read.parquet(inPath)
       .repartition(nFiles.toInt)
       .write.mode("overwrite").parquet(outPath)

@@ -18,6 +18,15 @@ class ProfilingSpec extends GraftSuite {
     assert(p("y") == ((4L, 0L, 1.0, 1.0, 1.0, 0.0)))
   }
 
+  test("profileNumeric: an all-null column reports NULL stats, not zeros") {
+    val df = Seq(1, 2).toDF("k")
+      .withColumn("z", lit(null).cast("double"))
+    val r = Profiling.profileNumeric(df, Seq("z")).collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 2L) // n=0, n_null=2
+    assert(r.isNullAt(5) && r.isNullAt(6), // mean and stddev both NULL
+      "an empty column must not fabricate a mean or dispersion")
+  }
+
   test("uniqueViolations and fkViolations surface the violating rows") {
     val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (9L, "orphan2"))
       .toDF("k", "v")
