@@ -179,6 +179,20 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("q85 profile: column pruning survives the wide aggregate") {
+    // the profile touches 4 of lineitem's 8 columns; if pruning regressed
+    // the scan would read them all and the one-scan argument halves
+    val p = plan("q85_profile")
+    assert(!p.contains("l_orderkey") && !p.contains("l_shipdate"),
+      "profile scan reads columns it never aggregates:\n" + p.take(600))
+  }
+
+  test("q86 constraints: FK anti-join broadcasts the parent, no cartesian") {
+    val p = plan("q86_constraints")
+    assert(p.contains("BroadcastHashJoin"), "parent side must broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q72 count-min cells meet the probe side as a broadcast") {
     // the sketch is depth×width rows by construction; if it ever arrives
     // at the estimate join via a shuffle instead of a broadcast, the
