@@ -100,11 +100,11 @@ final class ProgressReporter(onEvent: ProgressReporter.Event => Unit)
   }
 
   override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit =
-    stages.put((ev.stageInfo.stageId, ev.stageInfo.attemptNumber),
+    stages.put((ev.stageInfo.stageId, ev.stageInfo.attemptNumber()),
       (new AtomicInteger, ev.stageInfo.numTasks))
 
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
-    stages.remove((ev.stageInfo.stageId, ev.stageInfo.attemptNumber))
+    stages.remove((ev.stageInfo.stageId, ev.stageInfo.attemptNumber()))
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = ev.reason match {
     case Success =>

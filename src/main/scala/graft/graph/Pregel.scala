@@ -211,7 +211,7 @@ object Pregel {
       allHalt =
         if (voteToHalt)
           nv.agg(coalesce(bool_and(col("halt")), lit(true)))
-            .head.getBoolean(0)                         // action → barrier
+            .head().getBoolean(0)                       // action → barrier
         else { nv.count(); false }                      // action → barrier
 
       if (prev != null) prev.unpersist(false)

@@ -294,7 +294,7 @@ object Streams {
         }
         val keyW = Window.partitionBy(key.map(col): _*)
           .orderBy(col(orderCol).desc,
-            xxhash64(struct(batch.columns.map(col): _*)))
+            xxhash64(struct(batch.columns.toIndexedSeq.map(col): _*)))
         val deduped = batch
           .withColumn("_rn", row_number().over(keyW))
           .filter(col("_rn") === 1).drop("_rn")
