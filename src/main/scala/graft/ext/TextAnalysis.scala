@@ -125,16 +125,31 @@ object TextAnalysis {
   private def withQualityCols(df: DataFrame): DataFrame = {
     val toks = Text.tokenize(col("text"))
     df.withColumn("n_tokens", size(toks))
+      .withColumn("__ns", size(filter(toks, t => t.isin("the", "a"))))
       .withColumn("stop_ratio",
-        round(size(filter(toks, t => t.isin("the", "a"))).cast("double") /
-          col("n_tokens"), 6))
+        round(col("__ns").cast("double") / col("n_tokens"), 6))
       .withColumn("mean_tok_len",
         round((length(col("text")) - col("n_tokens") + 1).cast("double") /
           col("n_tokens"), 6))
-      .withColumn("quality",
-        round(lit(0.3) * least(col("n_tokens").cast("double") / 100, lit(1.0)) +
-          lit(0.4) * (lit(1.0) - col("stop_ratio")) +
-          lit(0.3) * least(col("mean_tok_len") / 8, lit(1.0)), 6))
+      // quality = 0.3·min(nt/100,1) + 0.4·(1−ns/nt) + 0.3·min(mtl/8,1),
+      // computed as ONE exact rational N/Q (Q = 8000·nt) and rounded to
+      // 6 dp with integer half-up arithmetic: floor((2N·10⁶+Q)/(2Q)).
+      // round(double, 6) here was a cross-engine landmine — Spark rounds
+      // the shortest-decimal repr, DuckDB rounds x·10⁶ in floats, and two
+      // sf0.1 rows sat exactly on the disagreement boundary. Integer
+      // arithmetic has no boundary. (q_ppm ≤ 10⁶, so the final /10⁶ is
+      // one correctly-rounded double op — identical everywhere.)
+      .withColumn("quality", expr("""
+        CASE WHEN n_tokens > 0 THEN
+          CAST((2 * (24 * CAST(n_tokens AS BIGINT) *
+                       LEAST(CAST(n_tokens AS BIGINT), 100L)
+                     + 3200 * (CAST(n_tokens AS BIGINT) - CAST(__ns AS BIGINT))
+                     + 300 * LEAST(CAST(length(text) AS BIGINT) - n_tokens + 1,
+                                   8 * CAST(n_tokens AS BIGINT)))
+                  * 1000000 + 8000 * CAST(n_tokens AS BIGINT))
+               div (2 * 8000 * CAST(n_tokens AS BIGINT)) AS DOUBLE) / 1000000
+        END"""))
+      .drop("__ns")
   }
 
   def q37QualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -167,12 +182,13 @@ object TextAnalysis {
            ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
            ROUND(CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
              AS mean_tok_len,
-           ROUND(0.3 * least(CAST(n_tokens AS DOUBLE) / 100, CAST(1.0 AS DOUBLE)) +
-                 0.4 * (CAST(1.0 AS DOUBLE) -
-                        ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6)) +
-                 0.3 * least(ROUND(CAST(length(text) - n_tokens + 1 AS DOUBLE)
-                                   / n_tokens, 6) / 8, CAST(1.0 AS DOUBLE)), 6)
-             AS quality
+           CASE WHEN n_tokens > 0 THEN
+             CAST((2 * (24 * n_tokens * LEAST(n_tokens, 100)
+                        + 3200 * (n_tokens - n_stop)
+                        + 300 * LEAST(length(text) - n_tokens + 1, 8 * n_tokens))
+                   * 1000000 + 8000 * n_tokens)
+                  // (2 * 8000 * n_tokens) AS DOUBLE) / 1000000
+           END AS quality
     FROM t"""
 
   // --- q38_token_stats: token counting incl. a BPE-ish estimate -----------
