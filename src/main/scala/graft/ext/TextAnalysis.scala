@@ -126,11 +126,13 @@ object TextAnalysis {
     val toks = Text.tokenize(col("text"))
     df.withColumn("n_tokens", size(toks))
       .withColumn("__ns", size(filter(toks, t => t.isin("the", "a"))))
+      // integer-exact ratios (Relational.ratio6) — same landmine class as
+      // quality below: a float round of an integer ratio can disagree
+      // across engines at 6-dp boundary doubles
       .withColumn("stop_ratio",
-        round(col("__ns").cast("double") / col("n_tokens"), 6))
+        graft.ops.Relational.ratio6("__ns", "n_tokens"))
       .withColumn("mean_tok_len",
-        round((length(col("text")) - col("n_tokens") + 1).cast("double") /
-          col("n_tokens"), 6))
+        graft.ops.Relational.ratio6("length(text) - n_tokens + 1", "n_tokens"))
       // quality = 0.3·min(nt/100,1) + 0.4·(1−ns/nt) + 0.3·min(mtl/8,1),
       // computed as ONE exact rational N/Q (Q = 8000·nt) and rounded to
       // 6 dp with integer half-up arithmetic: floor((2N·10⁶+Q)/(2Q)).
@@ -170,7 +172,7 @@ object TextAnalysis {
       .select((Seq("doc_id", "n_tokens", "quality", "est_bpe") ++ carry)
         .map(col): _*)
 
-  val q37QualityScoreSql: String = """
+  val q37QualityScoreSql: String = raw"""
     WITH t AS (
       SELECT doc_id, text,
              len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
@@ -179,9 +181,9 @@ object TextAnalysis {
                  x -> x IN ('the', 'a'))) AS n_stop
       FROM documents)
     SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-           ROUND(CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
-             AS mean_tok_len,
+           ${graft.ops.Relational.ratio6Sql("n_stop", "n_tokens")} AS stop_ratio,
+           ${graft.ops.Relational.ratio6Sql(
+             "length(text) - n_tokens + 1", "n_tokens")} AS mean_tok_len,
            CASE WHEN n_tokens > 0 THEN
              CAST((2 * (24 * n_tokens * LEAST(n_tokens, 100)
                         + 3200 * (n_tokens - n_stop)
@@ -199,13 +201,13 @@ object TextAnalysis {
       .withColumn("n_tokens", size(toks))
       .withColumn("n_types", size(array_distinct(toks)))
       .withColumn("ttr",
-        round(col("n_types").cast("double") / col("n_tokens"), 6))
+        graft.ops.Relational.ratio6("n_types", "n_tokens"))
       // ~4 chars/subword: the standard quick estimate for BPE vocabularies
       .withColumn("est_bpe", ceil(length(col("text")).cast("double") / 4).cast("long"))
       .select("doc_id", "n_chars_seen", "n_tokens", "n_types", "ttr", "est_bpe")
   }
 
-  val q38TokenStatsSql: String = """
+  val q38TokenStatsSql: String = raw"""
     WITH t AS (
       SELECT doc_id, length(text) AS n_chars_seen,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
@@ -213,7 +215,7 @@ object TextAnalysis {
     SELECT doc_id, CAST(n_chars_seen AS INT) AS n_chars_seen,
            CAST(len(ts) AS INT) AS n_tokens,
            CAST(len(list_distinct(ts)) AS INT) AS n_types,
-           ROUND(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS ttr,
+           ${graft.ops.Relational.ratio6Sql("len(list_distinct(ts))", "len(ts)")} AS ttr,
            CAST(ceil(CAST(n_chars_seen AS DOUBLE) / 4) AS BIGINT) AS est_bpe
     FROM t"""
 
@@ -276,16 +278,15 @@ object TextAnalysis {
     s5.join(s2, Seq(id))
       .select(col(id),
         col("n5").cast("int").as("n_5grams"),
-        round((col("n5") - col("nd5")).cast("double") / col("n5"), 6)
-          .as("dup_5gram_frac"),
+        graft.ops.Relational.ratio6("n5 - nd5", "n5").as("dup_5gram_frac"),
         col("n2").cast("int").as("n_2grams"),
-        round(col("top2").cast("double") / col("n2"), 6).as("top_2gram_frac"))
+        graft.ops.Relational.ratio6("top2", "n2").as("top_2gram_frac"))
   }
 
   def q65Repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionSignals(Tables.documents(spark, dir), "doc_id", "text")
 
-  val q65RepetitionSql: String = """
+  val q65RepetitionSql: String = raw"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
@@ -306,9 +307,9 @@ object TextAnalysis {
     c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
     s2 AS (SELECT doc_id, MAX(c) AS top2, SUM(c) AS n2 FROM c2 GROUP BY 1)
     SELECT s5.doc_id, CAST(s5.n5 AS INT) AS n_5grams,
-           ROUND(CAST(s5.n5 - s5.nd5 AS DOUBLE) / s5.n5, 6) AS dup_5gram_frac,
+           ${graft.ops.Relational.ratio6Sql("s5.n5 - s5.nd5", "s5.n5")} AS dup_5gram_frac,
            CAST(s2.n2 AS INT) AS n_2grams,
-           ROUND(CAST(s2.top2 AS DOUBLE) / s2.n2, 6) AS top_2gram_frac
+           ${graft.ops.Relational.ratio6Sql("s2.top2", "s2.n2")} AS top_2gram_frac
     FROM s5 JOIN s2 ON s2.doc_id = s5.doc_id"""
 
   // --- q66_pii_scrub: pattern redaction over the corpus -------------------

@@ -40,6 +40,28 @@ object Relational {
   def davgSql(expr: String): String =
     s"${dsumSql(expr)} / COUNT($expr)"
 
+  /** `round(p/q, 6)` for INTEGER p ≥ 0, q — computed with integer half-up
+    * arithmetic (`floor((2p·10⁶+q)/2q)`), never a float round.
+    * `round(double, 6)` of an integer ratio is a cross-engine landmine:
+    * Spark rounds the shortest-decimal representation, DuckDB rounds a
+    * float multiply, and they disagree exactly at 6-dp boundary doubles
+    * (bit q37 at sf0.1). The integer form has no boundary; the final
+    * ÷10⁶ of a ≤10⁷ integer is one correctly-rounded double op. NULL when
+    * q ≤ 0. Operands are SQL fragments so Spark (`div`) and DuckDB (`//`)
+    * each get their native integer division. */
+  def ratio6(p: String, q: String): Column = expr(
+    s"""CASE WHEN ($q) > 0 THEN
+          CAST((2 * CAST($p AS BIGINT) * 1000000 + CAST($q AS BIGINT))
+               div (2 * CAST($q AS BIGINT)) AS DOUBLE) / 1000000
+        END""")
+
+  /** DuckDB mirror of [[ratio6]]. */
+  def ratio6Sql(p: String, q: String): String =
+    s"""CASE WHEN ($q) > 0 THEN
+          CAST((2 * CAST($p AS BIGINT) * 1000000 + CAST($q AS BIGINT))
+               // (2 * CAST($q AS BIGINT)) AS DOUBLE) / 1000000
+        END"""
+
   // --- q1_agg: flagship — TPC-H Q1 analog (scan → filter → hash agg) ------
   // Remap analog: wordcount-style map+combiner+reduce over every lineitem
   // row; here it is a single partial-agg + final-agg pair, no user code.
