@@ -212,6 +212,25 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: ratio6 equals BigDecimal HALF_UP rounding on random ratios") {
+    // the integer-exact round must agree with the decimal definition of
+    // round(p/q, 6) for arbitrary non-negative p and positive q — this is
+    // the contract the DuckDB mirror relies on
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 2000000L), Gen.choose(1L, 300000L)))
+    (1L to 3L).foreach { s =>
+      val pairs = sample(gen, s)
+      val got = pairs.toDF("p", "q")
+        .select(graft.ops.Relational.ratio6("p", "q").as("r"))
+        .collect().map(_.getDouble(0)).toSeq
+      val want = pairs.map { case (p, q) =>
+        (BigDecimal(p) / BigDecimal(q))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(got == want, s"seed $s")
+    }
+  }
+
   test("property: oriented triangle counts equal brute force on random graphs") {
     // the degree orientation is a pure optimization — per-vertex counts
     // must match an O(n³) driver-side enumeration on any graph, including
