@@ -128,18 +128,29 @@ object Pipeline {
     * Scale shape: packing is per-SHARD (`doc_id % shards`), which is how
     * real packers run — one global order would serialize the corpus. The
     * per-shard running total is an ordered window whose partition is one
-    * shard; `shards` grows with the corpus (n/⟨docs-per-task⟩), so no task
-    * ever owns more than corpus/shards rows. All arithmetic is integer →
-    * bit-exact in any engine. Token counts use the est_bpe estimator
-    * (length/4, [[TextAnalysis.docStats]]) — swap in real tokenizer counts
-    * by passing a different `tokens` column. */
+    * shard, and the shard count is DERIVED from the corpus IN-PLAN:
+    * shards = ⌈n / docsPerShard⌉ from a one-row count aggregate broadcast
+    * back onto the scan. No task ever owns more than ~docsPerShard rows no
+    * matter how the corpus grows — a fixed shard constant would make each
+    * shard a corpus/k single-task sort at 100×. Ceiling division is pure
+    * integer arithmetic (`(n + per − 1) div per`), so the count→shards step
+    * is bit-exact in any engine, like the packing arithmetic itself.
+    * Token counts use the est_bpe estimator (length/4,
+    * [[TextAnalysis.docStats]]) — swap in real tokenizer counts by passing
+    * a different `tokens` column. */
   def packSequences(docs: DataFrame, id: String, tokens: org.apache.spark.sql.Column,
-                    budget: Long, shards: Int): DataFrame = {
+                    budget: Long, docsPerShard: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(budget > 0 && shards > 0, s"budget/shards must be positive")
+    require(budget > 0 && docsPerShard > 0, s"budget/docsPerShard must be positive")
+    // one-row broadcast: the count aggregate is a metadata-cheap scan next
+    // to the window pass, and `greatest(1, …)` keeps an empty corpus legal
+    val nShards = docs.select(col(id)).agg(count(lit(1)).as("n_docs"))
+      .select(greatest(lit(1L),
+        expr(s"(n_docs + ${docsPerShard - 1}) div $docsPerShard")).as("shards"))
     val w = Window.partitionBy(col("shard")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(id), pmod(col(id), lit(shards)).as("shard"),
+    docs.crossJoin(broadcast(nShards))
+      .select(col(id), pmod(col(id), col("shards")).as("shard"),
         tokens.cast("long").as("n_tok"))
       .withColumn("end_tok", sum(col("n_tok")).over(w))
       // `div`, not `/`: Spark rewrites long / long to DOUBLE division,
@@ -150,17 +161,31 @@ object Pipeline {
         pmod(col("end_tok") - col("n_tok"), lit(budget)).as("seq_offset"))
   }
 
+  /** docsPerShard for the registered q84: the test-scale setting of the
+    * ⟨docs-per-task⟩ knob (production would use ~100k). What CORRECTNESS
+    * certifies is that the shard count is DERIVED from a corpus count
+    * in-plan — the identical `(n + per − 1) div per` expression runs in
+    * both engines (sf0.01: ⌈500/64⌉ = 8 shards; sf0.1: ⌈5000/64⌉ = 79). */
+  private val q84DocsPerShard = 64L
+
   def q84SequencePack(spark: SparkSession, dir: String): DataFrame =
     packSequences(
       Tables.documents(spark, dir)
         .select(col("doc_id"), ceil(length(col("text")) / lit(4.0)).cast("long").as("t")),
-      "doc_id", col("t"), budget = 2048, shards = 8)
+      "doc_id", col("t"), budget = 2048, docsPerShard = q84DocsPerShard)
 
-  val q84SequencePackSql: String = """
-    WITH d AS (
-      SELECT doc_id, doc_id % 8 AS shard,
-             CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tok
+  // shards is the same generated ceiling-division expression the Scala plan
+  // runs (q32/q60/q73's shared-constant pattern) — the engines cannot
+  // disagree on the shard count without failing the hash
+  val q84SequencePackSql: String = s"""
+    WITH n AS (
+      SELECT GREATEST(1, (COUNT(*) + ${q84DocsPerShard - 1}) // $q84DocsPerShard)
+               AS shards
       FROM documents),
+    d AS (
+      SELECT doc_id, doc_id % n.shards AS shard,
+             CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tok
+      FROM documents, n),
     c AS (SELECT doc_id, shard, n_tok,
                  SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok

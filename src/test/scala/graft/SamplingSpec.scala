@@ -66,12 +66,13 @@ class SamplingSpec extends GraftSuite {
 
   test("sequence packing is an exact per-shard prefix sum; docs straddle chunks") {
     import spark.implicits._
-    // shard 0: docs 0, 8, 16 (sizes 1000, 1500, 600) concat to 3100 tokens
+    // docsPerShard=1 over 4 docs derives shards=4 in-plan; shard 0 holds
+    // docs 0, 8, 16 (sizes 1000, 1500, 600) which concat to 3100 tokens
     // → doc 8 straddles the 2048 boundary, doc 16 starts inside chunk 1
     val docs = Seq((0L, 1000L), (8L, 1500L), (16L, 600L), (1L, 100L))
       .toDF("doc_id", "t")
     val out = ext.Pipeline.packSequences(docs, "doc_id", col("t"),
-        budget = 2048, shards = 8)
+        budget = 2048, docsPerShard = 1)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(out(0L) == ((0L, 1000L, 0L, 0L)))
