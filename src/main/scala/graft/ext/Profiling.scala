@@ -22,28 +22,36 @@ object Profiling {
     * row per column.
     *
     * Cross-engine determinism: sums are decimal-exact ([[graft.ops
-    * .Relational.dsum]] discipline) and the derived mean/stddev are fixed
-    * IEEE op sequences over those exact sums — so DuckDB derives the
-    * identical doubles. Squares are summed as decimal-of-double-product:
-    * the double multiply is itself exactly reproducible, and the
-    * DECIMAL(28,6) quantization of it is the same in both engines. */
+    * .Relational.dsum]] discipline) and the 6-dp mean is integer half-up
+    * arithmetic over the exact decimal sum ([[graft.ops.Relational
+    * .decRatio6]]) — a `round(double, 6)` of the exact rational sum/count
+    * would hit the same 6-dp-boundary divergence class ratio6 exists to
+    * kill. Squares are summed as decimal-of-double-product: the double
+    * multiply is itself exactly reproducible, and the DECIMAL(28,6)
+    * quantization of it is the same in both engines. stddev is the one
+    * residual `round(double, 6)`: a square root is irrational, so no
+    * integer-exact form exists — both engines round the same IEEE sqrt of
+    * the same exact-sum-derived variance, which can only diverge if a
+    * variance lands within half an ulp of a 6-dp boundary (accepted,
+    * documented risk — unlike the mean, it cannot be eliminated). */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import graft.ops.Relational.dsum
+    import graft.ops.Relational.{decRatio6, dsum}
+    import org.apache.spark.sql.types.DecimalType
     require(cols.nonEmpty, "profileNumeric: no columns given")
-    // ONE shared total-rows aggregate plus five per column; the sums are
-    // Relational.dsum — the decimal-sum discipline has one definition,
-    // not a re-spelling that could drift from it
+    // ONE shared total-rows aggregate plus five per column; `__sum` stays
+    // DECIMAL (dsum without its final double cast) because the mean's
+    // half-up rounding needs the exact rational, not a double projection
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
-        dsum(col(c)).as(s"${c}__sum"),
+        sum(col(c).cast(DecimalType(28, 6))).as(s"${c}__sum"),
         dsum(col(c) * col(c)).as(s"${c}__sumsq"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"))
     }
     val packed = cols.map { c =>
       val n = col(s"${c}__n").cast("double")
-      val mean = col(s"${c}__sum") / n
+      val mean = col(s"${c}__sum").cast("double") / n
       val variance = col(s"${c}__sumsq") / n - mean * mean
       struct(
         lit(c).as("column"),
@@ -51,7 +59,7 @@ object Profiling {
         (col("__rows") - col(s"${c}__n")).as("n_null"),
         col(s"${c}__min").cast("double").as("min"),
         col(s"${c}__max").cast("double").as("max"),
-        round(mean, 6).as("mean"),
+        decRatio6(s"${c}__sum", s"${c}__n").as("mean"),
         // population stddev; greatest(0) guards the tiny negative residue
         // float cancellation can leave when variance ~ 0. An ALL-NULL
         // column gets NULL, not a fabricated 0.0 dispersion (greatest
@@ -68,13 +76,14 @@ object Profiling {
     * [[profileNumeric]]'s arithmetic exactly (same [[graft.ops.Relational
     * .dsumSql]] sums); UNION ALL per column. */
   private def profileSql(table: String, c: String): String = {
-    import graft.ops.Relational.dsumSql
+    import graft.ops.Relational.{decRatio6Sql, dsumSql}
     val mean = s"${dsumSql(c)} / COUNT($c)"
     s"""
     SELECT '$c' AS "column", COUNT($c) AS n,
            COUNT(*) - COUNT($c) AS n_null,
            CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max,
-           ROUND($mean, 6) AS mean,
+           ${decRatio6Sql(s"SUM(CAST($c AS DECIMAL(28,6)))", s"COUNT($c)")}
+             AS mean,
            CASE WHEN COUNT($c) = 0 THEN NULL
                 ELSE ROUND(sqrt(GREATEST(
                   ${dsumSql(s"$c * $c")} / COUNT($c) - ($mean) * ($mean),

@@ -91,12 +91,16 @@ object Versioning {
         length(col("text")).cast("long").as("text_len"))
   }
 
+  // columns listed explicitly in BOTH union arms (never `SELECT *`): upd
+  // fixes its column order, so a positional star over documents would
+  // silently misalign — not error — if the parquet column order changed
   val q79UpsertSql: String = s"""
     WITH upd AS ($refreshBatchSql),
     merged AS (
-      SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM upd)
       UNION ALL
-      SELECT * FROM upd)
+      SELECT doc_id, text, lang, source, n_chars FROM upd)
     SELECT doc_id, lang, source, n_chars, length(text) AS text_len
     FROM merged"""
 
@@ -110,9 +114,10 @@ object Versioning {
   val q80SnapshotDiffSql: String = s"""
     WITH upd AS ($refreshBatchSql),
     nxt AS (
-      SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM upd)
       UNION ALL
-      SELECT * FROM upd)
+      SELECT doc_id, text, lang, source, n_chars FROM upd)
     SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
            CASE WHEN p.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'

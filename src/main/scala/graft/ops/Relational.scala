@@ -50,16 +50,57 @@ object Relational {
     * q ≤ 0. Operands are SQL fragments so Spark (`div`) and DuckDB (`//`)
     * each get their native integer division. */
   def ratio6(p: String, q: String): Column = expr(
-    s"""CASE WHEN ($q) > 0 THEN
+    s"""CASE WHEN ($p) < 0 THEN
+          CAST(raise_error('ratio6: negative numerator') AS DOUBLE)
+        WHEN ($q) > 0 THEN
           CAST((2 * CAST($p AS BIGINT) * 1000000 + CAST($q AS BIGINT))
                div (2 * CAST($q AS BIGINT)) AS DOUBLE) / 1000000
         END""")
 
   /** DuckDB mirror of [[ratio6]]. */
   def ratio6Sql(p: String, q: String): String =
-    s"""CASE WHEN ($q) > 0 THEN
+    s"""CASE WHEN ($p) < 0 THEN
+          CAST(error('ratio6: negative numerator') AS DOUBLE)
+        WHEN ($q) > 0 THEN
           CAST((2 * CAST($p AS BIGINT) * 1000000 + CAST($q AS BIGINT))
                // (2 * CAST($q AS BIGINT)) AS DOUBLE) / 1000000
+        END"""
+
+  /** `round(p/q, 6)` where `p` is an exact DECIMAL expression (any sign,
+    * scale ≤ 6 — e.g. a [[dsum]]-style `sum(cast(c as decimal(28,6)))`
+    * BEFORE its double cast) and `q` a positive integer count. The signed
+    * companion of [[ratio6]]: the scaled numerator can exceed BIGINT, so
+    * the half-up step runs on the decimal quotient/remainder pair instead
+    * of the `2p·10⁶` trick — `q0 = |p|·10⁶ div q`, round half away from
+    * zero on the remainder, re-apply the sign (truncate-vs-floor division
+    * divergence never arises: both operands of every division are
+    * non-negative). `·10⁶` multiplies by a DECIMAL(7,0), NOT an integer
+    * literal: decimal×int in Spark needs precision 39 and would silently
+    * drop a scale digit under allowPrecisionLoss. NULL when q ≤ 0. */
+  def decRatio6(p: String, q: String): Column = expr(
+    s"""CASE WHEN ($q) > 0 THEN
+          CAST((CASE WHEN ($p) < 0 THEN -1 ELSE 1 END) *
+            ((CAST(abs($p) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0))
+                div CAST($q AS BIGINT)) +
+             (CASE WHEN 2 * CAST(CAST(abs($p) * CAST(1000000 AS DECIMAL(7,0))
+                                       AS DECIMAL(38,0))
+                                 % CAST($q AS BIGINT) AS BIGINT)
+                        >= CAST($q AS BIGINT) THEN 1 ELSE 0 END))
+          AS DOUBLE) / 1000000
+        END""")
+
+  /** DuckDB mirror of [[decRatio6]] — HUGEINT carries the ≤10²⁸ scaled
+    * numerator exactly, as DECIMAL(38,0) does on the Spark side. */
+  def decRatio6Sql(p: String, q: String): String =
+    s"""CASE WHEN ($q) > 0 THEN
+          CAST((CASE WHEN ($p) < 0 THEN -1 ELSE 1 END) *
+            ((CAST(abs($p) * CAST(1000000 AS DECIMAL(7,0)) AS HUGEINT)
+                // CAST($q AS BIGINT)) +
+             (CASE WHEN 2 * CAST(CAST(abs($p) * CAST(1000000 AS DECIMAL(7,0))
+                                       AS HUGEINT)
+                                 % CAST($q AS BIGINT) AS BIGINT)
+                        >= CAST($q AS BIGINT) THEN 1 ELSE 0 END))
+          AS DOUBLE) / 1000000
         END"""
 
   // --- q1_agg: flagship — TPC-H Q1 analog (scan → filter → hash agg) ------

@@ -231,6 +231,39 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("ratio6 raises in-plan on a negative numerator instead of diverging") {
+    // Spark `div` truncates toward zero, DuckDB `//` floors — a negative p
+    // would silently disagree between engines, so the guard must be loud.
+    // Every registered call site passes a count/size (provably >= 0).
+    val e = intercept[Exception] {
+      Seq((-1L, 10L)).toDF("p", "q")
+        .select(graft.ops.Relational.ratio6("p", "q").as("r")).collect()
+    }
+    assert(e.getMessage.contains("ratio6"), e.getMessage)
+  }
+
+  test("property: decRatio6 equals BigDecimal HALF_UP on signed decimal sums") {
+    // the signed/decimal companion of ratio6 (profile means): half away
+    // from zero at 6 dp over an exact DECIMAL(28,6) numerator — checked
+    // against the BigDecimal definition on both signs and q boundaries
+    val gen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(-2000000000000L, 2000000000000L), // numerator in 1e-6 units
+      Gen.choose(1L, 300000L)))
+    (1L to 3L).foreach { s =>
+      val pairs = sample(gen, s)
+      val got = pairs.map { case (micro, q) => (BigDecimal(micro, 6), q) }
+        .toDF("p", "q")
+        .select(graft.ops.Relational.decRatio6(
+          "CAST(p AS DECIMAL(28,6))", "q").as("r"))
+        .collect().map(_.getDouble(0)).toSeq
+      val want = pairs.map { case (micro, q) =>
+        (BigDecimal(micro, 6) / BigDecimal(q))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(got == want, s"seed $s")
+    }
+  }
+
   test("property: oriented triangle counts equal brute force on random graphs") {
     // the degree orientation is a pure optimization — per-vertex counts
     // must match an O(n³) driver-side enumeration on any graph, including
