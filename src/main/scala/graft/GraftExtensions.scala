@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftVectorExpressions.dotProductDescription)
     ext.injectFunction(GraftTextExpressions.ngramShinglesDescription)
+    ext.injectFunction(GraftTextExpressions.rollingFingerprintDescription)
   }
 }

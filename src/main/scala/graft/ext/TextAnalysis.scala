@@ -223,8 +223,17 @@ object TextAnalysis {
   // Polynomial rolling hash with engine-neutral arithmetic: token value =
   // 31·len + first-char code, acc = (acc·1000003 + v) mod 1e9+7. A
   // sequential fold in both engines — deterministic, and cheap enough to
-  // fingerprint every document in a corpus-wide dedup pre-pass.
-  def rollingFingerprint(text: Column): Column = {
+  // fingerprint every document in a corpus-wide dedup pre-pass. Native
+  // codegen expression, not a transform+aggregate HOF — the interpreted
+  // fold was the last per-corpus-row HOF on a registered hot path
+  // (a property spec pins it bit-identical to the declarative form).
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.TextExpressions.rollingFingerprint(text)
+
+  /** The declarative HOF spelling of [[rollingFingerprint]] — interpreted,
+    * kept ONLY as the equivalence reference the property spec checks the
+    * native expression against. */
+  private[graft] def rollingFingerprintHof(text: Column): Column = {
     val vals = transform(Text.tokenize(text),
       t => (length(t) * 31 + ascii(substring(t, 1, 1))).cast("long"))
     aggregate(vals, lit(0L),

@@ -17,4 +17,8 @@ object TextExpressions {
   /** Codegen'd word n-gram shingles (lowercase, whitespace-split). */
   def ngramShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.GraftTextExpressions.ngramShingles(text, n)
+
+  /** Codegen'd polynomial rolling hash over the token stream. */
+  def rollingFingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.GraftTextExpressions.rollingFingerprint(text)
 }

@@ -71,9 +71,80 @@ object NGramShingles {
   }
 }
 
+/** Native polynomial rolling hash over the token stream: lowercase,
+  * whitespace-split, per token v = 31·len + first-char code, then
+  * acc = (acc·1000003 + v) mod 1e9+7 folded left-to-right from 0.
+  *
+  * Bit-identical to the declarative form
+  * `aggregate(transform(tokenize(text), t => (length(t)*31 +
+  * ascii(substring(t,1,1))).cast("long")), lit(0L), (acc, v) =>
+  * pmod(acc*1000003 + v, lit(1000000007)))` — but that form is a
+  * `transform`+`aggregate` HOF pair, which evaluates interpreted with
+  * per-element lambda dispatch and an intermediate array allocation per
+  * row (the same shape [[NGramShingles]]/`DotProduct` replaced with
+  * measured 10×+ wins). This is one JIT-compiled loop per row inside
+  * whole-stage codegen. Same ASCII-corpus caveat as [[NGramShingles]]:
+  * `String.length`/`codePointAt` match Spark's `length`/`ascii` (and the
+  * DuckDB oracle's) on every byte the testdata contains. */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingFingerprint.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.RollingFingerprint.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+object RollingFingerprint {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String): Long = {
+    val toks = WS.split(text.toString.toLowerCase(java.util.Locale.ROOT))
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        // 31·len + first-char code; acc stays < 1e9+7 so acc·1000003 + v
+        // peaks near 1e15 — no overflow anywhere near Long.MaxValue
+        val v = 31L * t.length + t.codePointAt(0)
+        acc = java.lang.Math.floorMod(acc * 1000003L + v, 1000000007L)
+      }
+      i += 1
+    }
+    acc
+  }
+}
+
 object GraftTextExpressions {
   def ngramShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(NGramShingles(ExpressionUtils.expression(text), n))
+
+  def rollingFingerprint(text: Column): Column =
+    ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text)))
+
+  /** SQL registration triple: `rolling_fingerprint(text)`. */
+  val rollingFingerprintDescription:
+      (org.apache.spark.sql.catalyst.FunctionIdentifier,
+       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+       Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "rolling_fingerprint(text) takes exactly one argument")
+      RollingFingerprint(children.head)
+    })
 
   /** SQL registration triple: `ngram_shingles(text, n)` with `n` a literal
     * integer (the shingle width is part of the compiled expression, so a
@@ -108,8 +179,9 @@ object GraftTextExpressions {
 
   /** Register on an EXISTING session's function registry — the
     * already-running-session counterpart of `GraftExtensions`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = ngramShinglesDescription
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(ngramShinglesDescription, rollingFingerprintDescription).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -264,6 +264,27 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: native rolling_fingerprint is bit-identical to the HOF fold") {
+    // the native codegen expression replaced an interpreted
+    // transform+aggregate pair — same tokenization, same arithmetic, on
+    // arbitrary whitespace/empty/edge inputs
+    val chars = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '-', 'X'))
+    val gen = Gen.listOfN(60,
+      Gen.choose(0, 50).flatMap(n => Gen.listOfN(n, chars).map(_.mkString)))
+    (1L to 3L).foreach { s =>
+      val texts = sample(gen, s) ++ Seq("", " ", "\t\n ", "  a", "a  b ")
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(
+          graft.ext.TextAnalysis.rollingFingerprint(col("text")).as("native"),
+          graft.ext.TextAnalysis.rollingFingerprintHof(col("text")).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"seed $s"))
+    }
+  }
+
   test("property: oriented triangle counts equal brute force on random graphs") {
     // the degree orientation is a pure optimization — per-vertex counts
     // must match an O(n³) driver-side enumeration on any graph, including

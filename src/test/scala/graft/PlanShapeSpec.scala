@@ -162,6 +162,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("q39 fingerprint: native expression, no interpreted HOF on the hot path") {
+    // the rolling hash was the last transform+aggregate HOF pair evaluated
+    // per corpus row in a registered query; HOF lambdas run interpreted
+    // (no whole-stage codegen), so their reappearance is a perf regression
+    val p = plan("q39_fingerprint")
+    assert(p.contains("rolling_fingerprint"), p.take(600))
+    assert(!p.contains("lambdafunction"), p.take(600))
+  }
+
   test("q84 packing: exactly one shuffle (the shard exchange) feeds the prefix sum") {
     // shard is the ONLY partitioning the plan needs: scan → project →
     // exchange on shard → in-partition ordered sum. A second exchange

@@ -121,6 +121,22 @@ class VectorExpressionsSpec extends GraftSuite {
     assert(c.getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
+  test("rolling_fingerprint registers for SQL and agrees across eval paths") {
+    org.apache.spark.sql.graft.GraftTextExpressions.register(spark)
+    // hand-derived: "Ab cd" → tokens (ab, cd); v₁ = 31·2 + 'a' = 159,
+    // v₂ = 31·2 + 'c' = 161; acc = (159·1000003 + 161) mod 1e9+7
+    val expected = ((159L * 1000003L + 161L) % 1000000007L)
+    val r = spark.sql("SELECT rolling_fingerprint('Ab cd') AS f").head()
+    assert(r.getLong(0) == expected)
+    val df = Seq("Ab cd").toDF("text")
+      .select(graft.functions.TextExpressions.rollingFingerprint(col("text")))
+    assert(df.head().getLong(0) == expected)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.head().getLong(0) == expected)
+    }
+  }
+
   test("GraftExtensions injects dot_product into a new session") {
     import org.apache.spark.sql.SparkSession
     // builder().getOrCreate() would return the shared test session and skip
