@@ -84,29 +84,91 @@ object Similarity {
       when(dot(v, h) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** ANN cosine top-k: bucket both sides, probe the exact bucket plus all
-    * hamming-1 neighbors (multiprobe — recovers most boundary losses),
-    * rank candidates per query. Approximate by design: verified against
-    * the brute-force baseline by a recall test, not an oracle.
+  /** Hard ceiling on the derived plane count (2^16 buckets at the cap). */
+  val maxPlanes = 16
+
+  /** [[signLshBucket]] with a RUNTIME plane count (a per-row-constant
+    * column from the broadcast [[planesDf]] row): bit j contributes only
+    * when j < planes. The guard is the OUTER branch, so the plane-j dot
+    * product is never evaluated for unused bits — a fixed-width unroll to
+    * [[maxPlanes]] whose cost is the runtime plane count, not 16. */
+  def signLshBucketUpTo(v: Column, planes: Column, dim: Int): Column =
+    (0 until maxPlanes).map { j =>
+      val h = array(hyperplane(j, dim).map(lit): _*)
+      when(lit(j) < planes,
+        when(dot(v, h) > 0, lit(1 << j)).otherwise(lit(0)))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** One-row (planes) frame derived from the corpus IN-PLAN: the smallest
+    * p ≤ [[maxPlanes]] with 2^p ≥ ⌈n / targetBucket⌉ — bucket count scales
+    * with the corpus so the expected bucket stays ~targetBucket as the
+    * corpus grows (a fixed plane count makes per-bucket cost quadratic in
+    * corpus size). Pure integer arithmetic (`2^p·target ≥ n`), so the
+    * DuckDB replay derives the identical count. */
+  private[graft] def planesDf(corpus: DataFrame, targetBucket: Long): DataFrame =
+    corpus.agg(count(lit(1)).as("n"))
+      .select(explode(sequence(lit(1), lit(maxPlanes))).as("p"), col("n"))
+      .filter(expr(s"shiftleft(CAST(1 AS BIGINT), p) * $targetBucket >= n"))
+      .agg(coalesce(min(col("p")), lit(maxPlanes)).as("planes"))
+
+  /** Multiprobe masks for the runtime plane count: the exact bucket plus
+    * every hamming-1 neighbor, exploded per probe row. */
+  private val probeMasks: Column =
+    expr("explode(concat(array(0), " +
+      "transform(sequence(0, planes - 1), j -> shiftleft(1, j))))")
+
+  /** Corpus bucketed with the derived plane count, minus degenerate
+    * buckets: bucket sizes via groupBy.count + semi join (map-side
+    * partial, never a value-keyed window — a degenerate bucket is
+    * precisely a hot key), buckets over `maxBucket` dropped from candidate
+    * generation entirely, like [[Dedup.lshCandidates]]. Persisted: the
+    * frame feeds both the sizing aggregate and the candidate join, and its
+    * lineage holds [[maxPlanes]] dot products per row. */
+  private def cappedBuckets(corpus: DataFrame, vec: String, pl: DataFrame,
+                            maxBucket: Long, dim: Int): DataFrame = {
+    val bucketed = graft.CacheRegistry.persist(
+      corpus.crossJoin(pl)
+        .withColumn("bkt", signLshBucketUpTo(col(vec), col("planes"), dim))
+        .drop("planes"))
+    val smallBuckets = bucketed.groupBy("bkt")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select("bkt")
+    bucketed.join(smallBuckets, Seq("bkt"), "left_semi")
+  }
+
+  /** ANN cosine top-k: bucket both sides with a plane count derived from
+    * the corpus ([[planesDf]]), drop degenerate buckets, probe the exact
+    * bucket plus all hamming-1 neighbors (multiprobe — recovers most
+    * boundary losses), rank candidates per query. Approximate by design:
+    * verified against the brute-force baseline by a recall test; the
+    * derived plane count and cap are replayed bit-for-bit by the oracle.
     *
+    * @param targetBucket expected bucket occupancy the plane count aims
+    *        for; the scale knob (cost per bucket ~ targetBucket²)
+    * @param maxBucket degenerate-bucket cap: buckets larger than this
+    *        (duplicate pile-ups, adversarial inputs) are dropped from
+    *        candidate generation — recall loss on pathological data is the
+    *        documented price of bounded per-bucket cost
     * @param broadcastQueries true (default) map-side-joins the probe side —
     *        right while queries×(planes+1) rows fit a broadcast. For query
     *        sets past that, pass false: the bucket equi-join shuffles both
     *        sides on `bkt` instead, which scales with data size — unlike
     *        [[cosineTopK]], whose all-pairs shape has no shuffle form. */
   def annCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    planes: Int = 6, dim: Int = 64,
+                    targetBucket: Long = defaultTargetBucket,
+                    maxBucket: Long = defaultMaxBucket, dim: Int = 64,
                     broadcastQueries: Boolean = true): DataFrame = {
-    val bucketed = corpus.withColumn("bkt", signLshBucket(col("v"), planes, dim))
-    val probes = (0 until planes).map(j => lit(1 << j)).foldLeft(array(lit(0)))(
-      (acc, m) => concat(acc, array(m)))
-    val qb = queries
-      .withColumn("qbkt", signLshBucket(col("qv"), planes, dim))
-      .withColumn("probe", explode(probes))
+    val pl = broadcast(planesDf(corpus, targetBucket))
+    val capped = cappedBuckets(corpus, "v", pl, maxBucket, dim)
+    val qb = queries.crossJoin(pl)
+      .withColumn("qbkt", signLshBucketUpTo(col("qv"), col("planes"), dim))
+      .select(col("qid"), col("qv"), col("qbkt"), probeMasks.as("probe"))
       .withColumn("bkt", col("qbkt").bitwiseXOR(col("probe")))
       .drop("qbkt", "probe")
     val qside = qb.withColumn("nq", norm(col("qv")))
-    val pairs = bucketed.withColumn("nv", norm(col("v")))
+    val pairs = capped.withColumn("nv", norm(col("v")))
       .join(if (broadcastQueries) broadcast(qside) else qside, Seq("bkt"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos",
@@ -159,59 +221,88 @@ object Similarity {
   def q42AnnTopK(spark: SparkSession, dir: String): DataFrame =
     annCosineTopK(corpus(spark, dir), queryVecs(spark, dir), 5)
 
+  // Shared constants between the Scala defaults and the generated oracle
+  // SQL — the engines cannot disagree on the knob values
+  private val defaultTargetBucket = 8L
+  private val defaultMaxBucket = 512L
+
   // --- DuckDB replay helpers: the hyperplane components as SQL literals ----
   private def hyperplaneSql(j: Int, dim: Int): String =
     hyperplane(j, dim).map(d => if (d > 0) "1.0" else "-1.0")
       .mkString("[", ",", "]")
 
-  /** The `signLshBucket` expression over a SQL vector column. */
-  private def bucketSql(vec: String, planes: Int = 6, dim: Int = 64): String =
-    (0 until planes).map { j =>
-      s"(CASE WHEN list_dot_product($vec, ${hyperplaneSql(j, dim)}) > 0 THEN ${1 << j} ELSE 0 END)"
+  /** The [[signLshBucketUpTo]] expression over a SQL vector column —
+    * unrolled to [[maxPlanes]] with the same `j < planes` guard, reading
+    * the derived count from the `pl` CTE (which must be in the FROM). */
+  private def bucketSqlAdaptive(vec: String, dim: Int = 64): String =
+    (0 until maxPlanes).map { j =>
+      s"(CASE WHEN $j < pl.planes THEN (CASE WHEN list_dot_product($vec, ${
+        hyperplaneSql(j, dim)}) > 0 THEN ${1 << j} ELSE 0 END) ELSE 0 END)"
     }.mkString(" + ")
 
-  /** The exact-plus-hamming-1 multiprobe mask list. */
-  private def probeSql(planes: Int = 6): String =
-    (Seq(0) ++ (0 until planes).map(1 << _)).mkString("[", ",", "]")
+  /** The [[planesDf]] derivation as CTEs: `pn` (corpus count) and `pl`
+    * (smallest p ≤ maxPlanes with 2^p·target ≥ n) — the identical integer
+    * arithmetic the Spark plan runs. */
+  private def planesCteSql(corpusCte: String, targetBucket: Long): String = s"""
+    pn AS (SELECT COUNT(*) AS n FROM $corpusCte),
+    pl AS (SELECT COALESCE(MIN(p), $maxPlanes) AS planes
+           FROM (SELECT unnest(range(1, ${maxPlanes + 1})) AS p), pn
+           WHERE (CAST(1 AS BIGINT) << p) * $targetBucket >= pn.n)"""
 
-  val q42AnnTopKSql: String = {
-    def bkt(vec: String): String = bucketSql(vec)
-    val probeList = probeSql()
-    s"""
+  /** Per-row multiprobe explode over the runtime plane count (the SQL form
+    * of [[probeMasks]]); emits a `probe` column next to `cols`. */
+  private def probeUnnestSql(cols: String, from: String): String =
+    s"""SELECT $cols,
+               unnest(list_prepend(0,
+                 list_transform(range(0, pl.planes), j -> (1 << j)))) AS probe
+        FROM $from, pl"""
+
+  val q42AnnTopKSql: String = s"""
     WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (SELECT vec_id, v, ${bkt("v")} AS bkt FROM ve),
+    ${planesCteSql("ve", defaultTargetBucket)},
+    b AS (SELECT vec_id, v, ${bucketSqlAdaptive("v")} AS bkt FROM ve, pl),
+    sz AS (SELECT bkt FROM b GROUP BY bkt HAVING COUNT(*) <= $defaultMaxBucket),
+    bc AS (SELECT b.vec_id, b.v, b.bkt FROM b JOIN sz USING (bkt)),
     q AS (SELECT vec_id AS qid, v AS qv, bkt AS qbkt FROM b WHERE vec_id < 10),
     qp AS (SELECT qid, qv, CAST(xor(qbkt, probe) AS INT) AS bkt
-           FROM q, (SELECT unnest($probeList) AS probe)),
-    p AS (SELECT qp.qid, b.vec_id,
-                 ROUND(list_dot_product(qp.qv, b.v) /
+           FROM (${probeUnnestSql("qid, qv, qbkt", "q")}) t),
+    p AS (SELECT qp.qid, bc.vec_id,
+                 ROUND(list_dot_product(qp.qv, bc.v) /
                        (sqrt(list_dot_product(qp.qv, qp.qv)) *
-                        sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-          FROM qp JOIN b ON qp.bkt = b.bkt AND b.vec_id <> qp.qid),
+                        sqrt(list_dot_product(bc.v, bc.v))), 6) AS cos
+          FROM qp JOIN bc ON qp.bkt = bc.bkt AND bc.vec_id <> qp.qid),
     r AS (SELECT qid, vec_id, cos,
                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
                                          ORDER BY cos DESC, vec_id) AS INT) AS rank
           FROM p)
     SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 5"""
-  }
 
   // --- embedding-cosine near-dup -------------------------------------------
   /** Vector pairs above a cosine threshold, found through sign-LSH buckets
     * with hamming-1 multiprobe on one side — the embedding-space cousin of
-    * q31/q35, never an all-pairs join. Intended for genuine near-dups
-    * (cos ≥ ~0.9, small angles) where sign bits mostly agree; the synthetic
-    * corpus has no such pairs (max pairwise cos ≈ 0.51), so the q48 query
-    * derives a planted variant in-query (see [[q48EmbedNearDup]]); a
-    * planted-pair spec covers the API directly. */
+    * q31/q35, never an all-pairs join. The plane count derives from the
+    * corpus ([[planesDf]]) so expected bucket occupancy stays ~targetBucket
+    * at any corpus size, and buckets past `maxBucket` (duplicate pile-ups —
+    * exactly the buckets whose |l|·|r| cost explodes) are dropped from BOTH
+    * sides of the pair join, like [[Dedup.lshCandidates]]'s cap. Intended
+    * for genuine near-dups (cos ≥ ~0.9, small angles) where sign bits
+    * mostly agree; the synthetic corpus has no such pairs (max pairwise
+    * cos ≈ 0.51), so the q48 query derives a planted variant in-query (see
+    * [[q48EmbedNearDup]]); planted-pair specs cover the API directly,
+    * including the cap and a >6-plane derived count. */
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
-                       planes: Int = 6, dim: Int = 64): DataFrame = {
-    val b = corpus.withColumn("bkt", signLshBucket(col("v"), planes, dim))
-      .withColumn("nrm", norm(col("v")))
-    val probes = (0 until planes).map(j => lit(1 << j)).foldLeft(array(lit(0)))(
-      (acc, m) => concat(acc, array(m)))
-    val probed = b.withColumn("probe", explode(probes))
+                       targetBucket: Long = defaultTargetBucket,
+                       maxBucket: Long = defaultMaxBucket,
+                       dim: Int = 64): DataFrame = {
+    val pl = broadcast(planesDf(corpus, targetBucket))
+    val b = graft.CacheRegistry.persist(
+      cappedBuckets(corpus, "v", pl, maxBucket, dim)
+        .withColumn("nrm", norm(col("v"))))
+    val probed = b.crossJoin(pl)
+      .select(col("vec_id"), col("v"), col("nrm"), col("bkt"),
+        probeMasks.as("probe"))
       .withColumn("bkt", col("bkt").bitwiseXOR(col("probe")))
-      .drop("probe")
+      .drop("probe", "planes")
     b.as("l").join(probed.as("r"),
         col("l.bkt") === col("r.bkt") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
@@ -247,9 +338,12 @@ object Similarity {
       UNION ALL
       SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
       FROM ve WHERE vec_id < 50),
-    b AS (SELECT vec_id, v, ${bucketSql("v")} AS bkt FROM corpus),
+    ${planesCteSql("corpus", defaultTargetBucket)},
+    b0 AS (SELECT vec_id, v, ${bucketSqlAdaptive("v")} AS bkt FROM corpus, pl),
+    sz AS (SELECT bkt FROM b0 GROUP BY bkt HAVING COUNT(*) <= $defaultMaxBucket),
+    b AS (SELECT b0.vec_id, b0.v, b0.bkt FROM b0 JOIN sz USING (bkt)),
     pr AS (SELECT vec_id, v, CAST(xor(bkt, probe) AS INT) AS bkt
-           FROM b, (SELECT unnest(${probeSql()}) AS probe)),
+           FROM (${probeUnnestSql("vec_id, v, bkt", "b")}) t),
     p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                  ROUND(list_dot_product(l.v, r.v) /
                        (sqrt(list_dot_product(l.v, l.v)) *

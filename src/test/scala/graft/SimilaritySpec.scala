@@ -37,10 +37,62 @@ class SimilaritySpec extends GraftSuite {
     val ann = Similarity.q42AnnTopK(spark, sf)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
-    // deterministic on the fixed corpus; 6-plane multiprobe on well-spread
-    // vectors — pin a floor well under the measured value
+    // deterministic on the fixed corpus; the derived plane count (6 at
+    // n=500) with multiprobe on well-spread vectors — pin a floor well
+    // under the measured value
     assert(recall >= 0.2, s"recall@5 collapsed: $recall")
     assert(ann.nonEmpty)
+  }
+
+  test("plane count derives from the corpus size (2^p·target >= n)") {
+    def planes(n: Long): Int = Similarity.planesDf(
+      spark.range(n).select(col("id")), 8).head().getInt(0)
+    assert(planes(1) == 1)      // tiny corpus: floor of one plane
+    assert(planes(64) == 3)     // 2^3·8 = 64 >= 64
+    assert(planes(500) == 6)    // the sf0.01 embeddings count
+    assert(planes(5000) == 10)
+    assert(planes(100000000) == 16, "capped at maxPlanes")
+  }
+
+  test("embeddingNearDup caps degenerate buckets, keeps healthy ones") {
+    // 200 hash-spread background vectors + 30 exact clones (one bucket of
+    // 30 > maxBucket=20, the duplicate pile-up the cap exists for) + one
+    // planted twin pair in a healthy bucket. Clone pairs must vanish; the
+    // twin pair must survive.
+    def hv(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(xxhash64(id, j), lit(1000L)).cast("double") - lit(499.5)) / 500.0)
+    val background = spark.range(200).select(col("id").as("vec_id"), hv(col("id")).as("v"))
+    val clones = spark.range(30).select((col("id") + 5000).as("vec_id"),
+      hv(lit(1L)).as("v"))
+    val twins = spark.range(1).select(lit(100500L).as("vec_id"),
+      transform(hv(lit(100L)), x => x + lit(1e-3)).as("v"))
+    val found = Similarity.embeddingNearDup(
+        background.unionByName(clones).unionByName(twins),
+        threshold = 0.99, maxBucket = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!found.exists { case (a, b) => a >= 5000 && a < 5030 && b >= 5000 && b < 5030 },
+      s"clone pairs survived the cap: $found")
+    assert(found.contains((100L, 100500L)), s"healthy twin pair lost: $found")
+  }
+
+  test("planted twins recovered at a derived plane count above 6") {
+    // 9050 hash-spread vectors derive 11 planes (2^11·8 = 16384 >= 9050) —
+    // the >6-plane regime larger corpora run in. Twins at cos ≈ 1-ε agree
+    // on ~all sign bits, so recall must stay high even with 2048 buckets.
+    def hv(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(xxhash64(id, j), lit(1000L)).cast("double") - lit(499.5)) / 500.0)
+    val big = spark.range(9000).select(col("id").as("vec_id"), hv(col("id")).as("v"))
+    val twins = spark.range(50).select((col("id") + 500000).as("vec_id"),
+      transform(hv(col("id")), x => x + lit(1e-3)).as("v"))
+    val corpus9050 = big.unionByName(twins)
+    assert(Similarity.planesDf(corpus9050, 8).head().getInt(0) == 11)
+    val found = Similarity.embeddingNearDup(corpus9050, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twinPairs = (0L until 50L).map(i => (i, i + 500000L)).toSet
+    val recall = (found & twinPairs).size / 50.0
+    assert(recall >= 0.8, s"twin recall collapsed at 11 planes: $recall")
   }
 
   test("embeddingNearDup finds planted near-identical vectors, no all-pairs") {
