@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the initial heap to the max: growing 2G→8G mid-bench shifts the
+  // GC cadence between runs of the same query and showed up as spread
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: this is a single-JVM batch workload with no
+  // latency SLO — G1's concurrent cycles overlapped the timed bench runs
+  // (measured ~0.4s slower medians and ~2× the spread on the iterative
+  // dedup family vs ParallelGC)
+  "-XX:+UseParallelGC",
 )

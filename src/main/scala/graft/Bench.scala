@@ -54,6 +54,29 @@ object Bench {
           pmod(col("id") * (j + 7), lit(50)).cast("string")): _*).as("text"))
       exec(ext.Dedup.nearDupMinHash(wd, "doc_id", "text"))
       exec(ext.Dedup.nearDupSimHash(wd, "doc_id", "text"))
+      // The q47-family substrate (PPJoin jaccard → CC on the Pregel loop,
+      // plus the shared docStats scan), THRICE on a duplicate-seeded tiny
+      // corpus: none of it is touched by the warmups above, and its
+      // planner/JIT paths keep speeding up over ~4 executions (measured
+      // 4.5→3.2s descending curve on q47 that billed the first timed runs
+      // as "spread"). Three cheap passes park the curve near steady state
+      // before anything is timed.
+      val wdup = spark.range(60).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 25).map(j =>
+          pmod(col("id").divide(lit(3)).cast("long") * (j + 7),
+            lit(40)).cast("string")): _*).as("text"))
+      for (_ <- 1 to 3) {
+        val pairs = ext.Dedup.ngramJaccardPairs(wdup, "doc_id", "text")
+        val edges = pairs.select(explode(array(
+            struct(col("id_a").as("src"), col("id_b").as("dst")),
+            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        exec(graph.Algorithms.connectedComponents(
+          wdup.select(col("doc_id").as("id")), edges))
+        exec(ext.TextAnalysis.docStats(wdup))
+        CacheRegistry.unpersistAll()
+        spark.catalog.clearCache()
+      }
       CacheRegistry.unpersistAll()
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
@@ -63,36 +86,58 @@ object Bench {
     val only = SparkEntry.onlyFilter
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // Each query runs SPARK_GRAFT_RUNS times (default 3) and reports the
-    // per-query MEDIAN plus the min-max spread: single runs of the
-    // iterative queries swung >2× run-to-run (q47 recorded 11.3s in one
-    // round vs ~4.5s instrumented), which is larger than most queries'
-    // totals — a median with a recorded spread makes cross-round
-    // comparisons trustworthy.
+    // Each query runs once UNTIMED, then SPARK_GRAFT_RUNS timed times
+    // (default 3), reporting the per-query MEDIAN of the timed runs plus
+    // their min-max spread. Single runs of the iterative queries swung >2×
+    // run-to-run (q47 recorded 11.3s in one round vs ~4.5s instrumented).
+    // The untimed run exists because run 1 was structurally slower, which
+    // the SPREAD then reported as variance: every query's first execution
+    // compiles its whole-stage-codegen classes (identical plans hit the
+    // codegen cache on later runs) and, for the write-path queries
+    // (q71/q76/q87), faults a cold scratch directory into the page cache —
+    // measured 1–2s of run-1-only cost on the dedup/bucketing families.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
-      val times = (1 to runs).flatMap { _ =>
+      val warmups = math.max(1, sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt)
+      val times = (1 to warmups + runs).flatMap { r =>
         if (errors.contains(name)) None // failed: don't re-fail N more times
         else {
-          // Between runs (untimed): drop any cache a library op persisted
-          // and GC, so one run's allocation debt doesn't bill the next —
+          // Between runs (untimed): release everything the previous run
+          // pinned, so one run's allocation debt doesn't bill the next —
           // per-query attribution was ±10× noisy without it.
-          CacheRegistry.unpersistAll()
+          //   - blocking unpersist: async eviction I/O was still in flight
+          //     when the next timed run started;
+          //   - getPersistentRDDs sweep: the Pregel loops return a
+          //     localCheckpoint'ed result whose RDD blocks stay pinned
+          //     until GC — CacheRegistry/clearCache cannot see them, and
+          //     they accumulated across runs of the q47 family;
+          //   - double gc: the first pass queues ContextCleaner weak-ref
+          //     work (broadcasts, checkpoint blocks); the second collects
+          //     what the cleaner just released.
+          CacheRegistry.unpersistAll(blocking = true)
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
           System.gc()
+          System.gc()
+          Thread.sleep(100) // let ContextCleaner drain before the clock starts
           val t0 = System.nanoTime()
           try exec(SparkEntry.queries(name)(spark, sfDir))
           catch { case e: Throwable =>
             errors(name) =
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           }
-          Some((System.nanoTime() - t0) / 1e9)
+          if (r <= warmups) None // warmup run(s): never timed
+          else Some((System.nanoTime() - t0) / 1e9)
         }
       }
+      if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMES"))
+        System.err.println(f"[bench] $name runs: ${
+          times.map(t => f"$t%.2f").mkString(" ")}")
       val sorted = times.sorted
-      val median = sorted(sorted.size / 2)
-      name -> (median, sorted.last - sorted.head)
+      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+      val spread = if (sorted.isEmpty) 0.0 else sorted.last - sorted.head
+      name -> (median, spread)
     }
 
     def jq(s: String): String =
