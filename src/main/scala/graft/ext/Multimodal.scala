@@ -107,11 +107,42 @@ object Multimodal {
     FROM m
     WHERE width >= 256 AND mime <> 'video/mp4'"""
 
+  // --- q89_frame_sample: the binary payload path, byte-for-byte -----------
+  /** [[sampleFrames]] oracled on the payload BYTES (q34 covers only the
+    * metadata side): every 4th 32-byte frame of each payload, emitted as
+    * uppercase hex so the DuckDB replay pins the slice arithmetic AND
+    * every byte of every frame. Spark slices the actual BinaryType
+    * payload; the oracle slices the VARCHAR and then encodes — legal
+    * because the corpus is pure ASCII (char == byte, the same documented
+    * assumption the native text expressions make), and a divergence would
+    * fail the hash loudly rather than silently. */
+  val q89FrameBytes = 32
+  val q89Stride = 4
+
+  def q89FrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir).select(col("doc_id"), col("payload")),
+        q89FrameBytes, q89Stride)
+      .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+
+  val q89FrameSampleSql: String = {
+    val step = q89FrameBytes * q89Stride
+    s"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    f AS (SELECT doc_id, CAST(r.i AS INT) AS frame_idx,
+                 substring(text, CAST(r.i * $step + 1 AS BIGINT),
+                           $q89FrameBytes) AS fr
+          FROM d, unnest(range(0, ((n - 1) // $step) + 1)) AS r(i))
+    SELECT doc_id, frame_idx, hex(encode(fr)) AS frame_hex
+    FROM f WHERE length(fr) = $q89FrameBytes"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_multimodal_meta" -> q34MultimodalMeta _,
+    "q89_frame_sample"    -> q89FrameSample _,
   )
 
   def oracles: Map[String, String] = Map(
     "q34_multimodal_meta" -> q34MultimodalMetaSql,
+    "q89_frame_sample"    -> q89FrameSampleSql,
   )
 }

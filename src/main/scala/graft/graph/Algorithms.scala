@@ -130,6 +130,50 @@ object Algorithms {
       .select(col("id"), col("alive").as("in_core"))
   }
 
+  /** Incremental connected components — the G7 edge-ADDITION counterpart
+    * of [[kCore]]'s deletion-only peeling: edges arrive in WAVES, wave w
+    * joining the live topology at the block boundary before superstep w
+    * (the reference's subscribe — a vertex starts hearing from NEW sources
+    * mid-computation, `/root/reference/daemons/core/module_vertex.py:98-102`).
+    *
+    * A converged region can be re-awakened by a later wave's edges, so a
+    * vertex may not vote halt while waves are still arriving — the vote is
+    * gated on `step >= lastWave`. Once every wave is live, min-label
+    * propagation reaches the same fixed point as CC over the FULL edge
+    * set, independent of the arrival schedule: that schedule-independence
+    * is exactly what the oracle (recursive-CTE closure over all edges) and
+    * the recompute property spec certify.
+    *
+    * @param allEdges directed rows carrying `waveCol` (pass both
+    *        directions for undirected CC, same wave on both)
+    * @param lastWave largest wave value; maxIter must exceed it by at
+    *        least the post-arrival propagation diameter
+    */
+  def incrementalComponents(vertices: DataFrame, allEdges: DataFrame,
+                            waveCol: String, lastWave: Int,
+                            maxIter: Int = 30): DataFrame = {
+    require(maxIter > lastWave,
+      s"maxIter=$maxIter leaves no supersteps after the last wave ($lastWave)")
+    val grow = (_: DataFrame, _: DataFrame, step: Int) =>
+      allEdges.filter(col(waveCol) <= step).select(col("src"), col("dst"))
+    Pregel.run(
+      vertices.select(col("id"), col("id").as("component")),
+      allEdges.filter(col(waveCol) <= 0).select(col("src"), col("dst")),
+      maxIter,
+      sendMsg = col("component"),
+      mergeMsg = min,
+      vprog = (df, step) => df.select(
+        col("id"),
+        least(col("component"), coalesce(col("msg"), col("component")))
+          .as("component"),
+        (lit(step >= lastWave) &&
+          coalesce(col("msg") >= col("component"), lit(true))).as("halt")),
+      // blockSize 1: the topology must refresh between EVERY pair of
+      // supersteps or a wave would arrive one step late vs the contract
+      blockSize = 1,
+      updateEdges = Some(grow))
+  }
+
   // --------------------------------------------------------------- queries
 
   /** Deterministic 25-node graph derived from `nation`: every node i has
@@ -344,11 +388,49 @@ object Algorithms {
           SELECT z FROM t)
     SELECT id, COUNT(*) AS n_tri FROM m GROUP BY id"""
 
+  // --- q88_incremental_cc: CC with edges arriving in waves (G7 addition) --
+  /** Two-level star graph over the documents ids — every doc points at its
+    * 10-block hub, every hub at its 100-block superhub (diameter ≤ 4, so
+    * labels settle within a few supersteps of the last wave) — with each
+    * undirected edge assigned wave (src+dst) mod 3. The edges of waves 1
+    * and 2 do NOT exist when the run starts; they are ADDED mid-run by the
+    * `updateEdges` hook. The oracle is a recursive-CTE closure over the
+    * FULL edge set: it passes only because the incremental run reaches the
+    * schedule-independent fixed point. */
+  def q88IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val fwd = docs.select(col("doc_id").as("src"),
+        expr("(doc_id div 10) * 10").as("dst"))
+      .unionByName(docs.filter(expr("doc_id % 10 = 0"))
+        .select(col("doc_id").as("src"), expr("(doc_id div 100) * 100").as("dst")))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("wave", pmod(col("src") + col("dst"), lit(3)).cast("int"))
+    incrementalComponents(docs.select(col("doc_id").as("id")), edges,
+        "wave", lastWave = 2, maxIter = 12)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  val q88IncrementalCcSql: String = """
+    WITH RECURSIVE fwd AS (
+      SELECT doc_id AS src, (doc_id // 10) * 10 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id // 100) * 100 FROM documents WHERE doc_id % 10 = 0),
+    ed AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.id)
+    SELECT id AS doc_id, MIN(lbl) AS component FROM reach
+    WHERE id IN (SELECT doc_id FROM documents)
+    GROUP BY id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q33_max_propagation" -> q33MaxPropagation _,
     "q60_kcore"           -> q60KCore _,
     "q82_triangles"       -> q82Triangles _,
+    "q88_incremental_cc"  -> q88IncrementalCc _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -356,5 +438,6 @@ object Algorithms {
     "q33_max_propagation" -> q33MaxPropagationSql,
     "q60_kcore"           -> q60KCoreSql,
     "q82_triangles"       -> q82TrianglesSql,
+    "q88_incremental_cc"  -> q88IncrementalCcSql,
   )
 }

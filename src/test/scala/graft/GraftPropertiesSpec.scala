@@ -264,6 +264,33 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: edge-addition CC equals full-graph recomputation") {
+    // G7 growth: waves 1 and 2 are ADDED mid-run by updateEdges; the fixed
+    // point must be schedule-independent, i.e. identical to CC over the
+    // full edge set — on any random graph, including chains (worst-case
+    // propagation diameter) and wave sets with no wave-0 edges at all
+    val gen = for {
+      n <- Gen.choose(4, 12)
+      m <- Gen.choose(n, 3 * n)
+      es <- Gen.listOfN(m, Gen.zip(
+        Gen.choose(0, n - 1), Gen.choose(0, n - 1), Gen.choose(0, 2)))
+    } yield (n, es)
+    (1L to 3L).foreach { s =>
+      val (n, es) = sample(gen, s)
+      val edges = es.flatMap { case (a, b, w) =>
+        Seq((a.toLong, b.toLong, w), (b.toLong, a.toLong, w)) }
+        .toDF("src", "dst", "wave")
+      val verts = (0L until n.toLong).toDF("id")
+      val got = Algorithms.incrementalComponents(verts, edges, "wave",
+          lastWave = 2, maxIter = n + 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Algorithms.connectedComponents(verts,
+          edges.select("src", "dst"), maxIter = n + 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $s")
+    }
+  }
+
   test("property: native rolling_fingerprint is bit-identical to the HOF fold") {
     // the native codegen expression replaced an interpreted
     // transform+aggregate pair — same tokenization, same arithmetic, on
