@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Empirical skew audit at ~10× the bench scale factor — the check that
+  * plan-shape arguments ("no value-keyed windows", "groupBy+join sizing")
+  * actually hold on data: for every stage of the most expensive queries,
+  * record max-task-time / median-task-time. A ratio ≫ 1 on a many-task
+  * stage means one straggler owns the stage — the single-hot-partition
+  * class every dedup/bucketing operator here is designed to avoid.
+  *
+  * Usage: `sbt "runMain graft.SkewAudit"` — derives a ~10× corpus by
+  * unioning sf0.1's documents with 9 id-shifted copies (50k docs) into a
+  * scratch dir, runs the audit set against it, and prints one table row
+  * per (query, stage) with tasks ≥ 4, flagging ratios > 4.
+  */
+object SkewAudit {
+
+  final class TaskStats extends SparkListener {
+    val byStage = scala.collection.concurrent.TrieMap[Int, List[Long]]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful)
+        byStage.updateWith(t.stageId) {
+          case Some(l) => Some(t.taskInfo.duration :: l)
+          case None    => Some(t.taskInfo.duration :: Nil)
+        }
+    def reset(): Unit = byStage.clear()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
+
+    // ~10× corpus: id-shifted copies, so dedup finds the same clusters per
+    // copy (shingles repeat 10×) — shared shingles across copies make the
+    // inverted-index/bucket paths STRICTLY hotter than an iid corpus would,
+    // which is the point of a skew audit
+    val scratch = Files.createTempDirectory("graft_skew").toString
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    (0 until copies).map(i => docs.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+
+    val audit: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q31_minhash_lsh", "q35_ngram_jaccard", "q41_simhash",
+        "q47_dedup_clusters", "q50_train_pipeline")
+        .map(n => n -> SparkEntry.queries(n))
+
+    println(f"${"query"}%-20s ${"stage"}%6s ${"tasks"}%6s ${"med_ms"}%8s ${"max_ms"}%8s ${"ratio"}%6s flag")
+    val flagged = scala.collection.mutable.ArrayBuffer[String]()
+    audit.foreach { case (name, q) =>
+      CacheRegistry.unpersistAll(blocking = true)
+      spark.catalog.clearCache()
+      stats.reset()
+      val t0 = System.nanoTime()
+      q(spark, scratch).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // single-digit-task stages can't exhibit task skew; everything else
+      // is the audit surface
+      val rows = stats.byStage.toSeq.sortBy(_._1)
+        .map { case (sid, ds) => (sid, ds.sorted) }
+        .filter(_._2.size >= 4)
+      rows.foreach { case (sid, ds) =>
+        val med = math.max(1L, ds(ds.size / 2))
+        val ratio = ds.last.toDouble / med
+        val flag = if (ratio > 4 && ds.last > 500) "<-- SKEW" else ""
+        if (flag.nonEmpty) flagged += s"$name stage $sid"
+        println(f"$name%-20s $sid%6d ${ds.size}%6d $med%8d ${ds.last}%8d $ratio%6.1f $flag")
+      }
+      println(f"$name%-20s total ${secs}%.1fs over ${rows.size} audited stages")
+    }
+    println(if (flagged.isEmpty) "SKEW AUDIT CLEAN: no stage ratio > 4 with max > 500ms"
+            else s"SKEW FLAGS: ${flagged.mkString(", ")}")
+    // scratch is a temp dir; leave cleanup to the OS but try politely
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(scratch)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    spark.stop()
+  }
+}
