@@ -59,7 +59,10 @@ object Profiling {
         (col("__rows") - col(s"${c}__n")).as("n_null"),
         col(s"${c}__min").cast("double").as("min"),
         col(s"${c}__max").cast("double").as("max"),
-        decRatio6(s"${c}__sum", s"${c}__n").as("mean"),
+        // backtick-quoted: decRatio6 goes through expr() string parsing,
+        // and profile columns (hence the derived aliases) need not be bare
+        // SQL identifiers
+        decRatio6(s"`${c}__sum`", s"`${c}__n`").as("mean"),
         // population stddev; greatest(0) guards the tiny negative residue
         // float cancellation can leave when variance ~ 0. An ALL-NULL
         // column gets NULL, not a fabricated 0.0 dispersion (greatest

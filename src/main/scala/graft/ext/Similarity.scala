@@ -302,7 +302,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("bkt"),
         probeMasks.as("probe"))
       .withColumn("bkt", col("bkt").bitwiseXOR(col("probe")))
-      .drop("probe", "planes")
+      .drop("probe")
     b.as("l").join(probed.as("r"),
         col("l.bkt") === col("r.bkt") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),

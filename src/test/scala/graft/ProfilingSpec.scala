@@ -27,6 +27,16 @@ class ProfilingSpec extends GraftSuite {
       "an empty column must not fabricate a mean or dispersion")
   }
 
+  test("profileNumeric: column names that are not bare SQL identifiers") {
+    // the mean goes through expr() string parsing (decRatio6) — quoting
+    // must keep names with spaces/keywords working, as Column-arithmetic
+    // versions did
+    val df = Seq(2.0, 4.0).toDF("my col")
+    val r = Profiling.profileNumeric(df, Seq("my col")).collect().head
+    assert(r.getString(0) == "my col")
+    assert(r.getDouble(5) == 3.0) // mean
+  }
+
   test("uniqueViolations and fkViolations surface the violating rows") {
     val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (9L, "orphan2"))
       .toDF("k", "v")

@@ -9,6 +9,12 @@ class SimilaritySpec extends GraftSuite {
   private def corpus = Tables.embeddings(spark, sf)
     .select(col("vec_id"), Similarity.vecAsDouble(col("embedding")).as("v"))
 
+  /** Deterministic hash-spread 64-dim vector (components centered in
+    * [-1, 1)) — the synthetic corpus builder the bucketing specs share. */
+  private def hv(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(63)),
+      j => (pmod(xxhash64(id, j), lit(1000L)).cast("double") - lit(499.5)) / 500.0)
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0)))
       .toDF("a", "b", "c")
@@ -59,9 +65,6 @@ class SimilaritySpec extends GraftSuite {
     // 30 > maxBucket=20, the duplicate pile-up the cap exists for) + one
     // planted twin pair in a healthy bucket. Clone pairs must vanish; the
     // twin pair must survive.
-    def hv(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      transform(sequence(lit(0), lit(63)),
-        j => (pmod(xxhash64(id, j), lit(1000L)).cast("double") - lit(499.5)) / 500.0)
     val background = spark.range(200).select(col("id").as("vec_id"), hv(col("id")).as("v"))
     val clones = spark.range(30).select((col("id") + 5000).as("vec_id"),
       hv(lit(1L)).as("v"))
@@ -80,9 +83,6 @@ class SimilaritySpec extends GraftSuite {
     // 9050 hash-spread vectors derive 11 planes (2^11·8 = 16384 >= 9050) —
     // the >6-plane regime larger corpora run in. Twins at cos ≈ 1-ε agree
     // on ~all sign bits, so recall must stay high even with 2048 buckets.
-    def hv(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      transform(sequence(lit(0), lit(63)),
-        j => (pmod(xxhash64(id, j), lit(1000L)).cast("double") - lit(499.5)) / 500.0)
     val big = spark.range(9000).select(col("id").as("vec_id"), hv(col("id")).as("v"))
     val twins = spark.range(50).select((col("id") + 500000).as("vec_id"),
       transform(hv(col("id")), x => x + lit(1e-3)).as("v"))
