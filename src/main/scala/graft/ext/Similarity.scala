@@ -25,9 +25,13 @@ import graft.ops.Windows
   */
 object Similarity {
 
-  /** Element-wise cast to double — float accumulation would both drift
-    * from the oracle and lose precision at dim≫64. */
-  def vecAsDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Element-wise widening to double — float accumulation would both
+    * drift from the oracle and lose precision at dim≫64. A native array
+    * cast, NOT `transform(c, _.cast("double"))`: the HOF form evaluates
+    * its lambda interpreted per element on every corpus row (the exact
+    * shape the codebase bans from hot paths), while Cast stays inside
+    * whole-stage codegen; float→double widening is exact either way. */
+  def vecAsDouble(c: Column): Column = c.cast("array<double>")
 
   /** Dot product via the native codegen'd expression — same left-to-right
     * summation order as a sequential fold (bit-identical to DuckDB's
