@@ -195,11 +195,59 @@ object Pipeline {
            CAST((end_tok - n_tok) % 2048 AS BIGINT) AS seq_offset
     FROM c"""
 
+  // --- q91_chunk_overlap: RAG-style overlapping token windows -------------
+  /** Retrieval chunking: windows of `window` tokens every `stride`
+    * tokens (stride < window ⇒ adjacent chunks overlap by window−stride,
+    * so no query phrase straddles a boundary unseen). Chunk starts are
+    * 0, stride, 2·stride, … up to the last start < n — every token lands
+    * in ≥ 1 chunk and tail chunks may run short. Pure per-document
+    * arithmetic (explode + native slice/concat — no HOF lambdas, no
+    * shuffle): the plan is a single scan however large the corpus. */
+  def chunkOverlap(docs: DataFrame, id: String, text: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs.select(col(id), graft.ops.Text.tokenize(col(text)).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+      .select(col(id), col("toks"), col("n_tok"),
+        // CAST: `div` yields LONG; keep k (hence start/count columns) INT
+        // so the oracle's INT arithmetic matches the schema exactly
+        explode(expr(s"sequence(0, CAST((n_tok - 1) div $stride AS INT))"))
+          .as("k"))
+      .select(col(id),
+        (col("k") * stride).as("start_tok"),
+        least(lit(window), col("n_tok") - col("k") * stride).as("n_chunk_tok"),
+        concat_ws(" ",
+          slice(col("toks"), col("k") * lit(stride) + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
+  def q91ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(Tables.documents(spark, dir), "doc_id", "text",
+      window = 64, stride = 32)
+
+  val q91ChunkOverlapSql: String = raw"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS ts
+      FROM documents),
+    dd AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) > 0),
+    c AS (SELECT doc_id, ts, n, CAST(r.k AS INT) AS k
+          FROM dd, unnest(range(0, ((n - 1) // 32) + 1)) AS r(k))
+    SELECT doc_id,
+           k * 32 AS start_tok,
+           CAST(LEAST(64, n - k * 32) AS INT) AS n_chunk_tok,
+           array_to_string(ts[k * 32 + 1 : k * 32 + 64], ' ') AS chunk_text
+    FROM c"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_train_pipeline" -> q50TrainPipeline _,
     "q63_full_pipeline"  -> q63FullPipeline _,
     "q64_source_cap"     -> q64SourceCap _,
     "q84_sequence_pack"  -> q84SequencePack _,
+    "q91_chunk_overlap"  -> q91ChunkOverlap _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -207,5 +255,6 @@ object Pipeline {
     "q63_full_pipeline"  -> q63FullPipelineSql,
     "q64_source_cap"     -> q64SourceCapSql,
     "q84_sequence_pack"  -> q84SequencePackSql,
+    "q91_chunk_overlap"  -> q91ChunkOverlapSql,
   )
 }

@@ -540,6 +540,50 @@ object TextAnalysis {
              AS n_removed
     FROM l GROUP BY doc"""
 
+  // --- q90_bpe_pairs: one BPE-trainer iteration's pair statistics ---------
+  /** Adjacent-symbol pair counts weighted by word frequency — the inner
+    * loop of byte-pair-encoding vocabulary training, distributed. Scale
+    * shape: the corpus collapses to (word, count) FIRST (map-side partial
+    * agg — the shuffle carries the vocabulary, not the corpus), then
+    * pairs explode from DISTINCT words only and aggregate with another
+    * map-side partial. The per-word pair explode is a `transform` HOF
+    * over the vocabulary-bounded frame, NOT a corpus hot path — the
+    * per-corpus-row discipline stays HOF-free. Top-k is a global
+    * TakeOrdered with a full (n, pair) tiebreak, so the cut is
+    * deterministic in both engines. */
+  def bpePairCounts(docs: DataFrame, text: String, k: Int): DataFrame = {
+    val words = graft.ops.Text
+      .explodeTokens(docs.select(col(text)), text, "word")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    words.filter(length(col("word")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  def q90BpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Tables.documents(spark, dir), "text", 30)
+
+  val q90BpePairsSql: String = raw"""
+    WITH w AS (
+      SELECT word, COUNT(*) AS wc
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents) t
+      WHERE word <> '' GROUP BY word),
+    p AS (
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+      FROM (SELECT wc,
+                   unnest(list_transform(range(1, length(word)),
+                     i -> substring(word, i, 1) || ' ' || substring(word, i + 1, 1)))
+                     AS pair
+            FROM w WHERE length(word) >= 2) t
+      GROUP BY pair)
+    SELECT pair, n FROM p ORDER BY n DESC, pair LIMIT 30"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
@@ -550,6 +594,7 @@ object TextAnalysis {
     "q66_pii_scrub"     -> q66PiiScrub _,
     "q72_heavy_hitters" -> q72HeavyHitters _,
     "q78_boilerplate"   -> q78Boilerplate _,
+    "q90_bpe_pairs"     -> q90BpePairs _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -562,5 +607,6 @@ object TextAnalysis {
     "q66_pii_scrub"     -> q66PiiScrubSql,
     "q72_heavy_hitters" -> q72HeavyHittersSql,
     "q78_boilerplate"   -> q78BoilerplateSql,
+    "q90_bpe_pairs"     -> q90BpePairsSql,
   )
 }

@@ -179,6 +179,13 @@ class PlanShapeSpec extends GraftSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, p.take(600))
   }
 
+  test("q89 frame sampling: zero shuffles — scan, generate, slice, filter") {
+    // per-payload byte slicing is embarrassingly parallel; any Exchange
+    // here means something re-partitioned the corpus for per-row work
+    val p = plan("q89_frame_sample")
+    assert(!p.contains("Exchange"), p.take(600))
+  }
+
   test("q83 resample: windows are entity-keyed (grid-bounded), never value-keyed") {
     // partitionBy(user_id) over a span-sized grid is bounded by
     // span/step rows per task — assert no cartesian grid blowup and no

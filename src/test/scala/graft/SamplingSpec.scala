@@ -81,6 +81,27 @@ class SamplingSpec extends GraftSuite {
     assert(out(1L) == ((1L, 100L, 0L, 0L))) // its own shard starts fresh
   }
 
+  test("chunk overlap: hand-checked starts, tail shortening, overlap") {
+    import spark.implicits._
+    // 5 tokens, window 3, stride 2 → starts 0/2/4; the last chunk is the
+    // 1-token tail; middle chunk overlaps the first by one token
+    val docs = Seq((7L, "A b c d e")).toDF("doc_id", "text")
+    val out = ext.Pipeline.chunkOverlap(docs, "doc_id", "text",
+        window = 3, stride = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sorted
+    assert(out.toSeq == Seq(
+      (0, 3, "a b c"), (2, 3, "c d e"), (4, 1, "e")))
+  }
+
+  test("bpe pair counts weight by word frequency, deterministic top-k") {
+    import spark.implicits._
+    // "ab" appears twice, "ba" once; single-char "x" contributes no pair
+    val docs = Seq((1L, "Ab x ab"), (2L, "ba")).toDF("doc_id", "text")
+    val out = ext.TextAnalysis.bpePairCounts(docs, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 2L), ("b a", 1L)))
+  }
+
   test("cluster split keeps every near-dup cluster in exactly one split") {
     val clusters = Dedup.q47DedupClusters(spark, sf)
     val out = Sampling.clusterSplit(clusters, "cluster")
