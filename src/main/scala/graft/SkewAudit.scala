@@ -57,9 +57,26 @@ object SkewAudit {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
 
+    // ~10× embeddings: id-shifted copies with a small per-copy element
+    // jitter (direction moves slightly, so copies are near- but not
+    // exact-duplicates — they crowd the sign-LSH buckets, which is the
+    // stress the derived plane count + maxBucket cap must absorb)
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until copies).map(i => emb.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        expr(s"transform(embedding, x -> CAST(x + ${i * 0.001} AS FLOAT))")
+          .as("embedding"),
+        col("label")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+
     val audit: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q31_minhash_lsh", "q35_ngram_jaccard", "q41_simhash",
-        "q47_dedup_clusters", "q50_train_pipeline")
+        "q47_dedup_clusters", "q50_train_pipeline",
+        // the ANN path: plane count derives from the 10× corpus (12
+        // planes at 20k vs 10 at 2k), cap in-plan — the round-6 scaling
+        // claim under empirical load
+        "q42_ann_topk", "q48_embed_neardup")
         .map(n => n -> SparkEntry.queries(n))
 
     println(f"${"query"}%-20s ${"stage"}%6s ${"tasks"}%6s ${"med_ms"}%8s ${"max_ms"}%8s ${"ratio"}%6s flag")
