@@ -49,6 +49,14 @@ object Bench {
       val we = spark.range(3).select(col("id").as("src"),
         pmod(col("id") + 1, lit(3)).as("dst"))
       exec(graph.Algorithms.maxValuePropagation(wv, we, maxIter = 4).vertices)
+      // a 30-vertex RING runs ~30 supersteps (10 blocks) — the long-loop
+      // cadence q32/q33/q60 actually execute, which the 4-superstep pass
+      // above never reaches; without it their first timed runs still
+      // carried block-loop JIT drift
+      val rv = spark.range(30).select(col("id"), col("id").as("value"))
+      val re = spark.range(30).select(col("id").as("src"),
+        pmod(col("id") + 1, lit(30)).as("dst"))
+      exec(graph.Algorithms.maxValuePropagation(rv, re, maxIter = 30).vertices)
       val wd = spark.range(20).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 30).map(j =>
           pmod(col("id") * (j + 7), lit(50)).cast("string")): _*).as("text"))
