@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import java.nio.file.{Files, Paths}
 
 /** Per-round benchmark: runs every registered query against
@@ -20,17 +20,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // let AQE re-coalesce shuffles feeding cached plans (off by default);
-      // iterative ops persist per step and would pin full-width shuffles
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(cpus)
 
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -74,11 +64,8 @@ object Bench {
           pmod(col("id").divide(lit(3)).cast("long") * (j + 7),
             lit(40)).cast("string")): _*).as("text"))
       for (_ <- 1 to 3) {
-        val pairs = ext.Dedup.ngramJaccardPairs(wdup, "doc_id", "text")
-        val edges = pairs.select(explode(array(
-            struct(col("id_a").as("src"), col("id_b").as("dst")),
-            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val edges = ext.Dedup.undirectedEdges(
+          ext.Dedup.ngramJaccardPairs(wdup, "doc_id", "text"))
         exec(graph.Algorithms.connectedComponents(
           wdup.select(col("doc_id").as("id")), edges))
         exec(ext.TextAnalysis.docStats(wdup))
@@ -105,9 +92,9 @@ object Bench {
     // (q71/q76/q87), faults a cold scratch directory into the page cache —
     // measured 1–2s of run-1-only cost on the dedup/bucketing families.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val warmups = math.max(1, sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
-      val warmups = math.max(1, sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt)
       val times = (1 to warmups + runs).flatMap { r =>
         if (errors.contains(name)) None // failed: don't re-fail N more times
         else {

@@ -23,10 +23,8 @@ object SkewAudit {
     val byStage = scala.collection.concurrent.TrieMap[Int, List[Long]]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       if (t.taskInfo != null && t.taskInfo.successful)
-        byStage.updateWith(t.stageId) {
-          case Some(l) => Some(t.taskInfo.duration :: l)
-          case None    => Some(t.taskInfo.duration :: Nil)
-        }
+        byStage.updateWith(t.stageId)(l =>
+          Some(t.taskInfo.duration :: l.getOrElse(Nil)))
     def reset(): Unit = byStage.clear()
   }
 
@@ -34,14 +32,7 @@ object SkewAudit {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(cpus)
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
 

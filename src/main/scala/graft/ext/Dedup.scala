@@ -514,6 +514,18 @@ object Dedup {
   def q41SimHash(spark: SparkSession, dir: String): DataFrame =
     nearDupSimHash(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** (id_a, id_b) pairs → both-direction (src, dst) edge rows from ONE
+    * pass over the pair frame: a union of two selects would plant the
+    * whole upstream pipeline twice in the plan and compute it twice when
+    * Pregel materializes the edge cache. Shared by q47 and Bench's
+    * substrate warmup, so the warmed plan shape cannot drift from the
+    * real one. */
+  private[graft] def undirectedEdges(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   // --- q47_dedup_clusters: pairs → canonical clusters ---------------------
   /** The step that finishes a dedup pipeline: the exact near-dup PAIRS
     * become canonical CLUSTERS via connected components (min-label
@@ -525,14 +537,7 @@ object Dedup {
     * fixed point. */
   def q47DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = ngramJaccardPairs(docs, "doc_id", "text")
-    // both directions from ONE pass over the pairs: a union of two selects
-    // would plant the whole jaccard pipeline twice in the plan and compute
-    // it twice when Pregel materializes the edge cache
-    val edges = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = undirectedEdges(ngramJaccardPairs(docs, "doc_id", "text"))
     graft.graph.Algorithms
       .connectedComponents(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("component").as("cluster"))
