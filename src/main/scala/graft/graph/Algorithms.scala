@@ -388,6 +388,31 @@ object Algorithms {
           SELECT z FROM t)
     SELECT id, COUNT(*) AS n_tri FROM m GROUP BY id"""
 
+  /** Single-source shortest paths over WEIGHTED edges — the program that
+    * exercises the triplet's EDGE-ATTRIBUTE surface: each message is
+    * dist + w with `w` read from the edge row, the one G2 capability no
+    * other registered program touches (pageRank/CC/k-core messages carry
+    * vertex state only). Bellman-Ford on BSP: unreached vertices hold
+    * null, a vertex relaxes to the min incoming dist + w (`least`/`min`
+    * skip nulls identically in both engines), votes halt when nothing
+    * improved. Integer weights → bit-exact in any engine. */
+  def shortestPaths(vertices: DataFrame, edges: DataFrame,
+                    sourceId: Long, maxIter: Int = 50): DataFrame =
+    Pregel.run(
+      vertices.select(col("id"),
+        when(col("id") === sourceId, lit(0L))
+          .otherwise(lit(null).cast("long")).as("dist")),
+      edges, maxIter,
+      sendMsg = when(col("dist").isNotNull, col("dist") + col("w")),
+      mergeMsg = min,
+      vprog = (df, _) => df.select(
+        col("id"),
+        least(col("dist"), col("msg")).as("dist"),
+        // halt unless this round strictly improved the distance
+        (least(col("dist"), col("msg")) <=> col("dist")).as("halt")),
+      // min-relaxation is monotone: the converged state is a fixed point
+      blockSize = 3)
+
   // --- q88_incremental_cc: CC with edges arriving in waves (G7 addition) --
   /** Two-level star graph over the documents ids — every doc points at its
     * 10-block hub, every hub at its 100-block superhub (diameter ≤ 4, so
@@ -425,12 +450,56 @@ object Algorithms {
     WHERE id IN (SELECT doc_id FROM documents)
     GROUP BY id"""
 
+  // --- q92_sssp: weighted shortest paths from nation 0 --------------------
+  /** The q32 graph (ring + 3i+7 jumps) with deterministic integer weights
+    * w = (7·src + 3·dst) mod 10 + 1; distances from node 0. The oracle
+    * unrolls 25 Bellman-Ford relaxation rounds as generated CTEs (≥ the
+    * longest shortest path on a 25-node graph), so the engines cannot
+    * disagree on the round count — q32/q60/q73's shared-constant pattern. */
+  private def weightedNationEdges(spark: SparkSession, dir: String): DataFrame =
+    nationEdges(spark, dir)
+      .withColumn("w", pmod(col("src") * 7 + col("dst") * 3, lit(10)) + 1)
+
+  def q92Sssp(spark: SparkSession, dir: String): DataFrame =
+    shortestPaths(
+      Tables.nation(spark, dir).select(col("n_nationkey").as("id")),
+      weightedNationEdges(spark, dir), sourceId = 0L, maxIter = 30)
+
+  val q92SsspSql: String = {
+    // Every round reads d(k-1) TWICE (current dist + incoming relaxations):
+    // MATERIALIZED is load-bearing — DuckDB inlines plain CTEs, which
+    // makes a twice-referenced 25-deep chain expand exponentially (the
+    // un-hinted form exhausted file handles before planning finished).
+    val prelude = """
+      WITH e0 AS (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * 3 + 7) % 25 FROM nation),
+      e AS MATERIALIZED (
+        SELECT src, dst, (src * 7 + dst * 3) % 10 + 1 AS w FROM e0),
+      d0 AS (SELECT n_nationkey AS id,
+                    CASE WHEN n_nationkey = 0 THEN CAST(0 AS BIGINT) END AS dist
+             FROM nation)"""
+    val steps = (1 to 25).map { k =>
+      s""", d$k AS MATERIALIZED (
+        SELECT n.n_nationkey AS id,
+               LEAST(p.dist, MIN(q.dist + e.w)) AS dist
+        FROM nation n
+        JOIN d${k - 1} p ON p.id = n.n_nationkey
+        LEFT JOIN e ON e.dst = n.n_nationkey
+        LEFT JOIN d${k - 1} q ON q.id = e.src
+        GROUP BY n.n_nationkey, p.dist)"""
+    }.mkString
+    s"$prelude$steps\nSELECT id, dist FROM d25"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q33_max_propagation" -> q33MaxPropagation _,
     "q60_kcore"           -> q60KCore _,
     "q82_triangles"       -> q82Triangles _,
     "q88_incremental_cc"  -> q88IncrementalCc _,
+    "q92_sssp"            -> q92Sssp _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -439,5 +508,6 @@ object Algorithms {
     "q60_kcore"           -> q60KCoreSql,
     "q82_triangles"       -> q82TrianglesSql,
     "q88_incremental_cc"  -> q88IncrementalCcSql,
+    "q92_sssp"            -> q92SsspSql,
   )
 }

@@ -264,6 +264,35 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: weighted SSSP equals driver-side Bellman-Ford") {
+    // the one program whose messages read an EDGE attribute (dist + w) —
+    // checked against an independent O(V·E) relaxation, including
+    // unreachable vertices (null dist) and parallel edges
+    val gen = for {
+      n <- Gen.choose(4, 12)
+      m <- Gen.choose(n, 3 * n)
+      es <- Gen.listOfN(m, Gen.zip(
+        Gen.choose(0, n - 1), Gen.choose(0, n - 1), Gen.choose(1, 9)))
+    } yield (n, es)
+    (1L to 3L).foreach { s =>
+      val (n, es) = sample(gen, s)
+      val edges = es.map { case (a, b, w) => (a.toLong, b.toLong, w.toLong) }
+        .toDF("src", "dst", "w")
+      val verts = (0L until n.toLong).toDF("id")
+      val got = Algorithms.shortestPaths(verts, edges, sourceId = 0L,
+          maxIter = n + 3)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val dist = Array.fill[Option[Long]](n)(None)
+      dist(0) = Some(0L)
+      for (_ <- 1 until n; (a, b, w) <- es)
+        dist(a).foreach(da =>
+          if (dist(b).forall(_ > da + w)) dist(b) = Some(da + w))
+      assert(got == dist.zipWithIndex.map { case (d, i) => i.toLong -> d }.toMap,
+        s"seed $s")
+    }
+  }
+
   test("property: edge-addition CC equals full-graph recomputation") {
     // G7 growth: waves 1 and 2 are ADDED mid-run by updateEdges; the fixed
     // point must be schedule-independent, i.e. identical to CC over the
