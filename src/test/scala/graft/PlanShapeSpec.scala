@@ -179,6 +179,17 @@ class PlanShapeSpec extends GraftSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, p.take(600))
   }
 
+  test("q90 bpe pairs: two hash shuffles (vocab-sized), top-k never sorts globally") {
+    // shuffle 1 groups tokens into (word, count); shuffle 2 aggregates
+    // pairs — both carry the VOCABULARY, not the corpus. The top-30 cut
+    // must stay TakeOrdered (per-partition heads + driver merge), never an
+    // Exchange rangepartitioning full sort.
+    val p = plan("q90_bpe_pairs")
+    assert(count(p, "Exchange hashpartitioning") == 2, p.take(600))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(600))
+    assert(p.contains("TakeOrdered"), p.take(600))
+  }
+
   test("q89 frame sampling: zero shuffles — scan, generate, slice, filter") {
     // per-payload byte slicing is embarrassingly parallel; any Exchange
     // here means something re-partitioned the corpus for per-row work
