@@ -648,6 +648,72 @@ object Dedup {
   val q70IncrementalDedupSql: String =
     s"$ngramJaccardOracleSql AND (p.id_a % 5 = 1 OR p.id_b % 5 = 1)"
 
+  // --- q93_substr_dup: ExactSubstr-style verbatim-window detection --------
+  /** Cross-document VERBATIM text reuse (the ExactSubstr method of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-shaped for dataflow): k-char windows sampled every
+    * `stride` chars; a window whose exact text occurs in MORE THAN ONE
+    * document marks boilerplate/licensing/verbatim reuse that the
+    * token-set detectors (q31/35/41) blur away. Output is per-document:
+    * total sampled windows, how many are shared with another document,
+    * and the integer-exact ratio.
+    *
+    * Stride is the cost/recall knob: stride=1 is the exhaustive
+    * suffix-array equivalent (one row per character); stride>1 samples
+    * 1/stride of the positions and detects reuse whose occurrences align
+    * mod stride (whole-document and front-aligned boilerplate reuse — the
+    * dominant real-world cases) plus any pair sharing a sampled phase.
+    * Scale shape: the window frame is corpus-chars/stride rows (explode +
+    * plain codegen'd substring — no HOF lambdas); both aggregates are
+    * map-side partials keyed by window text / doc id, and the dup-window
+    * set joins back with a semi join, never a value-keyed window. */
+  def substrDupSignals(docs: DataFrame, id: String, text: String,
+                       k: Int, stride: Int): DataFrame = {
+    require(k > 0 && stride > 0, "k/stride must be positive")
+    // persisted: feeds the window-multiplicity aggregate AND the per-doc
+    // totals/semi-join, and its lineage holds the whole explode
+    val wins = graft.CacheRegistry.persist(
+      docs.filter(length(col(text)) >= k)
+        .select(col(id),
+          explode(sequence(lit(0),
+            expr(s"CAST((length($text) - $k) div $stride AS INT)"))).as("i"),
+          col(text))
+        .select(col(id), expr(s"substring($text, i * $stride + 1, $k)").as("win")))
+    val dupWins = wins.groupBy("win")
+      .agg(count_distinct(col(id)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("win")
+    val totals = wins.groupBy(id).agg(count(lit(1)).as("n_windows"))
+    val dups = wins.join(dupWins, Seq("win"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("n_dup"))
+    totals.join(dups, Seq(id), "left_outer")
+      .select(col(id), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        graft.ops.Relational.ratio6("coalesce(n_dup, 0)", "n_windows")
+          .as("dup_ratio"))
+  }
+
+  def q93SubstrDup(spark: SparkSession, dir: String): DataFrame =
+    substrDupSignals(Tables.documents(spark, dir), "doc_id", "text",
+      k = 64, stride = 16)
+
+  val q93SubstrDupSql: String = s"""
+    WITH w AS (
+      SELECT doc_id, substring(text, p.i * 16 + 1, 64) AS win
+      FROM documents, unnest(range(0, ((length(text) - 64) // 16) + 1)) AS p(i)
+      WHERE length(text) >= 64),
+    dw AS (SELECT win FROM (
+             SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win) t
+           WHERE nd > 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
+    du AS (SELECT w.doc_id, COUNT(*) AS n_dup
+           FROM w JOIN dw USING (win) GROUP BY w.doc_id)
+    SELECT tot.doc_id, tot.n_windows,
+           COALESCE(du.n_dup, CAST(0 AS BIGINT)) AS n_dup_windows,
+           ${graft.ops.Relational.ratio6Sql(
+             "COALESCE(du.n_dup, 0)", "tot.n_windows")} AS dup_ratio
+    FROM tot LEFT JOIN du ON du.doc_id = tot.doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup"   -> q27ExactDedup _,
     "q31_minhash_lsh"   -> q31MinHashLsh _,
@@ -657,6 +723,7 @@ object Dedup {
     "q62_decontaminate" -> q62Decontaminate _,
     "q69_bloom_decontaminate" -> q69BloomDecontaminate _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
+    "q93_substr_dup"    -> q93SubstrDup _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -668,5 +735,6 @@ object Dedup {
     "q62_decontaminate" -> q62DecontaminateSql,
     "q69_bloom_decontaminate" -> q69BloomDecontaminateSql,
     "q70_incremental_dedup" -> q70IncrementalDedupSql,
+    "q93_substr_dup"    -> q93SubstrDupSql,
   )
 }

@@ -6,6 +6,26 @@ import graft.ext.Dedup
 class DedupSpec extends GraftSuite {
   import spark.implicits._
 
+  test("substrDupSignals flags aligned verbatim reuse, not unique text") {
+    // docs 1 and 2 share an 80-char front-aligned span (the dominant
+    // real-world reuse shape); doc 3 is unique; doc 4 is too short to
+    // sample and must not appear at all
+    val shared = (0 until 80).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val uniq = (0 until 100).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val docs = Seq(
+      (1L, shared + " tail one appended here to differ"),
+      (2L, shared + " a completely different tail text"),
+      (3L, uniq),
+      (4L, "short")).toDF("doc_id", "text")
+    val out = Dedup.substrDupSignals(docs, "doc_id", "text", k = 64, stride = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(4L), "sub-window doc sampled anyway")
+    assert(out(3L)._2 == 0L, s"unique doc flagged: ${out(3L)}")
+    // the shared 80-char span samples windows at offsets 0 and 16 in BOTH
+    // docs — at least those two per doc must be flagged
+    assert(out(1L)._2 >= 2L && out(2L)._2 >= 2L, out.toString)
+  }
+
   test("exactDedup keeps exactly the min-tiebreak row per key") {
     val df = Seq(
       (3L, "a", "x"), (1L, "a", "y"), (2L, "b", "z"), (5L, "a", "w"))
