@@ -41,23 +41,42 @@ object Multimodal {
         .as("meta"))
 
   /** Batched decode + feature extraction — the `mapInPandas` shape in
-    * Scala: partitions stream through in `batchSize` groups so a real
-    * decoder could amortize model/codec setup per batch, and memory stays
-    * bounded by batch × payload size, not partition size. Byte statistics
-    * are computed for real; pixel decode is the stub. */
+    * Scala: partitions stream through in `batchSize` groups so a decoder
+    * amortizes setup per batch, and memory stays bounded by batch ×
+    * payload size, not partition size.
+    *
+    * The decode path is REAL for the formats the JDK ships codecs for
+    * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external libraries): a
+    * payload ImageIO recognizes reports its ACTUAL pixel dimensions
+    * (`decoder = "imageio"`), overriding whatever the metadata claimed —
+    * exactly the ingest-validation use. Payloads no JDK codec recognizes
+    * (video, audio, or this corpus's synthetic text bytes) fall back to
+    * metadata passthrough with byte-level statistics only
+    * (`decoder = "stub-v1"`) — the honest path for formats that would
+    * need external codecs. */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // in-memory byte streams: without this ImageIO spills a temp cache
+      // file to disk PER DECODE — a silent IOPS tax at corpus scale
+      javax.imageio.ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
-        // STUB: a real implementation decodes batch payloads here
-        // (e.g. JPEG → pixels) — codecs are unavailable in this
-        // environment, so dimensions pass through from metadata and only
-        // byte-level features are computed genuinely.
         batch.iterator.map { m =>
           val sum = m.payload.foldLeft(0L)((a, b) => a + (b & 0xFF))
-          MediaFeatures(m.doc_id, m.payload.length, sum,
-            if (m.payload.length == 0) 0.0 else sum.toDouble / m.payload.length,
-            m.width, m.height, "stub-v1")
+          val mean =
+            if (m.payload.length == 0) 0.0 else sum.toDouble / m.payload.length
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload)))
+            catch { case _: Throwable => None } // truncated/corrupt payloads
+          decoded match {
+            case Some(img) =>
+              MediaFeatures(m.doc_id, m.payload.length, sum, mean,
+                img.getWidth, img.getHeight, "imageio")
+            case None =>
+              MediaFeatures(m.doc_id, m.payload.length, sum, mean,
+                m.width, m.height, "stub-v1")
+          }
         }
       }
     }

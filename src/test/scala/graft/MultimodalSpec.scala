@@ -33,6 +33,35 @@ class MultimodalSpec extends GraftSuite {
     assert(feats.size == media.count())
   }
 
+  test("real PNG payloads decode to ACTUAL pixel dimensions via the JDK codec") {
+    // build genuine PNG bytes (BufferedImage → ImageIO.write — the codec
+    // ships with the JDK, no external libraries): the decode path must
+    // report the image's real dimensions, overriding lying metadata, and
+    // leave undecodable payloads on the metadata-passthrough stub
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, png(5, 3), "image/png", 999, 999),   // metadata lies
+      MediaRow(2L, png(16, 16), "image/png", 16, 16),
+      MediaRow(3L, "not an image".getBytes("UTF-8"), "video/mp4", 64, 48))
+    val feats = Multimodal.extractFeatures(rows.toDS(), batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).decoder == "imageio")
+    assert(feats(1L).width == 5 && feats(1L).height == 3, feats(1L).toString)
+    assert(feats(2L).decoder == "imageio" && feats(2L).width == 16)
+    assert(feats(3L).decoder == "stub-v1")
+    assert(feats(3L).width == 64 && feats(3L).height == 48) // passthrough
+    // byte statistics stay real on BOTH paths
+    assert(feats(1L).n_bytes == png(5, 3).length)
+  }
+
   test("frame sampling slices payloads into fixed-size frames") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
     val f = frames.filter(col("doc_id") === 0).collect()
