@@ -584,6 +584,128 @@ object TextAnalysis {
       GROUP BY pair)
     SELECT pair, n FROM p ORDER BY n DESC, pair LIMIT 30"""
 
+  // --- q95_cooccur: windowed co-occurrence with exact lift ----------------
+  /** Skip-gram-style co-occurrence counts within a ±`win` token window —
+    * the statistics under word2vec/GloVe/PMI features — with an EXACT
+    * association score: `lift = n_ab·T / (n_a·n_b)` computed with the
+    * integer half-up arithmetic of [[graft.ops.Relational.ratio6]], never
+    * a float log. Ordered pairs (a before b), so the pair key needs no
+    * canonicalization.
+    *
+    * Scale shape: tokenize ONCE into (doc_id, pos, word) and persist; the
+    * window join is a single EQUI-join — the left side explodes each token
+    * to its `win` forward positions (`sequence(pos+1, pos+win)`), so the
+    * match is on (doc_id, pos) equality, never a per-doc range join that
+    * would fall to a nested-loop at scale. Shuffle volume is win·|tokens|,
+    * linear in the corpus. Unigram counts reuse the same persisted tokens;
+    * the top-k cut is a global TakeOrdered with a full (n, a, b) tiebreak.
+    * BIGINT headroom: the lift numerator is `2·n_ab·T·10⁶` — exact while
+    * n_ab·T < 4.6e12, i.e. corpora to ~10⁸ tokens with millions-scale hot
+    * pairs; beyond that, scale lift to a DECIMAL numerator (decRatio6). */
+  def cooccurrence(docs: DataFrame, text: String, win: Int,
+                   k: Int): DataFrame = {
+    val toks = graft.CacheRegistry.persist(
+      docs.select(col("doc_id"),
+          posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= ""))
+    // one count() action on the persisted tokens — the same cheap driver
+    // scalar pageRank takes for N; it also warms the token cache the three
+    // downstream subtrees reuse
+    val total = toks.count()
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n1"))
+    val pairs = toks
+      .select(col("doc_id"), col("w").as("a"),
+        explode(expr(s"sequence(pos + 1, pos + $win)")).as("pos"))
+      .join(toks.select(col("doc_id"), col("pos"), col("w").as("b")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(uni.select(col("w").as("a"), col("n1").as("na")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("n1").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("n"),
+        graft.ops.Relational.ratio6(s"n * ${total}L", "na * nb").as("lift6"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  // --- q97_inverted_index: delta-encoded posting lists --------------------
+  /** Search-index construction: every term maps to its document frequency
+    * and a delta-encoded sorted posting list (first entry is the first
+    * doc_id, each later entry the gap to its predecessor) — gap encoding
+    * is what makes postings compressible, and the integer arithmetic is
+    * engine-exact. Emitted as a comma-joined string so the hash compare
+    * never depends on either engine's array representation.
+    *
+    * Scale shape: `(word, doc_id)` distinct is one shuffle with map-side
+    * partial; the posting build is one more groupBy(word). The per-term
+    * `collect_list` is bounded by document frequency — the inherent
+    * posting-list shape (a real index shards its hottest terms; `minDf`
+    * here trims the hapax tail instead, the cheap 80% of vocabulary). The
+    * delta `transform` is a vocabulary-row HOF, not a corpus hot path —
+    * the q90 discipline. */
+  def invertedIndex(docs: DataFrame, text: String, minDf: Long): DataFrame =
+    graft.ops.Text.explodeTokens(docs.select(col("doc_id"), col(text)),
+        text, "word")
+      .select(col("word"), col("doc_id")).distinct()
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(col("df") >= minDf)
+      .select(col("word"), col("df"),
+        expr("""array_join(transform(sequence(1, size(ds)),
+                  i -> cast(element_at(ds, i) -
+                            if(i = 1, 0L, element_at(ds, i - 1)) as string)),
+                ',')""").as("postings"))
+
+  def q97InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.documents(spark, dir), "text", minDf = 2L)
+
+  val q97InvertedIndexSql: String = raw"""
+    WITH p AS (
+      SELECT DISTINCT word, doc_id
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents) t
+      WHERE word <> ''),
+    g AS (
+      SELECT word, COUNT(*) AS df, list_sort(list(doc_id)) AS ds
+      FROM p GROUP BY word HAVING COUNT(*) >= 2)
+    SELECT word, df,
+           array_to_string(list_transform(range(1, len(ds) + 1),
+             i -> CAST(ds[i] - COALESCE(ds[i - 1], 0) AS VARCHAR)), ',')
+             AS postings
+    FROM g"""
+
+  def q95Cooccur(spark: SparkSession, dir: String): DataFrame =
+    cooccurrence(Tables.documents(spark, dir), "text", win = 2, k = 40)
+
+  val q95CooccurSql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents),
+    -- DuckDB's range() table function rejects lateral column arguments, so
+    -- positions come from unnesting a struct list built by the SCALAR range
+    tok AS MATERIALIZED (
+      SELECT doc_id, u['pos'] AS pos, u['w'] AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> struct_pack(pos := i - 1, w := ws[i]))) AS u
+        FROM t) s
+      WHERE u['w'] <> ''),
+    tot AS (SELECT COUNT(*) AS tn FROM tok),
+    uni AS (SELECT w, COUNT(*) AS n1 FROM tok GROUP BY w),
+    pr AS (
+      SELECT a.w AS a, b.w AS b, COUNT(*) AS n
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+      GROUP BY a.w, b.w)
+    SELECT pr.a, pr.b, pr.n,
+           ${graft.ops.Relational.ratio6Sql(
+      "pr.n * (SELECT tn FROM tot)", "ua.n1 * ub.n1")} AS lift6
+    FROM pr
+    JOIN uni ua ON ua.w = pr.a
+    JOIN uni ub ON ub.w = pr.b
+    ORDER BY pr.n DESC, pr.a, pr.b LIMIT 40"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
@@ -595,6 +717,8 @@ object TextAnalysis {
     "q72_heavy_hitters" -> q72HeavyHitters _,
     "q78_boilerplate"   -> q78Boilerplate _,
     "q90_bpe_pairs"     -> q90BpePairs _,
+    "q95_cooccur"       -> q95Cooccur _,
+    "q97_inverted_index" -> q97InvertedIndex _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -608,5 +732,7 @@ object TextAnalysis {
     "q72_heavy_hitters" -> q72HeavyHittersSql,
     "q78_boilerplate"   -> q78BoilerplateSql,
     "q90_bpe_pairs"     -> q90BpePairsSql,
+    "q95_cooccur"       -> q95CooccurSql,
+    "q97_inverted_index" -> q97InvertedIndexSql,
   )
 }

@@ -127,13 +127,71 @@ object Versioning {
                 ELSE 'changed' END AS status
     FROM documents p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id"""
 
+  // --- q96_scd2: type-2 slowly-changing dimension from an event log -------
+  /** SCD2 history build: collapse an append-only event log into per-key
+    * validity intervals — one row per (key, attribute-run) with
+    * `valid_from/valid_to` microsecond bounds, a version counter, and an
+    * `is_current` flag on the open interval. Consecutive rows with an
+    * unchanged attribute merge into one interval (the lag-filter), so the
+    * output is the minimal history a warehouse dimension table would
+    * store.
+    *
+    * Scale shape: both window passes partition by the dimension KEY —
+    * entity-bounded (a user's event history), never a value-keyed window —
+    * and share one partitioning+ordering, so Spark plans a single
+    * exchange+sort. Timestamps cross the engine boundary as epoch
+    * microseconds (`unix_micros` ↔ `epoch_us`), the q45 discipline; ties
+    * at equal timestamps break on the unique event id. */
+  def scd2(events: DataFrame, key: String, attr: String, ts: String,
+           tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one sort key for both passes: epoch micros is monotone in the
+    // timestamp, so converting FIRST lets the change-detection and the
+    // interval windows share a single exchange+sort
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("valid_from_us"), col(tieBreak))
+    events
+      .select(col(key), col(attr), col(tieBreak),
+        unix_micros(col(ts)).as("valid_from_us"))
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .drop(tieBreak, "_prev")
+  }
+
+  def q96Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(spark, dir), "user_id", "event_type", "ts", "event_id")
+
+  val q96Scd2Sql: String = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events),
+    d AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      FROM e),
+    c AS (SELECT user_id, event_id, event_type, ts_us FROM d
+          WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER w AS valid_to_us,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(ts_us) OVER w IS NULL AS is_current
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_upsert"        -> q79Upsert _,
     "q80_snapshot_diff" -> q80SnapshotDiff _,
+    "q96_scd2"          -> q96Scd2 _,
   )
 
   def oracles: Map[String, String] = Map(
     "q79_upsert"        -> q79UpsertSql,
     "q80_snapshot_diff" -> q80SnapshotDiffSql,
+    "q96_scd2"          -> q96Scd2Sql,
   )
 }

@@ -493,6 +493,101 @@ object Algorithms {
     s"$prelude$steps\nSELECT id, dist FROM d25"
   }
 
+  // --- q94_label_prop: synchronous label propagation communities ----------
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007), made deterministic: each round every vertex tallies its OWN
+    * label plus all incoming neighbor labels and adopts the most frequent,
+    * ties broken by the smallest label — no randomness, no order
+    * dependence, so a fixed round count replays identically in any engine.
+    * Scale shape per round: one graph-sized equi-join (labels onto edge
+    * sources), one map-side-partial `groupBy(id, lbl).count`, and a
+    * per-vertex window whose partition is bounded by degree+1 — never a
+    * value-keyed window. Each round's labels persist to cut lineage, the
+    * same discipline as [[Pregel]]'s loop.
+    *
+    * @param edges directed rows; pass both directions for undirected LPA
+    */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = vertices.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val incoming = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("lbl"))
+      val tally = labels.unionAll(incoming)
+        .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
+      val perVertex = Window.partitionBy("id")
+      labels = graft.CacheRegistry.persist(
+        tally.withColumn("m", max(col("c")).over(perVertex))
+          .filter(col("c") === col("m"))
+          .groupBy("id").agg(min(col("lbl")).as("lbl")))
+    }
+    labels
+  }
+
+  val lpaIters = 6
+
+  /** Five 5-cliques over the nation keys (blocks `div 5`) bridged by one
+    * weak edge per block (5b+4 — 5b+5 mod 25): the clique majority (4
+    * votes) must out-vote the single bridge label each round, so LPA
+    * recovers the blocks — and a tally bug that weighted the bridge wrong
+    * would flip the hash. Block membership is an equi-join on the block
+    * key, not a cross join. */
+  private def communityEdges(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val key = col("n_nationkey")
+    val blk = nat.select(expr("n_nationkey div 5").as("blk"), key.as("a"))
+    val clique = blk.join(blk.withColumnRenamed("a", "b"), Seq("blk"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val bridge = nat.filter(pmod(key, lit(5)) === 4)
+      .select(key.as("src"), pmod(key + 1, lit(25)).as("dst"))
+    clique
+      .unionAll(bridge)
+      .unionAll(bridge.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def q94LabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(
+      Tables.nation(spark, dir).select(col("n_nationkey").as("id")),
+      communityEdges(spark, dir), lpaIters)
+      .select(col("id"), col("lbl").as("community"))
+
+  /** Oracle: the identical tally unrolled as generated CTEs (q32's
+    * pattern — one place owns the round count). Each round references the
+    * previous labels twice (own vote + neighbor votes), so every l$k is
+    * MATERIALIZED — DuckDB's default CTE inlining would expand the chain
+    * exponentially (the q60/q92 lesson). */
+  val q94LabelPropSql: String = {
+    val prelude = """
+      WITH e AS MATERIALIZED (
+        SELECT i.n_nationkey AS src, j.n_nationkey AS dst
+        FROM nation i JOIN nation j
+          ON i.n_nationkey // 5 = j.n_nationkey // 5
+         AND i.n_nationkey <> j.n_nationkey
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey + 1) % 25 FROM nation
+        WHERE n_nationkey % 5 = 4
+        UNION ALL
+        SELECT (n_nationkey + 1) % 25, n_nationkey FROM nation
+        WHERE n_nationkey % 5 = 4),
+      l0 AS MATERIALIZED (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation)"""
+    val steps = (1 to lpaIters).map { k =>
+      s""", c$k AS (
+        SELECT id, lbl, COUNT(*) AS c FROM (
+          SELECT id, lbl FROM l${k - 1}
+          UNION ALL
+          SELECT e.dst, l.lbl FROM e JOIN l${k - 1} l ON l.id = e.src) v
+        GROUP BY id, lbl),
+      l$k AS MATERIALIZED (
+        SELECT id, MIN(lbl) AS lbl FROM (
+          SELECT id, lbl, c, MAX(c) OVER (PARTITION BY id) AS m FROM c$k) t
+        WHERE c = m GROUP BY id)"""
+    }.mkString
+    s"$prelude$steps\nSELECT id, lbl AS community FROM l$lpaIters"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q33_max_propagation" -> q33MaxPropagation _,
@@ -500,6 +595,7 @@ object Algorithms {
     "q82_triangles"       -> q82Triangles _,
     "q88_incremental_cc"  -> q88IncrementalCc _,
     "q92_sssp"            -> q92Sssp _,
+    "q94_label_prop"      -> q94LabelProp _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -509,5 +605,6 @@ object Algorithms {
     "q82_triangles"       -> q82TrianglesSql,
     "q88_incremental_cc"  -> q88IncrementalCcSql,
     "q92_sssp"            -> q92SsspSql,
+    "q94_label_prop"      -> q94LabelPropSql,
   )
 }

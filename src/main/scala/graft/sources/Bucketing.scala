@@ -192,11 +192,47 @@ object Bucketing {
            ${graft.ops.Relational.dsumSql("value")} AS sum_value
     FROM z GROUP BY 1"""
 
+  // --- q98_zonemap: min/max pruning manifest ------------------------------
+  /** Zone-map manifest: per-zone (a fixed key range — the logical stand-in
+    * for one file or row group) min/max/count statistics over a measure,
+    * plus the pruning DECISION a scan planner would take for a given range
+    * predicate: `scan_needed = max ≥ lo AND min ≤ hi`. This is the
+    * file-skipping arithmetic behind parquet row-group stats and
+    * Iceberg/Delta manifests, expressed as data so an auditor can verify
+    * which zones a predicate touches. One scan, one map-side-partial
+    * groupBy on the zone key — at 100 TB this runs as a metadata pass
+    * whose output is ~(rows / zoneSize) rows.
+    *
+    * @param zoneSize  rows-per-zone granularity (key `div` zoneSize)
+    * @param lo,hi     the range predicate being planned
+    */
+  def zoneMapStats(df: DataFrame, key: String, measure: String,
+                   zoneSize: Long, lo: Double, hi: Double): DataFrame =
+    df.groupBy(expr(s"$key div $zoneSize").as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(measure)).as("min_m"), max(col(measure)).as("max_m"))
+      .withColumn("scan_needed",
+        col("max_m") >= lo && col("min_m") <= hi)
+
+  def q98Zonemap(spark: SparkSession, dir: String): DataFrame =
+    zoneMapStats(graft.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity")),
+      "l_orderkey", "l_quantity", zoneSize = 4096L, lo = 45.0, hi = 50.0)
+
+  val q98ZonemapSql: String = """
+    SELECT l_orderkey // 4096 AS zone, COUNT(*) AS n_rows,
+           MIN(l_quantity) AS min_m, MAX(l_quantity) AS max_m,
+           (MAX(l_quantity) >= 45.0 AND MIN(l_quantity) <= 50.0)
+             AS scan_needed
+    FROM lineitem GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q71_bucketed_join" -> q71BucketedJoin _,
-        "q76_zorder" -> q76Zorder _)
+        "q76_zorder" -> q76Zorder _,
+        "q98_zonemap" -> q98Zonemap _)
 
   def oracles: Map[String, String] =
     Map("q71_bucketed_join" -> q71BucketedJoinSql,
-        "q76_zorder" -> q76ZorderSql)
+        "q76_zorder" -> q76ZorderSql,
+        "q98_zonemap" -> q98ZonemapSql)
 }

@@ -65,4 +65,20 @@ class BucketingSpec extends GraftSuite {
     val want = rows.map { case (x, y) => spread(x) | (spread(y) << 1) }
     assert(got == want)
   }
+
+  test("zoneMapStats computes per-zone stats and the pruning decision") {
+    // zones of 5 keys; predicate [50,60] overlaps only zone 1's [10,55]
+    // span via max=55 ≥ 50 — zone 0 ([1,9]) and zone 2 ([70,80]) prune...
+    // except zone 2's min=70 > 60 and zone 0's max=9 < 50
+    val rows = Seq((0L, 1.0), (1L, 9.0), (5L, 10.0), (6L, 55.0),
+      (10L, 70.0), (11L, 80.0)).toDF("k", "m")
+    val got = Bucketing.zoneMapStats(rows, "k", "m", 5L, 50.0, 60.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(got == Map(
+      0L -> ((2L, 1.0, 9.0, false)),
+      1L -> ((2L, 10.0, 55.0, true)),
+      2L -> ((2L, 70.0, 80.0, false))))
+  }
 }

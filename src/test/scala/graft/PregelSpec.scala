@@ -140,4 +140,18 @@ class PregelSpec extends GraftSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 1L, 5L -> 1L, 6L -> 1L))
   }
+
+  test("labelPropagation recovers two bridged triangles") {
+    // triangles {0,1,2} and {3,4,5} with one bridge 2-3: the triangle
+    // majority out-votes the bridge, so communities settle to the min id
+    // of each triangle — hand-simulated fixed point {0,0,0,3,3,3}
+    val v = (0L to 5L).toDF("id")
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Algorithms.labelPropagation(v, e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
 }

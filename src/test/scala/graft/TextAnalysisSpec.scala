@@ -148,4 +148,28 @@ class TextAnalysisSpec extends GraftSuite {
     assert(p1 == "Widgets ship in four sizes from small to jumbo.\n" +
       "Our jumbo widget survived a drop from orbit.")
   }
+
+  test("cooccurrence counts window pairs with exact lift") {
+    // "a b a b": forward pairs within ±2 → (a,b)×2, (a,a), (b,a), (b,b);
+    // lift(a,b) = 2·4 / (2·2) = 2.0 exactly
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrence(docs, "text", win = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", "b")) == (2L, 2.0))
+    assert(got(("a", "a")) == (1L, 1.0))
+    assert(got(("b", "a")) == (1L, 1.0))
+    assert(got(("b", "b")) == (1L, 1.0))
+    assert(got.size == 4)
+  }
+
+  test("invertedIndex delta-encodes sorted postings and trims below minDf") {
+    val docs = Seq((10L, "x y"), (25L, "y z"), (31L, "y"), (32L, "z w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "text", minDf = 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // y in 10,25,31 → gaps 10,15,6; z in 25,32 → gaps 25,7; x,w trimmed
+    assert(got == Map("y" -> (3L, "10,15,6"), "z" -> (2L, "25,7")))
+  }
 }

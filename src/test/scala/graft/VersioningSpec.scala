@@ -50,4 +50,27 @@ class VersioningSpec extends GraftSuite {
     assert(statuses("added") ==
       docs.filter(pmod(col("doc_id"), lit(13)) === 0).count())
   }
+
+  test("scd2 collapses runs into validity intervals with one open row") {
+    import java.sql.Timestamp
+    def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // user 1: login,login,buy,login → login[10,30) buy[30,40) login[40,∞);
+    // user 2: a single event → one open interval
+    val events = Seq(
+      (1L, ts(10), "login", 100L), (1L, ts(20), "login", 101L),
+      (1L, ts(30), "buy", 102L), (1L, ts(40), "login", 103L),
+      (2L, ts(99), "browse", 104L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Versioning.scd2(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(4)) ->
+        (r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(5)))
+      .toMap
+    val us = 1000000L
+    assert(got == Map(
+      (1L, 1L) -> (("login", 10 * us, 30 * us, false)),
+      (1L, 2L) -> (("buy", 30 * us, 40 * us, false)),
+      (1L, 3L) -> (("login", 40 * us, -1L, true)),
+      (2L, 1L) -> (("browse", 99 * us, -1L, true))))
+  }
 }
