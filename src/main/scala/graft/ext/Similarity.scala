@@ -466,32 +466,37 @@ object Similarity {
     * `(vec_id, v DOUBLE[])`) so q74's planted-corpus replay reuses the
     * identical chain; the caller appends its own final SELECT over `af`
     * (= the post-training assignment `(vec_id, cid, d2)`). */
-  private[ext] def kMeansCtes(veSql: String, k: Int, iters: Int): String = {
+  /** @param pre CTE-name prefix so two chains can coexist in one WITH —
+    *             what [[q99PqSql]] needs to train one codebook per
+    *             subspace. Inner table aliases never leak, so only the
+    *             CTE names carry the prefix. */
+  private[ext] def kMeansCtes(veSql: String, k: Int, iters: Int,
+                              pre: String = ""): String = {
     val prelude = s"""
-    ve AS ($veSql),
-    c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM ve
+    ${pre}ve AS ($veSql),
+    ${pre}c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM ${pre}ve
            ORDER BY vec_id LIMIT $k)"""
     def assignSql(i: String, prev: String) = s"""
-    s$i AS (SELECT ve.vec_id, c.cid,
+    ${pre}s$i AS (SELECT ve.vec_id, c.cid,
                    list_dot_product(ve.v, ve.v) - 2*list_dot_product(ve.v, c.c)
                      + list_dot_product(c.c, c.c) AS d2
-            FROM ve CROSS JOIN $prev c),
-    a$i AS (SELECT vec_id, cid, d2 FROM (
+            FROM ${pre}ve ve CROSS JOIN $prev c),
+    ${pre}a$i AS (SELECT vec_id, cid, d2 FROM (
               SELECT vec_id, cid, d2,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY d2, cid) AS rn
-              FROM s$i) t WHERE rn = 1)"""
+              FROM ${pre}s$i) t WHERE rn = 1)"""
     val steps = (1 to iters).map { i =>
-      s""",${assignSql(i.toString, s"c${i - 1}")},
-    m$i AS (SELECT a.cid, r.i AS pos,
+      s""",${assignSql(i.toString, s"${pre}c${i - 1}")},
+    ${pre}m$i AS (SELECT a.cid, r.i AS pos,
                    CAST(SUM(CAST(e.v[r.i] AS DECIMAL(28,12))) AS DOUBLE)
                      / COUNT(*) AS x
-            FROM a$i a JOIN ve e USING (vec_id),
+            FROM ${pre}a$i a JOIN ${pre}ve e USING (vec_id),
                  unnest(range(1, len(e.v) + 1)) AS r(i)
             GROUP BY a.cid, r.i),
-    c$i AS (SELECT cid, list(x ORDER BY pos) AS c FROM m$i GROUP BY cid)"""
+    ${pre}c$i AS (SELECT cid, list(x ORDER BY pos) AS c FROM ${pre}m$i GROUP BY cid)"""
     }.mkString
-    s"""$prelude$steps,${assignSql("f", s"c$iters")}"""
+    s"""$prelude$steps,${assignSql("f", s"${pre}c$iters")}"""
   }
 
   val q73KMeansSql: String = s"""
@@ -577,6 +582,62 @@ object Similarity {
     SELECT mv.vec_id, mv.cluster, (d.vec_id IS NULL) AS kept
     FROM mv LEFT JOIN dropped d ON d.vec_id = mv.vec_id"""
 
+  // --- q99_pq: product quantization — codebooks + code assignment ---------
+  /** Product quantization (Jégou et al. 2011): split every vector into `m`
+    * contiguous subvectors, train an independent [[kMeans]] codebook per
+    * subspace, and encode each vector as its per-subspace nearest-centroid
+    * codes — the compression that turns a 64-dim float corpus into m
+    * small ints per vector, the storage layer under IVF-PQ ANN indexes at
+    * billion-vector scale (memory drops ~64×; ADC distances then need only
+    * the codes plus m tiny lookup tables).
+    *
+    * Scale shape: the corpus projection persists ONCE; each subspace's
+    * Lloyd loop inherits [[kMeans]]'s contract (centroids broadcast,
+    * corpus never shuffled for assignment, decimal-exact means), and the
+    * final m assignments join back on the id — m map-side-combined
+    * argmin aggregates plus one id-keyed join. Subspace count and k are
+    * the recall/compression knobs; both engines replay the exact same
+    * training because every step is the oracle-pinned kMeans arithmetic.
+    *
+    * @param subDims inclusive 1-based (start, length) slices; must tile
+    *                the vector dimension
+    */
+  def productQuantize(vecs0: DataFrame, id: String, vec: String,
+                      subDims: Seq[(Int, Int)], k: Int,
+                      iters: Int): DataFrame = {
+    val ve = graft.CacheRegistry.persist(
+      vecs0.select(col(id), vecAsDouble(col(vec)).as("v")))
+    subDims.zipWithIndex.map { case ((start, len), s) =>
+      val sub = graft.CacheRegistry.persist(
+        ve.select(col(id), slice(col("v"), start, len).as("v")))
+      kMeansOnPersisted(sub, id, k, iters)
+        .select(col(id), col("cluster").as(s"sub${s}_code"),
+          col("d2").as(s"sub${s}_d2"))
+    }.reduce(_.join(_, id))
+  }
+
+  val pqK = 4
+  val pqIters = 2
+
+  def q99Pq(spark: SparkSession, dir: String): DataFrame =
+    productQuantize(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Seq((1, 32), (33, 32)), pqK, pqIters)
+
+  /** Oracle: TWO prefixed [[kMeansCtes]] chains — one codebook per
+    * subspace, exactly the chain q73 already certifies — joined on the
+    * vector id. DuckDB's `v[a:b]` slice is 1-based inclusive, matching
+    * Spark's `slice(v, start, length)`. */
+  val q99PqSql: String = s"""
+    WITH ${kMeansCtes(
+      "SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v FROM embeddings",
+      pqK, pqIters, "p0")},
+    ${kMeansCtes(
+      "SELECT vec_id, (embedding::DOUBLE[])[33:64] AS v FROM embeddings",
+      pqK, pqIters, "p1")}
+    SELECT a.vec_id, a.cid AS sub0_code, ROUND(a.d2, 6) AS sub0_d2,
+           b.cid AS sub1_code, ROUND(b.d2, 6) AS sub1_d2
+    FROM p0af a JOIN p1af b USING (vec_id)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -584,6 +645,7 @@ object Similarity {
     "q48_embed_neardup"   -> q48EmbedNearDup _,
     "q73_kmeans"          -> q73KMeans _,
     "q74_semantic_dedup"  -> q74SemanticDedup _,
+    "q99_pq"              -> q99Pq _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -593,5 +655,6 @@ object Similarity {
     "q48_embed_neardup"   -> q48EmbedNearDupSql,
     "q73_kmeans"          -> q73KMeansSql,
     "q74_semantic_dedup"  -> q74SemanticDedupSql,
+    "q99_pq"              -> q99PqSql,
   )
 }

@@ -171,4 +171,28 @@ class SimilaritySpec extends GraftSuite {
       assert(kept.contains(twin), s"dropped $id but twin $twin also gone")
     }
   }
+
+  test("productQuantize codes each subspace independently") {
+    // halves cluster CROSSED: ids 1,3 are low in sub0 and high in sub1,
+    // ids 2,4 the reverse — seeds are ids 1,2, so after one Lloyd round
+    // every vector's code pair is (nearest seed per half), hand-checked
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(10.0, 10.0, 0.0, 0.0)),
+      (3L, Seq(0.5, 0.5, 9.0, 9.0)),
+      (4L, Seq(9.0, 9.0, 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.productQuantize(vecs, "vec_id", "embedding",
+        Seq((1, 2), (3, 2)), k = 2, iters = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got == Map(1L -> ((1L, 1L)), 2L -> ((2L, 2L)),
+      3L -> ((1L, 1L)), 4L -> ((2L, 2L))))
+    // quantization error is non-negative and zero only for the exact seeds
+    val d2s = Similarity.productQuantize(vecs, "vec_id", "embedding",
+        Seq((1, 2), (3, 2)), k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(4)))
+      .toMap
+    assert(d2s(1L) == ((0.0, 0.0)) && d2s(2L) == ((0.0, 0.0)))
+  }
 }
