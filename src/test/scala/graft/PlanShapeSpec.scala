@@ -228,4 +228,48 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), "cells must broadcast-hash-join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q95 cooccurrence: window pairs meet as an equi-join, never a range/nested loop") {
+    // the ±w window is pre-exploded into (doc_id, pos) equality — a
+    // per-doc range join would plan as a nested loop and blow up on any
+    // long document at scale
+    val p = plan("q95_cooccur")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("Window"), "no value-keyed window in the pair path")
+  }
+
+  test("q97 inverted index: agg-only pipeline — no windows, no join blowups") {
+    val p = plan("q97_inverted_index")
+    assert(!p.contains("Window"), "posting build must stay groupBy, not window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q96 scd2: both window passes share ONE entity-keyed exchange+sort") {
+    val p = plan("q96_scd2")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(600))
+    assert(count(p, "+- Sort ") == 1, "lag/lead/row_number must reuse one sort")
+    assert(p.contains("user_id"), "window key must be the entity key")
+  }
+
+  test("q94 label propagation: tally joins stay equi-keyed across rounds") {
+    val p = plan("q94_label_prop")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // windows exist but partition by vertex id (degree-bounded); the
+    // catastrophic shape would be a nested-loop edge join
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q99 pq: centroids always broadcast — every nested-loop is a broadcast build") {
+    // kMeans deliberately crossJoins broadcast(centroids): k rows against
+    // the corpus. The corpus must never be the inner side or shuffle for
+    // the assignment — each BroadcastNestedLoopJoin must carry a broadcast
+    // build side, and there must be no raw CartesianProduct
+    val p = plan("q99_pq")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(count(p, "BroadcastNestedLoopJoin") ==
+      count(p, "BroadcastNestedLoopJoin BuildRight") +
+        count(p, "BroadcastNestedLoopJoin BuildLeft"),
+      "non-broadcast nested loop in the assignment path")
+  }
 }
