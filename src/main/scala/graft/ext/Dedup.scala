@@ -474,7 +474,10 @@ object Dedup {
     * compare, which is the point. */
   /** Shared CTE chain computing the exact 3-gram shingle pair overlaps —
     * composed into both the pair-set oracle and q47's cluster oracle. */
-  private[ext] val ngramPairCtes: String = """toks AS (
+  /** The distinct-3-gram-shingle CTEs alone (`toks`, `sh`) — the DuckDB
+    * mirror of `array_distinct(shingles(text, 3))`, shared by the pair
+    * oracles and q101's novelty oracle. */
+  private[ext] val ngramShingleCtes: String = """toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
       FROM documents),
@@ -483,7 +486,9 @@ object Dedup {
       FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
       WHERE len(ts) >= 3
       UNION
-      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 3),
+      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 3)"""
+
+  private[ext] val ngramPairCtes: String = s"""$ngramShingleCtes,
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -714,6 +719,49 @@ object Dedup {
              "COALESCE(du.n_dup, 0)", "tot.n_windows")} AS dup_ratio
     FROM tot LEFT JOIN du ON du.doc_id = tot.doc_id"""
 
+  // --- q101_novelty: first-occurrence n-gram novelty per document ---------
+  /** Corpus-order novelty: the share of a document's DISTINCT 3-gram
+    * shingles whose earliest occurrence (minimum doc id) is this document
+    * — the "new n-gram rate" curators use to measure how much a crawl
+    * increment actually adds versus re-crawls (low novelty ⇒ the doc is
+    * assembled from already-seen text even when no single pair-dup fires).
+    *
+    * Scale shape: the exploded distinct-shingle frame persists once; the
+    * first-seen map is a `groupBy(shingle).min` with map-side partial
+    * aggregation (one row per distinct shingle), joined back on the
+    * shingle key — the groupBy+join discipline, never a value-keyed
+    * window over shingle occurrences. The ratio is [[ratio6]] integer
+    * arithmetic. */
+  def ngramNovelty(docs: DataFrame, id: String, text: String): DataFrame = {
+    val sh = graft.CacheRegistry.persist(
+      docs.select(col(id),
+        explode(array_distinct(shingles(col(text), 3))).as("s")))
+    val first = sh.groupBy(col("s")).agg(min(col(id)).as("first_doc"))
+    sh.join(first, Seq("s"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col(id) === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(id), col("n_shingles"), col("n_novel"),
+        graft.ops.Relational.ratio6("n_novel", "n_shingles").as("novelty6"))
+  }
+
+  def q101Novelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q101NoveltySql: String = s"""
+    WITH $ngramShingleCtes,
+    f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ${graft.ops.Relational.ratio6Sql(
+             "SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)",
+             "COUNT(*)")} AS novelty6
+    FROM sh JOIN f USING (shingle)
+    GROUP BY sh.doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup"   -> q27ExactDedup _,
     "q31_minhash_lsh"   -> q31MinHashLsh _,
@@ -724,6 +772,7 @@ object Dedup {
     "q69_bloom_decontaminate" -> q69BloomDecontaminate _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
     "q93_substr_dup"    -> q93SubstrDup _,
+    "q101_novelty"      -> q101Novelty _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -736,5 +785,6 @@ object Dedup {
     "q69_bloom_decontaminate" -> q69BloomDecontaminateSql,
     "q70_incremental_dedup" -> q70IncrementalDedupSql,
     "q93_substr_dup"    -> q93SubstrDupSql,
+    "q101_novelty"      -> q101NoveltySql,
   )
 }

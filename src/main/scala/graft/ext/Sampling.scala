@@ -197,15 +197,87 @@ object Sampling {
           FROM documents dd JOIN th ON dd.lang = th.lang)
     SELECT doc_id, lang, bucket FROM b WHERE bucket < thr"""
 
+  // --- q102_budget_alloc: largest-remainder token-budget apportionment ----
+  /** Allocate an integer token budget across strata proportionally to
+    * their token counts with the LARGEST-REMAINDER method (Hamilton
+    * apportionment): `base = ⌊B·w/W⌋` per stratum, and the leftover
+    * `B − Σbase` goes one unit each to the largest `(B·w) mod W`
+    * remainders (ties: stratum name). The result sums to B EXACTLY —
+    * what a per-stratum float multiply-and-round cannot promise — and
+    * every step is integer arithmetic, so any engine replays it
+    * bit-for-bit.
+    *
+    * Scale shape: the corpus collapses to one count row per stratum
+    * (map-side partial) — everything after runs on the strata frame,
+    * whose cardinality is sources/languages, i.e. tiny by construction;
+    * the scalar totals broadcast, and the remainder rank is a window over
+    * that post-aggregation frame (bounded by the stratum count, never a
+    * corpus row count). BIGINT headroom: B·w stays exact below 9.2e18 —
+    * B=10⁶ against corpora to ~10¹² tokens.
+    *
+    * @param weights one row per stratum: (stratum, w) — e.g. token counts
+    */
+  def largestRemainderAlloc(weights: DataFrame, stratum: String,
+                            w: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // underscore-prefixed internals: Spark resolves case-insensitively, so
+    // an alias like "W" would collide with a caller's weight column "w"
+    val tot = weights.agg(sum(col(w)).as("_tot"))
+    val based = weights.crossJoin(broadcast(tot))
+      .select(col(stratum), col(w),
+        expr(s"($budget * $w) div _tot").as("_base"),
+        expr(s"($budget * $w) % _tot").as("_rem"))
+    val leftover = based.agg((lit(budget) - sum(col("_base"))).as("_left"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col("_rem").desc, col(stratum))))
+      .select(col(stratum), col(w),
+        (col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  val allocBudget = 1000000L
+
+  def q102BudgetAlloc(spark: SparkSession, dir: String): DataFrame =
+    largestRemainderAlloc(
+      graft.ops.Text.explodeTokens(
+          Tables.documents(spark, dir).select(col("source"), col("text")),
+          "text", "tok")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_tokens")),
+      "source", "n_tokens", allocBudget)
+
+  val q102BudgetAllocSql: String = s"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_tokens
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) t
+      WHERE tok <> '' GROUP BY source),
+    tw AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS W FROM c),
+    b AS (SELECT source, n_tokens,
+                 ($allocBudget * n_tokens) // W AS base,
+                 ($allocBudget * n_tokens) % W AS rem
+          FROM c, tw),
+    lo AS (SELECT $allocBudget - CAST(SUM(base) AS BIGINT) AS L FROM b),
+    r AS (SELECT source, n_tokens, base, L,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+          FROM b, lo)
+    SELECT source, n_tokens,
+           CAST(base + CASE WHEN rk <= L THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q68_cluster_split"     -> q68ClusterSplit _,
     "q77_temperature_mix"   -> q77TemperatureMix _,
+    "q102_budget_alloc"     -> q102BudgetAlloc _,
   )
 
   def oracles: Map[String, String] = Map(
     "q67_stratified_sample" -> q67StratifiedSampleSql,
     "q68_cluster_split"     -> q68ClusterSplitSql,
     "q77_temperature_mix"   -> q77TemperatureMixSql,
+    "q102_budget_alloc"     -> q102BudgetAllocSql,
   )
 }

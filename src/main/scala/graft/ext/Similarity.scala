@@ -424,15 +424,29 @@ object Similarity {
     * between the training loop and its pair join instead of caching the
     * corpus twice. */
   private def kMeansOnPersisted(ve: DataFrame, id: String,
-                                k: Int, iters: Int): DataFrame = {
+                                k: Int, iters: Int): DataFrame =
+    assignTo(ve, trainedCentroids(ve, id, k, iters), id)
+      .select(col(id), col("cid").as("cluster"), round(col("d2"), 6).as("d2"))
+
+  /** One argmin assignment of `(id, v)` rows against broadcast `(cid, c)`
+    * centroids — the kernel [[kMeansOnPersisted]] and the PQ encoders
+    * share. The corpus never shuffles: the k-row centroid frame broadcasts
+    * into the cross join and the argmin partial-aggregates map-side. */
+  private def assignTo(ve: DataFrame, cent: DataFrame,
+                       id: String): DataFrame =
+    ve.crossJoin(broadcast(cent))
+      .withColumn("d2", dot(col("v"), col("v")) -
+        lit(2) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
+      .groupBy(col(id))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col(id), col("m.cid").as("cid"), col("m.d2").as("d2"))
+
+  /** The Lloyd training loop alone — returns the final `(cid, c)`
+    * centroid frame so callers needing the CODEBOOK (ADC lookup tables,
+    * not just assignments) can reuse it. */
+  private def trainedCentroids(ve: DataFrame, id: String,
+                               k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    def assign(cent: DataFrame): DataFrame =
-      ve.crossJoin(broadcast(cent))
-        .withColumn("d2", dot(col("v"), col("v")) -
-          lit(2) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
-        .groupBy(col(id))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col(id), col("m.cid").as("cid"), col("m.d2").as("d2"))
     def update(asg: DataFrame): DataFrame =
       asg.join(ve, id)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -448,9 +462,8 @@ object Similarity {
     // seeds). The cid label is the seed's own id — stable under any id set.
     var cent = ve.orderBy(col(id)).limit(k)
       .select(col(id).cast("long").as("cid"), col("v").as("c"))
-    for (_ <- 1 to iters) cent = update(assign(cent))
-    assign(cent)
-      .select(col(id), col("cid").as("cluster"), round(col("d2"), 6).as("d2"))
+    for (_ <- 1 to iters) cent = update(assignTo(ve, cent, id))
+    cent
   }
 
   val kMeansK = 8
@@ -638,6 +651,86 @@ object Similarity {
            b.cid AS sub1_code, ROUND(b.d2, 6) AS sub1_d2
     FROM p0af a JOIN p1af b USING (vec_id)"""
 
+  // --- q100_pq_adc: asymmetric-distance top-k over PQ codes ---------------
+  /** The search half of IVF-PQ: score the whole corpus against a query
+    * using ONLY the PQ codes — per subspace, the squared distance from the
+    * query subvector to each of the k centroids becomes a k-entry lookup
+    * table, and a corpus vector's approximate distance is the sum of its
+    * codes' table entries (asymmetric distance computation, Jégou 2011
+    * §III). At scale this is the whole point of PQ: the scan touches m
+    * small-int codes per vector instead of the float vector, and the
+    * tables are m·k doubles broadcast everywhere.
+    *
+    * Plan shape: codebooks train per subspace ([[trainedCentroids]],
+    * corpus never shuffled), the LUT is centroids × ONE query row (two
+    * broadcast sides), codes meet their table entry by a broadcast hash
+    * join on the code, and the top-k is a global TakeOrdered with an id
+    * tiebreak — no shuffle carries anything corpus-sized except the final
+    * id-keyed join of the m code columns. */
+  def pqAdcTopK(vecs0: DataFrame, id: String, vec: String,
+                subDims: Seq[(Int, Int)], k: Int, iters: Int,
+                topK: Int): DataFrame = {
+    val ve = graft.CacheRegistry.persist(
+      vecs0.select(col(id), vecAsDouble(col(vec)).as("v")))
+    // the query = the lowest-id vector: deterministic under any id space
+    val qv = ve.orderBy(col(id)).limit(1).select(col("v").as("qv"))
+    val parts = subDims.zipWithIndex.map { case ((start, len), s) =>
+      val sub = graft.CacheRegistry.persist(
+        ve.select(col(id), slice(col("v"), start, len).as("v")))
+      val cent = trainedCentroids(sub, id, k, iters)
+      val lut = cent.crossJoin(broadcast(
+          qv.select(slice(col("qv"), start, len).as("q"))))
+        .select(col("cid").as(s"code$s"),
+          (dot(col("q"), col("q")) - lit(2) * dot(col("q"), col("c")) +
+            dot(col("c"), col("c"))).as(s"d$s"))
+      assignTo(sub, cent, id)
+        .select(col(id), col("cid").as(s"code$s"))
+        .join(broadcast(lut), s"code$s")
+    }
+    parts.reduce(_.join(_, id))
+      .withColumn("adc",
+        subDims.indices.map(s => col(s"d$s")).reduce(_ + _))
+      .orderBy(col("adc"), col(id))
+      .limit(topK)
+      .select(col(id) +: subDims.indices.map(s => col(s"code$s")) :+
+        round(col("adc"), 6).as("adc6"): _*)
+  }
+
+  val pqTopK = 10
+
+  def q100PqAdc(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Seq((1, 32), (33, 32)), pqK, pqIters, pqTopK)
+
+  /** Oracle: the q99 codebook chains plus the ADC join — the lookup
+    * tables come from the FINAL centroid CTEs (`p0c2`/`p1c2`), and the
+    * adc sum is ordered d0 + d1 in both engines so the doubles are
+    * bit-identical before the ROUND/ORDER. */
+  val q100PqAdcSql: String = s"""
+    WITH ${kMeansCtes(
+      "SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v FROM embeddings",
+      pqK, pqIters, "p0")},
+    ${kMeansCtes(
+      "SELECT vec_id, (embedding::DOUBLE[])[33:64] AS v FROM embeddings",
+      pqK, pqIters, "p1")},
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           ORDER BY vec_id LIMIT 1),
+    l0 AS (SELECT c.cid, list_dot_product(q.q, q.q)
+                  - 2*list_dot_product(q.q, c.c)
+                  + list_dot_product(c.c, c.c) AS d
+           FROM p0c$pqIters c CROSS JOIN (SELECT v[1:32] AS q FROM qv) q),
+    l1 AS (SELECT c.cid, list_dot_product(q.q, q.q)
+                  - 2*list_dot_product(q.q, c.c)
+                  + list_dot_product(c.c, c.c) AS d
+           FROM p1c$pqIters c CROSS JOIN (SELECT v[33:64] AS q FROM qv) q),
+    j AS (SELECT a.vec_id, a.cid AS code0, b.cid AS code1,
+                 l0.d + l1.d AS adc
+          FROM p0af a JOIN p1af b USING (vec_id)
+          JOIN l0 ON l0.cid = a.cid
+          JOIN l1 ON l1.cid = b.cid)
+    SELECT vec_id, code0, code1, ROUND(adc, 6) AS adc6
+    FROM j ORDER BY adc, vec_id LIMIT $pqTopK"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -646,6 +739,7 @@ object Similarity {
     "q73_kmeans"          -> q73KMeans _,
     "q74_semantic_dedup"  -> q74SemanticDedup _,
     "q99_pq"              -> q99Pq _,
+    "q100_pq_adc"         -> q100PqAdc _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -656,5 +750,6 @@ object Similarity {
     "q73_kmeans"          -> q73KMeansSql,
     "q74_semantic_dedup"  -> q74SemanticDedupSql,
     "q99_pq"              -> q99PqSql,
+    "q100_pq_adc"         -> q100PqAdcSql,
   )
 }

@@ -171,11 +171,73 @@ object Windows {
              AS filled_v
     FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket"""
 
+  // --- q103_funnel: ordered multi-step conversion funnel ------------------
+  /** Funnel analysis: for each entity, the earliest time it completed
+    * step 1, then the earliest step-2 event STRICTLY AFTER that, then the
+    * earliest step-3 event after THAT — the order-sensitive definition
+    * (a purchase before the first view does not count) that a naive
+    * per-type min() gets wrong. Output is one row per entity that entered
+    * the funnel, with per-step microsecond timestamps (null = never
+    * reached) and the completed-step count.
+    *
+    * Scale shape: one filtered entity-keyed groupBy per step plus an
+    * entity-keyed equi-join against the previous step's frame (whose rows
+    * only shrink step over step) — no windows, no per-entity event-list
+    * collection, every shuffle on the entity key. Step k's filter
+    * `type = stepK AND ts > prev` reaches the scan as a pushed predicate
+    * on the type column. */
+  def funnel(events: DataFrame, entity: String, typeCol: String,
+             ts: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(entity), col(typeCol),
+      unix_micros(col(ts)).as("ts_us"))
+    val s1 = e.filter(col(typeCol) === steps.head)
+      .groupBy(col(entity)).agg(min(col("ts_us")).as("t1_us"))
+    val rest = steps.tail.zipWithIndex.map { case (st, i) => (st, i + 2) }
+    val frames = rest.foldLeft(List(s1)) { case (acc, (st, k)) =>
+      val prev = acc.head
+      val next = e.filter(col(typeCol) === st)
+        .join(prev.select(col(entity), col(s"t${k - 1}_us")), entity)
+        .filter(col("ts_us") > col(s"t${k - 1}_us"))
+        .groupBy(col(entity)).agg(min(col("ts_us")).as(s"t${k}_us"))
+      next :: acc
+    }.reverse
+    val joined = frames.reduceLeft((l, r) => l.join(r, Seq(entity), "left"))
+    val stepCols = (2 to steps.size).map(k =>
+      when(col(s"t${k}_us").isNotNull, 1).otherwise(0))
+    joined.withColumn("steps_completed",
+      stepCols.foldLeft(lit(1))(_ + _).cast("int"))
+  }
+
+  def q103Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(graft.Tables.events(spark, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+
+  val q103FunnelSql: String = """
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1_us FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(ts_us) AS t2_us
+           FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts_us > t1_us
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(ts_us) AS t3_us
+           FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > t2_us
+           GROUP BY e.user_id)
+    SELECT s1.user_id, t1_us, t2_us, t3_us,
+           CAST(1 + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS steps_completed
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_window_topk"    -> q9WindowTopK _,
     "q10_window_running" -> q10WindowRunning _,
     "q11_window_rank"   -> q11WindowRank _,
     "q83_resample"      -> q83Resample _,
+    "q103_funnel"       -> q103Funnel _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -183,5 +245,6 @@ object Windows {
     "q10_window_running" -> q10WindowRunningSql,
     "q11_window_rank"   -> q11WindowRankSql,
     "q83_resample"      -> q83ResampleSql,
+    "q103_funnel"       -> q103FunnelSql,
   )
 }

@@ -150,4 +150,28 @@ class AsofSessionSpec extends GraftSuite {
       assert(p50 <= p90 && p90 <= p99)
     }
   }
+
+  test("funnel enforces strict step order and drops non-entrants") {
+    import java.sql.Timestamp
+    def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val events = Seq(
+      // user 1: click@5 precedes the first view → ignored; purchase@15
+      // precedes the qualifying click@20 → ignored; completes at 10/20/30
+      (1L, "click", ts(5)), (1L, "view", ts(10)), (1L, "purchase", ts(15)),
+      (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // user 2 enters but never clicks
+      (2L, "view", ts(10)),
+      // user 3 never views → not in the funnel at all
+      (3L, "click", ts(5)), (3L, "purchase", ts(6)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Windows.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toMap
+    val us = 1000000L
+    assert(got == Map(
+      1L -> ((10 * us, 20 * us, 30 * us, 3)),
+      2L -> ((10 * us, -1L, -1L, 1))))
+  }
 }

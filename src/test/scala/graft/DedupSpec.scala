@@ -159,4 +159,18 @@ class DedupSpec extends GraftSuite {
     // and at least one cross (new×old) pair exists, or the test is vacuous
     assert(incremental.exists { case (a, b, _) => a % 5 == 1 ^ b % 5 == 1 })
   }
+
+  test("ngramNovelty scores first-seen shingles by corpus id order") {
+    // d1 owns both its shingles; d2 shares "a b c" with d1 (novelty 1/2);
+    // d3 is shorter than the shingle width → whole-string fallback, novel
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 1L, 1.0))))
+  }
 }

@@ -114,4 +114,19 @@ class SamplingSpec extends GraftSuite {
     // NOT guaranteed at a 0.8/0.1 split over ~490 clusters; train must be
     assert(out.exists(_.getString(2) == "train"))
   }
+
+  test("largestRemainderAlloc sums exactly to the budget with ranked remainders") {
+    import spark.implicits._
+    // W=9, B=7: bases 3/2/0, remainders 8/3/7 → leftover 2 goes to a and c
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 1L)).toDF("s", "w")
+    val got = Sampling.largestRemainderAlloc(w, "s", "w", 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(got.values.sum == 7L)
+    // all-equal weights: the name tiebreak decides who gets the leftover
+    val eq = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("s", "w")
+    val got2 = Sampling.largestRemainderAlloc(eq, "s", "w", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got2 == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
 }

@@ -195,4 +195,22 @@ class SimilaritySpec extends GraftSuite {
       .toMap
     assert(d2s(1L) == ((0.0, 0.0)) && d2s(2L) == ((0.0, 0.0)))
   }
+
+  test("pqAdcTopK ranks by summed lookup-table distances (hand-computed)") {
+    // same crossed-half corpus; query = lowest id = v1 = [0,0,10,10].
+    // after 1 Lloyd round: sub0 centroids (0.25,0.25)/(9.5,9.5), sub1
+    // (9.5,9.5)/(0.5,0.5) → LUT dists 0.125/180.5 and 0.5/180.5, so
+    // adc(v1)=adc(v3)=0.625, adc(v2)=adc(v4)=361 — order 1,3,2,4
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(10.0, 10.0, 0.0, 0.0)),
+      (3L, Seq(0.5, 0.5, 9.0, 9.0)),
+      (4L, Seq(9.0, 9.0, 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(vecs, "vec_id", "embedding",
+        Seq((1, 2), (3, 2)), k = 2, iters = 1, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 0.625), (3L, 0.625),
+      (2L, 361.0), (4L, 361.0)))
+  }
 }
