@@ -366,4 +366,100 @@ class GraftPropertiesSpec extends GraftSuite {
       assert(got == expected.filter(_._2 > 0), s"seed $s: $got vs $expected")
     }
   }
+
+  test("property: largestRemainderAlloc equals the driver-side Hamilton rule") {
+    val gen = for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 100L))
+      b <- Gen.choose(10L, 5000L)
+    } yield (ws, b)
+    (1L to 5L).foreach { s =>
+      val (ws, b) = sample(gen, s)
+      val named = ws.zipWithIndex.map { case (w, i) => (f"s$i%02d", w) }
+      val total = ws.sum
+      val base = named.map { case (n, w) => n -> (b * w / total) }.toMap
+      val rem = named.map { case (n, w) => n -> (b * w % total) }.toMap
+      val left = b - base.values.sum
+      val bumped = named.map(_._1)
+        .sortBy(n => (-rem(n), n)).take(left.toInt).toSet
+      val expected = named.map { case (n, _) =>
+        n -> (base(n) + (if (bumped(n)) 1L else 0L)) }.toMap
+      val got = graft.ext.Sampling.largestRemainderAlloc(
+          named.toDF("s", "w"), "s", "w", b)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"seed $s")
+      assert(got.values.sum == b, s"seed $s: allocations must sum to budget")
+      // quota rule: every stratum gets its floor or floor+1, never more
+      got.foreach { case (n, a) =>
+        assert(a == base(n) || a == base(n) + 1, s"seed $s $n") }
+    }
+  }
+
+  test("property: funnel equals the naive strictly-after scan") {
+    val steps = Seq("A", "B", "C")
+    val gen = for {
+      m <- Gen.choose(5, 40)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, 5L),
+        Gen.oneOf("A", "B", "C", "X"), Gen.choose(0L, 50L)))
+    } yield es
+    (1L to 6L).foreach { s =>
+      val es = sample(gen, s)
+      def earliest(u: Long, st: String, after: Long): Option[Long] =
+        es.filter(e => e._1 == u && e._2 == st && e._3 > after)
+          .map(_._3).minOption
+      val expected = es.map(_._1).distinct.flatMap { u =>
+        es.filter(e => e._1 == u && e._2 == "A").map(_._3).minOption.map {
+          t1 =>
+            val t2 = earliest(u, "B", t1)
+            val t3 = t2.flatMap(earliest(u, "C", _))
+            u -> (t1 * 1000000L, t2.map(_ * 1000000L), t3.map(_ * 1000000L),
+              1 + t2.size + t3.size)
+        }
+      }.toMap
+      val got = graft.ops.Windows.funnel(
+          es.map { case (u, t, ts) =>
+            (u, t, Timestamp.from(java.time.Instant.ofEpochSecond(ts)))
+          }.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4))).toMap
+      assert(got == expected, s"seed $s")
+    }
+  }
+
+  test("property: labelPropagation is edge-order invariant and matches a naive tally") {
+    val gen = for {
+      n <- Gen.choose(3, 10)
+      m <- Gen.choose(2, 2 * n)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es)
+    (1L to 4L).foreach { s =>
+      val (n, es0) = sample(gen, s)
+      val es = es0.map { case (a, b) => (a.toLong, b.toLong) }
+      val iters = 4
+      // driver replay: votes = own label + one per incoming edge (multiset
+      // semantics: parallel edges vote multiply), winner = max count then
+      // min label — must match the Spark tally exactly
+      var lbl = (0 until n).map(i => i.toLong -> i.toLong).toMap
+      for (_ <- 1 to iters) {
+        lbl = (0 until n).map { i =>
+          val votes = lbl(i.toLong) ::
+            es.filter(_._2 == i.toLong).map(e => lbl(e._1)).toList
+          val best = votes.groupBy(identity).view.mapValues(_.size).toSeq
+            .maxBy { case (l, c) => (c, -l) }._1
+          i.toLong -> best
+        }.toMap
+      }
+      def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+        Algorithms.labelPropagation(
+            (0 until n).map(_.toLong).toDF("id"),
+            edges.toDF("src", "dst"), iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = run(es)
+      assert(got == lbl, s"seed $s")
+      assert(run(es.reverse) == got, s"seed $s: edge order changed labels")
+    }
+  }
 }
