@@ -731,6 +731,110 @@ object Similarity {
     SELECT vec_id, code0, code1, ROUND(adc, 6) AS adc6
     FROM j ORDER BY adc, vec_id LIMIT $pqTopK"""
 
+  // --- q104_hard_negatives: contrastive wrong-label neighbors -------------
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the most-similar vectors that share its k-means CELL but carry a
+    * DIFFERENT label — the "looks alike, isn't" examples that make
+    * embedding models actually learn boundaries (random negatives are too
+    * easy). Candidates come only from the query's cell, so the pair join
+    * is cell-bounded exactly like SemDeDup's (`k` is the scale knob,
+    * Σ|cell|² never |corpus|²); ranking replays q28's discipline — rank
+    * on the ROUNDED cosine with an id tiebreak.
+    *
+    * @param nNeg negatives kept per query */
+  def hardNegatives(spark: SparkSession, dir: String, maxQid: Long,
+                    nNeg: Int): DataFrame = {
+    val lv = graft.CacheRegistry.persist(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+        vecAsDouble(col("embedding")).as("v")))
+    val m = graft.CacheRegistry.persist(
+      kMeans(Tables.embeddings(spark, dir), "vec_id", "embedding",
+          kMeansK, kMeansIters)
+        .join(lv, "vec_id")
+        .withColumn("nrm", norm(col("v"))))
+    val pairs = m.filter(col("vec_id") < maxQid).as("q")
+      .join(m.as("c"),
+        col("c.cluster") === col("q.cluster") &&
+          col("c.label") =!= col("q.label"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("neg_id"),
+        round(dot(col("q.v"), col("c.v")) /
+          (col("q.nrm") * col("c.nrm")), 6).as("cos6"))
+    Windows.perGroupTopK(pairs, group = Seq(col("qid")),
+        order = Seq(col("cos6").desc, col("neg_id")),
+        saltSrc = col("neg_id"), k = nNeg)
+      .select(col("qid"), col("neg_id"), col("cos6"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  def q104HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(spark, dir, maxQid = 10L, nNeg = 3)
+
+  /** Oracle: the q73 chain (unprefixed — `af` is the trained assignment)
+    * plus the cell-bounded wrong-label pair join and q28's rounded-cosine
+    * ranking. */
+  val q104HardNegativesSql: String = s"""
+    WITH ${kMeansCtes("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+      kMeansK, kMeansIters)},
+    lv AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT a.vec_id, a.cid, l.label, l.v
+          FROM af a JOIN lv l USING (vec_id)),
+    p AS (SELECT q.vec_id AS qid, c.vec_id AS neg_id,
+                 ROUND(list_dot_product(q.v, c.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) *
+                        sqrt(list_dot_product(c.v, c.v))), 6) AS cos6
+          FROM m q JOIN m c
+            ON c.cid = q.cid AND c.label <> q.label
+          WHERE q.vec_id < 10),
+    r AS (SELECT qid, neg_id, cos6,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos6 DESC, neg_id) AS INT)
+                   AS rank
+          FROM p)
+    SELECT qid, neg_id, cos6, rank FROM r WHERE rank <= 3"""
+
+  // --- q105_ann_recall: the ANN evaluation harness as a query -------------
+  /** Recall@k of the LSH-bucketed ANN (q42) against the exhaustive
+    * brute force (q28), computed IN-PLAN: per query, how many of the true
+    * top-5 the approximate index recovered. The evaluation that gates any
+    * index rollout, expressed as a first-class auditable query — both
+    * inputs are the already-oracled pipelines, so the oracle composes
+    * their SQL verbatim as nested CTEs and cannot drift from them. The
+    * semi-join and count run on two k·|queries|-row frames: negligible at
+    * any corpus size.
+    *
+    * Expectation-setting: on the synthetic hash-spread embeddings the
+    * absolute numbers are LOW by construction — near-uniform vectors have
+    * near-orthogonal "nearest" neighbors, the regime where sign-LSH
+    * recall honestly collapses. Where neighbor structure exists the same
+    * index recovers it (SimilaritySpec pins ≥0.8 twin recall at 11
+    * planes); this query is the measurement you run to pick
+    * `targetBucket`/probe-radius on YOUR corpus, not a fixed quality
+    * claim. */
+  def q105AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q28SimilarityTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = q42AnnTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .select(col("qid"), col("n_hits"),
+        graft.ops.Relational.ratio6("n_hits", "5").as("recall6"))
+  }
+
+  val q105AnnRecallSql: String = s"""
+    WITH exact AS ($q28SimilarityTopKSql),
+    approx AS ($q42AnnTopKSql),
+    h AS (SELECT e.qid, COUNT(*) AS n
+          FROM exact e JOIN approx a
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY e.qid),
+    qs AS (SELECT DISTINCT qid FROM exact)
+    SELECT qs.qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           ${graft.ops.Relational.ratio6Sql("COALESCE(h.n, 0)", "5")}
+             AS recall6
+    FROM qs LEFT JOIN h USING (qid)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -740,6 +844,8 @@ object Similarity {
     "q74_semantic_dedup"  -> q74SemanticDedup _,
     "q99_pq"              -> q99Pq _,
     "q100_pq_adc"         -> q100PqAdc _,
+    "q104_hard_negatives" -> q104HardNegatives _,
+    "q105_ann_recall"     -> q105AnnRecall _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -751,5 +857,7 @@ object Similarity {
     "q74_semantic_dedup"  -> q74SemanticDedupSql,
     "q99_pq"              -> q99PqSql,
     "q100_pq_adc"         -> q100PqAdcSql,
+    "q104_hard_negatives" -> q104HardNegativesSql,
+    "q105_ann_recall"     -> q105AnnRecallSql,
   )
 }

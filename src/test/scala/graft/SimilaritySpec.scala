@@ -213,4 +213,37 @@ class SimilaritySpec extends GraftSuite {
     assert(got.toSeq == Seq((1L, 0.625), (3L, 0.625),
       (2L, 361.0), (4L, 361.0)))
   }
+
+  test("hardNegatives only pairs across labels, ranked by similarity") {
+    val out = Similarity.q104HardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (qid, neg) = (r.getLong(0), r.getLong(1))
+      assert(labels(qid) != labels(neg), s"$qid paired with same-label $neg")
+    }
+    // ranks are 1..n and cosine is non-increasing within each query
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("annRecall equals the driver-side intersection of q28 and q42") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.q28SimilarityTopK(spark, sf))
+    val approx = pairs(Similarity.q42AnnTopK(spark, sf))
+    val expected = exact.groupBy(_._1).view
+      .mapValues(g => g.count(approx.contains).toLong).toMap
+    val got = Similarity.q105AnnRecall(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.forall(h => h >= 0L && h <= 5L))
+  }
 }
