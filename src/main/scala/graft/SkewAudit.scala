@@ -61,20 +61,50 @@ object SkewAudit {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
 
+    // ~10× events: ids and users shifted per copy, so per-entity windows
+    // stay entity-bounded (10× the users, same events-per-user) — the
+    // honest scale direction for an event log
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until copies).map(i => ev.select(
+        (col("event_id") + lit(i * 10000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+
     val audit: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q31_minhash_lsh", "q35_ngram_jaccard", "q41_simhash",
         "q47_dedup_clusters", "q50_train_pipeline",
         // the ANN path: plane count derives from the 10× corpus (12
         // planes at 20k vs 10 at 2k), cap in-plan — the round-6 scaling
         // claim under empirical load
-        "q42_ann_topk", "q48_embed_neardup")
+        "q42_ann_topk", "q48_embed_neardup",
+        // round-6 additions: the token pair join (w·|tokens| shuffle),
+        // hot-term posting lists (df-bounded collect on 10× shared
+        // vocabulary — stopword lists grow 10×), shingle first-seen
+        // (every shingle repeats in all 10 copies: maximal key heat on
+        // the groupBy.min+join path), and the entity-keyed event ops
+        "q95_cooccur", "q97_inverted_index", "q101_novelty",
+        "q96_scd2", "q103_funnel")
+        // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
+        // query is how an audit anomaly gets separated from loop state
+        .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
         .map(n => n -> SparkEntry.queries(n))
 
     println(f"${"query"}%-20s ${"stage"}%6s ${"tasks"}%6s ${"med_ms"}%8s ${"max_ms"}%8s ${"ratio"}%6s flag")
     val flagged = scala.collection.mutable.ArrayBuffer[String]()
     audit.foreach { case (name, q) =>
+      // Bench's inter-run hygiene, verbatim: without the localCheckpoint
+      // sweep + double-gc, one query's pinned blocks bill the next — the
+      // loop once showed q50 at 263s that reruns at 30s in isolation,
+      // with per-task balance unchanged (allocation debt, not skew)
       CacheRegistry.unpersistAll(blocking = true)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      System.gc()
+      Thread.sleep(100)
       stats.reset()
       val t0 = System.nanoTime()
       q(spark, scratch).write.format("noop").mode("overwrite").save()

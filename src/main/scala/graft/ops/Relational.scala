@@ -298,6 +298,59 @@ object Relational {
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag"""
 
+  // --- q106_equidepth_hist: quantile binning (feature bucketization) ------
+  /** Per-group equi-depth histogram: quartile boundaries from the exact
+    * interpolated percentile (q46's oracle-certified ROUND(…, 4) form),
+    * then per-bin row counts and value spans — ML feature bucketization
+    * and the optimizer-statistics histogram, as one auditable result.
+    * Binning compares against the ROUNDED boundaries in both engines, so
+    * a value landing exactly on a boundary bins identically — the
+    * boundary VALUE equality is exactly what q46 already certifies.
+    *
+    * Scale shape: one percentile aggregate per group (the scale caveat
+    * and its q54 sketch answer are documented there), boundaries
+    * broadcast back (rows = groups), bin assignment is a codegen'd CASE,
+    * and the count is a map-side-partial groupBy(group, bin). */
+  def q106EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+        .as("bs"))
+      .select(col("l_returnflag"),
+        round(col("bs")(0), 4).as("b1"),
+        round(col("bs")(1), 4).as("b2"),
+        round(col("bs")(2), 4).as("b3"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("bin",
+        when(col("l_extendedprice") > col("b3"), 3)
+          .when(col("l_extendedprice") > col("b2"), 2)
+          .when(col("l_extendedprice") > col("b1"), 1)
+          .otherwise(0).cast("int"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+  }
+
+  val q106EquidepthHistSql: String = """
+    WITH b AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS b1,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS b2,
+             ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS b3
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(CASE WHEN l_extendedprice > b3 THEN 3
+                     WHEN l_extendedprice > b2 THEN 2
+                     WHEN l_extendedprice > b1 THEN 1
+                     ELSE 0 END AS INT) AS bin,
+           COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY 1, 2"""
+
   // --- q54_approx_percentiles: the 100 TB percentile plan, oracled --------
   // The scale path: `approx_percentile` (KLL-style mergeable sketch, bounded
   // memory per group, partial-aggregates map-side) instead of q46's exact
@@ -442,6 +495,7 @@ object Relational {
     "q23_sql_subquery" -> q23SqlSubquery _,
     "q46_percentiles" -> q46Percentiles _,
     "q54_approx_percentiles" -> q54ApproxPercentiles _,
+    "q106_equidepth_hist" -> q106EquidepthHist _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -458,6 +512,7 @@ object Relational {
     "q20_setops"    -> q20SetOpsSql,
     "q23_sql_subquery" -> q23SqlSubquerySql,
     "q46_percentiles" -> q46PercentilesSql,
+    "q106_equidepth_hist" -> q106EquidepthHistSql,
     "q54_approx_percentiles" -> q54ApproxPercentilesSql,
   )
 }

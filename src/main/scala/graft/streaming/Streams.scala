@@ -419,6 +419,65 @@ object Streams {
     FROM events
     GROUP BY 1, 2"""
 
+  // --- streaming funnel: the q103 semantics as incremental state ----------
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                               event_type: String, ts_us: Long)
+  /** -1 = step not reached; monotone per user under in-order processing. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelRow(user_id: Long, t1_us: Long,
+                             t2_us: Option[Long], t3_us: Option[Long],
+                             steps_completed: Int)
+
+  /** Streaming form of [[graft.ops.Windows.funnel]] for a 3-step funnel:
+    * per-user `mapGroupsWithState` carrying only (t1, t2, t3) — three
+    * longs per ACTIVE user, the minimal exact state when events are
+    * processed in event-time order. Each batch's group iterator is sorted
+    * by (ts, type) before folding, so intra-batch disorder is repaired;
+    * an event arriving in a LATER batch with an earlier timestamp than an
+    * already-bound step is behind the watermark by construction, so —
+    * exactly like [[sessionizeStream]]'s late-event note — the divergence
+    * from the batch form is confined to late data (exactness under
+    * arbitrary disorder would require buffering every candidate event
+    * until the watermark, trading bounded state away).
+    *
+    * Emits the user's current funnel row every time its state changes
+    * (Update mode); the latest row per user is the funnel position. */
+  def funnelStream(events: DataFrame,
+                   steps: (String, String, String)): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "10 minutes")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          evs.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            if (e.event_type == steps._1 && st.t1 < 0)
+              st = st.copy(t1 = e.ts_us)
+            else if (e.event_type == steps._2 && st.t1 >= 0 &&
+                     st.t2 < 0 && e.ts_us > st.t1)
+              st = st.copy(t2 = e.ts_us)
+            else if (e.event_type == steps._3 && st.t2 >= 0 &&
+                     st.t3 < 0 && e.ts_us > st.t2)
+              st = st.copy(t3 = e.ts_us)
+          }
+          state.update(st)
+          FunnelRow(user, st.t1,
+            if (st.t2 < 0) None else Some(st.t2),
+            if (st.t3 < 0) None else Some(st.t3),
+            (if (st.t1 >= 0) 1 else 0) + (if (st.t2 >= 0) 1 else 0) +
+              (if (st.t3 >= 0) 1 else 0))
+        })
+      // a user whose batch carried only non-step noise has no funnel row
+      // yet — mirror the batch form, which emits only funnel entrants
+      .filter(_.t1_us >= 0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_event_window"   -> q40EventWindow _,
     "q45_sessionize"     -> q45Sessionize _,

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.ops.Joins
 import graft.streaming.Streams
 
@@ -173,5 +174,49 @@ class AsofSessionSpec extends GraftSuite {
     assert(got == Map(
       1L -> ((10 * us, 20 * us, 30 * us, 3)),
       2L -> ((10 * us, -1L, -1L, 1))))
+  }
+
+  test("streaming funnel's final state matches the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    // batch 1 arrives internally out of order (the sort-repair path) and
+    // carries a pre-view click that must not bind step 2
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 10:20:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"))
+    val batch2 = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      (3L, ts("2024-01-01 12:00:00"), "purchase")) // never views: no row
+    val q = Streams.funnelStream(
+        ms.toDF().toDF("user_id", "ts", "event_type"),
+        ("view", "click", "purchase"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_funnel").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // latest emitted row per user = the funnel position
+      val streamed = spark.table("graft_funnel").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+        // rows are monotone per user, so the max (steps, t3, t2, t1) row
+        // IS the latest state — no reliance on memory-sink row order
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).maxBy(v => (v._4, v._3, v._2, v._1))).toMap
+      val batchGot = graft.ops.Windows.funnel(
+          (batch1 ++ batch2).toDF("user_id", "ts", "event_type")
+            .select(col("user_id"), col("event_type"), col("ts")),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+        .toMap
+      assert(streamed == batchGot)
+      assert(!streamed.contains(3L))
+    } finally q.stop()
   }
 }

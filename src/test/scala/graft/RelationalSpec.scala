@@ -44,4 +44,25 @@ class RelationalSpec extends GraftSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("equi-depth histogram: bins partition each group at ~n/4 rows") {
+    val rows = graft.ops.Relational.q106EquidepthHist(spark, sf).collect()
+    val byGroup = rows.groupBy(_.getString(0))
+    assert(byGroup.nonEmpty)
+    byGroup.foreach { case (g, bins) =>
+      assert(bins.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2, 3), g)
+      val counts = bins.sortBy(_.getInt(1)).map(_.getLong(2))
+      val n = counts.sum
+      // equi-depth: every quartile bin within 2% of n/4 (+2 for tiny
+      // groups — interpolated boundaries can off-balance by at most the
+      // tied-value run length)
+      counts.foreach(c =>
+        assert(math.abs(c - n / 4.0) <= n * 0.02 + 2, s"$g: $c of $n"))
+      // spans are ordered and non-overlapping: bin b's hi <= bin b+1's lo
+      val spans = bins.sortBy(_.getInt(1))
+        .map(r => (r.getDouble(3), r.getDouble(4)))
+      spans.zip(spans.tail).foreach { case ((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"$g: overlapping bins") }
+    }
+  }
 }
