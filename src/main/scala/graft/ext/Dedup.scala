@@ -442,10 +442,34 @@ object Dedup {
             shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("v"))): _*))
         .as("bb"))
       .select(col(id), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v")))
-    val pairs = blocks.as("l")
-      .join(blocks.as("r"),
+    // Salted self-join for the pair expansion. Two hazards this layout
+    // kills, both measured at the 10× audit corpus:
+    //  (a) the frame is tiny in BYTES but the join's output explodes
+    //      quadratically per bucket, so AQE's byte-sized coalescing (the
+    //      cached-plan re-coalesce LocalSession enables) would collapse
+    //      it to ~11 partitions that own all the work (13s → 66s); the
+    //      pinned-count repartitions are immune to the coalesce, and the
+    //      join reuses them exchange-free;
+    //  (b) a hot (blk, v) bucket — an 8-bit block value shared by many
+    //      fingerprints — is ONE key, so no key-partitioning alone can
+    //      split it (ratio-4 straggler on the expansion stage). The salt
+    //      splits each bucket's pair space g ways: the left row keeps
+    //      hash(id) mod g, the right side is replicated under all g salt
+    //      values, and (blk, v, salt) joins produce every (l.id < r.id)
+    //      pair exactly once — exact, g× replication of cheap 4-column
+    //      rows, g× finer task granularity on the quadratic stage.
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val g = 8
+    val lhs = blocks
+      .withColumn("sg", pmod(xxhash64(col(id)), lit(g.toLong)).cast("int"))
+      .repartition(nPart, col("blk"), col("v"), col("sg"))
+    val rhs = blocks
+      .withColumn("sg", explode(array((0 until g).map(lit): _*)))
+      .repartition(nPart, col("blk"), col("v"), col("sg"))
+    val pairs = lhs.as("l")
+      .join(rhs.as("r"),
         col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
-          col(s"l.$id") < col(s"r.$id"))
+          col("l.sg") === col("r.sg") && col(s"l.$id") < col(s"r.$id"))
       .filter(bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= maxHamming)
       .select(col(s"l.$id").as("id_a"), col(s"r.$id").as("id_b"))
       .distinct()
