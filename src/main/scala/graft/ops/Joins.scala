@@ -206,6 +206,50 @@ object Joins {
     SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
     FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
 
+  // --- q108_attribution: last-touch attribution with a lookback window ---
+  /** Marketing/conversion attribution: each purchase is attributed to the
+    * user's most recent PRECEDING click, but only if it happened within
+    * the lookback window (24 h here) — an as-of join hardened with the gap
+    * constraint every real attribution model carries, then rolled up to
+    * (purchase day × attributed) with purchase counts and exact-decimal
+    * revenue. Composes [[asOfJoin]] (one shuffle + one sort per key), so
+    * the 100 TB shape is inherited: the gap test and day bucketing are
+    * codegen'd scalar work on the joined rows, and the rollup is a
+    * map-side-partial aggregate over a handful of groups.
+    *
+    * Same tie note as q44: timestamps are ns-grained, so an equal-µs
+    * (user, ts) pair — where Spark's tieBreak and DuckDB's ASOF pick
+    * engine-specific rows — never occurs. */
+  def q108Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asOfJoin(purchases, clicks, key = "user_id", ts = "ts",
+        tieBreak = "event_id", rightPayload = Seq("ts"))
+      .withColumn("attributed",
+        col("asof_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("asof_ts")) <= lit(86400000000L))
+      .groupBy(expr("CAST(unix_micros(ts) div 86400000000 AS INT)").as("day"),
+        col("attributed"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("revenue"))
+  }
+
+  val q108AttributionSql: String = s"""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type, value FROM events),
+    p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
+    SELECT CAST(epoch_us(p.ts) // 86400000000 AS INT) AS day,
+           (c.ts IS NOT NULL AND
+            epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000) AS attributed,
+           COUNT(*) AS n_purchases,
+           ${dsumSql("value")} AS revenue
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    GROUP BY 1, 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q6_semi_join"  -> q6SemiJoin _,
     "q7_anti_join"  -> q7AntiJoin _,
@@ -213,6 +257,7 @@ object Joins {
     "q16_range_join" -> q16RangeJoin _,
     "q21_full_outer" -> q21FullOuter _,
     "q44_asof_join" -> q44AsofJoin _,
+    "q108_attribution" -> q108Attribution _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -222,5 +267,6 @@ object Joins {
     "q16_range_join" -> q16RangeJoinSql,
     "q21_full_outer" -> q21FullOuterSql,
     "q44_asof_join" -> q44AsofJoinSql,
+    "q108_attribution" -> q108AttributionSql,
   )
 }

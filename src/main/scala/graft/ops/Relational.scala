@@ -387,6 +387,45 @@ object Relational {
            COUNT(*) AS n, TRUE AS approx_ok
     FROM lineitem GROUP BY l_returnflag"""
 
+  // --- q109_sketch_union: mergeable distinct-count sketches ---------------
+  /** The two-level distinct-count plan 100 TB actually requires:
+    * DataSketches HLL sketches built per SUB-group (stage 1 — at scale,
+    * per partition / file / ingest batch, often precomputed and stored),
+    * then `hll_union_agg` merged up to the report group (stage 2) — the
+    * raw data is touched once and never re-shuffled for a distinct. q13's
+    * `approx_count_distinct` answers one query; a STORED sketch column
+    * answers every future rollup by union alone, which is why lakehouse
+    * metric layers persist sketches, not counts.
+    *
+    * Oracle, q13-style: sub-sketch count and exact distinct hash-check
+    * against DuckDB; the merged estimate is implementation-specific, so it
+    * is asserted within the configured-precision bound (lgK=14 → ~0.8%
+    * standard error; 5% is >6σ) as a derived boolean. A spec additionally
+    * pins union-vs-direct-sketch agreement. */
+  def q109SketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sub = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey"), lit(14)).as("sk"))
+    val merged = sub.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_subsketches"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(col("l_orderkey")).as("exact_orders"))
+    exact.join(merged, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_orders"), col("n_subsketches"),
+        (col("exact_orders") === 0 ||
+          abs(col("est") - col("exact_orders")) / col("exact_orders") < 0.05)
+          .as("union_ok"))
+  }
+
+  val q109SketchUnionSql: String = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_linestatus) AS n_subsketches,
+           TRUE AS union_ok
+    FROM lineitem GROUP BY l_returnflag"""
+
   // --- q52_pivot: wide-format aggregation ----------------------------------
   // `pivot` with an explicit value list compiles to conditional aggregation
   // (one agg expression per value) — a single hash aggregate, no extra
@@ -496,6 +535,7 @@ object Relational {
     "q46_percentiles" -> q46Percentiles _,
     "q54_approx_percentiles" -> q54ApproxPercentiles _,
     "q106_equidepth_hist" -> q106EquidepthHist _,
+    "q109_sketch_union" -> q109SketchUnion _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -514,5 +554,6 @@ object Relational {
     "q46_percentiles" -> q46PercentilesSql,
     "q106_equidepth_hist" -> q106EquidepthHistSql,
     "q54_approx_percentiles" -> q54ApproxPercentilesSql,
+    "q109_sketch_union" -> q109SketchUnionSql,
   )
 }

@@ -213,6 +213,45 @@ object Windows {
     funnel(graft.Tables.events(spark, dir), "user_id", "event_type", "ts",
       Seq("view", "click", "purchase"))
 
+  // --- q107_retention: cohort retention matrix ----------------------------
+  /** Day-granular cohort retention: a user's cohort is their first active
+    * day; cell (cohort_day, day_offset) counts how many of that cohort's
+    * users were active day_offset days later — the standard
+    * engagement-decay matrix. Days are epoch-day integers (`unix_micros
+    * div 86400e6`), not calendar truncation, so both engines derive them
+    * with exact integer arithmetic in the session's UTC frame.
+    *
+    * Scale shape: raw events collapse to distinct (entity, day) FIRST — a
+    * map-side-partial dedup on a key set bounded by users × days, orders
+    * of magnitude below the event count; the cohort min is an entity-keyed
+    * agg over that same frame (co-partitioned, no second wide shuffle of
+    * raw events), and the matrix is a plain count over (cohort, offset) —
+    * never a distinct-count over raw events, never a per-user window. */
+  def retentionMatrix(events: DataFrame, entity: String, ts: String): DataFrame = {
+    val active = events
+      .select(col(entity),
+        expr(s"CAST(unix_micros($ts) div 86400000000 AS INT)").as("day"))
+      .distinct()
+    val cohort = active.groupBy(col(entity))
+      .agg(min(col("day")).as("cohort_day"))
+    active.join(cohort, entity)
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def q107Retention(spark: SparkSession, dir: String): DataFrame =
+    retentionMatrix(graft.Tables.events(spark, dir), "user_id", "ts")
+
+  val q107RetentionSql: String = """
+    WITH a AS (SELECT DISTINCT user_id,
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS INT) AS day
+               FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+    SELECT cohort_day, a.day - cohort_day AS day_offset, COUNT(*) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2"""
+
   val q103FunnelSql: String = """
     WITH e AS (SELECT user_id, event_type,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
@@ -238,6 +277,7 @@ object Windows {
     "q11_window_rank"   -> q11WindowRank _,
     "q83_resample"      -> q83Resample _,
     "q103_funnel"       -> q103Funnel _,
+    "q107_retention"    -> q107Retention _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -246,5 +286,6 @@ object Windows {
     "q11_window_rank"   -> q11WindowRankSql,
     "q83_resample"      -> q83ResampleSql,
     "q103_funnel"       -> q103FunnelSql,
+    "q107_retention"    -> q107RetentionSql,
   )
 }

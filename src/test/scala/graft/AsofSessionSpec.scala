@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr, lit}
 import graft.ops.Joins
 import graft.streaming.Streams
 
@@ -174,6 +174,57 @@ class AsofSessionSpec extends GraftSuite {
     assert(got == Map(
       1L -> ((10 * us, 20 * us, 30 * us, 3)),
       2L -> ((10 * us, -1L, -1L, 1))))
+  }
+
+  test("retention matrix: cohorts from first-seen day, cells count distinct active users") {
+    val ev = Seq(
+      // user 1: cohort day 0, active days 0 and 2 (two events on day 2
+      // must count once)
+      (1L, ts("1970-01-01 08:00:00")),
+      (1L, ts("1970-01-03 09:00:00")),
+      (1L, ts("1970-01-03 22:00:00")),
+      // user 2: same cohort day 0, active day 0 only
+      (2L, ts("1970-01-01 23:59:59")),
+      // user 3: cohort day 2, active days 2 and 3
+      (3L, ts("1970-01-03 01:00:00")),
+      (3L, ts("1970-01-04 01:00:00")))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Windows.retentionMatrix(ev, "user_id", "ts")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0, 0) -> 2L, // users 1 and 2 on their cohort day
+      (0, 2) -> 1L, // user 1 returns on day 2
+      (2, 0) -> 1L, // user 3's cohort day
+      (2, 1) -> 1L)) // user 3 returns next day
+  }
+
+  test("attribution: within-window click attributes, stale or missing click does not") {
+    val ev = Seq(
+      // user 1: click 2h before purchase -> attributed
+      (10L, 1L, ts("2024-01-05 08:00:00"), "click", 0.0),
+      (11L, 1L, ts("2024-01-05 10:00:00"), "purchase", 50.0),
+      // user 2: click 3 DAYS before purchase -> asof matches, window rejects
+      (20L, 2L, ts("2024-01-02 10:00:00"), "click", 0.0),
+      (21L, 2L, ts("2024-01-05 10:00:00"), "purchase", 70.0),
+      // user 3: no click at all -> asof null, unattributed
+      (30L, 3L, ts("2024-01-05 12:00:00"), "purchase", 90.0),
+      // user 4: click AFTER the purchase must not attribute
+      (40L, 4L, ts("2024-01-05 13:00:00"), "purchase", 11.0),
+      (41L, 4L, ts("2024-01-05 14:00:00"), "click", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    // shim matching the Tables.events on-disk contract: ts is an
+    // epoch-NANOS long column (the loader divides to µs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.Joins.q108Attribution(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val day = 19727 // 2024-01-05 as epoch days
+    assert(got == Map(
+      (day, true) -> ((1L, 50.0)),
+      (day, false) -> ((3L, 171.0))))
   }
 
   test("streaming funnel's final state matches the batch funnel") {

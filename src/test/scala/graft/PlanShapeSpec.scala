@@ -272,4 +272,32 @@ class PlanShapeSpec extends GraftSuite {
         count(p, "BroadcastNestedLoopJoin BuildLeft"),
       "non-broadcast nested loop in the assignment path")
   }
+
+  test("q107 retention: distinct-first aggregation chain, never a per-user window") {
+    // the scale property is that raw events collapse to distinct
+    // (user, day) before any user-level work — a window (or a distinct
+    // count over raw events) would put each user's full event history on
+    // one task
+    val p = plan("q107_retention")
+    assert(!p.contains("Window"), "retention must not use windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"), "distinct must be a hash aggregate")
+  }
+
+  test("q108 attribution: inherits the as-of single-sort shape through the rollup") {
+    val p = plan("q108_attribution")
+    assert(count(p, "+- Sort ") == 1, "asof must stay one sort; rollup adds none")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q109 sketch union: sketches aggregate partially map-side, no distinct-expand mixing") {
+    // the scale property: HLL buffers partial-aggregate (ObjectHashAggregate
+    // with a partial mode) and the exact-distinct branch is deduplicated
+    // BEFORE counting — a plan that mixed countDistinct into the sketch
+    // aggregate would expand per (group, key) with a 16KB buffer each
+    val p = plan("q109_sketch_union")
+    assert(p.contains("ObjectHashAggregate"), "hll sketches use object agg")
+    assert(!p.contains("Expand"), "no distinct-rewrite expand in the sketch path")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
 }

@@ -57,4 +57,28 @@ class RelationalExtSpec extends GraftSuite {
     assert(ev.schema("ts").dataType.typeName == "timestamp")
     assert(ev.count() > 0)
   }
+
+  test("q109: union of sub-sketches agrees with a direct whole-group sketch") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    // the mergeability contract: sketch-per-subgroup then union must
+    // estimate like one sketch over the whole group — this is what makes
+    // STORED per-partition sketches answer any future rollup
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14)))
+        .as("d"))
+    val unioned = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey"), lit(14)).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("u"))
+    val joined = direct.join(unioned, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (d, u) = (r.getAs[Long]("d"), r.getAs[Long]("u"))
+      assert(math.abs(d - u).toDouble / math.max(d, 1L) < 0.02,
+        s"union estimate $u drifted from direct $d")
+    }
+    Relational.q109SketchUnion(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Boolean]("union_ok")))
+  }
 }
