@@ -226,13 +226,72 @@ object Bucketing {
              AS scan_needed
     FROM lineitem GROUP BY 1"""
 
+  // --- q110_pruned_read: manifest-driven file skipping, end to end --------
+  /** The data-skipping loop CLOSED. q98 computes the pruning arithmetic as
+    * data; this query acts on it against real files: write a
+    * range-clustered copy (`repartitionByRange` on the filter key, so
+    * each of the 8 files carries a tight, disjoint [min,max]), build the
+    * per-file min/max manifest, answer a range query by OPENING ONLY the
+    * surviving files, and hash-match the result against the oracle's
+    * full-scan filter — a file the manifest skipped provably held no
+    * qualifying row, which is the correctness contract behind
+    * Delta/Iceberg data skipping.
+    *
+    * The query range [30%, 40%] of the keyspace is derived from min/max
+    * with exact integer arithmetic mirrored in the oracle, so both
+    * engines filter the identical key interval at any scale factor; the
+    * `pruned` column certifies the skip actually happened (some file was
+    * NOT opened). Driver-side steps are planning metadata only — the
+    * 8-row manifest and the 2-value key bounds (like z-order's boundary
+    * probe); at 100 TB both live in the table format's stats, written
+    * once at ingest, and the surviving-file list feeds the scan planner
+    * the same way. */
+  def q110PrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val scratch = Sink.scratchPath("graft_prune", dir)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(scratch)
+    val bounds = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    // truncating long division == DuckDB's floor `//` here: all positive
+    val lo = mn + 3L * (mx - mn) / 10L
+    val hi = mn + 4L * (mx - mn) / 10L
+    val manifest = spark.read.parquet(scratch)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_orderkey")).as("f_lo"), max(col("l_orderkey")).as("f_hi"))
+      .collect()
+    val files = manifest.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0))
+    val pruned = files.length < manifest.length
+    spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.ops.Relational.dsum(col("l_extendedprice")).as("sum_price"))
+      .withColumn("pruned", lit(pruned))
+  }
+
+  val q110PrunedReadSql: String = s"""
+    WITH b AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+               FROM lineitem)
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           ${graft.ops.Relational.dsumSql("l_extendedprice")} AS sum_price,
+           TRUE AS pruned
+    FROM lineitem, b
+    WHERE l_orderkey >= mn + (3 * (mx - mn)) // 10
+      AND l_orderkey <= mn + (4 * (mx - mn)) // 10
+    GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q71_bucketed_join" -> q71BucketedJoin _,
         "q76_zorder" -> q76Zorder _,
-        "q98_zonemap" -> q98Zonemap _)
+        "q98_zonemap" -> q98Zonemap _,
+        "q110_pruned_read" -> q110PrunedRead _)
 
   def oracles: Map[String, String] =
     Map("q71_bucketed_join" -> q71BucketedJoinSql,
         "q76_zorder" -> q76ZorderSql,
-        "q98_zonemap" -> q98ZonemapSql)
+        "q98_zonemap" -> q98ZonemapSql,
+        "q110_pruned_read" -> q110PrunedReadSql)
 }

@@ -81,4 +81,27 @@ class BucketingSpec extends GraftSuite {
       1L -> ((2L, 10.0, 55.0, true)),
       2L -> ((2L, 70.0, 80.0, false))))
   }
+
+  test("q110: the pruned read skips files AND matches the full-scan filter") {
+    import org.apache.spark.sql.functions._
+    val got = graft.sources.Bucketing.q110PrunedRead(spark, sf).collect()
+    assert(got.nonEmpty)
+    // the skip actually happened — with 8 tight range files and a 10%-of-
+    // keyspace predicate, an un-pruned plan would be a correctness bug in
+    // the manifest overlap test, a never-pruning one a usefulness bug
+    got.foreach(r => assert(r.getAs[Boolean]("pruned"), "no file was skipped"))
+    // and it lost nothing: equal to the same aggregate over a full scan
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (mn + 3L * (mx - mn) / 10L, mn + 4L * (mx - mn) / 10L)
+    val want = li.filter(col("l_orderkey").between(lo, hi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.ops.Relational.dsum(col("l_extendedprice")).as("sum_price"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val gotMap = got.map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotMap == want)
+  }
 }
