@@ -426,6 +426,58 @@ object Relational {
            TRUE AS union_ok
     FROM lineitem GROUP BY l_returnflag"""
 
+  // --- q111_multiway_join: TPC-H Q5-shaped 6-table local-supplier query ---
+  /** The classic join-order stress: lineitem ⋈ orders ⋈ customer ⋈
+    * supplier ⋈ nation ⋈ region with the "local supplier" correlation
+    * (customer and supplier share a nation) and a date slice — revenue by
+    * nation. Declared as one flat join chain: Catalyst's cost-based
+    * reorder + AQE pick the physical order, the two genuinely small
+    * dims (nation, region) are broadcast explicitly, and the
+    * customer⋈supplier correlation rides the fact-side equi-keys —
+    * the plan the brief's 1000-executor cluster wants is exactly what a
+    * declarative chain gives for free, which is the point of this query
+    * next to the hand-shaped ones.
+    *
+    * The supplier join keys on (l_suppkey AND nation equality), so the
+    * row never multiplies: each lineitem matches at most its one
+    * supplier, kept only when nations align. Date arithmetic stays on
+    * o_orderdate (pushed to the orders scan). */
+  def q111MultiwayJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01") &&
+              col("o_orderdate") < lit("1997-01-01"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+               c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q111MultiwayJoinSql: String = s"""
+    SELECT n_name,
+           ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= DATE '1994-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+      AND r_name = 'ASIA'
+    GROUP BY n_name"""
+
   // --- q52_pivot: wide-format aggregation ----------------------------------
   // `pivot` with an explicit value list compiles to conditional aggregation
   // (one agg expression per value) — a single hash aggregate, no extra
@@ -536,6 +588,7 @@ object Relational {
     "q54_approx_percentiles" -> q54ApproxPercentiles _,
     "q106_equidepth_hist" -> q106EquidepthHist _,
     "q109_sketch_union" -> q109SketchUnion _,
+    "q111_multiway_join" -> q111MultiwayJoin _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -555,5 +608,6 @@ object Relational {
     "q106_equidepth_hist" -> q106EquidepthHistSql,
     "q54_approx_percentiles" -> q54ApproxPercentilesSql,
     "q109_sketch_union" -> q109SketchUnionSql,
+    "q111_multiway_join" -> q111MultiwayJoinSql,
   )
 }

@@ -273,6 +273,16 @@ class PlanShapeSpec extends GraftSuite {
       "non-broadcast nested loop in the assignment path")
   }
 
+  test("q111 multiway join: dims broadcast, facts equi-join, date filter pushed") {
+    val p = plan("q111_multiway_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // nation and region ride broadcast; the customer/supplier joins may be
+    // broadcast or shuffled by size, but never a nested loop
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "date slice must reach the orders scan")
+  }
+
   test("q107 retention: distinct-first aggregation chain, never a per-user window") {
     // the scale property is that raw events collapse to distinct
     // (user, day) before any user-level work — a window (or a distinct

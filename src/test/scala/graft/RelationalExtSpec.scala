@@ -81,4 +81,38 @@ class RelationalExtSpec extends GraftSuite {
     Relational.q109SketchUnion(spark, sf).collect()
       .foreach(r => assert(r.getAs[Boolean]("union_ok")))
   }
+
+  test("AQE runtime bloom filter: injected on a selective shuffled join, results identical") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB payoff: a selective dim-side filter becomes a bloom
+    // probe on the FACT SCAN side, discarding rows before the shuffle.
+    // Thresholds are tuned for test scale (any fact scan qualifies) and
+    // broadcast is disabled so the join actually shuffles — at real scale
+    // the defaults make the same decision for a 10GB+ scan.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        "no runtime bloom filter injected:\n" + plan.take(800))
+      val got = joined.head()
+      // ground truth with the filter disabled
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val want = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q")).head()
+      assert(got == want, s"bloom-filtered result $got != plain $want")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _)) }
+  }
 }

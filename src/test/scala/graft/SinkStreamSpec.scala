@@ -187,4 +187,35 @@ class SinkStreamSpec extends GraftSuite {
       assert(batch == Set((1L, 101L), (3L, 103L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment join matches the batch join") {
+    // the streaming side of the broadcast-dim pattern: a static dim joined
+    // into a stream is re-planned per micro-batch with the batch
+    // optimizer's broadcast decision — no state store involved, so it is
+    // the cheapest streaming enrich there is
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("tier_id", "tier")
+    val ms = MemoryStream[(Long, Double)]
+    val data = Seq((10L, 5.0), (11L, 7.0), (12L, 9.0), (13L, 11.0))
+    ms.addData(data)
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("tier_id", pmod(col("user_id"), lit(3L)))
+        .join(broadcast(dim), "tier_id")
+        .select(col("user_id"), col("tier"), col("value"))
+    val q = enrich(ms.toDF().toDF("user_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_enrich").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_enrich").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val batch = enrich(data.toDF("user_id", "value")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(batch == Set((10L, "silver", 5.0), (11L, "gold", 7.0),
+        (12L, "bronze", 9.0), (13L, "silver", 11.0)))
+    } finally q.stop()
+  }
 }
