@@ -572,6 +572,22 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("cluster"))
   }
 
+  // --- q112_cc_alternating: the same clusters, MapReduce-CC paradigm ------
+  /** q47's clustering computed by the OTHER distributed-CC paradigm —
+    * alternating large-star/small-star
+    * ([[graft.graph.Algorithms.ccAlternating]]) instead of Pregel label
+    * propagation. Same detector substrate, same min-label result, same
+    * recursive-closure oracle: what the hash-match certifies is that two
+    * independent algorithm families agree with DuckDB's transitive
+    * closure on the identical pair set. */
+  def q112CcAlternating(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = undirectedEdges(ngramJaccardPairs(docs, "doc_id", "text"))
+    graft.graph.Algorithms
+      .ccAlternating(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+  }
+
   /** The transitive-closure clustering CTE chain (threshold 0.8), shared
     * by the q47 oracle and q50's pipeline oracle so the clustering
     * definition lives in exactly one place. Prepend `WITH RECURSIVE`. */
@@ -792,6 +808,7 @@ object Dedup {
     "q35_ngram_jaccard" -> q35NgramJaccard _,
     "q41_simhash"       -> q41SimHash _,
     "q47_dedup_clusters" -> q47DedupClusters _,
+    "q112_cc_alternating" -> q112CcAlternating _,
     "q62_decontaminate" -> q62Decontaminate _,
     "q69_bloom_decontaminate" -> q69BloomDecontaminate _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
@@ -805,6 +822,7 @@ object Dedup {
     "q35_ngram_jaccard" -> ngramJaccardOracleSql,
     "q41_simhash"       -> ngramJaccardOracleSql,
     "q47_dedup_clusters" -> q47DedupClustersSql,
+    "q112_cc_alternating" -> q47DedupClustersSql,
     "q62_decontaminate" -> q62DecontaminateSql,
     "q69_bloom_decontaminate" -> q69BloomDecontaminateSql,
     "q70_incremental_dedup" -> q70IncrementalDedupSql,

@@ -91,6 +91,85 @@ object Algorithms {
       // min-label propagation is monotone (see maxValuePropagation)
       blockSize = 3)
 
+  /** Connected components WITHOUT a vertex program: the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the formulation used
+    * for trillion-edge graphs, here as a complement to the Pregel
+    * [[connectedComponents]] so the engine carries both iterative
+    * paradigms. Each round is two agg+join passes over the EDGE set:
+    *
+    *   large-star: per node u with m = min(N(u) ∪ {u}), rewire every
+    *   BIGGER neighbor v > u to (v, m) — after it, all edges point
+    *   big → small;
+    *   small-star: per node u with m = min(N(u)), rewire the smaller
+    *   neighbors (and u itself) to m.
+    *
+    * Both steps preserve connectivity and strictly shrink the potential,
+    * converging in O(log n) rounds to one star per component rooted at
+    * its minimum id — the same min-label result the Pregel form and the
+    * q47 recursive-CTE oracle produce (pinned by a property spec).
+    *
+    * Scale shape vs Pregel CC: no vertex-state join, no vote aggregate —
+    * each half-round is one groupBy(min) on node id plus one equi-join
+    * back, everything edge-partitioned; a high-degree hub is ONE group in
+    * a partial-aggregated min, not a window. Convergence is detected by
+    * an (edge-count, hash-sum) checksum going stable — one tiny action
+    * per round, against Pregel's full-materialization halt vote. Lineage
+    * is cut with a lazy localCheckpoint every 3 rounds, as in [[Pregel]].
+    */
+  def ccAlternating(vertices: DataFrame, edges: DataFrame,
+                    maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // canonical undirected edge set: deduped, self-loops dropped,
+    // stored big -> small (one small-star's precondition, and exactly
+    // what large-star emits)
+    var e = edges
+      .select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val live = scala.collection.mutable.ArrayBuffer(e)
+    try {
+      var prev = (-1L, 0L)
+      var round = 0
+      var done = false
+      while (!done && round < maxRounds) {
+        val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val lsMin = und.groupBy(col("u"))
+          .agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("u"), col("mv")).as("m"))
+        val ls = und.join(lsMin, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")).distinct()
+        val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val ssRaw = ls.join(ssMin, "u").filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(ssMin.select(col("u"), col("m").as("v")))
+          .distinct()
+        val ss = (if ((round + 1) % 3 == 0) ssRaw.localCheckpoint(false)
+                  else ssRaw).persist(StorageLevel.MEMORY_AND_DISK)
+        live += ss
+        // (count, xor-of-hashes): order-independent, overflow-free under
+        // ANSI; the rows are distinct so this is a set checksum
+        val chk = ss.agg(count(lit(1)),
+          bit_xor(xxhash64(col("u"), col("v")))).head()
+        val cur = (chk.getLong(0), if (chk.isNullAt(1)) 0L else chk.getLong(1))
+        done = cur == prev
+        prev = cur
+        e = ss
+        round += 1
+      }
+      vertices.select(col("id"))
+        .join(e.select(col("u").as("id"), col("v").as("component")),
+          Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+        // sever from the to-be-unpersisted round frames
+        .localCheckpoint(true)
+    } finally live.foreach(_.unpersist(false))
+  }
+
   /** k-core: the maximal subgraph where every vertex has degree ≥ k,
     * computed by iterative peeling — remove vertices with degree < k,
     * remove their edges, repeat until stable. The G7 dynamic-topology

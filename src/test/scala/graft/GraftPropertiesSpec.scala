@@ -109,6 +109,39 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: ccAlternating equals union-find AND the Pregel CC on random graphs") {
+    val gen = for {
+      n <- Gen.choose(3, 14)
+      ne <- Gen.choose(0, 16)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es)
+    (1L to 5L).foreach { s =>
+      val (n, es) = sample(gen, s)
+      val vertices = (0 until n).map(_.toLong).toDF("id")
+      val edges = es.map { case (a, b) => (a.toLong, b.toLong) }
+        .toDF("src", "dst")
+      val got = Algorithms.ccAlternating(vertices, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots = (0 until n).map(find)
+      val minOf = (0 until n).groupBy(roots).map { case (r, m) => r -> m.min }
+      val expected = (0 until n).map(i => i.toLong -> minOf(roots(i)).toLong).toMap
+      assert(got == expected, s"seed $s")
+      // and the two distributed paradigms agree with each other
+      val pregel = Algorithms.connectedComponents(vertices,
+          edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+            .union(vertices.select(col("id").as("src"), col("id").as("dst"))))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == pregel, s"paradigm disagreement, seed $s")
+    }
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val gen = for {
       n <- Gen.choose(3, 12)
