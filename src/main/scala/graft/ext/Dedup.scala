@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{CacheRegistry, Tables}
 import graft.ops.Text
@@ -759,6 +760,187 @@ object Dedup {
              "COALESCE(du.n_dup, 0)", "tot.n_windows")} AS dup_ratio
     FROM tot LEFT JOIN du ON du.doc_id = tot.doc_id"""
 
+  // --- q113_span_excision: cut contaminated spans, keep clean fragments ---
+  /** Span-level decontamination: where [[decontaminate]] (q62) DROPS a
+    * document that shares any benchmark n-gram, this EXCISES only the
+    * overlapping token spans and keeps the clean remainder as fragments —
+    * the PaLM/Llama-style treatment that saves the 99% of a long document
+    * that a single quoted eval question would otherwise discard.
+    *
+    * Semantics: a corpus token position is covered if any benchmark
+    * n-gram matches the positional n-gram window starting at most n−1
+    * tokens before it; maximal runs of UNCOVERED tokens (gaps-and-islands
+    * on `pos − row_number`) become fragments, and fragments shorter than
+    * `minTokens` are dropped (an excision residue of one or two tokens is
+    * noise, not training text). Documents shorter than n tokens carry no
+    * positional window and pass through whole — doc-level matching of
+    * short texts is q62's job.
+    *
+    * Scale shape: one tokenize pass; positional n-grams come from a
+    * per-doc `lead` window (ONE partition-by-doc sort that the island
+    * numbering and fragment ordering reuse — no second shuffle
+    * partitioning); the benchmark shingle set is broadcast exactly as in
+    * q62; covered positions collapse to a per-doc int array joined back
+    * on the doc key, so the corpus is never shuffled on a value key. The
+    * per-token `array_contains` probe is O(covered-positions) within one
+    * document — bounded by doc length, independent of corpus size. */
+  def spanExcision(corpus: DataFrame, benchmark: DataFrame,
+                   id: String, text: String, n: Int = 5,
+                   minTokens: Int = 3): DataFrame = {
+    require(n >= 2, s"spanExcision: n must be >= 2, got $n")
+    val toks = corpus.select(col(id),
+        posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .distinct()
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val gram = concat_ws(" ",
+      col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w)): _*)
+    val posSh = toks
+      .select(col(id), col("pos"), gram.as("shingle"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+    val coveredArr = posSh
+      .join(broadcast(benchSh), Seq("shingle"))
+      .select(col(id), explode(sequence(col("pos"), col("pos") + lit(n - 1)))
+        .as("pos"))
+      .groupBy(col(id)).agg(collect_set(col("pos")).as("cov"))
+    val unc = toks
+      .join(coveredArr, Seq(id), "left_outer")
+      .filter(col("cov").isNull || !array_contains(col("cov"), col("pos")))
+      .withColumn("grp", col("pos") - row_number().over(w))
+    unc.groupBy(col(id), col("grp"))
+      .agg(min(col("pos")).as("mn"),
+        count(lit(1)).cast("int").as("n_tokens"),
+        concat_ws(" ", sort_array(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok")).as("frag_text"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col(id),
+        row_number().over(Window.partitionBy(col(id)).orderBy(col("mn")))
+          .cast("int").as("frag_id"),
+        col("frag_text"), col("n_tokens"))
+  }
+
+  /** Same corpus/benchmark split as q62 (doc_id % 97), n=5, minTokens=3. */
+  def q113SpanExcision(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    spanExcision(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  val q113SpanExcisionSql: String = s"""
+    WITH $contaminationCtes,
+    pos5 AS (
+      SELECT t.doc_id, u.i AS s,
+             t.ts[u.i] || ' ' || t.ts[u.i+1] || ' ' || t.ts[u.i+2] || ' ' ||
+             t.ts[u.i+3] || ' ' || t.ts[u.i+4] AS shingle
+      FROM toks5 t, unnest(range(1, len(t.ts) - 3)) AS u(i)
+      WHERE len(t.ts) >= 5 AND t.doc_id % 97 <> 0),
+    cov AS (
+      SELECT DISTINCT p.doc_id, c.i
+      FROM pos5 p JOIN bsh5 b ON p.shingle = b.shingle,
+           unnest(range(p.s, p.s + 5)) AS c(i)),
+    alltok AS (
+      SELECT t.doc_id, u.i, t.ts[u.i] AS tok
+      FROM toks5 t, unnest(range(1, len(t.ts) + 1)) AS u(i)
+      WHERE t.doc_id % 97 <> 0),
+    unc AS (
+      SELECT a.doc_id, a.i, a.tok,
+             a.i - ROW_NUMBER() OVER (PARTITION BY a.doc_id ORDER BY a.i)
+               AS grp
+      FROM alltok a LEFT JOIN cov c ON c.doc_id = a.doc_id AND c.i = a.i
+      WHERE c.doc_id IS NULL),
+    frags AS (
+      SELECT doc_id, grp, MIN(i) AS mn, COUNT(*) AS n_tokens,
+             STRING_AGG(tok, ' ' ORDER BY i) AS frag_text
+      FROM unc GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY mn) AS INT)
+             AS frag_id,
+           frag_text,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM frags WHERE n_tokens >= 3"""
+
+  // --- q114_segment_dedup: unit-level dedup with document reassembly ------
+  /** CCNet-style unit-level deduplication: split every document into
+    * units, keep only the globally FIRST occurrence of each distinct unit
+    * text (by (doc_id, unit-index) order), and reassemble each document
+    * from its surviving units — removing the shared boilerplate that
+    * doc-level detectors can't touch without dropping whole documents.
+    * The synthetic corpus has no newlines, so the registered query
+    * segments by fixed `w`-token windows; on real data the segmenter is
+    * `split(text, '\\n')` with the identical downstream plan.
+    *
+    * Scale shape: units come straight off the token array (`sequence` +
+    * `slice`, both codegen'd — no explode-then-window). The
+    * first-occurrence keeper is `groupBy(seg).agg(min(struct(id, idx)))`
+    * + an equi-join back — the groupBy+join discipline (map-side partial
+    * absorbs a hot boilerplate segment; a value-keyed window would sort
+    * every occurrence of it into one task). Reassembly is one
+    * per-doc aggregate over conditional collect_list. */
+  def segmentDedup(docs: DataFrame, id: String, text: String,
+                   w: Int = 3): DataFrame = {
+    require(w >= 1, s"segmentDedup: window must be >= 1, got $w")
+    val ts = split(regexp_replace(trim(lower(col(text))), "\\s+", " "), " ")
+    val segs = docs
+      .select(col(id), explode(sequence(lit(1), size(ts), lit(w))).as("s"),
+        ts.as("ts"))
+      .select(col(id), (((col("s") - 1) / w).cast("int") + 1).as("sidx"),
+        concat_ws(" ", slice(col("ts"), col("s"), lit(w))).as("seg"))
+      .filter(col("seg") =!= "")
+    val keeper = segs.groupBy(col("seg"))
+      .agg(min(struct(col(id).as("kid"), col("sidx").as("ksidx"))).as("k"))
+    val perDoc = segs.join(keeper, Seq("seg"))
+      .withColumn("kept",
+        col("k.kid") === col(id) && col("k.ksidx") === col("sidx"))
+      .groupBy(col(id))
+      .agg(
+        concat_ws(" ", sort_array(collect_list(
+          when(col("kept"), struct(col("sidx"), col("seg")))))
+          .getField("seg")).as("clean_text"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(!col("kept"), 1).otherwise(0)).cast("int").as("n_dropped"))
+    docs.select(col(id)).join(perDoc, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0)).as("n_dropped"))
+  }
+
+  def q114SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.documents(spark, dir), "doc_id", "text", w = 3)
+
+  val q114SegmentDedupSql: String = """
+    WITH toksS AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS ts
+      FROM documents),
+    segsS AS (
+      SELECT doc_id, CAST((u.s - 1) // 3 + 1 AS INT) AS sidx,
+             array_to_string(ts[u.s : u.s + 2], ' ') AS seg
+      FROM toksS, unnest(range(1, len(ts) + 1, 3)) AS u(s)),
+    markedS AS (
+      SELECT doc_id, sidx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, sidx) = 1
+               AS kept
+      FROM segsS),
+    perDocS AS (
+      SELECT doc_id,
+             STRING_AGG(seg, ' ' ORDER BY sidx) FILTER (WHERE kept)
+               AS clean_text,
+             COUNT(*) FILTER (WHERE kept) AS n_kept,
+             COUNT(*) FILTER (WHERE NOT kept) AS n_dropped
+      FROM markedS GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.clean_text, '') AS clean_text,
+           CAST(COALESCE(p.n_kept, 0) AS INT) AS n_kept,
+           CAST(COALESCE(p.n_dropped, 0) AS INT) AS n_dropped
+    FROM documents d LEFT JOIN perDocS p ON p.doc_id = d.doc_id"""
+
   // --- q101_novelty: first-occurrence n-gram novelty per document ---------
   /** Corpus-order novelty: the share of a document's DISTINCT 3-gram
     * shingles whose earliest occurrence (minimum doc id) is this document
@@ -810,6 +992,8 @@ object Dedup {
     "q47_dedup_clusters" -> q47DedupClusters _,
     "q112_cc_alternating" -> q112CcAlternating _,
     "q62_decontaminate" -> q62Decontaminate _,
+    "q113_span_excision" -> q113SpanExcision _,
+    "q114_segment_dedup" -> q114SegmentDedup _,
     "q69_bloom_decontaminate" -> q69BloomDecontaminate _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
     "q93_substr_dup"    -> q93SubstrDup _,
@@ -824,6 +1008,8 @@ object Dedup {
     "q47_dedup_clusters" -> q47DedupClustersSql,
     "q112_cc_alternating" -> q47DedupClustersSql,
     "q62_decontaminate" -> q62DecontaminateSql,
+    "q113_span_excision" -> q113SpanExcisionSql,
+    "q114_segment_dedup" -> q114SegmentDedupSql,
     "q69_bloom_decontaminate" -> q69BloomDecontaminateSql,
     "q70_incremental_dedup" -> q70IncrementalDedupSql,
     "q93_substr_dup"    -> q93SubstrDupSql,

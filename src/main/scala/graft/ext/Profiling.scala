@@ -172,13 +172,100 @@ object Profiling {
     SELECT 'documents_text_nonnull',
            (SELECT COUNT(*) FROM documents WHERE text IS NULL)"""
 
+  /** Pairwise Pearson correlation from EXACT integer sufficient statistics
+    * — the profiling layer's drift detector (a quantity↔discount
+    * correlation flip between ingest batches is a pricing-pipeline bug
+    * long before any model sees the data).
+    *
+    * Cross-engine determinism, one step past [[profileNumeric]]'s stddev
+    * compromise: every sufficient statistic (n, Σx, Σy, Σx², Σy², Σxy) is
+    * an exact BIGINT, and both engines then evaluate the SAME final
+    * expression tree — `covn / sqrt(double(vx) * double(vy))` over those
+    * exact integers. int→double casts are correctly rounded, the multiply
+    * / sqrt / divide are single IEEE ops, so the result is BIT-identical
+    * across engines: the correlation needs no `round(…, 6)` at all, and
+    * the hash compare certifies exactly that. Degenerate variance (a
+    * constant column in some group) yields NULL, not a 0/0 NaN.
+    *
+    * One scan, map-side partial aggregation, |groups| output rows — the
+    * N×N-pairs profile at 100 TB is still a single pass because every
+    * pair's five sums ride the same hash aggregate. */
+  def correlations(df: DataFrame, groupCol: String,
+                   cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "correlations: need at least two columns")
+    val ints = cols.map { case (n, c) => n -> c.cast("long") }
+    val sumAggs = count(lit(1)).as("n") +: (
+      ints.flatMap { case (n, c) =>
+        Seq(sum(c).as(s"s_$n"), sum(c * c).as(s"s_${n}_$n")) } ++
+      ints.combinations(2).toSeq.map { case Seq((a, ca), (b, cb)) =>
+        sum(ca * cb).as(s"s_${a}_$b") })
+    val corrCols = ints.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+      val covn = col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val vx = col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")
+      val vy = col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")
+      when(vx > 0 && vy > 0,
+        covn.cast("double") / sqrt(vx.cast("double") * vy.cast("double")))
+        .as(s"corr_${a}_$b")
+    }
+    df.groupBy(col(groupCol))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .select(col(groupCol) +: col("n") +: corrCols: _*)
+  }
+
+  // --- q115_correlations: per-returnflag correlation triangle -------------
+  /** lineitem's (quantity, discount, tax) correlation triangle per return
+    * flag. The doubles are integer-ized first (cents / whole units) with
+    * `CAST(ROUND(x*100) AS BIGINT)` — the multiply and round are the same
+    * IEEE ops in both engines, so the integer inputs (and hence every
+    * downstream statistic) agree exactly. */
+  def q115Correlations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    correlations(li, "l_returnflag", Seq(
+      "qty"  -> round(col("l_quantity")).cast("long"),
+      "disc" -> round(col("l_discount") * 100).cast("long"),
+      "tax"  -> round(col("l_tax") * 100).cast("long")))
+  }
+
+  val q115CorrelationsSql: String = """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS z
+      FROM lineitem),
+    g AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(z*z) AS BIGINT) AS szz,
+             CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*z) AS BIGINT) AS sxz,
+             CAST(SUM(y*z) AS BIGINT) AS syz
+      FROM s GROUP BY 1)
+    SELECT l_returnflag, n,
+      CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        CAST(n*sxy - sx*sy AS DOUBLE) /
+        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+      END AS corr_qty_disc,
+      CASE WHEN n*sxx - sx*sx > 0 AND n*szz - sz*sz > 0 THEN
+        CAST(n*sxz - sx*sz AS DOUBLE) /
+        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*szz - sz*sz AS DOUBLE))
+      END AS corr_qty_tax,
+      CASE WHEN n*syy - sy*sy > 0 AND n*szz - sz*sz > 0 THEN
+        CAST(n*syz - sy*sz AS DOUBLE) /
+        sqrt(CAST(n*syy - sy*sy AS DOUBLE) * CAST(n*szz - sz*sz AS DOUBLE))
+      END AS corr_disc_tax
+    FROM g"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q85_profile"     -> q85Profile _,
-    "q86_constraints" -> q86Constraints _,
+    "q85_profile"      -> q85Profile _,
+    "q86_constraints"  -> q86Constraints _,
+    "q115_correlations" -> q115Correlations _,
   )
 
   def oracles: Map[String, String] = Map(
-    "q85_profile"     -> q85ProfileSql,
-    "q86_constraints" -> q86ConstraintsSql,
+    "q85_profile"      -> q85ProfileSql,
+    "q86_constraints"  -> q86ConstraintsSql,
+    "q115_correlations" -> q115CorrelationsSql,
   )
 }

@@ -835,6 +835,73 @@ object Similarity {
              AS recall6
     FROM qs LEFT JOIN h USING (qid)"""
 
+  // --- q116_fuzzy_nn: blocked edit-distance nearest neighbor --------------
+  /** String-similarity join — the entity-resolution / record-linkage
+    * primitive: for every row, the nearest OTHER distinct value of a
+    * string column by Levenshtein distance, restricted to a blocking key
+    * (same first token, length within `lenBand`). The blocking contract
+    * IS the operator's semantics: a candidate outside the block is by
+    * definition not a match, which is what makes the result exactly
+    * oracle-able and keeps the cost model honest — no silent recall
+    * hand-waving.
+    *
+    * Scale shape — collapse before the quadratic: the O(n²) Levenshtein
+    * never touches ROWS, only DISTINCT VALUES. Low-cardinality string
+    * columns (names, categories, near-canonical titles) collapse by
+    * orders of magnitude — here 20k rows → 64 distinct names, turning
+    * 48M row-pairs into 4k value-pairs — and every row then picks up its
+    * value's answer by one equi-join on the value key (map-side partial
+    * makes the distinct cheap; the per-value NN table is tiny and
+    * broadcasts). For genuinely high-cardinality columns the block size
+    * is the knob, exactly as in [[graft.ext.Dedup.lshCandidates]].
+    * Ties break on (distance, neighbor value) so the answer is
+    * deterministic. Singleton blocks yield NULL neighbors, never a
+    * fabricated match. */
+  def fuzzyNearestNeighbor(df: DataFrame, idCol: String, nameCol: String,
+                           lenBand: Int = 2): DataFrame = {
+    val rows = df.select(col(idCol), lower(col(nameCol)).as("name"))
+    val values = rows.groupBy(col("name"))
+      .agg(min(col(idCol)).as("rep_id"))
+      .select(col("name"), col("rep_id"),
+        split(col("name"), " ").getItem(0).as("blk"),
+        length(col("name")).as("ln"))
+    val cand = values.as("a").join(values.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") =!= col("b.name") &&
+          abs(col("a.ln") - col("b.ln")) <= lenBand)
+      .select(col("a.name").as("name"),
+        struct(levenshtein(col("a.name"), col("b.name")).as("dist"),
+          col("b.name").as("nn_name"), col("b.rep_id").as("nn_id")).as("c"))
+    val best = cand.groupBy(col("name")).agg(min(col("c")).as("m"))
+      .select(col("name"), col("m.nn_name").as("nn_name"),
+        col("m.nn_id").as("nn_partkey"), col("m.dist").as("dist"))
+    rows.join(broadcast(best), Seq("name"), "left_outer")
+      .select(col(idCol), col("name"), col("nn_name"), col("nn_partkey"),
+        col("dist"))
+  }
+
+  def q116FuzzyNn(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNearestNeighbor(Tables.part(spark, dir), "p_partkey", "p_name")
+
+  val q116FuzzyNnSql: String = """
+    WITH pr AS (SELECT p_partkey, lower(p_name) AS name FROM part),
+    vals AS (
+      SELECT name, MIN(p_partkey) AS rep_id,
+             split_part(name, ' ', 1) AS blk, len(name) AS ln
+      FROM pr GROUP BY name),
+    cand AS (
+      SELECT a.name AS name, levenshtein(a.name, b.name) AS dist,
+             b.name AS nn_name, b.rep_id AS nn_id
+      FROM vals a JOIN vals b
+        ON a.blk = b.blk AND a.name <> b.name AND abs(a.ln - b.ln) <= 2),
+    best AS (
+      SELECT name, nn_name, nn_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY name ORDER BY dist, nn_name)
+               AS rn
+      FROM cand)
+    SELECT p.p_partkey, p.name, b.nn_name, b.nn_id AS nn_partkey,
+           CAST(b.dist AS INT) AS dist
+    FROM pr p LEFT JOIN best b ON b.name = p.name AND b.rn = 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -846,6 +913,7 @@ object Similarity {
     "q100_pq_adc"         -> q100PqAdc _,
     "q104_hard_negatives" -> q104HardNegatives _,
     "q105_ann_recall"     -> q105AnnRecall _,
+    "q116_fuzzy_nn"       -> q116FuzzyNn _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -859,5 +927,6 @@ object Similarity {
     "q100_pq_adc"         -> q100PqAdcSql,
     "q104_hard_negatives" -> q104HardNegativesSql,
     "q105_ann_recall"     -> q105AnnRecallSql,
+    "q116_fuzzy_nn"       -> q116FuzzyNnSql,
   )
 }

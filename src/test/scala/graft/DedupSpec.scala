@@ -173,4 +173,42 @@ class DedupSpec extends GraftSuite {
       2L -> ((2L, 1L, 0.5)),
       3L -> ((1L, 1L, 1.0))))
   }
+
+  test("spanExcision cuts covered spans, keeps clean fragments, drops residue") {
+    val bench = Seq((100L, "p q r s t")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c p q r s t x y z"), // hit at pos 3 → covers 3..7
+      (2L, "p q r s t"),             // fully covered → no fragments
+      (3L, "m n o"),                 // < 5 tokens: no window, passes whole
+      (4L, "a b p q r s t"))         // clean run "a b" < minTokens → dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.spanExcision(corpus, bench, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    assert(got == Map(
+      (1L, 1) -> (("a b c", 3)),
+      (1L, 2) -> (("x y z", 3)),
+      (3L, 1) -> (("m n o", 3))))
+  }
+
+  test("segmentDedup keeps the global first occurrence and reassembles") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // both segments first-seen
+      (2L, "a b c x y z"),  // "a b c" lost to doc 1
+      (3L, ""),             // empty text → empty clean_text, 0/0
+      (4L, "d e f a b c"),  // both segments lost
+      (5L, "q r s q r s"))  // within-doc dup: second occurrence dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", w = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got == Map(
+      1L -> (("a b c d e f", 2, 0)),
+      2L -> (("x y z", 1, 1)),
+      3L -> (("", 0, 0)),
+      4L -> (("", 0, 2)),
+      5L -> (("q r s", 1, 1))))
+  }
 }

@@ -68,6 +68,33 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q113 span excision: benchmark broadcast, doc-keyed windows only, no HOF") {
+    val p = plan("q113_span_excision")
+    // the benchmark shingle set reaches the corpus as a broadcast (q62's
+    // contract); coverage joins back on the doc key — no nested loop
+    assert(p.contains("BroadcastExchange"), "benchmark must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // token pipeline stays codegen'd: no interpreted lambda in the explode path
+    assert(!p.contains("lambdafunction"), p.take(400))
+  }
+
+  test("q114 segment dedup: first-occurrence keeper is agg+join, never a window") {
+    // ROW_NUMBER over PARTITION BY seg would concentrate every occurrence
+    // of a hot boilerplate segment on one task — the keeper must stay
+    // groupBy(seg).min + equi-join (map-side partial absorbs the hot key)
+    val p = plan("q114_segment_dedup")
+    assert(!p.contains("Window"), "value-keyed window in segment dedup")
+    assert(!p.contains("lambdafunction"), p.take(400))
+  }
+
+  test("q116 fuzzy NN: quadratic runs on distinct values; rows join the tiny NN table") {
+    val p = plan("q116_fuzzy_nn")
+    // the per-value answer table broadcasts back onto the row stream; the
+    // within-block self-join must be an equi-join on the block key
+    assert(p.contains("BroadcastExchange"), "NN table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q16 range join keeps the equi-key shuffle (band is a post-join filter)") {
     val p = plan("q16_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

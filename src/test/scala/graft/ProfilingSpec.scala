@@ -57,4 +57,23 @@ class ProfilingSpec extends GraftSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep == Map("has_dups" -> 1L, "none_negative" -> 0L))
   }
+
+  test("correlations: exact ±1 on linear columns, NULL on constant columns") {
+    val df = Seq(
+      ("g1", 1L, 2L, 3L), ("g1", 2L, 4L, 2L), ("g1", 3L, 6L, 1L),
+      ("g2", 5L, 1L, 1L), ("g2", 5L, 2L, 3L))
+      .toDF("g", "x", "y", "z")
+    val got = Profiling.correlations(df, "g",
+        Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect().map { r => r.getString(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))) }.toMap
+    // y = 2x and z = 4 - x in g1: exact ±1.0 (integer stats, exact sqrt);
+    // x is constant in g2: NULL, never a 0/0 NaN
+    assert(got == Map(
+      "g1" -> ((3L, Some(1.0), Some(-1.0), Some(-1.0))),
+      "g2" -> ((2L, None, None, Some(1.0)))))
+  }
 }

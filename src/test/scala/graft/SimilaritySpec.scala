@@ -246,4 +246,27 @@ class SimilaritySpec extends GraftSuite {
     assert(got == expected)
     assert(got.values.forall(h => h >= 0L && h <= 5L))
   }
+
+  test("fuzzyNearestNeighbor: value-level NN, blocking, singleton → NULL") {
+    val df = Seq(
+      (1L, "red apple"), (2L, "red apply"), (3L, "red banana"),
+      (4L, "blue pear"), (5L, "red apple"))
+      .toDF("id", "name")
+    val got = Similarity.fuzzyNearestNeighbor(df, "id", "name")
+      .collect().map { r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)))) }.toMap
+    // apple ↔ apply at distance 1; rows 1 and 5 share a value and must get
+    // the identical answer; the rep id for "red apple" is min(1, 5) = 1
+    assert(got(1L) == (("red apply", Some(2L), Some(1))))
+    assert(got(5L) == got(1L))
+    assert(got(2L) == (("red apple", Some(1L), Some(1))))
+    // banana's nearest is whichever of apple/apply wins (dist, name) order
+    // — assert the tie-break contract rather than a hand-computed distance
+    val (bn, bid, _) = got(3L)
+    assert(bn == "red apple" && bid == Some(1L))
+    // singleton block: no fabricated neighbor
+    assert(got(4L) == ((null, None, None)))
+  }
 }
