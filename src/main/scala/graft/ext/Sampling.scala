@@ -267,11 +267,75 @@ object Sampling {
              AS alloc
     FROM r"""
 
+  // --- q120_ticket_sample: weighted sampling by integer ticket priority ---
+  /** 32-bit unsigned integer from the first 8 hex nibbles of
+    * `md5(string(key))` — the numeric companion of [[hashBucket]], built
+    * with per-nibble `instr` arithmetic because neither engine shares a
+    * portable hex→int cast. Exact BIGINT everywhere; the md5 is computed
+    * once per row (the nibble extraction reuses one projected column). */
+  private def nibbleSumSql(h: String): String =
+    (1 to 8).map { i =>
+      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (8 - i))} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Weighted sampling without replacement by DISCRETE TICKETS: row i
+    * holds `w_i` tickets, each ticket draws an iid uniform 32-bit hash,
+    * the row's priority is its MINIMUM ticket, and the sample is the k
+    * rows with smallest priority (ties broken by id). More tickets ⇒
+    * stochastically smaller minimum ⇒ proportionally higher selection
+    * odds — the integer-exact cousin of Efraimidis–Spirakis `u^(1/w)`
+    * keys, chosen over the real-valued form because `pow`/`ln` are not
+    * correctly-rounded and would diverge between engines, while this
+    * priority is exact BIGINT arithmetic any auditor replays bit-for-bit.
+    *
+    * Scale shape: tickets explode ≤ maxW rows per input row (weights are
+    * small integers by construction — quality tiers, not raw scores), the
+    * min collapses in a map-side partial agg keyed by id, and the top-k
+    * is a TakeOrdered — no global sort, no corpus shuffle beyond the
+    * per-id agg. */
+  def ticketSample(df: DataFrame, id: String, weight: Column,
+                   k: Int): DataFrame = {
+    val tickets = df
+      .select(col(id), weight.cast("int").as("w"))
+      .select(col(id), col("w"), explode(sequence(lit(1), col("w"))).as("r"))
+      .select(col(id), col("w"),
+        substring(md5(concat(col(id).cast("string"), lit(":"),
+          col("r").cast("string")).cast("binary")), 1, 8).as("h"))
+    tickets
+      .select(col(id), col("w"), expr(nibbleSumSql("h")).as("t"))
+      .groupBy(col(id))
+      .agg(max(col("w")).as("n_tickets"), min(col("t")).as("priority"))
+      .orderBy(col("priority"), col(id))
+      .limit(k)
+  }
+
+  /** Weight = 1 + (length(text) mod 4) — a stand-in quality tier (1..4)
+    * both engines derive identically from the row itself. k=100. */
+  def q120TicketSample(spark: SparkSession, dir: String): DataFrame =
+    ticketSample(Tables.documents(spark, dir), "doc_id",
+      lit(1) + length(col("text")) % 4, k = 100)
+
+  val q120TicketSampleSql: String = s"""
+    WITH tk AS (
+      SELECT doc_id, w,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                           CAST(r AS VARCHAR)), 1, 8) AS h
+      FROM (SELECT doc_id, 1 + (length(text) % 4) AS w FROM documents) t,
+           unnest(range(1, w + 1)) AS u(r)),
+    pri AS (
+      SELECT doc_id, CAST(MAX(w) AS INT) AS n_tickets,
+             MIN(${nibbleSumSql("h")}) AS priority
+      FROM tk GROUP BY doc_id)
+    SELECT doc_id, n_tickets, CAST(priority AS BIGINT) AS priority
+    FROM pri ORDER BY priority, doc_id LIMIT 100"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q68_cluster_split"     -> q68ClusterSplit _,
     "q77_temperature_mix"   -> q77TemperatureMix _,
     "q102_budget_alloc"     -> q102BudgetAlloc _,
+    "q120_ticket_sample"    -> q120TicketSample _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -279,5 +343,6 @@ object Sampling {
     "q68_cluster_split"     -> q68ClusterSplitSql,
     "q77_temperature_mix"   -> q77TemperatureMixSql,
     "q102_budget_alloc"     -> q102BudgetAllocSql,
+    "q120_ticket_sample"    -> q120TicketSampleSql,
   )
 }

@@ -183,15 +183,83 @@ object Versioning {
            lead(ts_us) OVER w IS NULL AS is_current
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
 
+  // --- q118_delta_agg: incremental view maintenance with retractions ------
+  /** The summable aggregate state over a keyed corpus: one row per key
+    * group carrying (n_rows, sum_val) — the mergeable sufficient
+    * statistics for count / sum / mean. */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("sum_val"))
+
+  /** Delta-maintained aggregate — incremental view maintenance over a
+    * stored [[aggState]]: `inserts` add rows, `retracts` remove them (the
+    * takedown/right-to-be-forgotten path a training-corpus ledger cannot
+    * do without), and the refreshed state is algebraically identical to
+    * recomputing the aggregate over the post-delta corpus — which is
+    * exactly what the q118 oracle recomputes and hash-compares.
+    *
+    * The algebra: counts and sums are abelian-group aggregates, so a
+    * retraction is a signed row (−1, −value) and maintenance is ONE
+    * aggregate over (state ∪ signed deltas) — cost scales with |deltas| +
+    * |keys|, never with the corpus. min/max are deliberately absent: they
+    * are NOT retractable (removing the current max needs the runner-up,
+    * which the state doesn't carry) — a caller who needs them must rescan,
+    * and this operator's narrow schema makes that contract explicit.
+    * Groups whose count drains to zero leave the state entirely. */
+  def deltaMaintainAgg(state: DataFrame, inserts: DataFrame,
+                       retracts: DataFrame, keys: Seq[String],
+                       valueCol: String): DataFrame = {
+    val sel = (sign: Long, df: DataFrame) =>
+      df.select(keys.map(col) :+ col(valueCol).cast("long").as("v") :+
+        lit(sign).as("sign"): _*)
+    val deltas = sel(1L, inserts).unionByName(sel(-1L, retracts))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("sign")).as("n_rows"),
+        sum(col("sign") * col("v")).as("sum_val"))
+    state.unionByName(deltas)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_val")).as("sum_val"))
+      .filter(col("n_rows") > 0)
+  }
+
+  /** Base corpus = doc_id % 5 ≠ 1 (q70's split), inserts = the % 5 = 1
+    * batch, retractions = every doc_id % 7 = 3 (takedowns arrive against
+    * the already-merged corpus). Oracle: the direct aggregate over the
+    * post-delta corpus — certifying the maintenance algebra end-to-end. */
+  def q118DeltaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 1)
+    val inserts = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+    val retracts = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+    deltaMaintainAgg(aggState(base, Seq("lang", "source"), "n_chars"),
+        inserts, retracts, Seq("lang", "source"), "n_chars")
+      .select(col("lang"), col("source"),
+        col("n_rows").as("n_docs"), col("sum_val").as("sum_chars"),
+        graft.ops.Relational.ratio6("sum_val", "n_rows").as("avg_chars6"))
+  }
+
+  val q118DeltaAggSql: String = s"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           ${graft.ops.Relational.ratio6Sql("SUM(n_chars)", "COUNT(*)")}
+             AS avg_chars6
+    FROM documents
+    WHERE doc_id % 7 <> 3
+    GROUP BY lang, source
+    HAVING COUNT(*) > 0"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_upsert"        -> q79Upsert _,
     "q80_snapshot_diff" -> q80SnapshotDiff _,
     "q96_scd2"          -> q96Scd2 _,
+    "q118_delta_agg"    -> q118DeltaAgg _,
   )
 
   def oracles: Map[String, String] = Map(
     "q79_upsert"        -> q79UpsertSql,
     "q80_snapshot_diff" -> q80SnapshotDiffSql,
     "q96_scd2"          -> q96Scd2Sql,
+    "q118_delta_agg"    -> q118DeltaAggSql,
   )
 }

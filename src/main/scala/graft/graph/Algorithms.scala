@@ -29,7 +29,11 @@ object Algorithms {
         coalesce(col("outdeg"), lit(0L)).as("outdeg"))
     Pregel.run(
       v0, edges, maxIter = iters,
-      sendMsg = col("val") / col("outdeg"),
+      // guarded division: messages only flow along edges (outdeg > 0
+      // there by construction), but Catalyst may push this projection
+      // below the edge join and evaluate it on DANGLING vertices too —
+      // where a bare val/outdeg is an ANSI divide-by-zero crash
+      sendMsg = when(col("outdeg") > 0, col("val") / col("outdeg")),
       mergeMsg = sum,
       vprog = (df, _) => df.select(
         col("id"),
@@ -170,6 +174,45 @@ object Algorithms {
     } finally live.foreach(_.unpersist(false))
   }
 
+  /** TrustRank (Gyöngyi et al., VLDB'04): PageRank with the teleport mass
+    * concentrated on a trusted SEED set instead of spread uniformly —
+    * `val = (1−d)·s_i + d·Σ incoming val/outdeg`, where `s_i = 1/|S|` for
+    * seeds and 0 elsewhere. The web-corpus curation use: hand-vetted
+    * domains seed trust, low-trust pages get down-weighted or dropped
+    * before training. Identical Pregel shape to [[pageRank]] (same
+    * message, same merge, same blocked supersteps); only the teleport
+    * term differs, so everything said there about scale carries over. */
+  def trustRank(vertices: DataFrame, edges: DataFrame, seeds: DataFrame,
+                iters: Int, damping: Double = 0.85): DataFrame = {
+    val nS = seeds.count()
+    require(nS > 0, "trustRank: empty seed set")
+    val outdeg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val v0 = vertices.select(col("id"))
+      .join(seeds.select(col("id"), lit(true).as("is_seed")), Seq("id"),
+        "left_outer")
+      .join(outdeg, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("seed"),
+        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("val"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    Pregel.run(
+      v0, edges, maxIter = iters,
+      // guarded division: messages only flow along edges (outdeg > 0
+      // there by construction), but Catalyst may push this projection
+      // below the edge join and evaluate it on DANGLING vertices too —
+      // where a bare val/outdeg is an ANSI divide-by-zero crash
+      sendMsg = when(col("outdeg") > 0, col("val") / col("outdeg")),
+      mergeMsg = sum,
+      vprog = (df, _) => df.select(
+        col("id"), col("seed"),
+        ((lit(1.0) - lit(damping)) * col("seed") +
+          lit(damping) * coalesce(col("msg"), lit(0.0))).as("val"),
+        col("outdeg")),
+      blockSize = 3)
+      .select(col("id"), col("val").as("trust"))
+  }
+
   /** k-core: the maximal subgraph where every vertex has degree ≥ k,
     * computed by iterative peeling — remove vertices with degree < k,
     * remove their edges, repeat until stable. The G7 dynamic-topology
@@ -306,6 +349,47 @@ object Algorithms {
         GROUP BY n.n_nationkey)"""
     }.mkString
     s"$prelude$steps\nSELECT id, ROUND(val, 6) AS pagerank FROM r$pageRankIters"
+  }
+
+  // --- q117_trustrank: seed-trust propagation on the nation graph ---------
+  /** Seeds = multiples of 5 (five of the 25 nodes). Oracle: the identical
+    * fixed-point unrolled as generated CTEs (q32's pattern) — the graph's
+    * in-degree-2 regularity keeps the two-term double sums order-invariant,
+    * and both engines build the teleport constants from the same literal
+    * expression tree, so ROUND(6) only absorbs representation noise. */
+  def q117TrustRank(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.nation(spark, dir).select(col("n_nationkey").as("id"))
+    trustRank(v, nationEdges(spark, dir),
+      v.filter(pmod(col("id"), lit(5)) === 0), pageRankIters)
+      .select(col("id"), round(col("trust"), 6).as("trust"))
+  }
+
+  val q117TrustRankSql: String = {
+    val seed = "CASE WHEN n_nationkey % 5 = 0 THEN CAST(1.0 AS DOUBLE) / 5 " +
+      "ELSE CAST(0.0 AS DOUBLE) END"
+    val prelude = s"""
+      WITH e AS (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * 3 + 7) % 25 FROM nation
+      ), d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      t0 AS (SELECT n_nationkey AS id, $seed AS val FROM nation)"""
+    val steps = (1 to pageRankIters).map { i =>
+      s""", t$i AS (
+        SELECT n.n_nationkey AS id,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) *
+                 (CASE WHEN n.n_nationkey % 5 = 0
+                       THEN CAST(1.0 AS DOUBLE) / 5
+                       ELSE CAST(0.0 AS DOUBLE) END) +
+               CAST(0.85 AS DOUBLE) * COALESCE(SUM(t.val / d.outdeg), 0)
+                 AS val
+        FROM nation n
+        LEFT JOIN e ON e.dst = n.n_nationkey
+        LEFT JOIN t${i - 1} t ON t.id = e.src
+        LEFT JOIN d ON d.src = e.src
+        GROUP BY n.n_nationkey)"""
+    }.mkString
+    s"$prelude$steps\nSELECT id, ROUND(val, 6) AS trust FROM t$pageRankIters"
   }
 
   def q33MaxPropagation(spark: SparkSession, dir: String): DataFrame = {
@@ -669,6 +753,7 @@ object Algorithms {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
+    "q117_trustrank"      -> q117TrustRank _,
     "q33_max_propagation" -> q33MaxPropagation _,
     "q60_kcore"           -> q60KCore _,
     "q82_triangles"       -> q82Triangles _,
@@ -679,6 +764,7 @@ object Algorithms {
 
   def oracles: Map[String, String] = Map(
     "q32_pagerank"        -> q32PageRankSql,
+    "q117_trustrank"      -> q117TrustRankSql,
     "q33_max_propagation" -> q33MaxPropagationSql,
     "q60_kcore"           -> q60KCoreSql,
     "q82_triangles"       -> q82TrianglesSql,

@@ -522,6 +522,33 @@ object Relational {
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
+  // --- q119_grouping_sets: arbitrary grouping-set combinations ------------
+  /** The general form behind cube (q14) and rollup (q15): an explicit set
+    * list — here ((lang, source), (lang), ()) — that computes exactly the
+    * wanted marginals and no others (a cube over k columns materializes
+    * 2^k groupings; a curation report usually needs three). `grouping()`
+    * flags disambiguate a subtotal's NULL from a genuine NULL value in
+    * the data. One pass, one Expand node — same single-scan property the
+    * cube/rollup plans have. */
+  def q119GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq()),
+        col("lang"), col("source"))
+      .agg(grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+
+  val q119GroupingSetsSql: String = """
+    SELECT lang, source,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           CAST(GROUPING(source) AS BIGINT) AS g_source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())"""
+
   // --- q20_setops: UNION ALL → INTERSECT → EXCEPT chain --------------------
   def q20SetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -589,6 +616,7 @@ object Relational {
     "q106_equidepth_hist" -> q106EquidepthHist _,
     "q109_sketch_union" -> q109SketchUnion _,
     "q111_multiway_join" -> q111MultiwayJoin _,
+    "q119_grouping_sets" -> q119GroupingSets _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -609,5 +637,6 @@ object Relational {
     "q54_approx_percentiles" -> q54ApproxPercentilesSql,
     "q109_sketch_union" -> q109SketchUnionSql,
     "q111_multiway_join" -> q111MultiwayJoinSql,
+    "q119_grouping_sets" -> q119GroupingSetsSql,
   )
 }

@@ -109,6 +109,31 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: trustRank seeded with EVERY vertex degenerates to pageRank") {
+    // with S = V the teleport vector is uniform 1/N — TrustRank's update
+    // rule becomes PageRank's exactly; the two code paths build the
+    // constant differently ((1-d)*s_i vs (1-d)/N), so compare at 1e-12
+    val gen = for {
+      n <- Gen.choose(4, 10)
+      ne <- Gen.choose(3, 20)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es)
+    (1L to 3L).foreach { s =>
+      val (n, es) = sample(gen, s)
+      val vertices = (0 until n).map(_.toLong).toDF("id")
+      val edges = es.map { case (a, b) => (a.toLong, b.toLong) }
+        .toDF("src", "dst")
+      val pr = Algorithms.pageRank(vertices, edges, iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val tr = Algorithms.trustRank(vertices, edges, vertices, iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr.keySet == tr.keySet, s"seed $s")
+      pr.foreach { case (id, v) =>
+        assert(math.abs(v - tr(id)) < 1e-12, s"seed $s vertex $id: $v vs ${tr(id)}")
+      }
+    }
+  }
+
   test("property: ccAlternating equals union-find AND the Pregel CC on random graphs") {
     val gen = for {
       n <- Gen.choose(3, 14)

@@ -95,6 +95,12 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q120 ticket sample: top-k is a TakeOrdered, never a global sort") {
+    val p = plan("q120_ticket_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("lambdafunction"), p.take(400))
+  }
+
   test("q16 range join keeps the equi-key shuffle (band is a post-join filter)") {
     val p = plan("q16_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

@@ -129,4 +129,21 @@ class SamplingSpec extends GraftSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(got2 == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
   }
+
+  test("ticketSample matches an exact MessageDigest replay of the priorities") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, (i % 4 + 1).toInt))
+    val df = rows.toDF("id", "w")
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.map { case (i, w) =>
+      val pri = (1 to w).map { r =>
+        java.lang.Long.parseLong(md5hex(s"$i:$r").take(8), 16)
+      }.min
+      (i, w, pri)
+    }.sortBy(t => (t._3, t._1)).take(10)
+    val got = Sampling.ticketSample(df, "id", col("w"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
 }

@@ -73,4 +73,19 @@ class VersioningSpec extends GraftSuite {
       (1L, 3L) -> (("login", 40 * us, -1L, true)),
       (2L, 1L) -> (("browse", 99 * us, -1L, true))))
   }
+
+  test("deltaMaintainAgg equals a full recompute; drained groups vanish") {
+    import spark.implicits._
+    val base = Seq(("a", 10), ("a", 20), ("b", 5)).toDF("k", "v")
+    val inserts = Seq(("a", 1), ("c", 7)).toDF("k", "v")
+    // retract one of a's rows AND b's only row — b must leave the state
+    val retracts = Seq(("a", 20), ("b", 5)).toDF("k", "v")
+    val got = Versioning.deltaMaintainAgg(
+        Versioning.aggState(base, Seq("k"), "v"), inserts, retracts,
+        Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // recompute over base ∪ inserts minus the retracted multiset
+    assert(got == Map("a" -> ((2L, 11L)), "c" -> ((1L, 7L))))
+  }
 }
