@@ -941,6 +941,46 @@ object Dedup {
            CAST(COALESCE(p.n_dropped, 0) AS INT) AS n_dropped
     FROM documents d LEFT JOIN perDocS p ON p.doc_id = d.doc_id"""
 
+  // --- q123_source_overlap: which sources duplicate each other ------------
+  /** The curation dashboard behind dedup: the near-dup PAIR set rolled up
+    * to an unordered source×source matrix — which crawl mirrors which,
+    * where the cross-source contamination concentrates, what a source
+    * actually adds. Composition, not new machinery: the verified q35 pair
+    * detector feeds two doc→source equi-joins (the pair frame is orders
+    * of magnitude smaller than the corpus, so it broadcasts into both)
+    * and one small groupBy; source pairs are canonicalized
+    * least/greatest so (a,b) and (b,a) collapse. */
+  def q123SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    ngramJaccardPairs(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val q123SourceOverlapSql: String = s"""
+    WITH $ngramPairCtes,
+    jp AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN sizes za ON za.doc_id = p.id_a
+      JOIN sizes zb ON zb.doc_id = p.id_b
+      WHERE CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter) >= 0.8)
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM jp
+    JOIN documents da ON da.doc_id = jp.id_a
+    JOIN documents db ON db.doc_id = jp.id_b
+    GROUP BY 1, 2"""
+
   // --- q101_novelty: first-occurrence n-gram novelty per document ---------
   /** Corpus-order novelty: the share of a document's DISTINCT 3-gram
     * shingles whose earliest occurrence (minimum doc id) is this document
@@ -994,6 +1034,7 @@ object Dedup {
     "q62_decontaminate" -> q62Decontaminate _,
     "q113_span_excision" -> q113SpanExcision _,
     "q114_segment_dedup" -> q114SegmentDedup _,
+    "q123_source_overlap" -> q123SourceOverlap _,
     "q69_bloom_decontaminate" -> q69BloomDecontaminate _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
     "q93_substr_dup"    -> q93SubstrDup _,
@@ -1010,6 +1051,7 @@ object Dedup {
     "q62_decontaminate" -> q62DecontaminateSql,
     "q113_span_excision" -> q113SpanExcisionSql,
     "q114_segment_dedup" -> q114SegmentDedupSql,
+    "q123_source_overlap" -> q123SourceOverlapSql,
     "q69_bloom_decontaminate" -> q69BloomDecontaminateSql,
     "q70_incremental_dedup" -> q70IncrementalDedupSql,
     "q93_substr_dup"    -> q93SubstrDupSql,

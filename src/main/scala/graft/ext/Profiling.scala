@@ -257,15 +257,62 @@ object Profiling {
       END AS corr_disc_tax
     FROM g"""
 
+  // --- q121_ecdf: empirical-CDF normalization via the value dictionary ----
+  /** Percentile-rank (ECDF) normalization of a numeric column —
+    * `ecdf(v) = P[X ≤ v]` — the score-to-rank transform curriculum
+    * ordering and cross-source score calibration need (raw quality scores
+    * from different scorers aren't comparable; their percentiles are).
+    *
+    * Scale shape — the two-level window trick: a row-level
+    * `cume_dist() OVER (ORDER BY v)` is an un-partitioned global sort of
+    * the corpus (one task at 100 TB, the classic window-function trap).
+    * Instead the cumulative count runs over the DISTINCT-VALUE dictionary
+    * (`groupBy(v).count` → tiny frame → one-task window over |distinct|
+    * rows, fine because the dictionary is orders of magnitude smaller
+    * than the data), and every row then picks its ecdf up by an equi-join
+    * on the value — broadcast, corpus never shuffled. The ratio is
+    * [[graft.ops.Relational.ratio6]] integer arithmetic. */
+  def ecdfNormalize(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = vals.select(col(valueCol),
+      sum(col("cnt")).over(w).as("cum"), sum(col("cnt")).over(total).as("n"))
+    df.join(broadcast(cum), Seq(valueCol))
+      .select(df.columns.map(col) :+
+        graft.ops.Relational.ratio6("cum", "n").as("ecdf6"): _*)
+  }
+
+  def q121Ecdf(spark: SparkSession, dir: String): DataFrame =
+    ecdfNormalize(
+      Tables.documents(spark, dir).select("doc_id", "n_chars"), "n_chars")
+
+  val q121EcdfSql: String = s"""
+    WITH v AS (SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    c AS (
+      SELECT n_chars,
+             SUM(cnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM v)
+    SELECT d.doc_id, d.n_chars,
+           ${graft.ops.Relational.ratio6Sql("c.cum", "c.n")} AS ecdf6
+    FROM documents d JOIN c ON c.n_chars = d.n_chars"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile"      -> q85Profile _,
     "q86_constraints"  -> q86Constraints _,
     "q115_correlations" -> q115Correlations _,
+    "q121_ecdf"         -> q121Ecdf _,
   )
 
   def oracles: Map[String, String] = Map(
     "q85_profile"      -> q85ProfileSql,
     "q86_constraints"  -> q86ConstraintsSql,
     "q115_correlations" -> q115CorrelationsSql,
+    "q121_ecdf"         -> q121EcdfSql,
   )
 }

@@ -706,6 +706,64 @@ object TextAnalysis {
     JOIN uni ub ON ub.w = pr.b
     ORDER BY pr.n DESC, pr.a, pr.b LIMIT 40"""
 
+  // --- q122_vocab_coverage: OOV rate against a fitted top-V vocabulary ----
+  /** Tokenizer-fit check: fit a vocabulary (the top-V unigrams by corpus
+    * frequency, ties broken by word so the cut is total-ordered and
+    * engine-reproducible) and report each document's out-of-vocabulary
+    * token count and rate. A source whose OOV rate jumps between crawls
+    * is the canonical signal the tokenizer no longer fits the data
+    * (new language, new markup, encoding rot).
+    *
+    * Scale shape: one tokenize pass feeds both the vocabulary fit
+    * (groupBy(word).count with map-side partial — the wordcount shuffle)
+    * and the per-doc probe; the fitted vocab is a V-row TakeOrdered that
+    * BROADCASTS into the probe join, so the token stream is shuffled once
+    * (per-doc agg), never on the word key. Empty documents keep their row
+    * with a NULL rate rather than vanishing. */
+  def vocabCoverage(docs: DataFrame, id: String, text: String,
+                    vocabSize: Int = 50): DataFrame = {
+    val toks = graft.CacheRegistry.persist(
+      docs.select(col(id),
+          explode(split(lower(col(text)), "\\s+")).as("w"))
+        .filter(col("w") =!= ""))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(true).as("in_vocab"))
+    val per = toks.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(id)).join(per, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        graft.ops.Relational.ratio6(
+          "coalesce(n_oov, 0)", "coalesce(n_tokens, 0)").as("oov6"))
+  }
+
+  def q122VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q122VocabCoverageSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents) x
+      WHERE w <> ''),
+    cnt AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+    voc AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 50),
+    per AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM t LEFT JOIN voc v USING (w) GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+           ${graft.ops.Relational.ratio6Sql(
+             "COALESCE(p.n_oov, 0)", "COALESCE(p.n_tokens, 0)")} AS oov6
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
@@ -719,6 +777,7 @@ object TextAnalysis {
     "q90_bpe_pairs"     -> q90BpePairs _,
     "q95_cooccur"       -> q95Cooccur _,
     "q97_inverted_index" -> q97InvertedIndex _,
+    "q122_vocab_coverage" -> q122VocabCoverage _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -734,5 +793,6 @@ object TextAnalysis {
     "q90_bpe_pairs"     -> q90BpePairsSql,
     "q95_cooccur"       -> q95CooccurSql,
     "q97_inverted_index" -> q97InvertedIndexSql,
+    "q122_vocab_coverage" -> q122VocabCoverageSql,
   )
 }

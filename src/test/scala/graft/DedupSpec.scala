@@ -211,4 +211,22 @@ class DedupSpec extends GraftSuite {
       4L -> (("", 0, 2)),
       5L -> (("q r s", 1, 1))))
   }
+
+  test("source overlap matrix equals a driver-side rollup of the q35 pairs") {
+    val docs = Tables.documents(spark, sf)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Dedup.q35NgramJaccard(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map { r =>
+        val (a, b) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        (Seq(a, b).min, Seq(a, b).max)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.q123SourceOverlap(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "vacuous: no near-dup pairs in the corpus")
+  }
 }

@@ -76,4 +76,11 @@ class ProfilingSpec extends GraftSuite {
       "g1" -> ((3L, Some(1.0), Some(-1.0), Some(-1.0))),
       "g2" -> ((2L, None, None, Some(1.0)))))
   }
+
+  test("ecdfNormalize: hand-computed percentile ranks, duplicates share one") {
+    val df = Seq((1L, 10), (2L, 10), (3L, 20), (4L, 30)).toDF("id", "v")
+    val got = Profiling.ecdfNormalize(df, "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.75, 4L -> 1.0))
+  }
 }

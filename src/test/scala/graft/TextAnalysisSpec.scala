@@ -172,4 +172,20 @@ class TextAnalysisSpec extends GraftSuite {
     // y in 10,25,31 → gaps 10,15,6; z in 25,32 → gaps 25,7; x,w trimmed
     assert(got == Map("y" -> (3L, "10,15,6"), "z" -> (2L, "25,7")))
   }
+
+  test("vocabCoverage: top-V cut is total-ordered; empty docs keep a row") {
+    // counts: x=4, y=3, z=2, q=1 → vocab(2) = {x, y}; doc 4 is empty
+    val docs = Seq(
+      (1L, "x x y z"), (2L, "x y q"), (3L, "x y z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got == Map(
+      1L -> ((4L, 1L, Some(0.25))),
+      2L -> ((3L, 1L, Some(0.333333))),
+      3L -> ((3L, 1L, Some(0.333333))),
+      4L -> ((0L, 0L, None))))
+  }
 }
