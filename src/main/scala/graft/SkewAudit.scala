@@ -86,7 +86,15 @@ object SkewAudit {
         // (every shingle repeats in all 10 copies: maximal key heat on
         // the groupBy.min+join path), and the entity-keyed event ops
         "q95_cooccur", "q97_inverted_index", "q101_novelty",
-        "q96_scd2", "q103_funnel")
+        "q96_scd2", "q103_funnel",
+        // round-6 late additions: span excision (per-doc windows + covered
+        // positions repeating in all 10 copies), segment dedup (EVERY
+        // segment text is a 10-member hot keeper group — the maximal
+        // stress for the groupBy+min-struct+join discipline), the pair-set
+        // source rollup, vocab probe (a 10× hotter stopword head), and the
+        // ticket explode+min-agg
+        "q113_span_excision", "q114_segment_dedup", "q123_source_overlap",
+        "q122_vocab_coverage", "q120_ticket_sample")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
