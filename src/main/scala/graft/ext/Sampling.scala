@@ -273,7 +273,7 @@ object Sampling {
     * with per-nibble `instr` arithmetic because neither engine shares a
     * portable hex→int cast. Exact BIGINT everywhere; the md5 is computed
     * once per row (the nibble extraction reuses one projected column). */
-  private def nibbleSumSql(h: String): String =
+  private[graft] def nibbleSumSql(h: String): String =
     (1 to 8).map { i =>
       s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * " +
         s"CAST(${1L << (4 * (8 - i))} AS BIGINT)"

@@ -249,11 +249,62 @@ object Versioning {
     GROUP BY lang, source
     HAVING COUNT(*) > 0"""
 
+  // --- q124_table_checksum: cross-engine anti-entropy fingerprint ---------
+  /** Order-independent per-group table fingerprint -- the anti-entropy
+    * primitive: two replicas (or two ENGINES -- the oracle literally IS
+    * the second engine here) compare (n_rows, checksum) per group and
+    * ship only divergent groups, never full tables. Row serialization is
+    * a canonical `concat_ws` with a \u0001 separator and \u0002 null
+    * sentinel (NOT \u0000 -- DuckDB varchars reject embedded NUL, and
+    * the second engine must serialize the identical bytes); documented
+    * contract: the columns contain neither byte AND include a unique key.
+    * The row hash is the md5-uint32 nibble arithmetic shared with
+    * [[graft.ext.Sampling.ticketSample]]; the group checksum is
+    * `bit_xor`, chosen over a sum because XOR never overflows at any row
+    * count -- exact at 10^12 rows per group where a BIGINT sum of
+    * uint32s would not be. XOR's self-cancellation (two identical rows
+    * vanish pairwise) is harmless exactly because the serialization
+    * carries the unique key.
+    *
+    * Scale shape: one scan, one md5 per row, map-side-partial XOR -- the
+    * checksum costs barely more than a COUNT(*), and comparing replicas
+    * moves |groups| rows, not data. */
+  def tableChecksum(df: DataFrame, groupCol: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum: no columns given")
+    val rowStr = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    df.select(col(groupCol), rowStr.as("__row"))
+      .select(col(groupCol),
+        expr(graft.ext.Sampling.nibbleSumSql(
+          "substring(md5(cast(__row as binary)), 1, 8)")).as("h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("h")).as("checksum"))
+  }
+
+  def q124TableChecksum(spark: SparkSession, dir: String): DataFrame =
+    tableChecksum(Tables.documents(spark, dir), "lang",
+      Seq("doc_id", "text", "source", "n_chars"))
+
+  val q124TableChecksumSql: String = s"""
+    WITH h AS (
+      SELECT lang,
+             ${graft.ext.Sampling.nibbleSumSql(
+               "substring(md5(" +
+                 "COALESCE(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) || " +
+                 "COALESCE(text, chr(2)) || chr(1) || " +
+                 "COALESCE(source, chr(2)) || chr(1) || " +
+                 "COALESCE(CAST(n_chars AS VARCHAR), chr(2))), 1, 8)")} AS hv
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_rows, bit_xor(hv) AS checksum
+    FROM h GROUP BY lang"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_upsert"        -> q79Upsert _,
     "q80_snapshot_diff" -> q80SnapshotDiff _,
     "q96_scd2"          -> q96Scd2 _,
     "q118_delta_agg"    -> q118DeltaAgg _,
+    "q124_table_checksum" -> q124TableChecksum _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -261,5 +312,6 @@ object Versioning {
     "q80_snapshot_diff" -> q80SnapshotDiffSql,
     "q96_scd2"          -> q96Scd2Sql,
     "q118_delta_agg"    -> q118DeltaAggSql,
+    "q124_table_checksum" -> q124TableChecksumSql,
   )
 }

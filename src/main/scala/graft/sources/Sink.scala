@@ -249,14 +249,56 @@ object Sink {
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang"""
 
+  // --- q125_schema_merge: schema-evolution read across parquet versions ---
+  /** The schema-evolution intake path: a corpus written in WAVES whose
+    * schemas drifted (an early crawl without `source`/`n_chars`, a later
+    * one without `lang`) reads back as ONE frame via `mergeSchema` —
+    * missing columns become NULLs, matched by NAME not position. This is
+    * the source-side twin of [[graft.ext.Versioning.upsert]]: evolution
+    * without a rewrite of the old wave.
+    *
+    * Scale note: `mergeSchema` performs a footer-schema union across
+    * files at planning time — per-FILE cost, not per-row; pushdown and
+    * pruning still reach each file with its own physical schema. The
+    * oracle reconstructs the same null pattern straight from `documents`,
+    * so a column misalignment (the silent positional-union failure mode)
+    * breaks the hash. */
+  def q125SchemaMerge(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val path = scratchPath("graft_schema_merge", dir)
+    // wave 1: the old schema (no source/n_chars); wave 2: the new one
+    // (no lang) — written as separate parquet directories under one root
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$path/wave1")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$path/wave2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/wave1", s"$path/wave2")
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
+  val q125SchemaMergeSql: String = """
+    SELECT doc_id, length(text) AS text_len,
+           CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+           CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+    FROM documents"""
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q58_kv_roundtrip" -> q58KvRoundtrip _,
+        "q125_schema_merge" -> q125SchemaMerge _,
         "q75_jsonl_roundtrip" -> q75JsonlRoundtrip _,
         "q81_orc_roundtrip" -> q81OrcRoundtrip _,
         "q87_compaction" -> q87Compaction _)
 
   def oracles: Map[String, String] =
     Map("q58_kv_roundtrip" -> q58KvRoundtripSql,
+        "q125_schema_merge" -> q125SchemaMergeSql,
         "q75_jsonl_roundtrip" -> q75JsonlRoundtripSql,
         "q81_orc_roundtrip" -> q81OrcRoundtripSql,
         "q87_compaction" -> q87CompactionSql)

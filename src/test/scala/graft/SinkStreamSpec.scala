@@ -218,4 +218,22 @@ class SinkStreamSpec extends GraftSuite {
         (12L, "bronze", 9.0), (13L, "silver", 11.0)))
     } finally q.stop()
   }
+
+  test("mergeSchema read unions drifted parquet schemas by NAME, not position") {
+    val out = Files.createTempDirectory("graft_merge").toString
+    // wave 1 and wave 2 share only `id`; column ORDER deliberately differs
+    // so a positional union would scramble
+    Seq((1L, "a")).toDF("id", "x").write.parquet(s"$out/w1")
+    Seq(("b", 2L, 9)).toDF("y", "id", "z").write.parquet(s"$out/w2")
+    val got = spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/w1", s"$out/w2")
+      .select("id", "x", "y", "z").collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))).toMap
+    assert(got == Map(
+      1L -> (("a", null, None)),
+      2L -> ((null, "b", Some(9)))))
+  }
 }

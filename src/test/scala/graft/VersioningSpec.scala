@@ -88,4 +88,26 @@ class VersioningSpec extends GraftSuite {
     // recompute over base ∪ inserts minus the retracted multiset
     assert(got == Map("a" -> ((2L, 11L)), "c" -> ((1L, 7L))))
   }
+
+  test("tableChecksum: order-invariant, divergence-localizing, null-safe") {
+    import spark.implicits._
+    val rows = Seq((1L, "g1", "x"), (2L, "g1", "y"), (3L, "g2", null))
+    val a = rows.toDF("id", "g", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Versioning.tableChecksum(df, "g", Seq("id", "v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val base = sums(a)
+    // row order / partitioning must not matter
+    assert(sums(a.repartition(7).sortWithinPartitions(col("v"))) == base)
+    // a single changed value diverges ONLY its group's checksum
+    val b = sums(Seq((1L, "g1", "x"), (2L, "g1", "Y"), (3L, "g2", null))
+      .toDF("id", "g", "v"))
+    assert(b("g1") != base("g1") && b("g2") == base("g2"))
+    // NULL and the string sentinel must not collide with a real value
+    val c = sums(Seq((1L, "g1", "x"), (2L, "g1", "y"), (3L, "g2", ""))
+      .toDF("id", "g", "v"))
+    assert(c("g2") != base("g2"),
+      "null sentinel collided — acceptable only under the documented contract")
+  }
 }
