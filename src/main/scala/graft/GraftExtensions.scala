@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftVectorExpressions.dotProductDescription)
     ext.injectFunction(GraftTextExpressions.ngramShinglesDescription)
     ext.injectFunction(GraftTextExpressions.rollingFingerprintDescription)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandGuard)
   }
 }

@@ -19,6 +19,13 @@ object LocalSession {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // the already-running-session counterpart of GraftExtensions'
+    // injectOptimizerRule (getOrCreate can return a prior session, so
+    // guard against appending the rule twice)
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.LevenshteinBandGuard))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinBandGuard
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -902,6 +902,38 @@ object Similarity {
            CAST(b.dist AS INT) AS dist
     FROM pr p LEFT JOIN best b ON b.name = p.name AND b.rn = 1"""
 
+  // --- q126_fuzzy_pairs: threshold edit-distance pair join ----------------
+  /** All distinct-name pairs within edit distance 3 inside a block — the
+    * pair-list companion of [[fuzzyNearestNeighbor]], and the registered
+    * showcase for the [[graft.plans.LevenshteinBandGuard]] optimizer
+    * rule: the join condition is written as the natural
+    * `levenshtein(a, b) <= 3` and the OPTIMIZER inserts the length-band
+    * guard and pushes the threshold into the banded O(d·len) Levenshtein
+    * variant (PlanShapeSpec pins both). The oracle runs the unrewritten
+    * predicate in DuckDB — hash equality IS the proof the rewrite is
+    * semantics-preserving on real data. */
+  def q126FuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(lower(col("p_name")).as("name")).distinct()
+      .withColumn("blk", split(col("name"), " ").getItem(0))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name") &&
+          levenshtein(col("a.name"), col("b.name")) <= 3)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+  }
+
+  val q126FuzzyPairsSql: String = """
+    WITH nm AS (
+      SELECT DISTINCT lower(p_name) AS name,
+             split_part(lower(p_name), ' ', 1) AS blk
+      FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM nm a JOIN nm b
+      ON a.blk = b.blk AND a.name < b.name
+     AND levenshtein(a.name, b.name) <= 3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -914,6 +946,7 @@ object Similarity {
     "q104_hard_negatives" -> q104HardNegatives _,
     "q105_ann_recall"     -> q105AnnRecall _,
     "q116_fuzzy_nn"       -> q116FuzzyNn _,
+    "q126_fuzzy_pairs"    -> q126FuzzyPairs _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -928,5 +961,6 @@ object Similarity {
     "q104_hard_negatives" -> q104HardNegativesSql,
     "q105_ann_recall"     -> q105AnnRecallSql,
     "q116_fuzzy_nn"       -> q116FuzzyNnSql,
+    "q126_fuzzy_pairs"    -> q126FuzzyPairsSql,
   )
 }

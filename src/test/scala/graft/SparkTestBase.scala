@@ -20,6 +20,10 @@ object SparkTestBase {
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // same optimizer extension as LocalSession: the suites must exercise
+    // the plans the driver surfaces actually produce
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.LevenshteinBandGuard
     s.sparkContext.setLogLevel("WARN")
     s
   }
