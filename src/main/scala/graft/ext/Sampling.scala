@@ -330,12 +330,46 @@ object Sampling {
     SELECT doc_id, n_tickets, CAST(priority AS BIGINT) AS priority
     FROM pri ORDER BY priority, doc_id LIMIT 100"""
 
+  // --- q127_group_sample: exactly-k-per-stratum deterministic sample ------
+  /** Fixed-SIZE per-stratum sampling — min(k, |stratum|) rows per group,
+    * where [[stratifiedSample]] fixes the RATE: the shape an eval set or
+    * a per-source human-review queue needs ("20 documents from every
+    * language, the same 20 every run"). Order within a stratum is the md5
+    * of the row key (uniform, engine-portable, auditable), tie-broken by
+    * the key itself, so the sample is a pure function of the data.
+    *
+    * Scale shape: the per-group top-k rides [[graft.ops.Windows
+    * .perGroupTopK]]'s salted two-phase plan — a low-cardinality stratum
+    * column (5 languages at any corpus size) never concentrates a
+    * stratum on one task the way a naive `row_number over (partition by
+    * lang)` would. */
+  def groupSample(df: DataFrame, stratum: String, key: Column,
+                  k: Int): DataFrame =
+    graft.ops.Windows.perGroupTopK(df,
+      group = Seq(col(stratum)),
+      order = Seq(md5(key.cast("string").cast("binary")), key),
+      saltSrc = key, k = k)
+
+  def q127GroupSample(spark: SparkSession, dir: String): DataFrame =
+    groupSample(Tables.documents(spark, dir).select("doc_id", "lang"),
+      "lang", col("doc_id"), k = 20)
+      .select(col("lang"), col("doc_id"), col("rn").cast("int").as("rn"))
+
+  val q127GroupSampleSql: String = """
+    SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q68_cluster_split"     -> q68ClusterSplit _,
     "q77_temperature_mix"   -> q77TemperatureMix _,
     "q102_budget_alloc"     -> q102BudgetAlloc _,
     "q120_ticket_sample"    -> q120TicketSample _,
+    "q127_group_sample"     -> q127GroupSample _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -344,5 +378,6 @@ object Sampling {
     "q77_temperature_mix"   -> q77TemperatureMixSql,
     "q102_budget_alloc"     -> q102BudgetAllocSql,
     "q120_ticket_sample"    -> q120TicketSampleSql,
+    "q127_group_sample"     -> q127GroupSampleSql,
   )
 }

@@ -934,6 +934,81 @@ object Similarity {
       ON a.blk = b.blk AND a.name < b.name
      AND levenshtein(a.name, b.name) <= 3"""
 
+  // --- q128_record_linkage: exact-first, fuzzy-fallback entity match ------
+  /** The full record-linkage composite: a "dirty" id-less feed (derived
+    * deterministically — every third name loses its second character)
+    * links back to the master table EXACT-FIRST (one equi-join resolves
+    * the clean majority at hash-join cost), and only the residue enters
+    * the fuzzy stage: a blocked Levenshtein join (shared suffix key —
+    * robust to the head-of-string corruption) resolved to the single
+    * best candidate by (distance, key). Unmatchable rows keep a NULL
+    * method rather than vanishing — the manual-review queue.
+    *
+    * Scale shape: the exact stage is one shuffle join doing ~all the
+    * work; the fuzzy stage's quadratic is bounded by block size and its
+    * Levenshtein predicate gets the [[graft.plans.LevenshteinBandGuard]]
+    * rewrite like any other; the final assembly is two left joins on the
+    * dirty key. */
+  def q128RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val clean = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), lower(col("c_name")).as("name"))
+    val dirty = clean.select((col("key") + 1000000L).as("d_id"),
+      when(pmod(col("key"), lit(3)) === 0,
+        concat(substring(col("name"), 1, 1), expr("substring(name, 3)")))
+        .otherwise(col("name")).as("dname"))
+    val exact = dirty.join(clean, col("dname") === col("name"))
+      .groupBy(col("d_id"), col("dname"))
+      .agg(min(col("key")).as("matched_key"))
+      .select(col("d_id"), lit("exact").as("method"),
+        col("matched_key"), lit(0).as("dist"))
+    val rest = dirty.join(exact.select(col("d_id")), Seq("d_id"), "left_anti")
+    val fuzzy = rest.join(clean,
+        expr("right(dname, 3)") === expr("right(name, 3)") &&
+          levenshtein(col("dname"), col("name")) <= 2)
+      .select(col("d_id"),
+        struct(levenshtein(col("dname"), col("name")).as("dist"),
+          col("key").as("matched_key")).as("c"))
+      .groupBy(col("d_id")).agg(min(col("c")).as("m"))
+      .select(col("d_id"), lit("fuzzy").as("method"),
+        col("m.matched_key").as("matched_key"), col("m.dist").as("dist"))
+    dirty.join(exact.unionByName(fuzzy), Seq("d_id"), "left_outer")
+      .select(col("d_id"), col("dname"), col("method"), col("matched_key"),
+        col("dist"))
+  }
+
+  val q128RecordLinkageSql: String = """
+    WITH clean AS (
+      SELECT c_custkey AS key, lower(c_name) AS name FROM customer),
+    dirty AS (
+      SELECT key + 1000000 AS d_id,
+             CASE WHEN key % 3 = 0
+                  THEN substring(name, 1, 1) || substring(name, 3)
+                  ELSE name END AS dname
+      FROM clean),
+    ex AS (
+      SELECT d.d_id, MIN(c.key) AS matched_key
+      FROM dirty d JOIN clean c ON d.dname = c.name GROUP BY 1),
+    fz AS (
+      SELECT d_id, matched_key, dist FROM (
+        SELECT d.d_id, c.key AS matched_key,
+               CAST(levenshtein(d.dname, c.name) AS INT) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY d.d_id
+                 ORDER BY levenshtein(d.dname, c.name), c.key) AS rn
+        FROM dirty d JOIN clean c
+          ON right(d.dname, 3) = right(c.name, 3)
+         AND levenshtein(d.dname, c.name) <= 2
+        WHERE d.d_id NOT IN (SELECT d_id FROM ex)) t
+      WHERE rn = 1)
+    SELECT d.d_id, d.dname,
+           CASE WHEN e.d_id IS NOT NULL THEN 'exact'
+                WHEN f.d_id IS NOT NULL THEN 'fuzzy' END AS method,
+           COALESCE(e.matched_key, f.matched_key) AS matched_key,
+           CASE WHEN e.d_id IS NOT NULL THEN 0
+                WHEN f.d_id IS NOT NULL THEN f.dist END AS dist
+    FROM dirty d
+    LEFT JOIN ex e ON e.d_id = d.d_id
+    LEFT JOIN fz f ON f.d_id = d.d_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -947,6 +1022,7 @@ object Similarity {
     "q105_ann_recall"     -> q105AnnRecall _,
     "q116_fuzzy_nn"       -> q116FuzzyNn _,
     "q126_fuzzy_pairs"    -> q126FuzzyPairs _,
+    "q128_record_linkage" -> q128RecordLinkage _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -962,5 +1038,6 @@ object Similarity {
     "q105_ann_recall"     -> q105AnnRecallSql,
     "q116_fuzzy_nn"       -> q116FuzzyNnSql,
     "q126_fuzzy_pairs"    -> q126FuzzyPairsSql,
+    "q128_record_linkage" -> q128RecordLinkageSql,
   )
 }

@@ -271,6 +271,75 @@ object Windows {
              AS steps_completed
     FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
 
+  // --- q129_rolling_anomaly: trailing-window z-score outlier flags --------
+  /** Streaming-shaped anomaly detection in batch form: each event's value
+    * scored against the trailing `win`+1-event window of ITS OWN entity —
+    * the metrics-monitoring primitive (a user whose purchase value jumps
+    * 3σ off their recent history) that needs no global statistics at all.
+    *
+    * Scale shape: ONE entity-keyed window (partition by user, order by
+    * time) carries all three running aggregates — count, Σv, Σv² — so the
+    * plan is a single exchange+sort regardless of window width; per-user
+    * history is entity-bounded, never a value-keyed hot partition.
+    *
+    * Cross-engine determinism (the q115 discipline, windowed): the sums
+    * are DECIMAL-exact (value and value·value quantized at 10⁻⁶ — the
+    * double product itself is reproducible), and both engines then run
+    * the IDENTICAL double expression tree (cast, divide, multiply, sqrt)
+    * over those exact sums — so the z-score is bit-identical with no
+    * rounding step. Windows shorter than `minN` yield NULL (a z-score
+    * against two points is noise, not signal); zero variance yields NULL
+    * rather than ±∞. */
+  def rollingAnomaly(events: DataFrame, entity: String, ts: String,
+                     tieBreak: String, value: String, win: Int = 8,
+                     minN: Int = 5, sigma: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col(ts), col(tieBreak))
+      .rowsBetween(-win, Window.currentRow)
+    val dec = (c: Column) => c.cast(DecimalType(28, 6))
+    val scored = events
+      .withColumn("__n", count(col(value)).over(w))
+      .withColumn("__s", sum(dec(col(value))).over(w))
+      .withColumn("__s2", sum(dec(col(value) * col(value))).over(w))
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    val variance = col("__s2").cast("double") / n - mean * mean
+    scored.select(col(entity), col(tieBreak),
+        when(col("__n") >= minN && variance > 0,
+          (col(value) - mean) / sqrt(variance)).as("z"))
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull, abs(col("z")) > sigma))
+  }
+
+  def q129RollingAnomaly(spark: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(Tables.events(spark, dir), "user_id", "ts", "event_id",
+      "value")
+
+  val q129RollingAnomalySql: String = """
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             COUNT(value) OVER w AS n,
+             SUM(CAST(value AS DECIMAL(28,6))) OVER w AS sv,
+             SUM(CAST(value * value AS DECIMAL(28,6))) OVER w AS sv2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT user_id, event_id,
+             CASE WHEN n >= 5
+                   AND CAST(sv2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                  THEN (value - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt(CAST(sv2 AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+             END AS z
+      FROM s)
+    SELECT user_id, event_id, z,
+           CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly
+    FROM z"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_window_topk"    -> q9WindowTopK _,
     "q10_window_running" -> q10WindowRunning _,
@@ -278,6 +347,7 @@ object Windows {
     "q83_resample"      -> q83Resample _,
     "q103_funnel"       -> q103Funnel _,
     "q107_retention"    -> q107Retention _,
+    "q129_rolling_anomaly" -> q129RollingAnomaly _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -287,5 +357,6 @@ object Windows {
     "q83_resample"      -> q83ResampleSql,
     "q103_funnel"       -> q103FunnelSql,
     "q107_retention"    -> q107RetentionSql,
+    "q129_rolling_anomaly" -> q129RollingAnomalySql,
   )
 }

@@ -270,4 +270,30 @@ class AsofSessionSpec extends GraftSuite {
       assert(!streamed.contains(3L))
     } finally q.stop()
   }
+
+  test("rollingAnomaly: hand-computed z on a planted spike, NULL below minN") {
+    import java.sql.Timestamp
+    import graft.ops.Windows
+    def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // user 1: five 10.0s then a 20.0 spike; user 2: too short for a score
+    val events = ((1 to 5).map(i => (1L, ts(i * 10L), i.toLong, 10.0)) :+
+      ((1L, ts(60L), 6L, 20.0)) :+ ((2L, ts(10L), 7L, 5.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Windows.rollingAnomaly(events, "user_id", "ts", "event_id",
+        "value")
+      .collect().map(r => r.getLong(1) -> ((
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+    // events 1-4: window shorter than minN → NULL; event 5: constant
+    // window, zero variance → NULL; event 6: n=6, mean=11.666…,
+    // var=(100*5+400)/6 − mean² → z=(20−mean)/sqrt(var)
+    (1L to 5L).foreach(e => assert(got(e) == ((None, None)), s"event $e"))
+    assert(got(7L) == ((None, None)))
+    val (zOpt, flag) = got(6L)
+    val mean = (5 * 10.0 + 20.0) / 6
+    val varr = (5 * 100.0 + 400.0) / 6 - mean * mean
+    val z = (20.0 - mean) / math.sqrt(varr)
+    assert(zOpt.exists(v => math.abs(v - z) < 1e-9), s"$zOpt vs $z")
+    assert(flag.contains(false), "a 2.2-sigma spike must not flag at 3.0")
+  }
 }

@@ -146,4 +146,22 @@ class SamplingSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(got == expected)
   }
+
+  test("groupSample: exactly min(k, |stratum|) rows, a pure function of data") {
+    import spark.implicits._
+    val df = ((1L to 30L).map(i => (i, "big")) ++ Seq((41L, "tiny")))
+      .toDF("id", "s")
+    def run() = Sampling.groupSample(df, "s", col("id"), k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    val got = run()
+    assert(got.count(_._1 == "big") == 5, "big stratum must yield exactly k")
+    assert(got.count(_._1 == "tiny") == 1, "small stratum yields all it has")
+    assert(got == run(), "sample changed between runs")
+    // the md5 order must match an exact driver-side replay
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectedBig = (1L to 30L).sortBy(i => (md5hex(i.toString), i))
+      .take(5).toSet
+    assert(got.filter(_._1 == "big").map(_._2) == expectedBig)
+  }
 }

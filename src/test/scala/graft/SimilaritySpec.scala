@@ -269,4 +269,25 @@ class SimilaritySpec extends GraftSuite {
     // singleton block: no fabricated neighbor
     assert(got(4L) == ((null, None, None)))
   }
+
+  test("record linkage: exact wins, fuzzy resolves residue, unmatchable → NULL") {
+    // replicate q128's derivation on the real table, then check the three
+    // regimes hold: %3==0 keys (corrupted) link fuzzy at distance 1 back
+    // to THEIR OWN clean row; others link exact at distance 0
+    val got = Similarity.q128RecordLinkage(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (dId, (method, key, dist)) =>
+      val orig = dId - 1000000L
+      if (orig % 3 == 0)
+        assert(method == "fuzzy" && key == orig && dist == 1,
+          s"$dId: $method/$key/$dist")
+      else
+        assert(method == "exact" && key == orig && dist == 0,
+          s"$dId: $method/$key/$dist")
+    }
+  }
 }
