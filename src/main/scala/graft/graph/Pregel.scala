@@ -99,23 +99,62 @@ object Pregel {
   /** Target rows per shuffle partition inside the superstep loop. */
   private val rowsPerLoopPartition = 500000L
 
+  /** Durable-checkpoint support: a long Pregel run (hundreds of supersteps
+    * over a 100 TB-derived graph) must survive a driver loss without
+    * recomputing from superstep 0 — `localCheckpoint` truncates lineage
+    * but dies with the executors. When `durableDir` is set, every
+    * lineage-truncation point ALSO writes the vertex state to
+    * `durableDir/step_<n>` parquet plus an atomically-renamed `LATEST`
+    * marker (written only AFTER the parquet commit, so a crash mid-write
+    * leaves the previous consistent state discoverable). On a cluster the
+    * directory must be shared storage (HDFS/S3), like any checkpoint dir.
+    * Cost: one extra write job per durable checkpoint — opt-in for runs
+    * whose recompute cost exceeds it.
+    *
+    * [[resumeState]] reads the newest consistent state; pass it as
+    * `vertices` with `startStep` to continue — vprog sees the same
+    * absolute superstep indices it would have seen uninterrupted. */
+  def resumeState(spark: org.apache.spark.sql.SparkSession,
+                  durableDir: String): Option[(DataFrame, Int)] = {
+    val marker = java.nio.file.Paths.get(durableDir, "LATEST")
+    if (!java.nio.file.Files.exists(marker)) None
+    else {
+      val n = java.nio.file.Files.readString(marker).trim.toInt
+      Some((spark.read.parquet(s"$durableDir/step_$n"), n))
+    }
+  }
+
+  private def writeDurable(v: DataFrame, durableDir: String,
+                           step: Int): Unit = {
+    v.write.mode("overwrite").parquet(s"$durableDir/step_$step")
+    val dir = java.nio.file.Paths.get(durableDir)
+    val tmp = dir.resolve("LATEST.tmp")
+    java.nio.file.Files.writeString(tmp, step.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("LATEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def runWithStats(vertices: DataFrame, edges: DataFrame, maxIter: Int,
                    sendMsg: Column, mergeMsg: Column => Column,
                    vprog: (DataFrame, Int) => DataFrame,
                    checkpointEvery: Int = 2, blockSize: Int = 1,
-                   updateEdges: Option[(DataFrame, DataFrame, Int) => DataFrame] = None): PregelResult = {
+                   updateEdges: Option[(DataFrame, DataFrame, Int) => DataFrame] = None,
+                   durableDir: Option[String] = None,
+                   startStep: Int = 0): PregelResult = {
     require(vertices.columns.contains("id"), "vertices need an `id` column")
     require(edges.columns.contains("src") && edges.columns.contains("dst"),
       "edges need `src` and `dst` columns")
     require(blockSize >= 1, "blockSize must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    require(startStep >= 0, "startStep must be >= 0")
 
     val spark = vertices.sparkSession
     var e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     var v: DataFrame = null
     var prev: DataFrame = null
     var staleE: DataFrame = null
-    var step = 0
+    var step = startStep
     var allHalt = false
     // everything after the first persist sits inside the try so a failure
     // anywhere — including setup (materializing the edge cache can run a
@@ -202,6 +241,11 @@ object Pregel {
       val nv =
         if (didCkpt) { sinceCkpt = 0; cur.localCheckpoint(false) }
         else cur.persist(StorageLevel.MEMORY_AND_DISK)
+      // durable state rides the same cadence as lineage truncation: the
+      // write job materializes the lazy checkpoint, and the halt action
+      // below then reads the cache — one write job is the entire overhead
+      if (didCkpt && durableDir.isDefined)
+        writeDurable(nv, durableDir.get, step + block)
       // The halt vote is an AGGREGATE, not filter(...).isEmpty: isEmpty is
       // a limit(1) that can stop after the first non-halting partition,
       // leaving this block's cache partially materialized — the next block

@@ -154,4 +154,40 @@ class PregelSpec extends GraftSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
       3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
+
+  test("durable checkpoint: a killed run resumes to the uninterrupted result") {
+    // min-label propagation on a directed 20-ring: label 0 travels one hop
+    // per superstep, so convergence genuinely needs ~20 supersteps and an
+    // interrupt at 6 leaves visibly unconverged state
+    val n = 20
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+      .select(col("id"), col("id").as("component"))
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    def run(v0: org.apache.spark.sql.DataFrame, maxIter: Int, start: Int,
+            durable: Option[String]) =
+      Pregel.runWithStats(v0, edges, maxIter,
+        sendMsg = col("component"), mergeMsg = min,
+        vprog = (df, _) => df.select(col("id"),
+          least(col("component"), coalesce(col("msg"), col("component")))
+            .as("component"),
+          coalesce(col("msg") >= col("component"), lit(true)).as("halt")),
+        checkpointEvery = 2, blockSize = 1,
+        durableDir = durable, startStep = start)
+    val uninterrupted = run(vertices, 40, 0, None).vertices
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uninterrupted.values.forall(_ == 0L), "ring must converge to 0")
+    // "crash" after 6 supersteps — durable state is on disk, mid-flight
+    val partial = run(vertices, 6, 0, Some(dir)).vertices
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.values.exists(_ != 0L), "interrupt must precede convergence")
+    val Some((saved, savedStep)) = Pregel.resumeState(spark, dir)
+    assert(savedStep == 6, s"marker at $savedStep")
+    val resumed = run(saved, 40, savedStep, Some(dir)).vertices
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == uninterrupted)
+    // the marker advanced past the interrupt point during the resume
+    assert(Pregel.resumeState(spark, dir).get._2 > 6)
+  }
 }
