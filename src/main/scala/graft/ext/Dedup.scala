@@ -941,6 +941,22 @@ object Dedup {
            CAST(COALESCE(p.n_dropped, 0) AS INT) AS n_dropped
     FROM documents d LEFT JOIN perDocS p ON p.doc_id = d.doc_id"""
 
+  // --- q130_durable_cc: q47's clustering under durable checkpointing ------
+  /** The q47 clustering computed WITH the Pregel durable checkpoint
+    * enabled — the fault-tolerance path under the correctness gate: the
+    * hash match certifies the durable write/marker cycle changes nothing
+    * about the computation, and the written state is the real mid-run
+    * state (PregelSpec separately proves a killed run RESUMES from it to
+    * the identical result). */
+  def q130DurableCc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = undirectedEdges(ngramJaccardPairs(docs, "doc_id", "text"))
+    graft.graph.Algorithms
+      .connectedComponents(docs.select(col("doc_id").as("id")), edges,
+        durableDir = Some(graft.sources.Sink.scratchPath("graft_cc_ckpt", dir)))
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+  }
+
   // --- q123_source_overlap: which sources duplicate each other ------------
   /** The curation dashboard behind dedup: the near-dup PAIR set rolled up
     * to an unordered source×source matrix — which crawl mirrors which,
@@ -1031,6 +1047,7 @@ object Dedup {
     "q41_simhash"       -> q41SimHash _,
     "q47_dedup_clusters" -> q47DedupClusters _,
     "q112_cc_alternating" -> q112CcAlternating _,
+    "q130_durable_cc"   -> q130DurableCc _,
     "q62_decontaminate" -> q62Decontaminate _,
     "q113_span_excision" -> q113SpanExcision _,
     "q114_segment_dedup" -> q114SegmentDedup _,
@@ -1048,6 +1065,7 @@ object Dedup {
     "q41_simhash"       -> ngramJaccardOracleSql,
     "q47_dedup_clusters" -> q47DedupClustersSql,
     "q112_cc_alternating" -> q47DedupClustersSql,
+    "q130_durable_cc"   -> q47DedupClustersSql,
     "q62_decontaminate" -> q62DecontaminateSql,
     "q113_span_excision" -> q113SpanExcisionSql,
     "q114_segment_dedup" -> q114SegmentDedupSql,

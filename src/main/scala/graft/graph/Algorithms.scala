@@ -80,8 +80,9 @@ object Algorithms {
     * @param edges directed rows; pass both directions for undirected CC
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 30): DataFrame =
-    Pregel.run(
+                          maxIter: Int = 30,
+                          durableDir: Option[String] = None): DataFrame =
+    Pregel.runWithStats(
       vertices.select(col("id"), col("id").as("component")),
       edges, maxIter,
       sendMsg = col("component"),
@@ -93,7 +94,7 @@ object Algorithms {
         // halt unless a strictly smaller label arrived
         coalesce(col("msg") >= col("component"), lit(true)).as("halt")),
       // min-label propagation is monotone (see maxValuePropagation)
-      blockSize = 3)
+      blockSize = 3, durableDir = durableDir).vertices
 
   /** Connected components WITHOUT a vertex program: the alternating
     * large-star/small-star algorithm (Kiveris et al., "Connected

@@ -273,9 +273,17 @@ object Windows {
 
   // --- q129_rolling_anomaly: trailing-window z-score outlier flags --------
   /** Streaming-shaped anomaly detection in batch form: each event's value
-    * scored against the trailing `win`+1-event window of ITS OWN entity —
-    * the metrics-monitoring primitive (a user whose purchase value jumps
-    * 3σ off their recent history) that needs no global statistics at all.
+    * scored against the trailing `win` PRECEDING events of ITS OWN entity
+    * — the metrics-monitoring primitive (a user whose purchase value
+    * jumps 3σ off their recent history) that needs no global statistics.
+    *
+    * The window deliberately EXCLUDES the current row. Including it
+    * bounds the statistic at sqrt(n−1) — a single arbitrarily large
+    * outlier inflates its own window's mean and σ so much that its
+    * z-score can never exceed ~2.83 at n = 9, making a 3σ threshold
+    * structurally unreachable (found by this operator's own spec: a
+    * 50× spike failed to flag). History-only scoring is the standard
+    * formulation and keeps z unbounded for genuine outliers.
     *
     * Scale shape: ONE entity-keyed window (partition by user, order by
     * time) carries all three running aggregates — count, Σv, Σv² — so the
@@ -287,7 +295,7 @@ object Windows {
     * double product itself is reproducible), and both engines then run
     * the IDENTICAL double expression tree (cast, divide, multiply, sqrt)
     * over those exact sums — so the z-score is bit-identical with no
-    * rounding step. Windows shorter than `minN` yield NULL (a z-score
+    * rounding step. Histories shorter than `minN` yield NULL (a z-score
     * against two points is noise, not signal); zero variance yields NULL
     * rather than ±∞. */
   def rollingAnomaly(events: DataFrame, entity: String, ts: String,
@@ -295,7 +303,7 @@ object Windows {
                      minN: Int = 5, sigma: Double = 3.0): DataFrame = {
     val w = Window.partitionBy(col(entity))
       .orderBy(col(ts), col(tieBreak))
-      .rowsBetween(-win, Window.currentRow)
+      .rowsBetween(-win, -1)
     val dec = (c: Column) => c.cast(DecimalType(28, 6))
     val scored = events
       .withColumn("__n", count(col(value)).over(w))
@@ -323,7 +331,7 @@ object Windows {
              SUM(CAST(value * value AS DECIMAL(28,6))) OVER w AS sv2
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
     z AS (
       SELECT user_id, event_id,
              CASE WHEN n >= 5

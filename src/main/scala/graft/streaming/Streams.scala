@@ -478,6 +478,62 @@ object Streams {
       .filter(_.t1_us >= 0)
   }
 
+  final case class AnomalyEvent(user_id: Long, ts: java.sql.Timestamp,
+                                event_id: Long, value: Double, ts_us: Long)
+  final case class AnomalyState(vals: Seq[Double])
+  final case class AnomalyRow(user_id: Long, event_id: Long,
+                              z: Option[Double], is_anomaly: Option[Boolean])
+
+  /** Streaming form of [[graft.ops.Windows.rollingAnomaly]]: per-entity
+    * `flatMapGroupsWithState` carrying only the trailing `win` values —
+    * bounded state per ACTIVE entity, one anomaly row per event as it
+    * arrives. Each batch's group is sorted by (ts, event_id) before the
+    * fold (intra-batch disorder repaired); cross-batch late events are
+    * behind the watermark by construction, the [[sessionizeStream]] /
+    * [[funnelStream]] divergence contract.
+    *
+    * The arithmetic replicates the batch operator's decimal discipline
+    * EXACTLY — values and their squares quantized to 6 dp half-up (what
+    * `CAST(x AS DECIMAL(28,6))` does) and summed as BigDecimal, the
+    * final μ/σ/z computed in the same double expression tree — so the
+    * stream≡batch spec can assert equality at 1e-12, not "roughly". */
+  def anomalyStream(events: DataFrame, win: Int = 8, minN: Int = 5,
+                    sigma: Double = 3.0): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "10 minutes")
+      .as[AnomalyEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[AnomalyEvent],
+         state: GroupState[AnomalyState]) => {
+          var buf = state.getOption.map(_.vals.toVector).getOrElse(Vector())
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            // score against the PRECEDING history only (see the batch
+            // operator's Scaladoc: an included current row bounds z at
+            // sqrt(n−1)), THEN admit the value into the rolling buffer
+            val n = buf.size
+            val s = buf.map(dec6).sum
+            val s2 = buf.map(v => dec6(v * v)).sum
+            val nd = n.toDouble
+            val mean = s.toDouble / nd
+            val variance = s2.toDouble / nd - mean * mean
+            val z = if (n >= minN && variance > 0)
+              Some((e.value - mean) / math.sqrt(variance)) else None
+            buf = (buf :+ e.value).takeRight(win)
+            AnomalyRow(user, e.event_id, z, z.map(v => math.abs(v) > sigma))
+          }
+          state.update(AnomalyState(buf))
+          out.iterator
+        })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_event_window"   -> q40EventWindow _,
     "q45_sessionize"     -> q45Sessionize _,

@@ -271,29 +271,79 @@ class AsofSessionSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("anomalyStream equals the batch rollingAnomaly across microbatches") {
+    import java.sql.Timestamp
+    import graft.ops.Windows
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // two users, values with a spike; split across batches in event order
+    val all = (1 to 12).map(i =>
+      (1L, ts(i * 10L), i.toLong, if (i == 11) 500.0 else 10.0 + (i % 3))) ++
+      (1 to 7).map(i => (2L, ts(i * 10L), (100 + i).toLong, i * 2.0))
+    val ms = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = Streams.anomalyStream(
+        ms.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_anomaly_stream").start()
+    try {
+      val (b1, b2) = all.sortBy(_._2.getTime).splitAt(9)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("graft_anomaly_stream")
+        .collect().map(r => r.getLong(1) -> ((
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+      val batch = Windows.rollingAnomaly(
+          all.toDF("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value")
+        .collect().map(r => r.getLong(1) -> ((
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (eid, (sz, sf_)) =>
+        val (bz, bf) = batch(eid)
+        assert(sf_ == bf, s"flag mismatch at $eid")
+        (sz, bz) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-12, s"$eid: $a vs $b")
+          case (a, b) => assert(a == b, s"$eid: $a vs $b")
+        }
+      }
+      // the planted spike actually fires somewhere
+      assert(streamed.values.exists(_._2.contains(true)), "no anomaly fired")
+    } finally q.stop()
+  }
+
   test("rollingAnomaly: hand-computed z on a planted spike, NULL below minN") {
     import java.sql.Timestamp
     import graft.ops.Windows
     def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
-    // user 1: five 10.0s then a 20.0 spike; user 2: too short for a score
-    val events = ((1 to 5).map(i => (1L, ts(i * 10L), i.toLong, 10.0)) :+
-      ((1L, ts(60L), 6L, 20.0)) :+ ((2L, ts(10L), 7L, 5.0)))
+    // user 1: varied history then a spike; user 2: too short for a score;
+    // user 3: constant history → zero variance → NULL, never ±∞
+    val hist = Seq(10.0, 12.0, 14.0, 10.0, 12.0)
+    val events = (hist.zipWithIndex.map { case (v, i) =>
+      (1L, ts((i + 1) * 10L), (i + 1).toLong, v) } :+
+      ((1L, ts(60L), 6L, 30.0)) :+ ((2L, ts(10L), 7L, 5.0)) :+
+      ((3L, ts(10L), 8L, 4.0)) :+ ((3L, ts(20L), 9L, 4.0)) :+
+      ((3L, ts(30L), 10L, 4.0)) :+ ((3L, ts(40L), 11L, 4.0)) :+
+      ((3L, ts(50L), 12L, 4.0)) :+ ((3L, ts(60L), 13L, 4.0)))
       .toDF("user_id", "ts", "event_id", "value")
     val got = Windows.rollingAnomaly(events, "user_id", "ts", "event_id",
         "value")
       .collect().map(r => r.getLong(1) -> ((
         if (r.isNullAt(2)) None else Some(r.getDouble(2)),
         if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
-    // events 1-4: window shorter than minN → NULL; event 5: constant
-    // window, zero variance → NULL; event 6: n=6, mean=11.666…,
-    // var=(100*5+400)/6 − mean² → z=(20−mean)/sqrt(var)
+    // events 1-5: preceding history shorter than minN → NULL
     (1L to 5L).foreach(e => assert(got(e) == ((None, None)), s"event $e"))
     assert(got(7L) == ((None, None)))
+    // user 3's sixth event has a full 5-row history of variance zero
+    (8L to 13L).foreach(e => assert(got(e) == ((None, None)), s"event $e"))
+    // event 6 scores against its five predecessors only
     val (zOpt, flag) = got(6L)
-    val mean = (5 * 10.0 + 20.0) / 6
-    val varr = (5 * 100.0 + 400.0) / 6 - mean * mean
-    val z = (20.0 - mean) / math.sqrt(varr)
+    val mean = hist.sum / 5
+    val varr = hist.map(v => v * v).sum / 5 - mean * mean
+    val z = (30.0 - mean) / math.sqrt(varr)
     assert(zOpt.exists(v => math.abs(v - z) < 1e-9), s"$zOpt vs $z")
-    assert(flag.contains(false), "a 2.2-sigma spike must not flag at 3.0")
+    assert(flag.contains(true), "a 12-sigma spike must flag")
   }
 }
