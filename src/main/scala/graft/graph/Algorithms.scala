@@ -125,6 +125,7 @@ object Algorithms {
   def ccAlternating(vertices: DataFrame, edges: DataFrame,
                     maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = vertices.sparkSession
     // canonical undirected edge set: deduped, self-loops dropped,
     // stored big -> small (one small-star's precondition, and exactly
     // what large-star emits)
@@ -135,6 +136,22 @@ object Algorithms {
         least(col("u"), col("v")).as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Pregel's loop-session discipline (see Pregel.runWithStats): each
+    // round runs ~5 shuffles over a GRAPH-sized frame — at the session's
+    // default partition count a small graph pays rounds×shuffles×parts
+    // near-empty tasks of pure scheduler overhead (measured 19s → ~4s on
+    // the q112 corpus at local[32]). Size the loop shuffles to the edge
+    // count; AQE off because the loop sizes its shuffles explicitly.
+    val nE = e.count() // also materializes the edge cache
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.min(sessionParts.toLong, nE / 500000L + 1).toInt
+    val loopSession = {
+      val s = org.apache.spark.sql.graft.GraftSessionBridge.cloneSession(spark)
+      s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    }
+    e = org.apache.spark.sql.graft.GraftSessionBridge.rebind(e, loopSession)
     val live = scala.collection.mutable.ArrayBuffer(e)
     try {
       var prev = (-1L, 0L)
