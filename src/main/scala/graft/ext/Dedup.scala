@@ -589,6 +589,45 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("cluster"))
   }
 
+  // --- q131_canonical_pick: cluster survivorship policy -------------------
+  /** The KEEP decision that follows clustering: one canonical document per
+    * near-dup cluster by an explicit survivorship rule — keep the LONGEST
+    * member (`n_chars`), ties to the smallest `doc_id` — plus the audit
+    * numbers a curation run reports (members merged, characters kept vs
+    * discarded). Picking the longest copy is the usual crawl-dedup policy
+    * (truncated mirrors lose to the full page); making the rule an operator
+    * (rather than `min(doc_id)` baked into CC) is what lets a pipeline
+    * change policy without re-clustering.
+    *
+    * Scale shape: two hash aggregates and one broadcast-size join per
+    * cluster frame — per-cluster max via map-side partial agg, then the
+    * tie-break min over only the max-achieving rows. No window over the
+    * corpus: a `row_number over (partition by cluster)` would sort every
+    * cluster's rows; the agg+semi-join form partial-aggregates and never
+    * materializes an ordering. */
+  def canonicalPick(clusters: DataFrame, docs: DataFrame, id: String,
+                    sizeCol: String): DataFrame = {
+    val m = clusters.join(docs.select(col(id), col(sizeCol)), id)
+    val stats = m.groupBy(col("cluster"))
+      .agg(max(col(sizeCol)).as("keep_chars"),
+        count(lit(1)).as("n_members"),
+        sum(col(sizeCol)).as("_tot"))
+    val keep = m.join(stats.select(col("cluster"), col("keep_chars")), "cluster")
+      .filter(col(sizeCol) === col("keep_chars"))
+      .groupBy(col("cluster")).agg(min(col(id)).as("keep_id"))
+    stats.join(keep, "cluster")
+      .select(col("cluster"), col("keep_id"), col("n_members"),
+        col("keep_chars"), (col("_tot") - col("keep_chars")).as("chars_dropped"))
+  }
+
+  /** q47's verified clusters composed with the survivorship policy; the
+    * oracle replays the recursive-CTE closure and the same two-aggregate
+    * pick, so a drifted tie-break (or a cluster that lost a member) fails
+    * the hash. */
+  def q131CanonicalPick(spark: SparkSession, dir: String): DataFrame =
+    canonicalPick(q47DedupClusters(spark, dir),
+      Tables.documents(spark, dir), "doc_id", "n_chars")
+
   /** The transitive-closure clustering CTE chain (threshold 0.8), shared
     * by the q47 oracle and q50's pipeline oracle so the clustering
     * definition lives in exactly one place. Prepend `WITH RECURSIVE`. */
@@ -613,6 +652,23 @@ object Dedup {
   val q47DedupClustersSql: String = s"""
     WITH RECURSIVE $clusterCtes
     SELECT doc_id, cluster FROM clusters"""
+
+  /** Declared after [[clusterCtes]] — a forward reference would read null
+    * at object init. */
+  val q131CanonicalPickSql: String = s"""
+    WITH RECURSIVE $clusterCtes,
+    m AS (SELECT c.cluster, d.doc_id, d.n_chars
+          FROM clusters c JOIN documents d USING (doc_id)),
+    st AS (SELECT cluster, MAX(n_chars) AS keep_chars,
+                  COUNT(*) AS n_members, SUM(n_chars) AS tot
+           FROM m GROUP BY cluster),
+    k AS (SELECT m.cluster, MIN(m.doc_id) AS keep_id
+          FROM m JOIN st ON m.cluster = st.cluster
+                        AND m.n_chars = st.keep_chars
+          GROUP BY m.cluster)
+    SELECT st.cluster, k.keep_id, CAST(st.n_members AS BIGINT) AS n_members,
+           st.keep_chars, CAST(st.tot - st.keep_chars AS BIGINT) AS chars_dropped
+    FROM st JOIN k ON st.cluster = k.cluster"""
 
   // --- q62_decontaminate: benchmark n-gram overlap removal ----------------
   /** Deterministic split: docs with doc_id % 97 == 0 play the "benchmark";
@@ -1046,6 +1102,7 @@ object Dedup {
     "q35_ngram_jaccard" -> q35NgramJaccard _,
     "q41_simhash"       -> q41SimHash _,
     "q47_dedup_clusters" -> q47DedupClusters _,
+    "q131_canonical_pick" -> q131CanonicalPick _,
     "q112_cc_alternating" -> q112CcAlternating _,
     "q130_durable_cc"   -> q130DurableCc _,
     "q62_decontaminate" -> q62Decontaminate _,
@@ -1064,6 +1121,7 @@ object Dedup {
     "q35_ngram_jaccard" -> ngramJaccardOracleSql,
     "q41_simhash"       -> ngramJaccardOracleSql,
     "q47_dedup_clusters" -> q47DedupClustersSql,
+    "q131_canonical_pick" -> q131CanonicalPickSql,
     "q112_cc_alternating" -> q47DedupClustersSql,
     "q130_durable_cc"   -> q47DedupClustersSql,
     "q62_decontaminate" -> q62DecontaminateSql,

@@ -1009,6 +1009,72 @@ object Similarity {
     LEFT JOIN ex e ON e.d_id = d.d_id
     LEFT JOIN fz f ON f.d_id = d.d_id"""
 
+  // --- q134_link_pred: neighborhood-overlap link prediction ---------------
+  /** Link prediction by neighborhood overlap on a bipartite relation:
+    * entities sharing many right-hand neighbors ("customers who bought the
+    * same parts") are candidate links, scored by common-neighbor count and
+    * exact-rational Jaccard over neighbor sets. The same shape powers
+    * account-linking in training-data curation (two crawl identities
+    * sharing many page fingerprints) and co-purchase recommendation.
+    *
+    * The pair generation pivots on the RIGHT key (one self-join per shared
+    * neighbor — the PPJoin/LSH bucket-join shape, never entity×entity),
+    * and `maxDeg` drops right-hand keys with more than `maxDeg` left
+    * neighbors BEFORE the self-join: a hub key contributes deg² pairs but
+    * near-zero signal (everything co-occurs with a bestseller), so capping
+    * both bounds the blow-up (≤ maxDeg²/2 rows per key) and denoises —
+    * the standard frequent-item cut. Degrees for the Jaccard denominator
+    * are computed on the CAPPED relation so the score's universe matches
+    * the pair universe; the count frames broadcast. Output is top-k by
+    * (jaccard, pair) — jaccard6 is exact-rational, so the boundary cannot
+    * flake across engines. */
+  def linkPredict(rel: DataFrame, left: String, right: String,
+                  maxDeg: Int = 64, minCommon: Long = 2,
+                  k: Int = 100): DataFrame = {
+    val r = rel.select(col(left).as("l"), col(right).as("r")).distinct()
+    val keyDeg = r.groupBy(col("r")).agg(count(lit(1)).as("rdeg"))
+    val capped = r.join(broadcast(keyDeg.filter(col("rdeg") <= maxDeg)
+      .select("r")), "r")
+    val deg = capped.groupBy(col("l")).agg(count(lit(1)).as("deg"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.r") === col("b.r") && col("a.l") < col("b.l"))
+      .groupBy(col("a.l").as("id_a"), col("b.l").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(broadcast(deg.select(col("l").as("id_a"), col("deg").as("deg_a"))), "id_a")
+      .join(broadcast(deg.select(col("l").as("id_b"), col("deg").as("deg_b"))), "id_b")
+      .select(col("id_a"), col("id_b"), col("common"),
+        graft.ops.Relational.ratio6(
+          "common", "deg_a + deg_b - common").as("jaccard6"))
+      .orderBy(col("jaccard6").desc, col("id_a"), col("id_b")).limit(k)
+  }
+
+  /** Co-purchase links over the customer–part relation (orders⋈lineitem). */
+  def q134LinkPred(spark: SparkSession, dir: String): DataFrame =
+    linkPredict(
+      Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey")),
+      "o_custkey", "l_partkey")
+
+  val q134LinkPredSql: String = s"""
+    WITH rel AS (
+      SELECT DISTINCT o_custkey AS l, l_partkey AS r
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    keep AS (SELECT r FROM rel GROUP BY r HAVING COUNT(*) <= 64),
+    capped AS (SELECT rel.l, rel.r FROM rel JOIN keep USING (r)),
+    deg AS (SELECT l, COUNT(*) AS deg FROM capped GROUP BY l),
+    pairs AS (
+      SELECT a.l AS id_a, b.l AS id_b, COUNT(*) AS common
+      FROM capped a JOIN capped b ON a.r = b.r AND a.l < b.l
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT id_a, id_b, common,
+           ${graft.ops.Relational.ratio6Sql(
+             "common", "da.deg + db.deg - common")} AS jaccard6
+    FROM pairs JOIN deg da ON da.l = id_a JOIN deg db ON db.l = id_b
+    ORDER BY jaccard6 DESC, id_a, id_b LIMIT 100"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -1023,6 +1089,7 @@ object Similarity {
     "q116_fuzzy_nn"       -> q116FuzzyNn _,
     "q126_fuzzy_pairs"    -> q126FuzzyPairs _,
     "q128_record_linkage" -> q128RecordLinkage _,
+    "q134_link_pred"      -> q134LinkPred _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1039,5 +1106,6 @@ object Similarity {
     "q116_fuzzy_nn"       -> q116FuzzyNnSql,
     "q126_fuzzy_pairs"    -> q126FuzzyPairsSql,
     "q128_record_linkage" -> q128RecordLinkageSql,
+    "q134_link_pred"      -> q134LinkPredSql,
   )
 }

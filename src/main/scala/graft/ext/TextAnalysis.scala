@@ -764,6 +764,175 @@ object TextAnalysis {
              "COALESCE(p.n_oov, 0)", "COALESCE(p.n_tokens, 0)")} AS oov6
     FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
 
+  // --- q133_rarity_bucket: CCNet-style corpus partition by rarity ---------
+  /** CCNet's head/middle/tail corpus split, with an integer-exact rarity
+    * score standing in for LM perplexity (the shape is identical: score
+    * every document against a corpus-level language model — here the
+    * unigram frequency table — and cut the corpus into k quality tiers).
+    * A token's rarity is `T div cnt(w)` (corpus tokens over the token's
+    * count — large for rare words), a document's score is the
+    * token-weighted floor-mean of its tokens' rarities, and the tiers are
+    * exact k-tiles of `(score, doc_id)`. Every step is positive-BIGINT
+    * floor arithmetic, so any engine replays it bit-for-bit — the real-
+    * perplexity variant would swap the rarity column for an LM logprob
+    * and inherit the same plan.
+    *
+    * Scale shape: one tokenize pass → per-(doc, token) partial counts →
+    * frequency join (token-keyed; Zipf-skewed, but the per-doc
+    * pre-aggregation caps any one (doc, token) row and AQE handles the
+    * residual hot vocabulary) → per-doc agg. The k-tile RANK is the
+    * scale-aware part: no global `ntile` window (one partition at 100 TB);
+    * instead the rank is assembled from a distinct-SCORE cumulative frame
+    * (scores are floor-divided integers — heavily collapsed) plus a
+    * per-score row_number, and the tile comes from the closed-form NTILE
+    * formula `q = N div k, m = N mod k`. The oracle runs DuckDB's actual
+    * `NTILE(3)` — an independent derivation of the same assignment. */
+  def rarityBuckets(docs: DataFrame, id: String, text: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(id), explode(split(lower(col(text)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("T"))
+    val scored = tf.join(freq, "w").crossJoin(broadcast(tot))
+      .groupBy(col(id))
+      .agg(sum(col("tf") * expr("T div cnt")).as("rsum"),
+        sum(col("tf")).as("ntok"))
+      .select(col(id), expr("rsum div ntok").as("rarity"))
+    val nTot = scored.agg(count(lit(1)).as("N"))
+    val cum = scored.groupBy(col("rarity")).agg(count(lit(1)).as("nd"))
+      .withColumn("before", coalesce(
+        sum(col("nd")).over(Window.orderBy(col("rarity"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("rarity")).orderBy(col(id))))
+      .join(cum.select(col("rarity"), col("before")), "rarity")
+      .withColumn("r", col("before") + col("rn"))
+      .crossJoin(broadcast(nTot))
+    ranked.withColumn("bucket",
+      expr(s"""CASE WHEN r <= (N % $k) * ((N div $k) + 1)
+                    THEN (r + (N div $k)) div ((N div $k) + 1)
+                    ELSE (N % $k) + (r - (N % $k) * ((N div $k) + 1)
+                                     + (N div $k) - 1) div (N div $k)
+               END""").cast("int"))
+      .select(col(id), col("rarity"), col("bucket"))
+  }
+
+  def q133RarityBucket(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    rarityBuckets(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rarity")).as("min_rarity"), max(col("rarity")).as("max_rarity"))
+  }
+
+  val q133RarityBucketSql: String = """
+    WITH t AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents) x
+      WHERE w <> ''),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY doc_id, w),
+    freq AS (SELECT w, SUM(tf) AS cnt FROM tf GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS T FROM freq),
+    sc AS (SELECT doc_id,
+                  SUM(tf * (T // cnt)) // SUM(tf) AS rarity
+           FROM tf JOIN freq USING (w), tot GROUP BY doc_id),
+    nt AS (SELECT doc_id, rarity,
+                  CAST(NTILE(3) OVER (ORDER BY rarity, doc_id) AS INT)
+                    AS bucket
+           FROM sc)
+    SELECT bucket, d.lang, COUNT(*) AS n_docs,
+           CAST(MIN(rarity) AS BIGINT) AS min_rarity,
+           CAST(MAX(rarity) AS BIGINT) AS max_rarity
+    FROM nt JOIN documents d USING (doc_id)
+    GROUP BY 1, 2"""
+
+  // --- q136_bm25: full-text relevance ranking, integer-exact BM25 ---------
+  /** BM25 top-k retrieval (k₁ = 1.2, b = 0.75) with the arithmetic
+    * restructured for cross-engine bit-identity: the usual formulation is
+    * irrational twice (`ln` in the idf, a real-valued length
+    * normalization), so instead (a) the idf is the RATIONAL odds form
+    * `(N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)` — the exact quantity
+    * whose log classic BM25 takes, rank-equivalent per term — and (b) the
+    * tf normalization is cleared of fractions by ×10L: `tf·(k₁+1)/(tf +
+    * k₁(1−b+b·dl/avgdl)) = 22·L·tf / (10·L·tf + 3·L + 9·dl·N)` with
+    * avgdl = L/N. Each term's contribution is thus an exact-BIGINT
+    * numerator/denominator pair and ONE correctly-rounded double
+    * division; the per-document sum folds those doubles in sorted term
+    * order (the q115/q77 trick), so both engines add the same doubles in
+    * the same order and the top-k boundary cannot flake.
+    *
+    * Scale shape: the query-term filter pushes into the token stream
+    * (tokens not in the query never reach a shuffle), df/N/L are
+    * broadcast-size frames, and the per-doc fold touches ≤|query| rows
+    * per document. BIGINT headroom: `22·L·tf·2N` — exact below ~9.2e18,
+    * i.e. corpora to ~10¹⁵ token-products; past that, swap the two casts
+    * for DECIMAL(38,0). */
+  val bm25QueryTerms: Seq[String] = Seq("join", "slow", "spark", "stream", "vector")
+
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+               query: Seq[String], k: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col(id), explode(split(lower(col(text)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val nDocs = docs.agg(count(lit(1)).as("N"))
+    val dl = toks.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val totL = toks.agg(count(lit(1)).as("L"))
+    val qtf = toks.filter(col("w").isin(query: _*))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val dfs = qtf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfs), "w").join(dl, id)
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(totL))
+      .withColumn("v",
+        expr("22 * L * tf * (2*N - 2*df + 1)").cast("double") /
+          expr("(10*L*tf + 3*L + 9*dl*N) * (2*df + 1)").cast("double"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("w"), col("v")))).as("arr"))
+      .select(col(id), col("n_terms"),
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("v"))
+          .as("score"))
+      .orderBy(col("score").desc, col(id)).limit(k)
+  }
+
+  def q136Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.documents(spark, dir), "doc_id", "text", bm25QueryTerms)
+
+  val q136Bm25Sql: String = {
+    val inList = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents) x
+      WHERE w <> ''),
+    nn AS (SELECT COUNT(*) AS N FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    tl AS (SELECT COUNT(*) AS L FROM t),
+    qtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t
+            WHERE w IN ($inList) GROUP BY doc_id, w),
+    dfq AS (SELECT w, COUNT(*) AS df FROM qtf GROUP BY w),
+    v AS (SELECT q.doc_id, q.w,
+                 CAST(22 * L * tf * (2*N - 2*df + 1) AS DOUBLE) /
+                 CAST((10*L*tf + 3*L + 9*dl.dl*N) * (2*df + 1) AS DOUBLE)
+                   AS v
+          FROM qtf q JOIN dfq USING (w) JOIN dl ON dl.doc_id = q.doc_id,
+               nn, tl),
+    sc AS (SELECT doc_id, COUNT(*) AS n_terms,
+                  list_reduce(list_prepend(0.0, list(v ORDER BY w)),
+                              (a, b) -> a + b) AS score
+           FROM v GROUP BY doc_id)
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
@@ -778,6 +947,8 @@ object TextAnalysis {
     "q95_cooccur"       -> q95Cooccur _,
     "q97_inverted_index" -> q97InvertedIndex _,
     "q122_vocab_coverage" -> q122VocabCoverage _,
+    "q133_rarity_bucket" -> q133RarityBucket _,
+    "q136_bm25"         -> q136Bm25 _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -794,5 +965,7 @@ object TextAnalysis {
     "q95_cooccur"       -> q95CooccurSql,
     "q97_inverted_index" -> q97InvertedIndexSql,
     "q122_vocab_coverage" -> q122VocabCoverageSql,
+    "q133_rarity_bucket" -> q133RarityBucketSql,
+    "q136_bm25"         -> q136Bm25Sql,
   )
 }

@@ -597,6 +597,47 @@ object Relational {
     WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders)
     GROUP BY o_orderstatus"""
 
+  // --- q135_skyline: per-group 2D Pareto frontier --------------------------
+  /** Skyline (Pareto-frontier) query: the rows no other row in the same
+    * group DOMINATES, where `o` dominates `p` iff `o.x ≤ p.x ∧ o.y ≥ p.y`
+    * with at least one strict — "cheapest for its size / biggest for its
+    * price". The naive definition is an all-pairs inequality anti-join
+    * (O(n²) per group — unrunnable at scale); for two dimensions it
+    * collapses to a STAIRCASE: a row is on the skyline iff its `y` equals
+    * the max `y` at its exact `x` AND strictly exceeds the running max `y`
+    * over all smaller `x`. That is one map-side-partial aggregate on
+    * (group, x) plus a cumulative window over the DISTINCT-x frame (tiny:
+    * bounded by |distinct x| per group, not rows) and a broadcastable join
+    * back — O(n) data movement. The oracle runs the naive NOT-EXISTS
+    * definition: two independent formulations of dominance must agree on
+    * the exact row set. */
+  def skyline2d(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val best = df.groupBy(col(group), col(x)).agg(max(col(y)).as("_best_y"))
+    val stair = best.withColumn("_prev_max",
+      max(col("_best_y")).over(Window.partitionBy(col(group)).orderBy(col(x))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    df.join(stair, Seq(group, x))
+      .filter(col(y) === col("_best_y") &&
+        (col("_prev_max").isNull || col(y) > col("_prev_max")))
+      .drop("_best_y", "_prev_max")
+  }
+
+  /** Per-brand price/size frontier over part: the parts not beaten on both
+    * price (lower is better) and size (higher is better) by any same-brand
+    * part. */
+  def q135Skyline(spark: SparkSession, dir: String): DataFrame =
+    skyline2d(Tables.part(spark, dir)
+        .select("p_brand", "p_partkey", "p_size", "p_retailprice"),
+      "p_brand", "p_retailprice", "p_size")
+
+  val q135SkylineSql: String = """
+    SELECT p.p_brand, p.p_partkey, p.p_size, p.p_retailprice FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM part o
+      WHERE o.p_brand = p.p_brand
+        AND o.p_retailprice <= p.p_retailprice AND o.p_size >= p.p_size
+        AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))"""
+
   /** Query registry (grows in later commits). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"        -> q1Agg _,
@@ -617,6 +658,7 @@ object Relational {
     "q109_sketch_union" -> q109SketchUnion _,
     "q111_multiway_join" -> q111MultiwayJoin _,
     "q119_grouping_sets" -> q119GroupingSets _,
+    "q135_skyline"  -> q135Skyline _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -638,5 +680,6 @@ object Relational {
     "q109_sketch_union" -> q109SketchUnionSql,
     "q111_multiway_join" -> q111MultiwayJoinSql,
     "q119_grouping_sets" -> q119GroupingSetsSql,
+    "q135_skyline"  -> q135SkylineSql,
   )
 }

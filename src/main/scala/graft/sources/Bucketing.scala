@@ -55,6 +55,94 @@ object Bucketing {
   private[graft] def zValue16Sql(x: String, y: String): String =
     s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
 
+  // ------------------------------------------------------ hilbert layout
+
+  /** Hilbert-curve index of `(x, y)`, each quantized to its low `bits`
+    * bits — the locality-superior alternative to [[zValue16]]: consecutive
+    * Hilbert values are ALWAYS adjacent cells (unit Manhattan step), where
+    * the Morton curve takes long diagonal jumps at power-of-two
+    * boundaries, so equal-size Hilbert buckets cover tighter (x, y)
+    * rectangles and a range predicate on either dimension prunes more
+    * files (`HilbertSpec` pins the bijection + unit-step property
+    * exhaustively, and the jump-count advantage over Morton, on a full
+    * small grid). Delta Lake's OPTIMIZE chose the same curve for the same
+    * reason.
+    *
+    * Shape: the classic per-bit fold (quadrant digit + reflect/swap
+    * rotation), unrolled at plan-build time into `bits` chained
+    * projections with the rotation state (`_hx`, `_hy`) and the quadrant
+    * digits (`_rx`, `_ry`) materialized as per-step columns — each alias
+    * is referenced several times by the next step, which keeps
+    * CollapseProject from inlining the chain into an exponential
+    * expression tree, and whole-stage codegen fuses the chain back into
+    * one pass per row. All integer arithmetic; the oracle generator
+    * [[hilbertSqlCtes]] unrolls the identical constants. */
+  def withHilbert(df: DataFrame, x: Column, y: Column, out: String,
+                  bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"hilbert bits out of [1,16]: $bits")
+    val n = 1L << bits
+    val init = df
+      .withColumn("_hx", x.cast("long").bitwiseAND(lit(n - 1)))
+      .withColumn("_hy", y.cast("long").bitwiseAND(lit(n - 1)))
+      .withColumn("_hd", lit(0L))
+    val stepped = (bits - 1 to 0 by -1).foldLeft(init) { (d, k) =>
+      val s = 1L << k
+      d.withColumn("_rx",
+          when(col("_hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("_ry",
+          when(col("_hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("_hd", col("_hd") +
+          lit(s * s) * (lit(3L) * col("_rx")).bitwiseXOR(col("_ry")))
+        // reflect (rx=1: mirror both axes) then swap — but only in the
+        // lower half (ry=0); computed from the PRE-update _hx/_hy, which
+        // is why the new values land in fresh selects via a struct swap
+        .withColumn("_nx",
+          when(col("_ry") === 0,
+            when(col("_rx") === 1, lit(n - 1) - col("_hy"))
+              .otherwise(col("_hy"))).otherwise(col("_hx")))
+        .withColumn("_ny",
+          when(col("_ry") === 0,
+            when(col("_rx") === 1, lit(n - 1) - col("_hx"))
+              .otherwise(col("_hx"))).otherwise(col("_hy")))
+        .withColumn("_hx", col("_nx")).withColumn("_hy", col("_ny"))
+    }
+    stepped.withColumn(out, col("_hd"))
+      .drop("_hx", "_hy", "_hd", "_rx", "_ry", "_nx", "_ny")
+  }
+
+  /** CTE chain computing the identical Hilbert fold in DuckDB SQL —
+    * generated from the same loop bounds and constants as [[withHilbert]],
+    * so the two engines cannot drift. Emits CTEs `h{bits}` … `h0`; the
+    * final `h0` holds `carry` plus the index as `hd`. NOTE: DuckDB's `^`
+    * is POWER, so the quadrant digit uses `xor()`. */
+  private[graft] def hilbertSqlCtes(base: String, carry: Seq[String],
+                                    x: String, y: String,
+                                    bits: Int = 16): String = {
+    val n = 1L << bits
+    val cols = carry.mkString(", ")
+    val init = s"""h$bits AS (
+      SELECT $cols, (CAST($x AS BIGINT) & ${n - 1}) AS hx,
+             (CAST($y AS BIGINT) & ${n - 1}) AS hy,
+             CAST(0 AS BIGINT) AS hd
+      FROM $base)"""
+    val steps = (bits - 1 to 0 by -1).map { k =>
+      val s = 1L << k
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h$k AS (
+      SELECT $cols,
+             CASE WHEN $ry = 0 THEN
+               (CASE WHEN $rx = 1 THEN ${n - 1} - hy ELSE hy END)
+             ELSE hx END AS hx,
+             CASE WHEN $ry = 0 THEN
+               (CASE WHEN $rx = 1 THEN ${n - 1} - hx ELSE hx END)
+             ELSE hy END AS hy,
+             hd + ${s * s} * xor(3 * $rx, $ry) AS hd
+      FROM h${k + 1})"""
+    }
+    (init +: steps).mkString(",\n    ")
+  }
+
   /** Balanced binary-search CASE tree mapping `x` to its bucket index
     * (= #boundaries ≤ x) in log₂ comparisons per row, all codegen'd CASE
     * WHEN — no interpreted HOF, no per-row array scan. NULL follows every
@@ -192,6 +280,38 @@ object Bucketing {
            ${graft.ops.Relational.dsumSql("value")} AS sum_value
     FROM z GROUP BY 1"""
 
+  // --- q132_hilbert: Hilbert-clustered write → read → h-bucket aggregate --
+  /** q76's round-trip discipline on the Hilbert curve: cluster events by
+    * [[withHilbert]] on (user_id, event_id), write range-partitioned on
+    * the index, read back, recompute the index from the read rows, and
+    * aggregate per high-16-bit Hilbert bucket. The oracle unrolls the
+    * identical 16-step fold straight from the source parquet — one wrong
+    * rotation, reflection constant, or quadrant digit anywhere in the 16
+    * steps lands every row in a different bucket and fails the hash. */
+  def q132Hilbert(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = Sink.scratchPath("graft_hilbert", dir)
+    withHilbert(graft.Tables.events(spark, dir)
+        .select("event_id", "user_id", "value"),
+      col("user_id"), col("event_id"), "_hv")
+      .repartitionByRange(8, col("_hv"))
+      .sortWithinPartitions("_hv")
+      .drop("_hv")
+      .write.mode("overwrite").parquet(scratch)
+    withHilbert(spark.read.parquet(scratch),
+      col("user_id"), col("event_id"), "hv")
+      .groupBy(shiftright(col("hv"), 16).as("hbucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("hv")).as("min_hv"), max(col("hv")).as("max_hv"),
+        graft.ops.Relational.dsum(col("value")).as("sum_value"))
+  }
+
+  val q132HilbertSql: String = s"""
+    WITH ${hilbertSqlCtes("events", Seq("value"), "user_id", "event_id")}
+    SELECT (hd >> 16) AS hbucket, COUNT(*) AS n_events,
+           MIN(hd) AS min_hv, MAX(hd) AS max_hv,
+           ${graft.ops.Relational.dsumSql("value")} AS sum_value
+    FROM h0 GROUP BY 1"""
+
   // --- q98_zonemap: min/max pruning manifest ------------------------------
   /** Zone-map manifest: per-zone (a fixed key range — the logical stand-in
     * for one file or row group) min/max/count statistics over a measure,
@@ -286,12 +406,14 @@ object Bucketing {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q71_bucketed_join" -> q71BucketedJoin _,
         "q76_zorder" -> q76Zorder _,
+        "q132_hilbert" -> q132Hilbert _,
         "q98_zonemap" -> q98Zonemap _,
         "q110_pruned_read" -> q110PrunedRead _)
 
   def oracles: Map[String, String] =
     Map("q71_bucketed_join" -> q71BucketedJoinSql,
         "q76_zorder" -> q76ZorderSql,
+        "q132_hilbert" -> q132HilbertSql,
         "q98_zonemap" -> q98ZonemapSql,
         "q110_pruned_read" -> q110PrunedReadSql)
 }

@@ -104,4 +104,37 @@ class BucketingSpec extends GraftSuite {
     val gotMap = got.map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(gotMap == want)
   }
+
+  test("hilbert index is a unit-step bijection; morton provably is not") {
+    val bits = 4
+    val n = 1 << bits
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x, y)))
+      .toDF("x", "y")
+    val cells = Bucketing.withHilbert(grid, col("x"), col("y"), "hv", bits)
+      .collect()
+      .map(r => r.getAs[Long]("hv") -> ((r.getAs[Int]("x"), r.getAs[Int]("y"))))
+      .toMap
+    // bijection: every cell gets a distinct index covering 0 .. n²-1
+    assert(cells.size == n * n)
+    assert(cells.keys.min == 0L && cells.keys.max == (n * n - 1).toLong)
+    // the Hilbert property: walking the curve in index order NEVER jumps —
+    // every consecutive pair of indices is Manhattan-adjacent
+    val hJumps = (0L until (n * n - 1).toLong).map { d =>
+      val (x1, y1) = cells(d); val (x2, y2) = cells(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }
+    assert(hJumps.forall(_ == 1), s"non-unit hilbert step: max=${hJumps.max}")
+    // the same walk on the Morton curve takes long diagonal jumps (e.g.
+    // 3→4 crosses a quadrant boundary) — the locality gap that makes
+    // Hilbert buckets cover tighter rectangles
+    val mCells = grid.withColumn("zv", Bucketing.zValue16(col("x"), col("y")))
+      .collect()
+      .map(r => r.getAs[Long]("zv") -> ((r.getAs[Int]("x"), r.getAs[Int]("y"))))
+      .toMap
+    val mJumps = (0L until (n * n - 1).toLong).map { d =>
+      val (x1, y1) = mCells(d); val (x2, y2) = mCells(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }
+    assert(mJumps.max > 1, "morton should jump — else this test proves nothing")
+  }
 }

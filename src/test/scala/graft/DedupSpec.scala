@@ -229,4 +229,21 @@ class DedupSpec extends GraftSuite {
     assert(got == expected)
     assert(got.nonEmpty, "vacuous: no near-dup pairs in the corpus")
   }
+
+  test("canonicalPick keeps the longest member, ties to the smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    // cluster 1: docs 2 and 3 tie on length 30 → keep 2; 40 chars dropped
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.canonicalPick(clusters, docs, "doc_id", "n_chars")
+      .collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("keep_chars"), r.getAs[Long]("chars_dropped"))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 3L, 30L, 40L)),
+      4L -> ((4L, 1L, 7L, 0L))))
+  }
 }

@@ -65,4 +65,21 @@ class RelationalSpec extends GraftSuite {
         assert(hi <= lo, s"$g: overlapping bins") }
     }
   }
+
+  test("skyline2d equals the brute-force dominance definition") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.part(spark, sf)
+      .select("p_brand", "p_partkey", "p_size", "p_retailprice")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getInt(2), r.getDouble(3)))
+    val expected = rows.filter { case (b, _, sz, pr) =>
+      !rows.exists { case (ob, _, osz, opr) =>
+        ob == b && opr <= pr && osz >= sz && (opr < pr || osz > sz)
+      }
+    }.map(_._2).toSet
+    val got = Relational.skyline2d(df, "p_brand", "p_retailprice", "p_size")
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "vacuous: empty frontier")
+  }
 }

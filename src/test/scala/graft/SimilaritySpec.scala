@@ -290,4 +290,26 @@ class SimilaritySpec extends GraftSuite {
           s"$dId: $method/$key/$dist")
     }
   }
+
+  test("linkPredict scores neighbor overlap and drops hub keys") {
+    // A and B share items 1,2 (plus singles); C touches only item 2.
+    // Item 99 is a "bestseller" shared by everyone — with maxDeg=3 it must
+    // be dropped BEFORE pair generation, both from pairs and from degrees.
+    val rel = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 99L),
+      (20L, 1L), (20L, 2L), (20L, 4L), (20L, 99L),
+      (30L, 2L), (30L, 99L),
+      (40L, 99L), (50L, 99L)).toDF("user", "item")
+    val got = Similarity.linkPredict(rel, "user", "item",
+        maxDeg = 3, minCommon = 1, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("common"), r.getAs[Double]("jaccard6"))))
+      .toMap
+    // capped degrees: 10→{1,2,3}, 20→{1,2,4}, 30→{2}; 40/50 vanish
+    assert(got == Map(
+      (10L, 20L) -> ((2L, 0.5)),      // 2 / (3+3-2)
+      (10L, 30L) -> ((1L, 0.333333)), // 1 / (3+1-1)
+      (20L, 30L) -> ((1L, 0.333333))))
+  }
 }

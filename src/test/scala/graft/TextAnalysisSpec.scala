@@ -188,4 +188,48 @@ class TextAnalysisSpec extends GraftSuite {
       3L -> ((3L, 1L, Some(0.333333))),
       4L -> ((0L, 0L, None))))
   }
+
+  test("rarityBuckets: balanced score-ordered tiers over every scored doc") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextAnalysis.rarityBuckets(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rarity"),
+        r.getAs[Int]("bucket")))
+    val nScored = docs
+      .filter(size(filter(split(lower(col("text")), "\\s+"),
+        w => w =!= "")) > 0).count()
+    assert(got.length == nScored, "every tokenizable doc gets a tier")
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // tiers respect score order (ties may straddle a boundary, so ≤)
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(1).max <= byBucket(2).min ||
+      byBucket(1).max == byBucket(2).min)
+    assert(byBucket(2).max <= byBucket(3).min ||
+      byBucket(2).max == byBucket(3).min)
+  }
+
+  test("bm25TopK matches the hand-derived exact rational arithmetic") {
+    val docs = Seq(
+      (1L, "spark spark join"),
+      (2L, "spark"),
+      (3L, "other words here")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join"), k = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Double]("score"))))
+      .toMap
+    // N=3, L=7; doc1 dl=3 (tf: spark 2, join 1), doc2 dl=1 (spark 1).
+    // spark: df=2, idf=(2·3−4+1)/(2·2+1)=3/5; join: df=1, idf=5/3 — all
+    // carried as exact integer num/den, one double division per term,
+    // summed in token order ("join" < "spark").
+    val d1 = 0.0 + 770.0 / 516.0 + 924.0 / 1210.0
+    val d2 = 0.0 + 462.0 / 590.0
+    assert(got.keySet == Set(1L, 2L), "doc 3 has no query term")
+    assert(got(1L) == ((2L, d1)), s"doc1: ${got(1L)} want $d1")
+    assert(got(2L) == ((1L, d2)), s"doc2: ${got(2L)} want $d2")
+    assert(d1 > d2, "more matching terms must outrank")
+  }
 }
