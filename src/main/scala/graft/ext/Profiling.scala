@@ -302,11 +302,59 @@ object Profiling {
            ${graft.ops.Relational.ratio6Sql("c.cum", "c.n")} AS ecdf6
     FROM documents d JOIN c ON c.n_chars = d.n_chars"""
 
+  // --- q138_chi2: categorical association (contingency chi-square) --------
+  /** Pearson chi-square contingency cells for two categorical columns —
+    * the drift/association check a curation dashboard runs ("did the
+    * language mix shift per source?"). Per cell: observed count, expected
+    * count under independence (exact-rational `rowTot·colTot/N`, half-up
+    * at 6 dp), and the chi-square contribution `(O−E)²/E`. The
+    * contribution is restructured to clear fractions —
+    * `(O·N − rowTot·colTot)² / (N·rowTot·colTot)` — so both factors are
+    * EXACT integers (the square carried as DECIMAL(38,0): `(O·N)²` can
+    * pass 2⁶³ even when every input is BIGINT-sized) and the only
+    * rounding is one double division, identical in any engine.
+    *
+    * Scale shape: the corpus collapses to one count row per cell
+    * (map-side partial); marginals and N are aggregates OVER THE CELL
+    * FRAME (cardinality |a|·|b|, not rows) and broadcast back. At 100 TB
+    * this is a metadata-sized computation after one scan. */
+  def chi2Cells(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col(a)).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col(b)).agg(sum(col("o")).as("cb"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(ra), a).join(broadcast(cb), b)
+      .crossJoin(broadcast(n))
+      .select(col(a), col(b), col("o"),
+        graft.ops.Relational.ratio6("ra * cb", "n").as("expected6"),
+        (expr("""CAST(CAST(o * n - ra * cb AS DECIMAL(19,0))
+                      * CAST(o * n - ra * cb AS DECIMAL(19,0))
+                 AS DECIMAL(38,0))""").cast("double") /
+          expr("n * ra * cb").cast("double")).as("chi2_cell"))
+  }
+
+  def q138Chi2(spark: SparkSession, dir: String): DataFrame =
+    chi2Cells(graft.Tables.documents(spark, dir), "lang", "source")
+
+  val q138Chi2Sql: String = s"""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    ra AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+    cb AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT lang, source, o,
+           ${graft.ops.Relational.ratio6Sql("ra * cb", "n")} AS expected6,
+           CAST(CAST(o * n - ra * cb AS HUGEINT)
+                * CAST(o * n - ra * cb AS HUGEINT) AS DOUBLE)
+             / CAST(n * ra * cb AS DOUBLE) AS chi2_cell
+    FROM cells JOIN ra USING (lang) JOIN cb USING (source), nn"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile"      -> q85Profile _,
     "q86_constraints"  -> q86Constraints _,
     "q115_correlations" -> q115Correlations _,
     "q121_ecdf"         -> q121Ecdf _,
+    "q138_chi2"         -> q138Chi2 _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -314,5 +362,6 @@ object Profiling {
     "q86_constraints"  -> q86ConstraintsSql,
     "q115_correlations" -> q115CorrelationsSql,
     "q121_ecdf"         -> q121EcdfSql,
+    "q138_chi2"         -> q138Chi2Sql,
   )
 }

@@ -1075,6 +1075,68 @@ object Similarity {
     FROM pairs JOIN deg da ON da.l = id_a JOIN deg db ON db.l = id_b
     ORDER BY jaccard6 DESC, id_a, id_b LIMIT 100"""
 
+  // --- q139_feature_norm: per-dimension z-normalization of embeddings -----
+  /** Feature standardization over an embedding column — the preprocessing
+    * pass ANN/k-means runs so no dimension dominates the metric. Each
+    * component is first quantized to an exact BIGINT (`floor(x·10⁶)` —
+    * float→double is exact, the multiply and floor are correctly rounded,
+    * so ANY engine derives the identical integer), per-dimension
+    * count/Σ/Σ² are then exact integer aggregates (order-free), and the
+    * z-score is ONE identical IEEE expression tree over those exact
+    * inputs (the q115/q129 discipline) — bit-identical doubles with no
+    * rounding step. Zero-variance and single-point dimensions yield NULL,
+    * never ±∞.
+    *
+    * Scale shape: posexplode → map-side-partial agg keyed by the
+    * 64-value dim column → a 64-row stats frame broadcast back into a
+    * codegen'd projection; the corpus shuffles once (the dim agg), and
+    * Σ(xq²) ≤ 10¹²·rows stays in BIGINT to ~10⁶ rows/dim — past that,
+    * lift the two sums to DECIMAL(38,0). */
+  def featureNormalize(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val comps = emb
+      .select(col(id), posexplode(vecAsDouble(col(vec))).as(Seq("dim", "x")))
+      .withColumn("xq", floor(col("x") * 1000000).cast("long"))
+    val stats = comps.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"),
+        sum(col("xq") * col("xq")).as("ss"))
+    comps.join(broadcast(stats), "dim")
+      .select(col(id), col("dim"),
+        expr("""CASE WHEN n > 1 AND
+                  CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                THEN (CAST(xq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                END""").as("z"))
+  }
+
+  def q139FeatureNorm(spark: SparkSession, dir: String): DataFrame =
+    featureNormalize(Tables.embeddings(spark, dir), "vec_id", "embedding")
+
+  val q139FeatureNormSql: String = """
+    WITH comp AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+             CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xq
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS r(i)),
+    st AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(xq) AS BIGINT) AS s,
+                  CAST(SUM(xq * xq) AS BIGINT) AS ss
+           FROM comp GROUP BY dim)
+    SELECT vec_id, dim,
+           CASE WHEN n > 1 AND
+                  CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                THEN (CAST(xq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           END AS z
+    FROM comp JOIN st USING (dim)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -1090,6 +1152,7 @@ object Similarity {
     "q126_fuzzy_pairs"    -> q126FuzzyPairs _,
     "q128_record_linkage" -> q128RecordLinkage _,
     "q134_link_pred"      -> q134LinkPred _,
+    "q139_feature_norm"   -> q139FeatureNorm _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1107,5 +1170,6 @@ object Similarity {
     "q126_fuzzy_pairs"    -> q126FuzzyPairsSql,
     "q128_record_linkage" -> q128RecordLinkageSql,
     "q134_link_pred"      -> q134LinkPredSql,
+    "q139_feature_norm"   -> q139FeatureNormSql,
   )
 }

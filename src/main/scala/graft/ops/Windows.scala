@@ -348,6 +348,59 @@ object Windows {
            CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly
     FROM z"""
 
+  // --- q137_transitions: sequence mining → Markov transition matrix -------
+  /** First-order transition matrix over per-entity event sequences: for
+    * every entity, order its events, pair each with its successor
+    * (`lead`), and count (from_state → to_state) transitions corpus-wide,
+    * with the row-conditional probability as an exact-rational ratio.
+    * This is the sequence-mining primitive behind session-path analysis,
+    * churn modeling, and curriculum ordering of training events.
+    *
+    * Scale shape: ONE shuffle on the entity key, a per-entity sort
+    * (bounded by events-per-entity, never corpus-global), and a
+    * map-side-partial count whose output is |states|² rows; the
+    * from-state totals frame broadcasts. Ordering is total —
+    * `(ts, tiebreak)` — so the successor function (hence every count) is
+    * a pure function of the data in any engine. */
+  def transitionMatrix(events: DataFrame, entity: String, ts: String,
+                       state: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts), col(tiebreak))
+    val steps = events
+      .withColumn("_next", lead(col(state), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(state).as("from_state"), col("_next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    steps
+      .join(broadcast(steps.groupBy(col("from_state"))
+        .agg(sum(col("n")).as("tot"))), "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        graft.ops.Relational.ratio6("n", "tot").as("p6"))
+  }
+
+  /** User-journey transitions over the events table. The oracle orders by
+    * the same microsecond instants ([[graft.Tables.events]] truncates the
+    * nano column with `div 1000`; `epoch_ns // 1000` is its DuckDB twin) —
+    * ordering by the RAW nanos could break microsecond ties differently
+    * than the tiebreak column does. */
+  def q137Transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.events(spark, dir)
+        .select("user_id", "ts", "event_type", "event_id"),
+      "user_id", "ts", "event_type", "event_id")
+
+  val q137TransitionsSql: String = s"""
+    WITH o AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts) // 1000, event_id) AS next_type
+      FROM events),
+    s AS (SELECT event_type AS from_state, next_type AS to_state,
+                 COUNT(*) AS n
+          FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_state, SUM(n) AS tot FROM s GROUP BY 1)
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           ${graft.ops.Relational.ratio6Sql("n", "tot")} AS p6
+    FROM s JOIN t USING (from_state)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_window_topk"    -> q9WindowTopK _,
     "q10_window_running" -> q10WindowRunning _,
@@ -356,6 +409,7 @@ object Windows {
     "q103_funnel"       -> q103Funnel _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
+    "q137_transitions"  -> q137Transitions _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -366,5 +420,6 @@ object Windows {
     "q103_funnel"       -> q103FunnelSql,
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,
+    "q137_transitions"  -> q137TransitionsSql,
   )
 }

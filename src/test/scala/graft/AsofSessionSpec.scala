@@ -346,4 +346,35 @@ class AsofSessionSpec extends GraftSuite {
     assert(zOpt.exists(v => math.abs(v - z) < 1e-9), s"$zOpt vs $z")
     assert(flag.contains(true), "a 12-sigma spike must flag")
   }
+
+  test("transitionMatrix counts successors per entity with exact ratios") {
+    // user 1: A→B→A (transitions A→B, B→A); user 2: B→A.
+    // totals: from A = 1, from B = 2
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), "A", 1L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:02"), "B", 2L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:03"), "A", 3L),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:01"), "B", 4L),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:02"), "A", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.ops.Windows
+      .transitionMatrix(ev, "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p6"))))
+      .toMap
+    assert(got == Map(
+      ("A", "B") -> ((1L, 1.0)),
+      ("B", "A") -> ((2L, 1.0))))
+    // same-timestamp events fall back to the tiebreak column: 10(A) then
+    // 11(B) must read A→B, not B→A
+    val tie = Seq(
+      (9L, Timestamp.valueOf("2024-01-01 00:00:01"), "B", 11L),
+      (9L, Timestamp.valueOf("2024-01-01 00:00:01"), "A", 10L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got2 = graft.ops.Windows
+      .transitionMatrix(tie, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got2 == Set(("A", "B")))
+  }
 }

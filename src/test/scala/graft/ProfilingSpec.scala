@@ -83,4 +83,23 @@ class ProfilingSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.75, 4L -> 1.0))
   }
+
+  test("chi2Cells: zero under exact independence, exact value when skewed") {
+    // perfectly independent 2×2: every cell O == E → chi² contribution 0
+    val indep = Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("a", "y")) ++
+      Seq.fill(4)(("b", "x")) ++ Seq.fill(4)(("b", "y"))
+    val g1 = Profiling.chi2Cells(indep.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getAs[Double]("chi2_cell"))
+    assert(g1.length == 4 && g1.forall(_ == 0.0))
+    // skewed 2×2 (3,1 / 1,3): N=8, marginals all 4, E=2 for every cell,
+    // contribution (O−E)²/E = 0.5 each — and expected6 = 4·4/8 = 2.0
+    val skew = Seq.fill(3)(("a", "x")) ++ Seq.fill(1)(("a", "y")) ++
+      Seq.fill(1)(("b", "x")) ++ Seq.fill(3)(("b", "y"))
+    val g2 = Profiling.chi2Cells(skew.toDF("u", "v"), "u", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("expected6"), r.getAs[Double]("chi2_cell"))))
+      .toMap
+    assert(g2.values.forall(_ == ((2.0, 0.5))), s"got $g2")
+  }
 }

@@ -312,4 +312,28 @@ class SimilaritySpec extends GraftSuite {
       (10L, 30L) -> ((1L, 0.333333)), // 1 / (3+1-1)
       (20L, 30L) -> ((1L, 0.333333))))
   }
+
+  test("featureNormalize: exact z for planted dims, NULL for degenerate") {
+    // dim 0: values 1.0, 2.0, 3.0 → xq 1e6, 2e6, 3e6; mean 2e6,
+    // var = (14/3 - 4)·10¹² = (2/3)·10¹² → z = ±1e6/sqrt((2/3)·10¹²), 0
+    // dim 1: constant → zero variance → NULL
+    val emb = Seq(
+      (1L, Array(1.0f, 5.0f)),
+      (2L, Array(2.0f, 5.0f)),
+      (3L, Array(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.featureNormalize(emb, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("dim")) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    val n = 3.0
+    val mean = 6.0e6 / n
+    val variance = (1.0e12 + 4.0e12 + 9.0e12) / n - mean * mean
+    def z(xq: Double) = (xq - mean) / math.sqrt(variance)
+    assert(got((1L, 0)) == Some(z(1e6)))
+    assert(got((2L, 0)) == Some(z(2e6)))
+    assert(got((3L, 0)) == Some(z(3e6)))
+    assert(got((1L, 1)).isEmpty && got((2L, 1)).isEmpty,
+      "zero-variance dim must yield NULL, not ±inf")
+  }
 }
