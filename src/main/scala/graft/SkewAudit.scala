@@ -21,11 +21,15 @@ object SkewAudit {
 
   final class TaskStats extends SparkListener {
     val byStage = scala.collection.concurrent.TrieMap[Int, List[Long]]()
+    val stageName = scala.collection.concurrent.TrieMap[Int, String]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       if (t.taskInfo != null && t.taskInfo.successful)
         byStage.updateWith(t.stageId)(l =>
           Some(t.taskInfo.duration :: l.getOrElse(Nil)))
-    def reset(): Unit = byStage.clear()
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stageName.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
+    def reset(): Unit = { byStage.clear(); stageName.clear() }
   }
 
   def main(args: Array[String]): Unit = {
@@ -73,6 +77,33 @@ object SkewAudit {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scratch/events.parquet")
 
+    // ~10× transactions: order AND part keys shifted per copy — the honest
+    // scale direction for a transaction log (more orders over more items,
+    // per-item degree unchanged; the hub-cap's own stress case is covered
+    // by SimilaritySpec's fixture instead)
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    (0 until copies).map(i => ord.select(
+        (col("o_orderkey") + lit(i * 10000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * 1000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")))
+      .reduce(_ unionByName _)
+      // 32 even files: a union of 10 monolithic copies scans as ~30 splits
+      // with row-group-residual imbalance that false-flags as task skew —
+      // a real 10× table is many files, which is what the audit should read
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until copies).map(i => li.select(
+        (col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * 1000000L)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
+
     val audit: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q31_minhash_lsh", "q35_ngram_jaccard", "q41_simhash",
         "q47_dedup_clusters", "q50_train_pipeline",
@@ -94,11 +125,28 @@ object SkewAudit {
         // source rollup, vocab probe (a 10× hotter stopword head), and the
         // ticket explode+min-agg
         "q113_span_excision", "q114_segment_dedup", "q123_source_overlap",
-        "q122_vocab_coverage", "q120_ticket_sample")
+        "q122_vocab_coverage", "q120_ticket_sample",
+        // round-6 session-3 additions: the Zipf-skewed token-frequency
+        // join (10× hotter stopword head), the query-term token filter +
+        // per-doc fold, the shared-neighbor self-join under the hub cap,
+        // the per-entity successor window, and the dim-keyed component agg
+        "q133_rarity_bucket", "q136_bm25", "q134_link_pred",
+        "q137_transitions", "q139_feature_norm")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
         .map(n => n -> SparkEntry.queries(n))
+
+    // JIT/codegen warmup: the first query otherwise pays compilation on a
+    // few tasks and false-flags as skew (observed: the same stage at 3.4×
+    // cold vs 1.1× warm) — task-time ratios should measure data balance,
+    // not JVM state
+    Seq("documents", "events", "embeddings", "orders", "lineitem").foreach {
+      t =>
+        spark.read.parquet(s"$scratch/$t.parquet")
+          .groupBy(spark_partition_id()).count()
+          .write.format("noop").mode("overwrite").save()
+    }
 
     println(f"${"query"}%-20s ${"stage"}%6s ${"tasks"}%6s ${"med_ms"}%8s ${"max_ms"}%8s ${"ratio"}%6s flag")
     val flagged = scala.collection.mutable.ArrayBuffer[String]()
@@ -127,7 +175,8 @@ object SkewAudit {
         val ratio = ds.last.toDouble / med
         val flag = if (ratio > 4 && ds.last > 500) "<-- SKEW" else ""
         if (flag.nonEmpty) flagged += s"$name stage $sid"
-        println(f"$name%-20s $sid%6d ${ds.size}%6d $med%8d ${ds.last}%8d $ratio%6.1f $flag")
+        val sn = stats.stageName.getOrElse(sid, "").take(40)
+        println(f"$name%-20s $sid%6d ${ds.size}%6d $med%8d ${ds.last}%8d $ratio%6.1f $flag $sn")
       }
       println(f"$name%-20s total ${secs}%.1fs over ${rows.size} audited stages")
     }

@@ -1033,8 +1033,12 @@ object Similarity {
                   k: Int = 100): DataFrame = {
     val r = rel.select(col(left).as("l"), col(right).as("r")).distinct()
     val keyDeg = r.groupBy(col("r")).agg(count(lit(1)).as("rdeg"))
-    val capped = r.join(broadcast(keyDeg.filter(col("rdeg") <= maxDeg)
-      .select("r")), "r")
+    // persisted: the capped relation feeds BOTH sides of the self-join and
+    // the degree frame — unpersisted, the whole upstream (source join +
+    // distinct + cap semi-join) would run three times
+    val capped = graft.CacheRegistry.persist(
+      r.join(broadcast(keyDeg.filter(col("rdeg") <= maxDeg)
+        .select("r")), "r"))
     val deg = capped.groupBy(col("l")).agg(count(lit(1)).as("deg"))
     val pairs = capped.as("a")
       .join(capped.as("b"), col("a.r") === col("b.r") && col("a.l") < col("b.l"))
