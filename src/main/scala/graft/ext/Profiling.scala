@@ -349,12 +349,154 @@ object Profiling {
              / CAST(n * ra * cb AS DOUBLE) AS chi2_cell
     FROM cells JOIN ra USING (lang) JOIN cb USING (source), nn"""
 
+  // --- q141_count_min: count-min sketch over the token stream -------------
+  /** Count-min sketch (Cormode–Muthukrishnan) — the frequency sketch the
+    * family was missing next to HLL (distinct, q13) and Bloom (membership,
+    * q69): `depth` hash rows × `width` counters, point estimate = MIN over
+    * rows of the probed counters, with the classic one-sided guarantee
+    * (never an undercount; overshoot ≤ e·L/width with prob 1−e^−depth).
+    * Hashes are the engine-portable md5→uint32 nibble substrate
+    * ([[graft.ext.Sampling.nibbleSumSql]]) keyed `"j:token"`, so the
+    * oracle REPLAYS the sketch bit-for-bit rather than trusting it; the
+    * emitted `no_undercount` booleans pin the guarantee in the hash
+    * compare at every scale factor.
+    *
+    * Scale shape: the corpus pays ONE wordcount shuffle (map-side
+    * partial); all `depth` md5s hash the DISTINCT-token frame, vocabulary-
+    * not corpus-sized; the sketch itself is ≤ depth·width rows at ANY
+    * corpus size, so the probe side joins it BROADCAST. This is the
+    * whole point of a sketch at 100 TB — the q72 exact heavy hitters pay
+    * a full wordcount every query, the sketch answers point lookups from
+    * 4 KB of state a driver can hold, merge (cell-wise +), and ship. */
+  def countMinSketch(items: DataFrame, item: String, weight: Column,
+                     width: Int = 1024, depth: Int = 4): DataFrame =
+    items
+      .select(col(item).as("w"), weight.as("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("h8", substring(md5(concat(col("j").cast("string"),
+        lit(":"), col("w")).cast("binary")), 1, 8))
+      .withColumn("bucket",
+        expr(graft.ext.Sampling.nibbleSumSql("h8")) % width)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Build the sketch from `documents` tokens, then audit it: probe the
+    * top-k exact tokens and emit exact vs estimate side by side. */
+  def cmsAudit(docs: DataFrame, text: String, width: Int, depth: Int,
+               k: Int): DataFrame = {
+    val cnt = graft.CacheRegistry.persist(
+      docs.select(explode(split(lower(trim(col(text))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val sketch = countMinSketch(cnt, "w", col("cnt"), width, depth)
+    cnt.orderBy(col("cnt").desc, col("w")).limit(k)
+      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("cnt"))
+      .withColumn("h8", substring(md5(concat(col("j").cast("string"),
+        lit(":"), col("w")).cast("binary")), 1, 8))
+      .withColumn("bucket",
+        expr(graft.ext.Sampling.nibbleSumSql("h8")) % width)
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("w"))
+      .agg(max(col("cnt")).cast("long").as("exact_cnt"),
+        min(col("c")).cast("long").as("est"))
+      .select(col("w"), col("exact_cnt"), col("est"),
+        (col("est") >= col("exact_cnt")).as("no_undercount"))
+  }
+
+  /** width=16 against a 31-token synthetic vocabulary — deliberately
+    * UNDER-provisioned so the pigeonhole forces real collisions and the
+    * hash compare certifies overcounted cells and the no-undercount
+    * guarantee under pressure, not a trivially collision-free replay. */
+  def q141CountMin(spark: SparkSession, dir: String): DataFrame =
+    cmsAudit(graft.Tables.documents(spark, dir), "text",
+      width = 16, depth = 4, k = 50)
+
+  val q141CountMinSql: String = {
+    val nib = graft.ext.Sampling.nibbleSumSql("h8")
+    raw"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents),
+    cnt AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+    h AS (SELECT w, cnt, j,
+                 substring(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8) AS h8
+          FROM cnt, unnest([0, 1, 2, 3]) AS u(j)),
+    hb AS (SELECT w, cnt, j, $nib % 16 AS bucket FROM h),
+    sk AS (SELECT j, bucket, SUM(cnt) AS c FROM hb GROUP BY j, bucket),
+    pr AS (SELECT w FROM cnt ORDER BY cnt DESC, w LIMIT 50),
+    est AS (SELECT hb.w, MAX(hb.cnt) AS exact_cnt, MIN(sk.c) AS est
+            FROM pr JOIN hb USING (w)
+            JOIN sk ON sk.j = hb.j AND sk.bucket = hb.bucket
+            GROUP BY hb.w)
+    SELECT w, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est AS BIGINT) AS est, est >= exact_cnt AS no_undercount
+    FROM est"""
+  }
+
+  // --- q142_diversity: Simpson token-diversity per source -----------------
+  /** Per-source lexical diversity via the Simpson homogeneity index
+    * `D = Σ nᵢ(nᵢ−1) / (N(N−1))` — the probability two tokens drawn
+    * without replacement are the same type. A source whose D spikes
+    * between crawls has collapsed onto a template (bot spam, boilerplate
+    * flood) — the mixture-health counterpart of q122's OOV drift. Simpson
+    * is chosen over Shannon entropy DELIBERATELY: entropy needs `ln`
+    * (not IEEE-correctly-rounded, diverges between engines) while D is an
+    * exact rational — per-type products carried as DECIMAL(19,0)², the
+    * sum as DECIMAL(38,0), and one [[graft.ops.Relational.decRatio6]]
+    * half-up 6-dp quotient.
+    *
+    * Scale shape: one `(source, token)` wordcount shuffle with map-side
+    * partial, one source-sized re-agg — no joins, no windows; output rows
+    * = |sources|. BIGINT headroom: the denominator `N(N−1)` overflows
+    * BIGINT past ~3·10⁹ tokens per source; at that scale swap it to the
+    * DECIMAL(38,0) form (the numerator already carries ~10³⁸). */
+  def simpsonDiversity(df: DataFrame, group: String, item: Column): DataFrame =
+    df.select(col(group), item.as("w"))
+      .groupBy(col(group), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col(group))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(expr("CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))"))
+          .as("num"))
+      .filter(col("n_tokens") > 1)
+      .select(col(group), col("n_tokens"), col("n_types"),
+        graft.ops.Relational.decRatio6("num", "n_tokens * (n_tokens - 1)")
+          .as("simpson6"))
+
+  def q142Diversity(spark: SparkSession, dir: String): DataFrame =
+    simpsonDiversity(
+      graft.Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= ""),
+      "source", col("w"))
+
+  val q142DiversitySql: String = raw"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents),
+    ty AS (SELECT source, w, COUNT(*) AS n FROM tok
+           WHERE w <> '' GROUP BY source, w),
+    ag AS (SELECT source, SUM(n) AS n_tokens, COUNT(*) AS n_types,
+                  SUM(CAST(n AS DECIMAL(19,0)) *
+                      CAST(n - 1 AS DECIMAL(19,0))) AS num
+           FROM ty GROUP BY source)
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           ${graft.ops.Relational.decRatio6Sql(
+      "num", "n_tokens * (n_tokens - 1)")} AS simpson6
+    FROM ag WHERE n_tokens > 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile"      -> q85Profile _,
     "q86_constraints"  -> q86Constraints _,
     "q115_correlations" -> q115Correlations _,
     "q121_ecdf"         -> q121Ecdf _,
     "q138_chi2"         -> q138Chi2 _,
+    "q141_count_min"    -> q141CountMin _,
+    "q142_diversity"    -> q142Diversity _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -363,5 +505,7 @@ object Profiling {
     "q115_correlations" -> q115CorrelationsSql,
     "q121_ecdf"         -> q121EcdfSql,
     "q138_chi2"         -> q138Chi2Sql,
+    "q141_count_min"    -> q141CountMinSql,
+    "q142_diversity"    -> q142DiversitySql,
   )
 }

@@ -933,6 +933,95 @@ object TextAnalysis {
     FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
+  // --- q140_lm_score: add-one bigram language-model quality score ---------
+  /** CCNet-style statistical-LM quality filter: fit an add-one-smoothed
+    * bigram model on the corpus itself, then score every document by its
+    * MEAN token transition probability `Σ p(b|a) / n_bigrams` with
+    * `p(b|a) = (c(a,b)+1) / (c(a,·)+V)`. Documents whose transitions the
+    * corpus has never seen score near `1/V` — the head of a
+    * perplexity-style junk ranking (CCNet uses a Wikipedia-trained
+    * KenLM; the in-domain fit here keeps the operator self-contained).
+    * The mean-probability form is chosen over log-perplexity
+    * deliberately: `ln` is not IEEE-correctly-rounded and diverges
+    * between engines, while this score is exact-BIGINT counts, ONE
+    * correctly-rounded double division per distinct (doc, bigram), and a
+    * sorted-order fold (the q115/q136 trick) — bit-identical with no
+    * rounding step. Adjacency is raw-split-position `pos+1`, the q95
+    * contract.
+    *
+    * Scale shape: the token stream is persisted and read twice (bigram
+    * build probes itself with a `(doc, pos+1)` equi-join — no per-doc
+    * sort); bigram counts and their context totals are ONE wordcount-style
+    * shuffle plus a derived re-agg (no corpus rescan); the per-doc tf
+    * frame joins the model on the bigram key — Zipf-headed like every
+    * token-frequency join here, AQE skew-split handles the stopword-pair
+    * head (audited at 10× alongside q133/q136). The model frame is
+    * distinct-bigram-sized: linear in vocabulary, never broadcast.
+    * BIGINT headroom: `tf·(c(a,b)+1)` — exact to ~10⁹-occurrence hot
+    * bigrams in a single doc-pair cell, far past any real corpus. */
+  def bigramLmScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = graft.CacheRegistry.persist(
+      docs.select(col(id),
+          posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= ""))
+    val vocab = toks.agg(countDistinct(col("w")).as("vocab_sz"))
+    val big = graft.CacheRegistry.persist(
+      toks.select(col(id), col("pos"), col("w").as("a"))
+        .join(toks.select(col(id), (col("pos") - 1).as("pos"),
+          col("w").as("b")), Seq(id, "pos"))
+        .select(col(id), col("a"), col("b")))
+    val c2 = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt2"))
+    val model = c2.join(
+      c2.groupBy(col("a")).agg(sum(col("cnt2")).as("cnt1")), "a")
+    big.groupBy(col(id), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+      .join(model, Seq("a", "b"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("v",
+        expr("tf * (cnt2 + 1)").cast("double") /
+          expr("cnt1 + vocab_sz").cast("double"))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sort_array(collect_list(struct(col("a"), col("b"), col("v"))))
+          .as("arr"))
+      .select(col(id), col("n_bigrams"),
+        (aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("v")) /
+          col("n_bigrams").cast("double")).as("lm_score"))
+  }
+
+  def q140LmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScore(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q140LmScoreSql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, u['pos'] AS pos, u['w'] AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> struct_pack(pos := i - 1, w := ws[i]))) AS u
+        FROM t) s
+      WHERE u['w'] <> ''),
+    vv AS (SELECT COUNT(DISTINCT w) AS vocab_sz FROM tok),
+    big AS MATERIALIZED (
+      SELECT x.doc_id, x.w AS a, y.w AS b
+      FROM tok x JOIN tok y
+        ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+    c2 AS (SELECT a, b, COUNT(*) AS cnt2 FROM big GROUP BY a, b),
+    ctx AS (SELECT a, SUM(cnt2) AS cnt1 FROM c2 GROUP BY a),
+    v AS (SELECT g.doc_id, g.a, g.b, g.tf,
+                 CAST(g.tf * (cnt2 + 1) AS DOUBLE) /
+                 CAST(cnt1 + vocab_sz AS DOUBLE) AS v
+          FROM (SELECT doc_id, a, b, COUNT(*) AS tf
+                FROM big GROUP BY doc_id, a, b) g
+          JOIN c2 USING (a, b) JOIN ctx USING (a), vv),
+    sc AS (SELECT doc_id, SUM(tf) AS n_bigrams,
+                  list_reduce(list_prepend(0.0, list(v ORDER BY a, b)),
+                              (x, y) -> x + y) AS s
+           FROM v GROUP BY doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           s / CAST(n_bigrams AS DOUBLE) AS lm_score
+    FROM sc"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
@@ -949,6 +1038,7 @@ object TextAnalysis {
     "q122_vocab_coverage" -> q122VocabCoverage _,
     "q133_rarity_bucket" -> q133RarityBucket _,
     "q136_bm25"         -> q136Bm25 _,
+    "q140_lm_score"     -> q140LmScore _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -967,5 +1057,6 @@ object TextAnalysis {
     "q122_vocab_coverage" -> q122VocabCoverageSql,
     "q133_rarity_bucket" -> q133RarityBucketSql,
     "q136_bm25"         -> q136Bm25Sql,
+    "q140_lm_score"     -> q140LmScoreSql,
   )
 }

@@ -102,4 +102,44 @@ class ProfilingSpec extends GraftSuite {
       .toMap
     assert(g2.values.forall(_ == ((2.0, 0.5))), s"got $g2")
   }
+
+  test("countMinSketch: mass conserved per row, estimates never undercount") {
+    val docs = Seq(
+      (1L, "a a a b c"),
+      (2L, "b c d e f g h i j k l m n o p q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    // under-provisioned width ⇒ guaranteed collisions among 26 tokens
+    val audit = Profiling.cmsAudit(docs, "text", width = 8, depth = 4, k = 50)
+      .collect()
+    assert(audit.length == 26)
+    assert(audit.forall(_.getAs[Boolean]("no_undercount")))
+    val a = audit.map(r => r.getAs[String]("w") ->
+      ((r.getAs[Long]("exact_cnt"), r.getAs[Long]("est")))).toMap
+    assert(a("a")._1 == 3L && a("b")._1 == 2L && a("z")._1 == 1L)
+    assert(audit.exists(r => r.getAs[Long]("est") >
+      r.getAs[Long]("exact_cnt")), "width 8 over 26 tokens must collide")
+    // every sketch row holds the full token mass (30 tokens)
+    val toks = docs.select(explode(split(lower(trim(col("text"))), "\\s+"))
+      .as("w")).groupBy("w").agg(count(lit(1)).as("cnt"))
+    val rows = Profiling.countMinSketch(toks, "w", col("cnt"), 8, 4)
+      .groupBy("j").agg(sum("c").as("mass")).collect()
+    assert(rows.length == 4 && rows.forall(_.getAs[Long]("mass") == 30L))
+  }
+
+  test("simpsonDiversity: 0 when all-distinct, 1 when constant, exact 6dp") {
+    val toks = Seq(
+      ("s1", "a"), ("s1", "a"), ("s1", "b"),       // D = 2/6 = 1/3
+      ("s2", "p"), ("s2", "q"), ("s2", "r"),       // all distinct ⇒ 0
+      ("s3", "x"), ("s3", "x"), ("s3", "x"),       // constant ⇒ 1
+      ("s4", "lone")                                // N=1 ⇒ filtered out
+    ).toDF("source", "w")
+    val got = Profiling.simpsonDiversity(toks, "source", col("w"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("simpson6")))).toMap
+    assert(got == Map(
+      "s1" -> ((3L, 2L, 0.333333)),
+      "s2" -> ((3L, 3L, 0.0)),
+      "s3" -> ((3L, 1L, 1.0))), s"got $got")
+  }
 }

@@ -232,4 +232,27 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got(2L) == ((1L, d2)), s"doc2: ${got(2L)} want $d2")
     assert(d1 > d2, "more matching terms must outrank")
   }
+
+  test("bigramLmScore matches hand-derived add-one bigram probabilities") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))))
+      .toMap
+    // Corpus bigrams: (a,b)×3, (b,a)×1, (b,c)×1; contexts a→3, b→2; V=3.
+    // p(b|a) = (3+1)/(3+3) = 4/6, p(a|b) = p(c|b) = (1+1)/(2+3) = 2/5.
+    // Contributions fold in sorted (a,b) order from 0.0 — the exact
+    // double tree the operator builds.
+    val d1 = (0.0 + (2.0 * 4.0) / 6.0 + 2.0 / 5.0) / 3.0
+    val d2 = (0.0 + 4.0 / 6.0 + 2.0 / 5.0) / 2.0
+    assert(got.keySet == Set(1L, 2L), "single-token doc has no bigrams")
+    assert(got(1L) == ((3L, d1)), s"doc1: ${got(1L)} want $d1")
+    assert(got(2L) == ((2L, d2)), s"doc2: ${got(2L)} want $d2")
+    // d1 repeats the corpus-dominant transition ⇒ higher mean probability
+    assert(d1 > d2)
+  }
 }
