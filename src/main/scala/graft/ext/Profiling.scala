@@ -489,6 +489,83 @@ object Profiling {
       "num", "n_tokens * (n_tokens - 1)")} AS simpson6
     FROM ag WHERE n_tokens > 1"""
 
+  // --- q144_ks_drift: two-sample Kolmogorov–Smirnov distance --------------
+  /** Numeric-distribution drift: the two-sample KS statistic
+    * `D = max_x |F_a(x) − F_b(x)|` for every pair of groups — the
+    * continuous companion of q138's categorical chi-square (chi2 sees a
+    * shifted histogram only after binning; KS sees any CDF divergence).
+    * Cleared of fractions exactly: `D·n_a·n_b = max |c_a(x)·n_b −
+    * c_b(x)·n_a|` over the merged value set, all BIGINT, finished by one
+    * [[graft.ops.Relational.ratio6]] — no floats until the last digit-
+    * pinned division.
+    *
+    * Scale shape: one `(group, value)` count shuffle, a ±delta union
+    * re-agg, and a cumulative window PARTITIONED BY PAIR over distinct
+    * values — bounded by value cardinality per pair, never corpus rows;
+    * group sizes broadcast. Pair fan-out is |groups|² merged-value
+    * frames: the pairwise form is for tens of cohorts (langs, crawls) —
+    * for hundreds, fix one side as the reference corpus. BIGINT
+    * headroom: `c·n` — exact to ~3·10⁹-row groups, DECIMAL swap past. */
+  def ksPairs(df: DataFrame, group: String, value: String): DataFrame = {
+    val counts = graft.CacheRegistry.persist(
+      df.select(col(group).as("g"), col(value).as("x"))
+        .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c")))
+    val sizes = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val pairs = sizes.select(col("g").as("ga"), col("n").as("na"))
+      .join(sizes.select(col("g").as("gb"), col("n").as("nb")),
+        col("ga") < col("gb"))
+    val deltas = counts
+      .join(broadcast(pairs.select("ga", "gb")), col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("x"),
+        col("c").as("dca"), lit(0L).as("dcb"))
+      .unionByName(counts
+        .join(broadcast(pairs.select("ga", "gb")), col("g") === col("gb"))
+        .select(col("ga"), col("gb"), col("x"),
+          lit(0L).as("dca"), col("c").as("dcb")))
+      .groupBy(col("ga"), col("gb"), col("x"))
+      .agg(sum(col("dca")).as("dca"), sum(col("dcb")).as("dcb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("x"))
+    deltas
+      .withColumn("ca", sum(col("dca")).over(w))
+      .withColumn("cb", sum(col("dcb")).over(w))
+      .join(broadcast(pairs), Seq("ga", "gb"))
+      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+      .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .as("dnum"))
+      .select(col("ga"), col("gb"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        graft.ops.Relational.ratio6("dnum", "na * nb").as("ks6"))
+  }
+
+  def q144KsDrift(spark: SparkSession, dir: String): DataFrame =
+    ksPairs(graft.Tables.documents(spark, dir), "lang", "n_chars")
+
+  val q144KsDriftSql: String = s"""
+    WITH c AS (SELECT lang AS g, n_chars AS x, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    s AS (SELECT g, SUM(c) AS n FROM c GROUP BY g),
+    pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+           FROM s a JOIN s b ON a.g < b.g),
+    m AS (SELECT ga, gb, x, SUM(dca) AS dca, SUM(dcb) AS dcb FROM (
+            SELECT pr.ga, pr.gb, c.x, c.c AS dca, 0 AS dcb
+            FROM c JOIN pr ON c.g = pr.ga
+            UNION ALL
+            SELECT pr.ga, pr.gb, c.x, 0, c.c
+            FROM c JOIN pr ON c.g = pr.gb) u
+          GROUP BY ga, gb, x),
+    cum AS (SELECT ga, gb, x,
+                   SUM(dca) OVER (PARTITION BY ga, gb ORDER BY x) AS ca,
+                   SUM(dcb) OVER (PARTITION BY ga, gb ORDER BY x) AS cb
+            FROM m),
+    d AS (SELECT cum.ga, cum.gb, pr.na, pr.nb,
+                 MAX(abs(ca * nb - cb * na)) AS dnum
+          FROM cum JOIN pr ON pr.ga = cum.ga AND pr.gb = cum.gb
+          GROUP BY cum.ga, cum.gb, pr.na, pr.nb)
+    SELECT ga, gb, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           ${graft.ops.Relational.ratio6Sql("dnum", "na * nb")} AS ks6
+    FROM d"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile"      -> q85Profile _,
     "q86_constraints"  -> q86Constraints _,
@@ -497,6 +574,7 @@ object Profiling {
     "q138_chi2"         -> q138Chi2 _,
     "q141_count_min"    -> q141CountMin _,
     "q142_diversity"    -> q142Diversity _,
+    "q144_ks_drift"     -> q144KsDrift _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -507,5 +585,6 @@ object Profiling {
     "q138_chi2"         -> q138Chi2Sql,
     "q141_count_min"    -> q141CountMinSql,
     "q142_diversity"    -> q142DiversitySql,
+    "q144_ks_drift"     -> q144KsDriftSql,
   )
 }

@@ -1141,6 +1141,101 @@ object Similarity {
            END AS z
     FROM comp JOIN st USING (dim)"""
 
+  // --- q143_rrf: reciprocal-rank fusion of lexical + vector retrieval -----
+  /** Hybrid-search fusion: combine two independent rankings of the same
+    * id space by `Σ 1/(k₀ + rank)` (Cormack et al.'s reciprocal-rank
+    * fusion, k₀ = 60) — the standard way a RAG stack merges BM25 and
+    * embedding retrieval without score calibration, because RRF consumes
+    * only RANKS. That is also what makes it oracle-exact here: ranks are
+    * integers both engines agree on (each leg is already hash-certified),
+    * `k₀ + rank` is exact in a double, and the fused score is two
+    * correctly-rounded divisions added in a fixed order — no calibration
+    * constant, no `ln`, nothing engine-specific.
+    *
+    * Scale shape: each leg arrives pre-truncated to its top-N (a
+    * TakeOrdered, never a corpus sort), so the fuse is a full-outer join
+    * of two N-row frames and a global top-k over ≤ 2N rows — driver-scale
+    * work regardless of corpus size. Absent-from-one-leg ids keep the
+    * other leg's term (the union semantics RRF specifies). */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, id: String,
+              k0: Int = 60, k: Int = 20): DataFrame =
+    lex.select(col(id), col("rank").as("lex_rank"))
+      .join(vec.select(col(id), col("rank").as("vec_rank")),
+        Seq(id), "full_outer")
+      .select(col(id), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(k0) + col("lex_rank")).cast("double"),
+          lit(0.0)) +
+         coalesce(lit(1.0) / (lit(k0) + col("vec_rank")).cast("double"),
+           lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col(id)).limit(k)
+
+  /** Lexical leg: BM25 top-100 for the shared query terms; vector leg:
+    * exact cosine top-100 around corpus vector 0 (the id spaces align by
+    * construction in the synthetic tables — a real deployment joins
+    * through a doc↔embedding mapping table). */
+  def q143Rrf(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25TopK(Tables.documents(spark, dir),
+        "doc_id", "text", TextAnalysis.bm25QueryTerms, k = 100)
+      .withColumn("rank", row_number().over(w).cast("int"))
+    val vec = cosineTopK(corpus(spark, dir),
+        corpus(spark, dir).filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv")), k = 100)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    rrfFuse(lex, vec, "doc_id")
+  }
+
+  val q143RrfSql: String = {
+    val inList = TextAnalysis.bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    raw"""
+    WITH t AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents) x
+      WHERE w <> ''),
+    nn AS (SELECT COUNT(*) AS N FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    tl AS (SELECT COUNT(*) AS L FROM t),
+    qtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t
+            WHERE w IN ($inList) GROUP BY doc_id, w),
+    dfq AS (SELECT w, COUNT(*) AS df FROM qtf GROUP BY w),
+    bv AS (SELECT q.doc_id, q.w,
+                  CAST(22 * L * tf * (2*N - 2*df + 1) AS DOUBLE) /
+                  CAST((10*L*tf + 3*L + 9*dl.dl*N) * (2*df + 1) AS DOUBLE)
+                    AS v
+           FROM qtf q JOIN dfq USING (w) JOIN dl ON dl.doc_id = q.doc_id,
+                nn, tl),
+    sc AS (SELECT doc_id,
+                  list_reduce(list_prepend(0.0, list(v ORDER BY w)),
+                              (a, b) -> a + b) AS score
+           FROM bv GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS lex_rank
+            FROM sc ORDER BY score DESC, doc_id LIMIT 100),
+    ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS qv FROM ve WHERE vec_id = 0),
+    p AS (SELECT vec_id,
+                 ROUND(list_dot_product(qv, v) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(v, v))), 6) AS cos
+          FROM ve, qv WHERE vec_id <> 0),
+    vec AS (SELECT vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)
+                        AS INT) AS vec_rank
+            FROM p ORDER BY cos DESC, vec_id LIMIT 100),
+    f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                 lex_rank, vec_rank
+          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, lex_rank, vec_rank,
+           COALESCE(CAST(1 AS DOUBLE) / CAST(60 + lex_rank AS DOUBLE), 0.0) +
+           COALESCE(CAST(1 AS DOUBLE) / CAST(60 + vec_rank AS DOUBLE), 0.0)
+             AS rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -1157,6 +1252,7 @@ object Similarity {
     "q128_record_linkage" -> q128RecordLinkage _,
     "q134_link_pred"      -> q134LinkPred _,
     "q139_feature_norm"   -> q139FeatureNorm _,
+    "q143_rrf"            -> q143Rrf _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1175,5 +1271,6 @@ object Similarity {
     "q128_record_linkage" -> q128RecordLinkageSql,
     "q134_link_pred"      -> q134LinkPredSql,
     "q139_feature_norm"   -> q139FeatureNormSql,
+    "q143_rrf"            -> q143RrfSql,
   )
 }

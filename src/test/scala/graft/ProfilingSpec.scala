@@ -142,4 +142,22 @@ class ProfilingSpec extends GraftSuite {
       "s2" -> ((3L, 3L, 0.0)),
       "s3" -> ((3L, 1L, 1.0))), s"got $got")
   }
+
+  test("ksPairs: hand-computed D, 0 for identical, 1 for disjoint") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L),      // vs b: D = 1/2 at x ∈ {1, 2}
+      ("b", 2L), ("b", 3L),
+      ("c", 1L), ("c", 2L),      // identical to a ⇒ D = 0
+      ("d", 9L), ("d", 10L)      // disjoint from a ⇒ D = 1
+    ).toDF("lang", "n_chars")
+    val got = Profiling.ksPairs(df, "lang", "n_chars").collect()
+      .map(r => (r.getAs[String]("ga"), r.getAs[String]("gb")) ->
+        r.getAs[Double]("ks6")).toMap
+    assert(got.size == 6)
+    assert(got(("a", "b")) == 0.5)
+    assert(got(("a", "c")) == 0.0)
+    assert(got(("a", "d")) == 1.0)
+    assert(got(("b", "c")) == 0.5 && got(("b", "d")) == 1.0 &&
+      got(("c", "d")) == 1.0)
+  }
 }

@@ -336,4 +336,16 @@ class SimilaritySpec extends GraftSuite {
     assert(got((1L, 1)).isEmpty && got((2L, 1)).isEmpty,
       "zero-variance dim must yield NULL, not ±inf")
   }
+
+  test("rrfFuse: hand-computed fusion, union semantics, id tiebreak") {
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(lex, vec, "doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf")))
+    // id3 in both legs: 1/63 + 1/61; ids 2 and 4 tie at 1/62 → id order
+    assert(got.map(_._1).toSeq == Seq(3L, 1L, 2L, 4L), s"got ${got.toSeq}")
+    val s = got.toMap
+    assert(s(3L) == 1.0 / 63.0 + 1.0 / 61.0)
+    assert(s(1L) == 1.0 / 61.0 && s(2L) == 1.0 / 62.0 && s(4L) == 1.0 / 62.0)
+  }
 }
