@@ -131,7 +131,12 @@ object SkewAudit {
         // per-doc fold, the shared-neighbor self-join under the hub cap,
         // the per-entity successor window, and the dim-keyed component agg
         "q133_rarity_bucket", "q136_bm25", "q134_link_pred",
-        "q137_transitions", "q139_feature_norm")
+        "q137_transitions", "q139_feature_norm",
+        // session-4 additions: the bigram-key model join (a 10× hotter
+        // stopword-PAIR head than q133's unigrams), the two wordcount-
+        // shaped sketches, and the KS pair-partitioned cumulative window
+        "q140_lm_score", "q141_count_min", "q142_diversity",
+        "q144_ks_drift")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
