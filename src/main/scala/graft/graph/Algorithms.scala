@@ -688,6 +688,127 @@ object Algorithms {
     *
     * @param edges directed rows; pass both directions for undirected LPA
     */
+  // --- q145_scc: strongly connected components (trim + FW-BW-MIN) --------
+  /** Directed SCC by iterated trim + forward/backward min-label
+    * propagation — the FW-BW-Trim family (Hong et al., PPoPP'13;
+    * McLendon et al., JPDC'05) restated with MIN labels so the result is
+    * a pure function the oracle replays from the reachability closure.
+    * Per round over the remaining subgraph:
+    *
+    *  - trim: a vertex with no in-edges or no out-edges is its own
+    *    singleton SCC — settled with NO propagation (on real web/
+    *    citation graphs trimming alone settles the majority);
+    *  - fwd(v) = min id that reaches v, bwd(v) = min id v reaches: the
+    *    SAME [[connectedComponents]] vertex program run over the edges
+    *    as-is and reversed — mutual reachability is literally "directed
+    *    CC agrees both ways";
+    *  - settle: fwd(v) = bwd(v) = m ⟹ v ∈ SCC(m) (m reaches v and v
+    *    reaches m); every member of SCC(m) shares both labels, so whole
+    *    SCCs settle atomically. Remove them; repeat.
+    *
+    * Each round settles at least the SCC of the globally minimal
+    * remaining id (it has no smaller ancestor or descendant), so
+    * progress is guaranteed; rounds consumed track the condensation-DAG
+    * depth, not vertex count.
+    *
+    * Scale shape: every engine-side step is graph-sized — degree
+    * semi-joins for trim, two Pregel min-propagations, one settle join;
+    * the O(n²) closure exists ONLY in the DuckDB oracle. Per-round
+    * frames are localCheckpointed or the loop would stack two Pregel
+    * lineages per round onto the next round's plan. */
+  def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
+                                  maxRounds: Int = 20,
+                                  propIter: Int = 20): DataFrame = {
+    var remaining = vertices.select(col("id")).localCheckpoint()
+    var rem = edges.select(col("src"), col("dst")).localCheckpoint()
+    var settled: Option[DataFrame] = None
+    var round = 0
+    while (round < maxRounds && !remaining.isEmpty) {
+      val core = remaining
+        .join(rem.select(col("src").as("id")).distinct(), Seq("id"),
+          "left_semi")
+        .join(rem.select(col("dst").as("id")).distinct(), Seq("id"),
+          "left_semi")
+      val trimmed = remaining.join(core, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("scc_id"))
+      val fb = connectedComponents(core, rem, propIter)
+        .select(col("id"), col("component").as("fwd"))
+        .join(connectedComponents(core,
+            rem.select(col("dst").as("src"), col("src").as("dst")),
+            propIter)
+          .select(col("id"), col("component").as("bwd")), Seq("id"))
+      val settledRound = trimmed
+        .unionByName(fb.filter(col("fwd") === col("bwd"))
+          .select(col("id"), col("fwd").as("scc_id")))
+        .localCheckpoint()
+      settled = Some(settled.fold(settledRound)(
+        _.unionByName(settledRound).localCheckpoint()))
+      remaining = fb.filter(col("fwd") =!= col("bwd")).select(col("id"))
+        .localCheckpoint()
+      rem = rem
+        .join(remaining.withColumnRenamed("id", "src"), Seq("src"),
+          "left_semi")
+        .join(remaining.withColumnRenamed("id", "dst"), Seq("dst"),
+          "left_semi")
+        .localCheckpoint()
+      round += 1
+    }
+    require(remaining.isEmpty,
+      s"SCC did not settle within $maxRounds rounds")
+    settled.get
+  }
+
+  /** Directed test graph with a 5-deep condensation: one ring per region
+    * (5 five-cycle SCCs) plus a one-way chain through the region minima
+    * (merges nothing, but feeds smaller fwd-labels downstream so rounds
+    * settle strictly one region at a time — the multi-round path is
+    * exercised, not just round-1 convergence). */
+  private def regionRingEdges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("k"), col("n_regionkey").as("r"))
+    val ring = n.select(col("k").as("src"),
+      coalesce(lead(col("k"), 1).over(Window.partitionBy("r").orderBy("k")),
+        min(col("k")).over(Window.partitionBy("r"))).as("dst"))
+    val mins = n.groupBy(col("r")).agg(min(col("k")).as("m"))
+    ring.unionByName(mins.as("a")
+      .join(mins.as("b"), col("b.r") === col("a.r") + 1)
+      .select(col("a.m").as("src"), col("b.m").as("dst")))
+  }
+
+  def q145Scc(spark: SparkSession, dir: String): DataFrame =
+    stronglyConnectedComponents(
+      Tables.nation(spark, dir).select(col("n_nationkey").as("id")),
+      regionRingEdges(spark, dir))
+      .select(col("id").cast("long").as("id"),
+        col("scc_id").cast("long").as("scc_id"))
+
+  /** Oracle: SCC from first principles — reachability closure (recursive
+    * CTE, zero-step paths seeded), then `scc_id(v) = min{w : v→*w ∧
+    * w→*v}`. An independent DEFINITION, not a replay of the rounds. */
+  val q145SccSql: String = """
+    WITH RECURSIVE n AS (
+      SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+    ring AS (
+      SELECT k AS src,
+             COALESCE(LEAD(k) OVER (PARTITION BY r ORDER BY k),
+                      MIN(k) OVER (PARTITION BY r)) AS dst
+      FROM n),
+    mins AS (SELECT r, MIN(k) AS m FROM n GROUP BY r),
+    e AS (SELECT src, dst FROM ring
+          UNION ALL
+          SELECT a.m, b.m FROM mins a JOIN mins b ON b.r = a.r + 1),
+    reach AS (
+      SELECT k AS a, k AS b FROM n
+      UNION
+      SELECT reach.a, e.dst FROM reach JOIN e ON e.src = reach.b),
+    scc AS (
+      SELECT x.a AS id, MIN(x.b) AS scc_id
+      FROM reach x JOIN reach y ON y.a = x.b AND y.b = x.a
+      GROUP BY x.a)
+    SELECT CAST(id AS BIGINT) AS id, CAST(scc_id AS BIGINT) AS scc_id
+    FROM scc"""
+
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
                        iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -778,6 +899,7 @@ object Algorithms {
     "q88_incremental_cc"  -> q88IncrementalCc _,
     "q92_sssp"            -> q92Sssp _,
     "q94_label_prop"      -> q94LabelProp _,
+    "q145_scc"            -> q145Scc _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -789,5 +911,6 @@ object Algorithms {
     "q88_incremental_cc"  -> q88IncrementalCcSql,
     "q92_sssp"            -> q92SsspSql,
     "q94_label_prop"      -> q94LabelPropSql,
+    "q145_scc"            -> q145SccSql,
   )
 }

@@ -167,6 +167,45 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: stronglyConnectedComponents equals the closure definition") {
+    // fixed case first: trim (vertex 0 has no in-edge), multi-round
+    // settling (cycle {1,2,3} feeds its smaller fwd-label into {4,5})
+    val fixedV = (0L to 5L).toDF("id")
+    val fixedE = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val fixed = Algorithms.stronglyConnectedComponents(fixedV, fixedE,
+        maxRounds = 10, propIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L), s"fixed case: $fixed")
+
+    val gen = for {
+      n <- Gen.choose(3, 10)
+      ne <- Gen.choose(0, 18)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es)
+    (1L to 3L).foreach { s =>
+      val (n, es) = sample(gen, s)
+      val vertices = (0 until n).map(_.toLong).toDF("id")
+      val edges = es.map { case (a, b) => (a.toLong, b.toLong) }
+        .toDF("src", "dst")
+      val got = Algorithms.stronglyConnectedComponents(vertices, edges,
+          maxRounds = 15, propIter = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Floyd–Warshall closure; scc_id = min mutually-reachable vertex
+      val reach = Array.fill(n, n)(false)
+      (0 until n).foreach(i => reach(i)(i) = true)
+      es.foreach { case (a, b) => reach(a)(b) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val expected = (0 until n).map { v =>
+        v.toLong ->
+          (0 until n).filter(w => reach(v)(w) && reach(w)(v)).min.toLong
+      }.toMap
+      assert(got == expected, s"seed $s")
+    }
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val gen = for {
       n <- Gen.choose(3, 12)
