@@ -363,6 +363,70 @@ object Sampling {
       FROM documents) t
     WHERE rn <= 20"""
 
+  // --- q146_rendezvous: highest-random-weight (HRW) shard assignment ------
+  /** Rendezvous hashing (Thaler–Ravishankar): a key's shard is the
+    * `argmax` over shards of `hash(key, shard)` — the consistent-
+    * assignment scheme whose defining property is MINIMAL MOVEMENT: when
+    * a shard dies, only ITS keys move (they re-argmax over the
+    * survivors; every other key's winner is still alive and still
+    * maximal). The query emits both the 8-shard and the 7-shard
+    * (shard `removedShard` dropped) assignment plus the in-plan derived
+    * boolean `stable_ok = moved ⟹ old shard was the removed one` — the
+    * hash compare certifies the invariant row-by-row at every SF, not a
+    * sampled claim. Hashes are the md5→uint32 nibble substrate; the
+    * (hash, shard) argmax is ONE BIGINT `max(h·16 + s)` decoded by
+    * `% 16` — no struct comparison semantics to keep aligned across
+    * engines, ties (astronomically unlikely) resolve to the larger
+    * shard in both.
+    *
+    * Scale shape: explode ×|shards| into a map-side-partial max agg
+    * keyed by the document id — one wordcount-shaped shuffle, no joins,
+    * no windows; both assignments ride the same pass (the s ≠ removed
+    * max is a conditional aggregate, not a second scan). */
+  def rendezvousAssign(df: DataFrame, key: Column, shards: Int,
+                       removedShard: Int): DataFrame = {
+    require(shards <= 16, "shard id packs into 4 bits of the BIGINT enc")
+    df.select(key.as("k"),
+        explode(sequence(lit(0), lit(shards - 1))).as("s"))
+      .withColumn("h8", substring(md5(concat(col("k").cast("string"),
+        lit("#"), col("s").cast("string")).cast("binary")), 1, 8))
+      .withColumn("enc",
+        expr(nibbleSumSql("h8")) * 16 + col("s"))
+      .groupBy(col("k"))
+      .agg(max(col("enc")).as("m8"),
+        max(when(col("s") =!= removedShard, col("enc"))).as("m7"))
+      .select(col("k"),
+        (col("m8") % 16).cast("int").as("shard_full"),
+        (col("m7") % 16).cast("int").as("shard_reduced"))
+      .withColumn("moved", col("shard_full") =!= col("shard_reduced"))
+      .withColumn("stable_ok",
+        !col("moved") || col("shard_full") === removedShard)
+  }
+
+  def q146Rendezvous(spark: SparkSession, dir: String): DataFrame =
+    rendezvousAssign(Tables.documents(spark, dir), col("doc_id"),
+      shards = 8, removedShard = 3)
+      .withColumnRenamed("k", "doc_id")
+
+  val q146RendezvousSql: String = s"""
+    WITH x AS (
+      SELECT doc_id AS k, s,
+             substring(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                           CAST(s AS VARCHAR)), 1, 8) AS h8
+      FROM documents, unnest(range(8)) AS u(s)),
+    e AS (SELECT k, s, ${nibbleSumSql("h8")} * 16 + s AS enc FROM x),
+    a AS (SELECT k, MAX(enc) AS m8,
+                 MAX(CASE WHEN s <> 3 THEN enc END) AS m7
+          FROM e GROUP BY k),
+    r AS (SELECT k AS doc_id,
+                 CAST(m8 % 16 AS INT) AS shard_full,
+                 CAST(m7 % 16 AS INT) AS shard_reduced
+          FROM a)
+    SELECT doc_id, shard_full, shard_reduced,
+           shard_full <> shard_reduced AS moved,
+           (shard_full = shard_reduced) OR (shard_full = 3) AS stable_ok
+    FROM r"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q68_cluster_split"     -> q68ClusterSplit _,
@@ -370,6 +434,7 @@ object Sampling {
     "q102_budget_alloc"     -> q102BudgetAlloc _,
     "q120_ticket_sample"    -> q120TicketSample _,
     "q127_group_sample"     -> q127GroupSample _,
+    "q146_rendezvous"       -> q146Rendezvous _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -379,5 +444,6 @@ object Sampling {
     "q102_budget_alloc"     -> q102BudgetAllocSql,
     "q120_ticket_sample"    -> q120TicketSampleSql,
     "q127_group_sample"     -> q127GroupSampleSql,
+    "q146_rendezvous"       -> q146RendezvousSql,
   )
 }

@@ -164,4 +164,29 @@ class SamplingSpec extends GraftSuite {
       .take(5).toSet
     assert(got.filter(_._1 == "big").map(_._2) == expectedBig)
   }
+
+  test("rendezvousAssign: minimal movement, exact md5-argmax replay") {
+    import spark.implicits._
+    val df = (1L to 100L).toList.toDF("doc_id")
+    val got = Sampling.rendezvousAssign(df, col("doc_id"),
+        shards = 4, removedShard = 1)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Int]("shard_full"), r.getAs[Int]("shard_reduced"),
+          r.getAs[Boolean]("moved"), r.getAs[Boolean]("stable_ok")))).toMap
+    assert(got.size == 100)
+    assert(got.values.forall(_._4), "minimal-movement invariant")
+    assert(got.values.forall(v => v._3 == (v._1 == 1)),
+      "exactly the removed shard's keys move")
+    assert(got.values.forall(v => v._2 != 1), "nobody lands on the dead shard")
+    // driver-side replay of the argmax for a few keys
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def win(k: Long, shards: Seq[Int]): Int = shards.maxBy { s =>
+      (java.lang.Long.parseLong(md5hex(s"$k#$s").take(8), 16), s)
+    }
+    (1L to 10L).foreach { k =>
+      assert(got(k)._1 == win(k, 0 to 3), s"key $k full")
+      assert(got(k)._2 == win(k, Seq(0, 2, 3)), s"key $k reduced")
+    }
+  }
 }
