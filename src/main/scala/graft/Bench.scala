@@ -93,10 +93,22 @@ object Bench {
     // measured 1–2s of run-1-only cost on the dedup/bucketing families.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val warmups = math.max(1, sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt)
+    // Per-query cost bound: a query whose WARMUP run exceeds this many
+    // seconds gets ONE timed run instead of `runs` — its median would cost
+    // 4× a known-expensive execution for a number the warmup already
+    // predicts. The r6 driver bench spent 35:34 and starved the verify
+    // phase; q13 (36.5s) and q140 (16.9s) × 4 executions were the worst
+    // line items. Medians of one run are noisier, which is the accepted
+    // price of the driver run FINISHING; builders profile with
+    // SPARK_GRAFT_SLOW_CUTOFF=9999 to force full runs.
+    val slowCutoff =
+      sys.env.getOrElse("SPARK_GRAFT_SLOW_CUTOFF", "8.0").toDouble
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
+      var slow = false
       val times = (1 to warmups + runs).flatMap { r =>
         if (errors.contains(name)) None // failed: don't re-fail N more times
+        else if (slow && r > warmups + 1) None // cost-bounded: 1 timed run
         else {
           // Between runs (untimed): release everything the previous run
           // pinned, so one run's allocation debt doesn't bill the next —
@@ -110,20 +122,32 @@ object Bench {
           //   - double gc: the first pass queues ContextCleaner weak-ref
           //     work (broadcasts, checkpoint blocks); the second collects
           //     what the cleaner just released.
+          // The unpersist+gc+drain path runs ONLY when blocks are actually
+          // pinned: a full GC on the driver's large heap costs seconds, and
+          // paying it 584 times (146 queries × 4 executions) for the ~90%
+          // of queries that pin nothing is most of the r6 bench's 35-minute
+          // wall (the builder's 32-core run of the same suite was ~6 min).
           CacheRegistry.unpersistAll(blocking = true)
           spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-          System.gc()
-          System.gc()
-          Thread.sleep(100) // let ContextCleaner drain before the clock starts
+          val pinned = spark.sparkContext.getPersistentRDDs
+          if (pinned.nonEmpty) {
+            pinned.values.foreach(_.unpersist(true))
+            System.gc()
+            System.gc()
+            Thread.sleep(100) // let ContextCleaner drain before the clock starts
+          }
           val t0 = System.nanoTime()
           try exec(SparkEntry.queries(name)(spark, sfDir))
           catch { case e: Throwable =>
             errors(name) =
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           }
-          if (r <= warmups) None // warmup run(s): never timed
-          else Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (r <= warmups) { // warmup run(s): never timed
+            if (dt > slowCutoff) slow = true
+            None
+          }
+          else Some(dt)
         }
       }
       if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMES"))

@@ -56,14 +56,15 @@ object Streams {
     * upstream transform ([[eventWindowAgg]]) is unchanged. */
   def streamEventCounts(spark: SparkSession, inputDir: String,
                         checkpointDir: String, outputTable: String) = {
-    // the stream must read the RAW parquet schema (ts = nanos long, per the
-    // nanosAsLong conf) and convert inside the stream, like Tables.events
+    // the stream must read the RAW parquet schema (whatever physical vintage
+    // `ts` is in — nanos-as-long or TIMESTAMP_MICROS) and convert inside the
+    // stream, exactly like the batch path (Tables.normalizeEventTs branches
+    // on the analyzed schema, so it works on a streaming frame too)
     val raw = spark.read.parquet(s"$inputDir/events.parquet").schema
-    val stream = spark.readStream
+    val stream = Tables.normalizeEventTs(spark.readStream
       .schema(raw)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$inputDir/events*.parquet") // glob: file sources want a dir/glob
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(s"$inputDir/events*.parquet")) // glob: file sources want a dir/glob
     eventWindowAgg(stream)
       .writeStream
       .outputMode("update")
