@@ -1,0 +1,129 @@
+package graft.driver
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.SparkSession
+
+/** Submit / track / cancel facade — the Spark form of remap's initiator
+  * entry point (`/root/reference/daemons/initiator/http_interface.py:45-64`:
+  * POST /jobs starts a job, GET /jobs lists them, DELETE cancels;
+  * GET /apps lists the registered applications; GET /nodes the workers).
+  *
+  * Under Spark the scheduler owns placement, retry, and parallelism, so
+  * what remains of the initiator surface is exactly this: name → async
+  * run → status. Each submission runs on its own pool thread inside a
+  * Spark JOB GROUP named by the job id, which is what makes cancellation
+  * real: `cancelJobGroup(id, interruptOnCancel=true)` stops every Spark
+  * job the query spawned, including mid-stage tasks — the counterpart of
+  * the initiator revoking a planned job's task allocations.
+  *
+  * Scale note: this is driver-side control plane only — O(submitted jobs)
+  * heap, zero involvement in the data path. The run action materializes
+  * the query to the `noop` sink (every projected expression is evaluated,
+  * nothing is collected to the driver); a deployment that wants results
+  * lands them through a real sink inside the query itself.
+  */
+final class JobControl(spark: SparkSession, sfDir: String) {
+  import JobControl._
+
+  private val seq = new AtomicInteger
+  private val jobs = new ConcurrentHashMap[String, JobInfo]()
+  private val pool = Executors.newCachedThreadPool(new ThreadFactory {
+    private val n = new AtomicInteger
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"graft-job-${n.incrementAndGet()}")
+      t.setDaemon(true); t
+    }
+  })
+
+  /** The registered applications — remap's GET /apps listed the app
+    * directories the initiator could start (`initiator.py` list_apps). */
+  def listApps: Seq[String] = graft.SparkEntry.queries.keys.toSeq.sorted
+
+  /** Start a registered query asynchronously; returns immediately with the
+    * tracked handle (remap's POST /jobs → 201 + job doc). Unknown names
+    * are rejected here, synchronously — the initiator's RemapException →
+    * HTTP 400 path. */
+  def submit(name: String): JobInfo = {
+    require(graft.SparkEntry.queries.contains(name),
+      s"unknown app '$name' — not in SparkEntry.queries")
+    val id = s"job-${seq.incrementAndGet()}"
+    val info = JobInfo(id, name, Queued, System.currentTimeMillis(), None, None)
+    jobs.put(id, info)
+    pool.execute { () =>
+      jobs.computeIfPresent(id, (_, j) => j.copy(status = Running))
+      // job-group is thread-local state; this worker thread owns the id
+      spark.sparkContext.setJobGroup(id, s"graft $name", interruptOnCancel = true)
+      try {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        finish(id, Succeeded, None)
+      } catch {
+        case e: Throwable =>
+          // a cancel() raced the run: the group cancellation surfaces as a
+          // SparkException in this thread; keep the user-intent status
+          val wasCancelled = jobs.get(id) != null &&
+            jobs.get(id).status == Cancelled
+          if (!wasCancelled)
+            finish(id, Failed,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)))
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    info
+  }
+
+  private def finish(id: String, st: String, err: Option[String]): Unit =
+    jobs.computeIfPresent(id, (_, j) =>
+      // terminal states are sticky: a late FAILED from the worker thread
+      // must not overwrite the CANCELLED the user observed
+      if (j.status == Cancelled || j.status == Succeeded || j.status == Failed) j
+      else j.copy(status = st, finishedMs = Some(System.currentTimeMillis()),
+        error = err))
+
+  def get(id: String): Option[JobInfo] = Option(jobs.get(id))
+
+  def listJobs: Seq[JobInfo] =
+    jobs.values.toArray(Array.empty[JobInfo]).toSeq.sortBy(_.id)
+
+  /** Cancel a submitted job (remap's DELETE /jobs/<id>; 404 when unknown →
+    * `false` here). Cancelling an already-finished job is a no-op that
+    * still returns true — the job exists; there is just nothing to stop. */
+  def cancel(id: String): Boolean = Option(jobs.get(id)) match {
+    case None => false
+    case Some(j) =>
+      if (j.status == Queued || j.status == Running) {
+        jobs.computeIfPresent(id, (_, x) =>
+          if (x.status == Queued || x.status == Running)
+            x.copy(status = Cancelled,
+              finishedMs = Some(System.currentTimeMillis()))
+          else x)
+        spark.sparkContext.cancelJobGroup(id)
+      }
+      true
+  }
+
+  /** The worker inventory — remap's GET /nodes listed the node daemons and
+    * their cores. Spark's equivalent is the executor set; on local[n] that
+    * is the single driver entry. */
+  def listNodes: Seq[NodeInfo] =
+    spark.sparkContext.getExecutorMemoryStatus.toSeq.map {
+      case (addr, (maxMem, remaining)) => NodeInfo(addr, maxMem, remaining)
+    }.sortBy(_.address)
+
+  def shutdown(): Unit = pool.shutdownNow()
+}
+
+object JobControl {
+  val Queued = "QUEUED"
+  val Running = "RUNNING"
+  val Succeeded = "SUCCEEDED"
+  val Failed = "FAILED"
+  val Cancelled = "CANCELLED"
+
+  final case class JobInfo(id: String, name: String, status: String,
+                           submittedMs: Long, finishedMs: Option[Long],
+                           error: Option[String])
+  final case class NodeInfo(address: String, maxMemBytes: Long,
+                            remainingMemBytes: Long)
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.driver.{JobControl, JobHttpApi}
+
+/** The submit/track/cancel facade and its REST skin — route parity with
+  * remap's initiator API (reference http_interface.py). */
+class JobControlSpec extends GraftSuite {
+
+  private def await(c: JobControl, id: String, until: Set[String],
+                    timeoutMs: Long = 60000): String = {
+    val t0 = System.currentTimeMillis()
+    while (!until.contains(c.get(id).get.status)) {
+      assert(System.currentTimeMillis() - t0 < timeoutMs,
+        s"job $id stuck in ${c.get(id).get.status}")
+      Thread.sleep(50)
+    }
+    c.get(id).get.status
+  }
+
+  test("submit runs a registered query to completion; status transitions stick") {
+    val c = new JobControl(spark, sf)
+    try {
+      val j = c.submit("q1_agg")
+      assert(j.status == JobControl.Queued)
+      assert(await(c, j.id, Set(JobControl.Succeeded, JobControl.Failed))
+        == JobControl.Succeeded)
+      val done = c.get(j.id).get
+      assert(done.finishedMs.nonEmpty && done.error.isEmpty)
+      // cancel after the fact: job exists (true), terminal status sticks
+      assert(c.cancel(j.id))
+      assert(c.get(j.id).get.status == JobControl.Succeeded)
+    } finally c.shutdown()
+  }
+
+  test("unknown app is rejected synchronously; unknown id cancels to false") {
+    val c = new JobControl(spark, sf)
+    try {
+      intercept[IllegalArgumentException](c.submit("no_such_query"))
+      assert(!c.cancel("job-999"))
+      assert(c.listApps.contains("q32_pagerank"))
+      assert(c.listNodes.nonEmpty)
+    } finally c.shutdown()
+  }
+
+  test("cancel stops a running job group") {
+    val c = new JobControl(spark, sf)
+    try {
+      // the pagerank Pregel loop runs long enough to catch mid-flight
+      val j = c.submit("q32_pagerank")
+      await(c, j.id, Set(JobControl.Running, JobControl.Succeeded,
+        JobControl.Failed))
+      assert(c.cancel(j.id))
+      val fin = await(c, j.id, Set(JobControl.Cancelled, JobControl.Succeeded,
+        JobControl.Failed))
+      // racing completion is legal; what is NOT legal is FAILED — a
+      // cancellation must never be recorded as a query failure
+      assert(fin == JobControl.Cancelled || fin == JobControl.Succeeded, fin)
+    } finally c.shutdown()
+  }
+
+  test("REST skin: apps/jobs/nodes routes round-trip") {
+    val c = new JobControl(spark, sf)
+    val server = JobHttpApi.start(c)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1.0"
+    val http = HttpClient.newHttpClient()
+    def get(p: String) = http.send(
+      HttpRequest.newBuilder(URI.create(base + p)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      val apps = get("/apps")
+      assert(apps.statusCode() == 200 && apps.body().contains("\"q1_agg\""))
+
+      val post = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/jobs"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"app":"q2_filter_agg"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() == 201 && post.body().contains("\"q2_filter_agg\""))
+      val id = "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(post.body()).get.group(1)
+      await(c, id, Set(JobControl.Succeeded, JobControl.Failed))
+
+      val one = get(s"/jobs/$id")
+      assert(one.statusCode() == 200 && one.body().contains("SUCCEEDED"))
+      assert(get("/jobs").body().contains(id))
+      assert(get("/jobs/job-424242").statusCode() == 404)
+
+      val badApp = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/jobs"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"app":"nope"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(badApp.statusCode() == 400)
+      val noApp = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/jobs"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(noApp.statusCode() == 400 &&
+        noApp.body().contains("No app name specified"))
+
+      val del = http.send(
+        HttpRequest.newBuilder(URI.create(base + s"/jobs/$id"))
+          .DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 204)
+
+      val nodes = get("/nodes")
+      assert(nodes.statusCode() == 200 && nodes.body().contains("address"))
+    } finally { server.stop(0); c.shutdown() }
+  }
+
+  test("appField parses escaped quotes and ignores other keys") {
+    assert(JobHttpApi.appField("""{"priority":3,"app":"q1_agg"}""")
+      .contains("q1_agg"))
+    assert(JobHttpApi.appField("""{"app":"we\"ird"}""").contains("we\"ird"))
+    assert(JobHttpApi.appField("""{"priority":3}""").isEmpty)
+  }
+}
