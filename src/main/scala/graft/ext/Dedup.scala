@@ -212,6 +212,65 @@ object Dedup {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs: all ordered (id_a, id_b) with
+    * |A∩B| / |A| ≥ threshold — "most of A's n-grams appear in B". The
+    * directed relation symmetric Jaccard cannot express: a quote, mirror
+    * excerpt, or boilerplate-wrapped copy is CONTAINED in its source while
+    * their Jaccard stays low (the big doc's extra shingles dilute the
+    * union). Crawl curation uses it to drop the contained copy and keep
+    * the superset document.
+    *
+    * Scale shape — the asymmetric PPJoin variant of [[ngramJaccardPairs]]:
+    * the prefix filter applies to the CONTAINED side only (A must share at
+    * least one of its `sz−⌈t·sz⌉+1` rarest shingles with B), while the B
+    * side indexes its full shingle set — containment puts no lower bound
+    * on B's size, so B gets no prefix. Candidate cost is bounded by the
+    * document frequency of A's rarest shingles (prefixes are df-ranked,
+    * so hot boilerplate shingles stay out of the probe side), and the
+    * verify step is one array_intersect over the two cached sets. All
+    * shuffles are key-partitioned aggregates/joins; nothing is windowed
+    * by value. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = CacheRegistry.persist(docs.select(col(id).as("doc_id"),
+      explode(array_distinct(shingles(col(text), n))).as("shingle")))
+    val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("dfq"))
+    val ranked = sh.join(dfCounts, Seq("shingle"))
+    val sets = CacheRegistry.persist(ranked
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("dfq"), col("shingle"))))
+        .as("ranked"))
+      .select(col("doc_id"),
+        transform(col("ranked"), r => r("shingle")).as("sh"),
+        size(col("ranked")).as("sz"))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")))
+    val prefixes = sets.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
+    // full postings on the container side: every shingle of every doc
+    val cand = prefixes.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.as("fa"), col("id_a") === col("fa.doc_id"))
+      .join(sets.as("fb"), col("id_b") === col("fb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("fa.sh"), col("fb.sh"))))
+      .withColumn("n_a", col("fa.sz").cast("int"))
+      // integer half-up ratio, not round(double): cross-engine-exact
+      .withColumn("containment6",
+        graft.ops.Relational.ratio6("inter", "n_a"))
+      .filter(col("containment6") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter").cast("int").as("inter"),
+        col("n_a"), col("containment6"))
+  }
+
+  // --- q148_containment: directed near-dup (excerpt → source) -------------
+  def q148Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Benchmark decontamination — the training-data step that removes
     * evaluation contamination: a corpus document is contaminated when it
     * shares at least one distinct word n-gram with any benchmark document.
@@ -1096,6 +1155,22 @@ object Dedup {
     FROM sh JOIN f USING (shingle)
     GROUP BY sh.doc_id"""
 
+  // declared after [[ngramShingleCtes]]: a forward reference between plain
+  // vals in one object silently interpolates null into the SQL
+  val q148ContainmentSql: String = s"""
+    WITH $ngramShingleCtes,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, CAST(p.inter AS INT) AS inter,
+           CAST(za.sz AS INT) AS n_a,
+           ${graft.ops.Relational.ratio6Sql("p.inter", "za.sz")}
+             AS containment6
+    FROM pairs p JOIN sizes za ON za.doc_id = p.id_a
+    WHERE ${graft.ops.Relational.ratio6Sql("p.inter", "za.sz")} >= 0.5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup"   -> q27ExactDedup _,
     "q31_minhash_lsh"   -> q31MinHashLsh _,
@@ -1113,9 +1188,11 @@ object Dedup {
     "q70_incremental_dedup" -> q70IncrementalDedup _,
     "q93_substr_dup"    -> q93SubstrDup _,
     "q101_novelty"      -> q101Novelty _,
+    "q148_containment"  -> q148Containment _,
   )
 
   def oracles: Map[String, String] = Map(
+    "q148_containment"  -> q148ContainmentSql,
     "q27_exact_dedup"   -> q27ExactDedupSql,
     "q31_minhash_lsh"   -> ngramJaccardOracleSql,
     "q35_ngram_jaccard" -> ngramJaccardOracleSql,

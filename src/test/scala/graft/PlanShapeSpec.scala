@@ -343,4 +343,26 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Expand"), "no distinct-rewrite expand in the sketch path")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
+
+  test("q147 url dedup: one shuffle total — canonicalization is pure codegen") {
+    // the scale property: canonicalizeUrl is string expressions only, so
+    // the whole query is scan → project → partial agg → ONE exchange →
+    // final agg. A second exchange or a Window means the canonicalization
+    // stopped being a per-row expression.
+    val p = plan("q147_url_dedup")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(500))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    // column pruning reaches the scan: the canonicalization only needs
+    // (doc_id, source, n_chars) — reading `text` for a URL dedup would
+    // drag the corpus body across the 100 TB scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      p.linesIterator.find(_.contains("ReadSchema")).getOrElse("no scan"))
+  }
+
+  test("q148 containment: PPJoin shape — no cartesian, no value-keyed window") {
+    val p = plan("q148_containment")
+    assert(!p.contains("CartesianProduct"), "containment fell back to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "value-keyed window in containment plan")
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Urls}
+
+class UrlsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Urls.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("canonicalizeUrl: scheme/host case, www, default ports, fragments") {
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/Docs/1#frag",
+      "https://example.com/Docs/1",
+      "HTTP://www.example.com:80/Docs/1",
+      "http://example.com:8080/Docs/1") == Seq(
+      "https://example.com/Docs/1",
+      "https://example.com/Docs/1",
+      "http://example.com/Docs/1",
+      "http://example.com:8080/Docs/1")) // non-default port survives
+  }
+
+  test("canonicalizeUrl: path case preserved, trailing slashes stripped") {
+    assert(canon(
+      "https://example.com/A/B/",
+      "https://example.com/A/B///",
+      "https://example.com/a/b") == Seq(
+      "https://example.com/A/B",
+      "https://example.com/A/B",
+      "https://example.com/a/b"))
+  }
+
+  test("canonicalizeUrl: tracking params dropped, survivors sorted, empties gone") {
+    assert(canon(
+      "https://example.com/p?utm_source=x&b=2&a=1&gclid=g",
+      "https://example.com/p?a=1&fbclid=f&b=2&ref=tw",
+      "https://example.com/p?b=2&&a=1",
+      "https://example.com/p?utm_campaign=c",
+      "https://example.com/p?refresh=1&a=1") == Seq(
+      "https://example.com/p?a=1&b=2",
+      "https://example.com/p?a=1&b=2",
+      "https://example.com/p?a=1&b=2",
+      "https://example.com/p",
+      // 'refresh' is NOT 'ref' — the param filter must match whole names
+      "https://example.com/p?a=1&refresh=1"))
+  }
+
+  test("q147 collapses every spelling class to one resource per residue") {
+    val out = Urls.q147UrlDedup(spark, sf)
+    val rows = out.collect()
+    // sf0.001: source = src{doc_id%20}, so groups collapse to residues doc_id%40 → 40 canonical urls,
+    // and the canonical form has no tracking junk, upper case, or ports
+    assert(rows.length == 40, rows.length)
+    val urls = out.select("curl").as[String].collect()
+    assert(urls.forall(u => u == u.toLowerCase), "case survived")
+    assert(urls.forall(u => !u.contains("utm") && !u.contains("fbclid")))
+    assert(urls.forall(u => !u.contains(":443") && !u.contains(":80")))
+    assert(urls.forall(u => !u.contains("www.") && !u.contains("#")))
+    // params arrive sorted: a=1 before b=2 before id=K
+    assert(urls.forall(_.matches(".*\\?a=1&b=2&id=\\d+$")), urls.head)
+  }
+
+  test("containmentPairs finds the directed excerpt→source relation") {
+    // doc 2 is an excerpt of doc 1 (its shingles are a subset); jaccard
+    // stays low (1's extra shingles dilute the union) — only the directed
+    // containment detects it. doc 3 is unrelated.
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, big),
+      (2L, "delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L)), out.toString)
+    // symmetric jaccard at the same bar finds nothing
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9).count() == 0)
+  }
+}
