@@ -136,7 +136,14 @@ object SkewAudit {
         // stopword-PAIR head than q133's unigrams), the two wordcount-
         // shaped sketches, and the KS pair-partitioned cumulative window
         "q140_lm_score", "q141_count_min", "q142_diversity",
-        "q144_ks_drift")
+        "q144_ks_drift",
+        // round-7 additions: URL canonicalization (pure-expression map +
+        // one key agg — the audit proves the single exchange stays flat),
+        // and containment, whose CONTAINER side indexes its full shingle
+        // set: 10 identical copies make every posting list 10× longer AND
+        // give every doc 9 perfect containers — the worst legal input for
+        // the prefix-probe × full-postings join
+        "q147_url_dedup", "q148_containment")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))

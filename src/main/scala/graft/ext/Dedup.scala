@@ -257,6 +257,12 @@ object Dedup {
     cand
       .join(sets.as("fa"), col("id_a") === col("fa.doc_id"))
       .join(sets.as("fb"), col("id_b") === col("fb.doc_id"))
+      // length filter BEFORE the intersect: containment ≥ t forces
+      // inter ≥ ⌈t·sz_a⌉ ≤ min(sz_a, sz_b), so a container shorter than
+      // t·sz_a cannot qualify — semantically redundant with the final
+      // threshold filter, but it prunes candidates ahead of the O(sz)
+      // intersect and pushes into the join
+      .filter(col("fb.sz") >= ceil(col("fa.sz") * lit(threshold)))
       .withColumn("inter", size(array_intersect(col("fa.sh"), col("fb.sh"))))
       .withColumn("n_a", col("fa.sz").cast("int"))
       // integer half-up ratio, not round(double): cross-engine-exact
