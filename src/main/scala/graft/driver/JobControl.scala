@@ -42,18 +42,31 @@ final class JobControl(spark: SparkSession, sfDir: String) {
   def listApps: Seq[String] = graft.SparkEntry.queries.keys.toSeq.sorted
 
   /** Start a registered query asynchronously; returns immediately with the
-    * tracked handle (remap's POST /jobs → 201 + job doc). Unknown names
-    * are rejected here, synchronously — the initiator's RemapException →
-    * HTTP 400 path. */
-  def submit(name: String): JobInfo = {
+    * tracked handle (remap's POST /jobs → 201 + job doc; its required
+    * `priority` field — `http_interface.py:49` — maps to a Spark
+    * scheduler pool below). Unknown names are rejected here,
+    * synchronously — the initiator's RemapException → HTTP 400 path.
+    *
+    * Priority semantics: the job's Spark jobs run in scheduler pool
+    * `graft-p<priority>`. Under `spark.scheduler.mode=FAIR` with pool
+    * weights configured (`spark.scheduler.allocation.file`), higher-
+    * weighted pools get proportionally more concurrent task slots —
+    * the Spark form of remap's priority cores
+    * (`daemons/node/node_hardware.py:9-16`). Under the default FIFO
+    * scheduler the property is recorded but inert; priority NEVER
+    * changes results, only resource share. */
+  def submit(name: String, priority: Int = 0): JobInfo = {
     require(graft.SparkEntry.queries.contains(name),
       s"unknown app '$name' — not in SparkEntry.queries")
     val id = s"job-${seq.incrementAndGet()}"
-    val info = JobInfo(id, name, Queued, System.currentTimeMillis(), None, None)
+    val info = JobInfo(id, name, Queued, System.currentTimeMillis(), None, None,
+      priority)
     jobs.put(id, info)
     pool.execute { () =>
       jobs.computeIfPresent(id, (_, j) => j.copy(status = Running))
-      // job-group is thread-local state; this worker thread owns the id
+      // job-group and pool are thread-local state; this worker owns the id
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+        s"graft-p$priority")
       spark.sparkContext.setJobGroup(id, s"graft $name", interruptOnCancel = true)
       try {
         graft.SparkEntry.queries(name)(spark, sfDir)
@@ -68,7 +81,10 @@ final class JobControl(spark: SparkSession, sfDir: String) {
           if (!wasCancelled)
             finish(id, Failed,
               Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)))
-      } finally spark.sparkContext.clearJobGroup()
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      }
     }
     info
   }
@@ -123,7 +139,7 @@ object JobControl {
 
   final case class JobInfo(id: String, name: String, status: String,
                            submittedMs: Long, finishedMs: Option[Long],
-                           error: Option[String])
+                           error: Option[String], priority: Int = 0)
   final case class NodeInfo(address: String, maxMemBytes: Long,
                             remainingMemBytes: Long)
 }

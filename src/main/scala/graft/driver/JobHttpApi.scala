@@ -49,7 +49,7 @@ object JobHttpApi {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           appField(body) match {
             case Some(name) if graft.SparkEntry.queries.contains(name) =>
-              respond(ex, 201, jobJson(c.submit(name)))
+              respond(ex, 201, jobJson(c.submit(name, priorityField(body))))
             case Some(name) =>
               respond(ex, 400, jobj("error" -> jstr(s"unknown app '$name'")))
             case None =>
@@ -84,6 +84,11 @@ object JobHttpApi {
     "\"app\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findFirstMatchIn(body).map(_.group(1).replace("\\\"", "\""))
 
+  /** Extract the reference POST contract's `priority` (int); absent → 0. */
+  private[graft] def priorityField(body: String): Int =
+    "\"priority\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -104,6 +109,7 @@ object JobHttpApi {
     "id" -> jstr(j.id),
     "app" -> jstr(j.name),
     "status" -> jstr(j.status),
+    "priority" -> j.priority.toString,
     "submitted_ms" -> j.submittedMs.toString,
     "finished_ms" -> j.finishedMs.map(_.toString).getOrElse("null"),
     "error" -> j.error.map(jstr).getOrElse("null"))

@@ -116,5 +116,36 @@ class JobControlSpec extends GraftSuite {
       .contains("q1_agg"))
     assert(JobHttpApi.appField("""{"app":"we\"ird"}""").contains("we\"ird"))
     assert(JobHttpApi.appField("""{"priority":3}""").isEmpty)
+    assert(JobHttpApi.priorityField("""{"priority":3,"app":"x"}""") == 3)
+    assert(JobHttpApi.priorityField("""{"priority":-1}""") == -1)
+    assert(JobHttpApi.priorityField("""{"app":"x"}""") == 0)
+  }
+
+  test("priority lands as the scheduler pool on every Spark job the query spawns") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val pools = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(ev: SparkListenerJobStart): Unit = {
+        val p = ev.properties.getProperty("spark.scheduler.pool")
+        val g = ev.properties.getProperty("spark.jobGroup.id", "")
+        if (g.startsWith("job-")) pools.add(String.valueOf(p))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val c = new JobControl(spark, sf)
+    try {
+      val j = c.submit("q1_agg", priority = 7)
+      assert(j.priority == 7)
+      await(c, j.id, Set(JobControl.Succeeded, JobControl.Failed))
+      // listener bus is async: wait for at least one captured job start
+      val t0 = System.currentTimeMillis()
+      while (pools.isEmpty && System.currentTimeMillis() - t0 < 30000)
+        Thread.sleep(50)
+      val seen = pools.toArray(Array.empty[String]).toSet
+      assert(seen == Set("graft-p7"), seen.toString)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      c.shutdown()
+    }
   }
 }
