@@ -23,7 +23,7 @@ object SparkEntry {
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextAnalysis.queries ++
       ext.Multimodal.queries ++ ext.Pipeline.queries ++ ext.Sampling.queries ++
       ext.Versioning.queries ++ ext.Profiling.queries ++
-      ext.Urls.queries ++ streaming.Streams.queries
+      ext.Urls.queries ++ ext.Importance.queries ++ streaming.Streams.queries
 
   /** SPARK_GRAFT_ONLY=q1_agg,q2_filter_agg → run only those queries.
     * One parser shared by Verify and Bench so the convention cannot
@@ -43,5 +43,5 @@ object SparkEntry {
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextAnalysis.oracles ++
       ext.Multimodal.oracles ++ ext.Pipeline.oracles ++ ext.Sampling.oracles ++
       ext.Versioning.oracles ++ ext.Profiling.oracles ++
-      ext.Urls.oracles ++ streaming.Streams.oracles
+      ext.Urls.oracles ++ ext.Importance.oracles ++ streaming.Streams.oracles
 }

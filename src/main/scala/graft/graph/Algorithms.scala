@@ -907,6 +907,88 @@ object Algorithms {
     s"$prelude$steps\nSELECT id, lbl AS community FROM l$lpaIters"
   }
 
+  // --- q150_landmark_bfs: K-source BFS in one pass, vector state ----------
+  /** Unweighted distances from K landmark vertices in ONE Pregel run:
+    * vertex state is a K-slot distance vector, messages add one hop per
+    * slot, and merge is element-wise min — the landmark/neighborhood-
+    * function family (Boldi & Vigna's HyperBall runs this shape with HLL
+    * counters; exact small-K vectors here, since K is chosen, not |V|).
+    *
+    * Scale rationale: landmark distances feed closeness-centrality
+    * estimates, graph features, and routing seeds, and the naive spelling
+    * is K independent BFS runs — K full traversals of a 100 TB graph. The
+    * vector state does all K in the shuffles of ONE traversal; per-slot
+    * merge is a `struct` of K `min` aggregates, which Catalyst executes as
+    * ordinary partial aggregation (map-side combine per slot) — no
+    * `collect_list`, so a 10⁷-degree hub costs K·8 bytes of agg buffer,
+    * not degree-sized lists. Unreached slots carry a Long.MaxValue
+    * sentinel and propagate unchanged (no +1 overflow), surfacing as NULL
+    * in the long-form output. */
+  def landmarkBfs(vertices: DataFrame, edges: DataFrame, landmarks: Seq[Long],
+                  maxIter: Int = 50): DataFrame = {
+    val k = landmarks.size
+    require(k >= 1, "need at least one landmark")
+    val unreached = lit(Long.MaxValue)
+    val init = array(landmarks.map(l =>
+      when(col("id") === l, 0L).otherwise(unreached)): _*)
+    val res = Pregel.run(
+      vertices.select(col("id"), init.as("dists")),
+      edges, maxIter,
+      sendMsg = transform(col("dists"), d =>
+        when(d === unreached, d).otherwise(d + 1L)),
+      mergeMsg = m => struct((0 until k).map(i =>
+        min(element_at(m, i + 1)).as(s"d$i")): _*),
+      vprog = (df, _) => {
+        val merged = array((0 until k).map(i =>
+          least(element_at(col("dists"), i + 1),
+            coalesce(col(s"msg.d$i"), unreached))): _*)
+        df.select(col("id"), merged.as("dists"),
+          // min-relaxation is monotone: unchanged vector = fixed point
+          (merged <=> col("dists")).as("halt"))
+      },
+      blockSize = 3)
+    res.select(col("id"), posexplode(col("dists")).as(Seq("slot", "d")))
+      .select(col("id"),
+        element_at(array(landmarks.map(lit): _*), col("slot") + 1)
+          .as("landmark"),
+        when(col("d") === unreached, lit(null).cast("long"))
+          .otherwise(col("d")).as("dist"))
+  }
+
+  private val bfsLandmarks = Seq(0L, 5L, 10L, 15L, 20L)
+
+  def q150LandmarkBfs(spark: SparkSession, dir: String): DataFrame =
+    landmarkBfs(
+      Tables.nation(spark, dir).select(col("n_nationkey").as("id")),
+      nationEdges(spark, dir), bfsLandmarks, maxIter = 30)
+
+  /** Oracle: 25 unrolled min-relaxation rounds per (vertex, landmark) —
+    * ≥ the 25-node graph's longest shortest path, so both engines reach
+    * the same fixed point (the q92 pattern, keyed by landmark too). */
+  val q150LandmarkBfsSql: String = {
+    val lms = bfsLandmarks.mkString(", ")
+    val prelude = s"""
+      WITH e0 AS (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * 3 + 7) % 25 FROM nation),
+      e AS MATERIALIZED (SELECT src, dst FROM e0),
+      lm AS (SELECT CAST(unnest([$lms]) AS BIGINT) AS lm),
+      d0 AS (SELECT n.n_nationkey AS id, lm.lm,
+                    CASE WHEN n.n_nationkey = lm.lm
+                         THEN CAST(0 AS BIGINT) END AS dist
+             FROM nation n, lm)"""
+    val steps = (1 to 25).map { k =>
+      s""", d$k AS MATERIALIZED (
+        SELECT p.id, p.lm, LEAST(p.dist, MIN(q.dist + 1)) AS dist
+        FROM d${k - 1} p
+        LEFT JOIN e ON e.dst = p.id
+        LEFT JOIN d${k - 1} q ON q.id = e.src AND q.lm = p.lm
+        GROUP BY p.id, p.lm, p.dist)"""
+    }.mkString
+    s"$prelude$steps\nSELECT id, lm AS landmark, dist FROM d25"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q117_trustrank"      -> q117TrustRank _,
@@ -917,6 +999,7 @@ object Algorithms {
     "q92_sssp"            -> q92Sssp _,
     "q94_label_prop"      -> q94LabelProp _,
     "q145_scc"            -> q145Scc _,
+    "q150_landmark_bfs"   -> q150LandmarkBfs _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -929,5 +1012,6 @@ object Algorithms {
     "q92_sssp"            -> q92SsspSql,
     "q94_label_prop"      -> q94LabelPropSql,
     "q145_scc"            -> q145SccSql,
+    "q150_landmark_bfs"   -> q150LandmarkBfsSql,
   )
 }
