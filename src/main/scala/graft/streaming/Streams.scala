@@ -535,11 +535,45 @@ object Streams {
         })
   }
 
+  // ------------------------------------------- q151: stream-static enrich
+  /** Stream-static dimension enrichment: the event stream joins a SMALL
+    * static dimension (here: nation, keyed by `user_id mod 25`), then
+    * windows per dimension attribute. In Structured Streaming the static
+    * side is re-planned per micro-batch and BROADCAST (no stateful join,
+    * no state store growth — the canonical way to attach slowly-changing
+    * reference data to a 100 TB/day stream; contrast q49's stream-stream
+    * interval join, which must keep watermark-bounded state on both
+    * sides). Same transform serves batch and stream, the module contract;
+    * the watermark attaches only on streaming inputs. */
+  def enrichedWindowAgg(events: DataFrame, dim: DataFrame,
+                        windowLen: String = "1 hour"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    in.join(broadcast(dim),
+        pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      .groupBy(window(col("ts"), windowLen), col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("n_name"),
+        col("n_events"), col("sum_value"))
+  }
+
+  def q151StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    enrichedWindowAgg(Tables.events(spark, dir),
+      Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name")))
+
+  val q151StreamEnrichSql: String = """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    GROUP BY 1, 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_event_window"   -> q40EventWindow _,
     "q45_sessionize"     -> q45Sessionize _,
     "q49_interval_join"  -> q49IntervalJoin _,
     "q51_session_window" -> q51SessionWindow _,
+    "q151_stream_enrich" -> q151StreamEnrich _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -547,5 +581,6 @@ object Streams {
     "q45_sessionize"     -> q45SessionizeSql,
     "q49_interval_join"  -> q49IntervalJoinSql,
     "q51_session_window" -> q51SessionWindowSql,
+    "q151_stream_enrich" -> q151StreamEnrichSql,
   )
 }

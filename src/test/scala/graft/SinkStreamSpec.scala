@@ -219,6 +219,38 @@ class SinkStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("q151 enrichedWindowAgg: streaming run matches the batch transform") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dim = Seq((0L, "ZERO"), (1L, "ONE"), (3L, "THREE"))
+      .toDF("n_nationkey", "n_name")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // users 25,26 → nations 0,1; user 2 → no dim row (inner join drops)
+    val data = Seq((25L, at(0), 1.0), (26L, at(5), 2.0),
+      (25L, at(70), 4.0), (2L, at(10), 8.0))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    ms.addData(data)
+    val q = Streams.enrichedWindowAgg(
+        ms.toDF().toDF("user_id", "ts", "value"), dim)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_enrich_win").start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val streamed = canon(spark.table("graft_enrich_win"))
+      val batch = canon(Streams.enrichedWindowAgg(
+        data.toDF("user_id", "ts", "value"), dim))
+      assert(streamed == batch)
+      // both 10h events land in the 10:00 window; the 11:10 event in the
+      // 11:00 window; user 2 dropped by the inner dim join
+      assert(batch == Set((at(0), "ZERO", 1L, 1.0), (at(0), "ONE", 1L, 2.0),
+        (at(60), "ZERO", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("mergeSchema read unions drifted parquet schemas by NAME, not position") {
     val out = Files.createTempDirectory("graft_merge").toString
     // wave 1 and wave 2 share only `id`; column ORDER deliberately differs
