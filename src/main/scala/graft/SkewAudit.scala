@@ -104,6 +104,11 @@ object SkewAudit {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
 
+    // dimension tables don't scale with the fact tables — copied verbatim
+    // so dim-joining audit queries (q151) resolve against the scratch dir
+    spark.read.parquet(s"$srcDir/nation.parquet")
+      .write.mode("overwrite").parquet(s"$scratch/nation.parquet")
+
     val audit: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q31_minhash_lsh", "q35_ngram_jaccard", "q41_simhash",
         "q47_dedup_clusters", "q50_train_pipeline",
@@ -143,7 +148,13 @@ object SkewAudit {
         // set: 10 identical copies make every posting list 10× longer AND
         // give every doc 9 perfect containers — the worst legal input for
         // the prefix-probe × full-postings join
-        "q147_url_dedup", "q148_containment")
+        "q147_url_dedup", "q148_containment",
+        // round-7 session-2: DSIR — 10 identical copies make every bigram
+        // bucket 10× hotter, but the feature space is CAPPED at 1009
+        // buckets, so the stress lands exactly on the broadcast-stats +
+        // groupBy(doc,bucket) discipline; and the stream-enrich batch
+        // form — a dim-broadcast join + event-time window at 10× events
+        "q149_dsir_weights", "q151_stream_enrich")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
