@@ -568,6 +568,113 @@ object TextAnalysis {
   def q90BpePairs(spark: SparkSession, dir: String): DataFrame =
     bpePairCounts(Tables.documents(spark, dir), "text", 30)
 
+  // --- q152_bpe_encode: BPE training + greedy merge application ----------
+  /** The other half of byte-pair encoding: [[bpePairCounts]] is one
+    * trainer ITERATION's statistics; this runs the full trainer for
+    * `merges` rounds and APPLIES the learned merge table, returning every
+    * vocabulary word's BPE segmentation (Sennrich et al. 2016 — the
+    * subword algorithm under GPT-2-family tokenizers).
+    *
+    * Scale shape: the corpus collapses to the (word, wc) vocabulary ONCE
+    * (the shuffle carries the vocabulary, q90's discipline); every trainer
+    * round then touches only the vocab-sized frame — adjacent-pair explode
+    * + one map-side-partial agg + a 1-row argmax. That argmax `collect` is
+    * the MODEL UPDATE of an inherently sequential trainer (merge i+1
+    * depends on merge i): one driver round-trip per round, exactly the
+    * control-plane cadence of [[graft.graph.Pregel]]'s halt vote — data
+    * never leaves the cluster, the model (the merge table) is
+    * driver/broadcast-sized BY DESIGN, like any trained tokenizer.
+    * Encoding a 100 TB corpus afterwards is a broadcast join of this
+    * frame on `word`.
+    *
+    * Merge application is a sequential left-to-right greedy fold over the
+    * symbol array (`aggregate`): merging the previous pair changes the
+    * array tail, so it cannot be a positional `transform` — and because
+    * the fold runs on the VOCABULARY frame, the per-corpus-row hot path
+    * stays HOF-free. Tie-breaks (count desc, then pair lexicographic) make
+    * the learned table deterministic, so the DuckDB oracle can re-run the
+    * identical trainer via generated per-round CTEs — the q92 unrolling
+    * pattern with a data-dependent step: DuckDB 1.0's `list_reduce` fixes
+    * the accumulator to the element type, so the oracle folds over
+    * single-symbol LISTS (`x -> [x]`) to get a list-typed accumulator. */
+  def bpeEncode(docs: DataFrame, text: String, merges: Int): DataFrame = {
+    var vocab = graft.CacheRegistry.persist(
+      graft.ops.Text.explodeTokens(docs.select(col(text)), text, "word")
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+    for (_ <- 1 to merges) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val a = best(0).getAs[String]("a")
+        val b = best(0).getAs[String]("b")
+        // Column-API fold (no SQL-string interpolation: symbols can be any
+        // corpus text, including quotes); CASE evaluates one branch only,
+        // so the slice never sees an empty accumulator
+        val folded = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                 element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        vocab = graft.CacheRegistry.persist(vocab.withColumn("syms", folded))
+      }
+    }
+    vocab.select(col("word"), col("wc").cast("long").as("wc"),
+      size(col("syms")).as("n_tokens"),
+      concat_ws(" ", col("syms")).as("segmented"))
+  }
+
+  val bpeMerges = 8
+
+  def q152BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(spark, dir), "text", bpeMerges)
+
+  /** The identical trainer unrolled: per round, pair counts → 1-row argmax
+    * (same tie-break) → correlated-lambda fold applying the merge. */
+  val q152BpeEncodeSql: String = {
+    val prelude = raw"""
+      WITH w AS (
+        SELECT word, COUNT(*) AS wc
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents) t
+        WHERE word <> '' GROUP BY word),
+      v0 AS MATERIALIZED (
+        SELECT word, wc, string_split(word, '') AS syms FROM w)"""
+    val rounds = (1 to bpeMerges).map { k =>
+      s""", p$k AS (
+        SELECT u['a'] AS a, u['b'] AS b, SUM(wc) AS n
+        FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+                i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS u
+              FROM v${k - 1} WHERE len(syms) >= 2) s
+        GROUP BY u['a'], u['b']),
+      b$k AS (SELECT a, b FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+      v$k AS MATERIALIZED (
+        SELECT word, wc,
+               list_reduce(list_transform(syms, x -> [x]),
+                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$k.a
+                                       AND x[1] = b$k.b
+                             THEN list_append(acc[1:len(acc) - 1],
+                                              b$k.a || b$k.b)
+                             ELSE list_concat(acc, x) END) AS syms
+        FROM v${k - 1}, b$k)"""
+    }.mkString
+    s"""$prelude$rounds
+    SELECT word, CAST(wc AS BIGINT) AS wc,
+           CAST(len(syms) AS INT) AS n_tokens,
+           array_to_string(syms, ' ') AS segmented
+    FROM v$bpeMerges"""
+  }
+
   val q90BpePairsSql: String = raw"""
     WITH w AS (
       SELECT word, COUNT(*) AS wc
@@ -1033,6 +1140,7 @@ object TextAnalysis {
     "q72_heavy_hitters" -> q72HeavyHitters _,
     "q78_boilerplate"   -> q78Boilerplate _,
     "q90_bpe_pairs"     -> q90BpePairs _,
+    "q152_bpe_encode"   -> q152BpeEncode _,
     "q95_cooccur"       -> q95Cooccur _,
     "q97_inverted_index" -> q97InvertedIndex _,
     "q122_vocab_coverage" -> q122VocabCoverage _,
@@ -1052,6 +1160,7 @@ object TextAnalysis {
     "q72_heavy_hitters" -> q72HeavyHittersSql,
     "q78_boilerplate"   -> q78BoilerplateSql,
     "q90_bpe_pairs"     -> q90BpePairsSql,
+    "q152_bpe_encode"   -> q152BpeEncodeSql,
     "q95_cooccur"       -> q95CooccurSql,
     "q97_inverted_index" -> q97InvertedIndexSql,
     "q122_vocab_coverage" -> q122VocabCoverageSql,

@@ -102,6 +102,31 @@ class SamplingSpec extends GraftSuite {
     assert(out == Seq(("a b", 2L), ("b a", 1L)))
   }
 
+  test("bpe encode: hand-derived trainer rounds and greedy application") {
+    import spark.implicits._
+    // vocab: "aa"×2, "ab"×1 → round 1 pairs: (a,a)=2, (a,b)=1 → merge (a,a)
+    // round 2 pairs: (a,b)=1 (from "ab" only) → merge (a,b)
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val out = ext.TextAnalysis.bpeEncode(docs, "text", 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(out("aa") == ((2L, 1, "aa")))
+    assert(out("ab") == ((1L, 1, "ab")))
+  }
+
+  test("bpe encode: left-to-right greedy on overlapping pairs, lex tiebreak") {
+    import spark.implicits._
+    // (a,a) counts 3 (two OVERLAPPING adjacencies in "aaa" + one in "aa");
+    // (b,b) counts 3 across three "bb" words → lexicographic tiebreak
+    // picks (a,a); "aaa" must merge greedily to [aa, a], never [a, aa]
+    val docs = Seq((1L, "aaa bb aa bb bb")).toDF("doc_id", "text")
+    val out = ext.TextAnalysis.bpeEncode(docs, "text", 1)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out("aaa") == "aa a")
+    assert(out("aa") == "aa")
+    assert(out("bb") == "b b") // (b,b) lost the tiebreak, round budget spent
+  }
+
   test("cluster split keeps every near-dup cluster in exactly one split") {
     val clusters = Dedup.q47DedupClusters(spark, sf)
     val out = Sampling.clusterSplit(clusters, "cluster")
