@@ -365,4 +365,17 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("Window"), "value-keyed window in containment plan")
   }
+
+  test("q149 DSIR: bucket statistics broadcast, no value-keyed window") {
+    // the 1009-bucket ratio frame must reach the per-doc counts as a
+    // broadcast — a shuffled join on `bucket` would hash-partition the
+    // corpus-sized (doc, bucket) frame by a 1009-value key (hot buckets =
+    // hot partitions); and nothing here may sort per value
+    val p = plan("q149_dsir_weights")
+    assert(p.contains("BroadcastExchange"), "bucket ratios must broadcast")
+    assert(!p.contains("Window"), "value-keyed window in DSIR plan")
+    // (a BroadcastNestedLoopJoin IS expected here: the one-row totals
+    // frame crossJoins in as a broadcast, the library-wide totals idiom)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
