@@ -559,4 +559,81 @@ class GraftPropertiesSpec extends GraftSuite {
       assert(run(es.reverse) == got, s"seed $s: edge order changed labels")
     }
   }
+
+  test("property: landmarkBfs equals naive per-landmark BFS on random digraphs") {
+    val gen = for {
+      n <- Gen.choose(4, 10)
+      m <- Gen.choose(2, 14)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es)
+    (1L to 4L).foreach { s =>
+      val (n, es0) = sample(gen, s)
+      val es = es0.filter(e => e._1 != e._2)
+        .map { case (a, b) => (a.toLong, b.toLong) }
+      if (es.nonEmpty) {
+        val landmarks = Seq(0L, (n / 2).toLong)
+        val got = Algorithms.landmarkBfs(
+            (0 until n).map(_.toLong).toDF("id"), es.toDF("src", "dst"),
+            landmarks, maxIter = n + 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            Option(r.getAs[java.lang.Long]("dist")).map(_.toLong)).toMap
+        // naive driver BFS per landmark
+        val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val want = landmarks.flatMap { lm =>
+          val dist = scala.collection.mutable.Map(lm -> 0L)
+          var frontier = List(lm)
+          while (frontier.nonEmpty)
+            frontier = frontier.flatMap(u => adj.getOrElse(u, Nil)
+              .filter(v => !dist.contains(v))
+              .map { v => dist(v) = dist(u) + 1; v }).distinct
+          (0 until n).map(i => (i.toLong, lm) -> dist.get(i.toLong))
+        }.toMap
+        assert(got == want, s"seed $s")
+      }
+    }
+  }
+
+  test("property: bpeEncode equals a naive driver-side BPE trainer replay") {
+    val gen = for {
+      nw <- Gen.choose(3, 8)
+      ws <- Gen.listOfN(nw, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield ws
+    (1L to 3L).foreach { s =>
+      val words = sample(gen, s)
+      val merges = 3
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = ext.TextAnalysis.bpeEncode(docs, "text", merges)
+        .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+      // naive replay: weighted overlapping pair counts, argmax by
+      // (count desc, pair lex), left-to-right greedy application
+      var vocab: Map[String, (Long, Vector[String])] =
+        words.groupBy(identity).map { case (w, g) =>
+          w -> (g.size.toLong, w.map(_.toString).toVector) }
+      for (_ <- 1 to merges) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.values.foreach { case (wc, syms) =>
+          syms.zip(syms.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + wc) }
+        if (counts.nonEmpty) {
+          val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+          vocab = vocab.map { case (w, (wc, syms)) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.size - 1) = a + b
+              else out += x
+            }
+            w -> (wc, out.toVector)
+          }
+        }
+      }
+      val want = vocab.map { case (w, (_, syms)) => w -> syms.mkString(" ") }
+      assert(got == want, s"seed $s")
+      // the segmentation must always concatenate back to the word
+      got.foreach { case (w, seg) => assert(seg.replace(" ", "") == w) }
+    }
+  }
 }
