@@ -568,6 +568,66 @@ object TextAnalysis {
   def q90BpePairs(spark: SparkSession, dir: String): DataFrame =
     bpePairCounts(Tables.documents(spark, dir), "text", 30)
 
+  // --- q153_phrase_search: positional adjacency phrase query --------------
+  /** Phrase retrieval over a positional index: find every document
+    * containing an exact two-word phrase, with occurrence count and first
+    * position — what a unigram index (q97) cannot answer and bag-of-words
+    * relevance (q136 BM25) cannot distinguish from scattered terms. The
+    * phrase itself is data-derived IN-PLAN: the corpus's most frequent
+    * bigram (count desc, then lexicographic — the deterministic argmax
+    * discipline), so the operator is a pure function of the corpus.
+    *
+    * Scale shape: ONE token-stream scan persisted and self-probed with the
+    * `(doc, pos+1)` equi-join (q95's positional-adjacency contract — a
+    * phrase of length n chains n−1 such joins, each a hash join on
+    * (doc, pos), never a per-doc sort); the argmax is a 1-row frame joined
+    * back as a BROADCAST, so the corpus is never reshuffled to learn the
+    * phrase. Occurrence counting is a map-side-partial `groupBy(doc)`. */
+  def phraseSearch(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = graft.CacheRegistry.persist(
+      docs.select(col(id),
+          posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= ""))
+    val big = graft.CacheRegistry.persist(
+      toks.select(col(id), col("pos"), col("w").as("a"))
+        .join(toks.select(col(id), (col("pos") - 1).as("pos"),
+          col("w").as("b")), Seq(id, "pos")))
+    val top = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      .select(col("a").as("qa"), col("b").as("qb"))
+    big.join(broadcast(top),
+        col("a") === col("qa") && col("b") === col("qb"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"),
+        first(concat(col("qa"), lit(" "), col("qb"))).as("phrase"))
+  }
+
+  def q153PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q153PhraseSearchSql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, u['pos'] AS pos, u['w'] AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> struct_pack(pos := i - 1, w := ws[i]))) AS u
+        FROM t) s
+      WHERE u['w'] <> ''),
+    big AS MATERIALIZED (
+      SELECT x.doc_id, x.pos, x.w AS a, y.w AS b
+      FROM tok x JOIN tok y
+        ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+    q AS (SELECT a AS qa, b AS qb FROM (
+            SELECT a, b, COUNT(*) AS n FROM big GROUP BY a, b)
+          ORDER BY n DESC, a, b LIMIT 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           MIN(pos) AS first_pos, ANY_VALUE(qa || ' ' || qb) AS phrase
+    FROM big JOIN q ON a = qa AND b = qb
+    GROUP BY doc_id"""
+
   // --- q152_bpe_encode: BPE training + greedy merge application ----------
   /** The other half of byte-pair encoding: [[bpePairCounts]] is one
     * trainer ITERATION's statistics; this runs the full trainer for
@@ -1141,6 +1201,7 @@ object TextAnalysis {
     "q78_boilerplate"   -> q78Boilerplate _,
     "q90_bpe_pairs"     -> q90BpePairs _,
     "q152_bpe_encode"   -> q152BpeEncode _,
+    "q153_phrase_search" -> q153PhraseSearch _,
     "q95_cooccur"       -> q95Cooccur _,
     "q97_inverted_index" -> q97InvertedIndex _,
     "q122_vocab_coverage" -> q122VocabCoverage _,
@@ -1161,6 +1222,7 @@ object TextAnalysis {
     "q78_boilerplate"   -> q78BoilerplateSql,
     "q90_bpe_pairs"     -> q90BpePairsSql,
     "q152_bpe_encode"   -> q152BpeEncodeSql,
+    "q153_phrase_search" -> q153PhraseSearchSql,
     "q95_cooccur"       -> q95CooccurSql,
     "q97_inverted_index" -> q97InvertedIndexSql,
     "q122_vocab_coverage" -> q122VocabCoverageSql,

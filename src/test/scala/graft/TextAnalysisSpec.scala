@@ -255,4 +255,17 @@ class TextAnalysisSpec extends GraftSuite {
     // d1 repeats the corpus-dominant transition ⇒ higher mean probability
     assert(d1 > d2)
   }
+
+  test("phraseSearch finds the top bigram with counts and first positions") {
+    import spark.implicits._
+    // corpus bigram counts: (x,y)=3, (y,x)=2, (z,x)=1 → phrase "x y"
+    val docs = Seq((1L, "x y x y"), (2L, "y x"), (3L, "z x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0L, "x y")),
+      3L -> ((1L, 1L, "x y"))))
+  }
 }
