@@ -154,7 +154,11 @@ object SkewAudit {
         // buckets, so the stress lands exactly on the broadcast-stats +
         // groupBy(doc,bucket) discipline; and the stream-enrich batch
         // form — a dim-broadcast join + event-time window at 10× events
-        "q149_dsir_weights", "q151_stream_enrich")
+        "q149_dsir_weights", "q151_stream_enrich",
+        // phrase search: the top bigram repeats in all 10 copies, so the
+        // phrase-match join probes a 10× hotter single key — the 1-row
+        // broadcast + groupBy(doc) discipline must keep it flat
+        "q153_phrase_search")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
