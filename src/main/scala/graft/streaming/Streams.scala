@@ -232,6 +232,58 @@ object Streams {
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]], but
+    * unmatched left rows survive with nulls on the right — the streaming
+    * semantics are the interesting part: an unmatched left row cannot be
+    * emitted when seen (its match may still arrive), so the state store
+    * holds it until the WATERMARK passes the end of its join window, then
+    * emits it null-padded exactly once. State on both sides stays bounded
+    * by the delay horizon, as in the inner form. Batch plans take the
+    * ordinary left-outer path, so one transform serves both. */
+  def outerIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                        maxDelay: String = "10 minutes"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", maxDelay) else df
+    wm(left).as("l").join(wm(right).as("r"),
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxDelay"),
+      "left_outer")
+  }
+
+  // --- q154_outer_interval_join: click→purchase conversion windows --------
+  /** Per-user conversion accounting over the batch form: every click,
+    * whether a purchase followed within 10 minutes — the left-outer
+    * variant q49's inner join cannot express (unconverted clicks vanish
+    * from an inner join). */
+  def q154OuterIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    outerIntervalJoin(clicks, buys, key = "user_id")
+      .groupBy(col("l.user_id").as("user_id"))
+      .agg(countDistinct(col("l.event_id")).as("n_clicks"),
+        countDistinct(when(col("r.event_id").isNotNull, col("l.event_id")))
+          .as("n_converted"))
+  }
+
+  val q154OuterIntervalJoinSql: String = """
+    SELECT l.user_id,
+           CAST(COUNT(DISTINCT l.event_id) AS BIGINT) AS n_clicks,
+           CAST(COUNT(DISTINCT CASE WHEN r.event_id IS NOT NULL
+                                    THEN l.event_id END) AS BIGINT)
+             AS n_converted
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) <=
+         CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+    GROUP BY l.user_id"""
+
   /** Exact dedup on a stream: keep the first row per key, with state
     * bounded by the event-time watermark — `dropDuplicatesWithinWatermark`
     * expires a key's entry once the watermark passes it, so state size
@@ -574,6 +626,7 @@ object Streams {
     "q49_interval_join"  -> q49IntervalJoin _,
     "q51_session_window" -> q51SessionWindow _,
     "q151_stream_enrich" -> q151StreamEnrich _,
+    "q154_outer_interval_join" -> q154OuterIntervalJoin _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -582,5 +635,6 @@ object Streams {
     "q49_interval_join"  -> q49IntervalJoinSql,
     "q51_session_window" -> q51SessionWindowSql,
     "q151_stream_enrich" -> q151StreamEnrichSql,
+    "q154_outer_interval_join" -> q154OuterIntervalJoinSql,
   )
 }

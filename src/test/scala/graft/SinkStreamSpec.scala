@@ -219,6 +219,40 @@ class SinkStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("q154 outerIntervalJoin: unmatched left rows emit null-padded after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ml = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val mr = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def named(ms: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      ms.toDF().toDF("event_id", "user_id", "ts")
+    val q = Streams.outerIntervalJoin(named(ml), named(mr), "user_id")
+      .select(col("l.event_id").as("click"), col("r.event_id").as("buy"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_outer_join").start()
+    try {
+      // user 1 converts at +5min; user 2's click has no purchase
+      ml.addData(Seq((100L, 1L, at(0)), (200L, 2L, at(0))))
+      mr.addData(Seq((900L, 1L, at(5))))
+      q.processAllAvailable()
+      // the unmatched click CANNOT have been emitted yet — its window is
+      // still open until the watermark passes +10min
+      val early = spark.table("graft_outer_join").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("buy")))).toSet
+      assert(!early.contains((200L, None)), s"premature unmatched emit: $early")
+      // advance BOTH watermarks far past the window end → null-padded emit
+      ml.addData(Seq((101L, 9L, at(180))))
+      mr.addData(Seq((901L, 8L, at(180))))
+      q.processAllAvailable()
+      val rows = spark.table("graft_outer_join").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("buy")))).toSet
+      assert(rows.contains((100L, Some(900L))), s"matched pair missing: $rows")
+      assert(rows.contains((200L, None)), s"unmatched click not emitted: $rows")
+    } finally q.stop()
+  }
+
   test("q151 enrichedWindowAgg: streaming run matches the batch transform") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
