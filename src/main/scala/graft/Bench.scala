@@ -127,11 +127,18 @@ object Bench {
           // paying it 584 times (146 queries × 4 executions) for the ~90%
           // of queries that pin nothing is most of the r6 bench's 35-minute
           // wall (the builder's 32-core run of the same suite was ~6 min).
+          // Snapshot BEFORE the unpersist calls: they remove the entries
+          // from sc.persistentRdds, so a post-clear read would report
+          // "nothing pinned" for exactly the CacheRegistry-heavy queries
+          // whose allocation debt the gc+drain exists to retire.
+          val hadPins = spark.sparkContext.getPersistentRDDs.nonEmpty
           CacheRegistry.unpersistAll(blocking = true)
           spark.catalog.clearCache()
-          val pinned = spark.sparkContext.getPersistentRDDs
-          if (pinned.nonEmpty) {
-            pinned.values.foreach(_.unpersist(true))
+          if (hadPins) {
+            // sweep the survivors CacheRegistry/clearCache cannot see
+            // (localCheckpoint'ed Pregel results), then collect the debt
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(true))
             System.gc()
             System.gc()
             Thread.sleep(100) // let ContextCleaner drain before the clock starts

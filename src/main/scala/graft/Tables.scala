@@ -88,7 +88,21 @@ object Tables {
         // 1µs on some rows.
         df.withColumn(column, timestamp_micros(expr(s"$column div 1000")))
       case TimestampType => df
-      case TimestampNTZType => df.withColumn(column, col(column).cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ micros are UTC wall-clock by the data's contract. A bare
+        // NTZ→TIMESTAMP cast interprets them in the SESSION time zone —
+        // correct only under UTC sessions (LocalSession/SparkTestBase).
+        // For a caller-built session in another zone, shift the wall
+        // clock to session-local first so the cast lands on the same
+        // instant instead of silently sliding every event by the zone
+        // offset. (Within the 1h/year DST-ambiguous window a non-UTC
+        // session can still be off by the overlap — run event-time
+        // pipelines in UTC sessions, like every sanctioned entry point.)
+        val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        val asTs =
+          if (tz == "UTC") col(column).cast(TimestampType)
+          else expr(s"cast(convert_timezone('UTC', '$tz', $column) as timestamp)")
+        df.withColumn(column, asTs)
       case other => throw new IllegalStateException(
         s"testdata schema drift: events.$column arrived as $other — expected " +
           "INT64 (legacy nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ. " +

@@ -63,27 +63,35 @@ final class JobControl(spark: SparkSession, sfDir: String) {
       priority)
     jobs.put(id, info)
     pool.execute { () =>
-      jobs.computeIfPresent(id, (_, j) => j.copy(status = Running))
-      // job-group and pool are thread-local state; this worker owns the id
-      spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-        s"graft-p$priority")
-      spark.sparkContext.setJobGroup(id, s"graft $name", interruptOnCancel = true)
-      try {
-        graft.SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        finish(id, Succeeded, None)
-      } catch {
-        case e: Throwable =>
-          // a cancel() raced the run: the group cancellation surfaces as a
-          // SparkException in this thread; keep the user-intent status
-          val wasCancelled = jobs.get(id) != null &&
-            jobs.get(id).status == Cancelled
-          if (!wasCancelled)
-            finish(id, Failed,
-              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)))
-      } finally {
-        spark.sparkContext.clearJobGroup()
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      // Queued→Running ONLY: a cancel that lands while the job is still in
+      // the pool queue sets CANCELLED before any job group exists, so its
+      // cancelJobGroup is a no-op — unconditionally stamping Running here
+      // would resurrect the job and run the cancelled query to completion
+      val claimed = jobs.computeIfPresent(id, (_, j) =>
+        if (j.status == Queued) j.copy(status = Running) else j)
+      if (claimed != null && claimed.status == Running) {
+        // job-group and pool are thread-local state; this worker owns the id
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          s"graft-p$priority")
+        spark.sparkContext.setJobGroup(id, s"graft $name",
+          interruptOnCancel = true)
+        try {
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          finish(id, Succeeded, None)
+        } catch {
+          case e: Throwable =>
+            // a cancel() raced the run: the group cancellation surfaces as a
+            // SparkException in this thread; keep the user-intent status
+            val wasCancelled = jobs.get(id) != null &&
+              jobs.get(id).status == Cancelled
+            if (!wasCancelled)
+              finish(id, Failed,
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)))
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
       }
     }
     info
@@ -100,7 +108,10 @@ final class JobControl(spark: SparkSession, sfDir: String) {
   def get(id: String): Option[JobInfo] = Option(jobs.get(id))
 
   def listJobs: Seq[JobInfo] =
-    jobs.values.toArray(Array.empty[JobInfo]).toSeq.sortBy(_.id)
+    // submission order — numeric id suffix, not lexicographic ("job-10"
+    // must not sort between "job-1" and "job-2")
+    jobs.values.toArray(Array.empty[JobInfo]).toSeq
+      .sortBy(_.id.stripPrefix("job-").toLong)
 
   /** Cancel a submitted job (remap's DELETE /jobs/<id>; 404 when unknown →
     * `false` here). Cancelling an already-finished job is a no-op that

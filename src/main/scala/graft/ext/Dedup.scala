@@ -161,6 +161,19 @@ object Dedup {
     * sharing ANY shingle — millions of background pairs on a 5k-doc
     * corpus, and quadratic blowup on common boilerplate at 100 TB).
     * Candidates are then verified exactly on the full shingle sets. */
+  /** `⌈sz·(t − 5·10⁻⁷)⌉` in exact integer arithmetic over the `sz` column
+    * — the LOWEST intersection the final half-up `round(·, 6) ≥ t` filter
+    * can accept. The PPJoin prefix/length bounds must prune against THIS,
+    * not `⌈sz·t⌉`: a pair whose true ratio is a hair under t still rounds
+    * up to t once sz ≳ 2·10⁶ distinct shingles, and pruning with the
+    * unrounded bound would drop a pair the exact-recompute oracle keeps.
+    * Below that size the two bounds differ by at most 1 — the relaxation
+    * costs one extra prefix element. */
+  private def minInterExpr(threshold: Double): Column = {
+    val t7 = math.round(threshold * 1e7) - 5
+    expr(s"(sz * ${t7}L + 9999999L) div 10000000L")
+  }
+
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // persisted: the exploded frame feeds both the df aggregation and the
@@ -190,7 +203,7 @@ object Dedup {
         transform(col("ranked"), r => r("shingle")).as("sh"),
         size(col("ranked")).as("sz"))
       .withColumn("plen",
-        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")))
+        (col("sz") - minInterExpr(threshold) + 1).cast("int")))
     val prefixes = sets.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
     val cand = prefixes.as("a")
@@ -244,7 +257,7 @@ object Dedup {
         transform(col("ranked"), r => r("shingle")).as("sh"),
         size(col("ranked")).as("sz"))
       .withColumn("plen",
-        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")))
+        (col("sz") - minInterExpr(threshold) + 1).cast("int")))
     val prefixes = sets.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
     // full postings on the container side: every shingle of every doc
@@ -257,12 +270,14 @@ object Dedup {
     cand
       .join(sets.as("fa"), col("id_a") === col("fa.doc_id"))
       .join(sets.as("fb"), col("id_b") === col("fb.doc_id"))
-      // length filter BEFORE the intersect: containment ≥ t forces
-      // inter ≥ ⌈t·sz_a⌉ ≤ min(sz_a, sz_b), so a container shorter than
-      // t·sz_a cannot qualify — semantically redundant with the final
-      // threshold filter, but it prunes candidates ahead of the O(sz)
-      // intersect and pushes into the join
-      .filter(col("fb.sz") >= ceil(col("fa.sz") * lit(threshold)))
+      // length filter BEFORE the intersect: a qualifying pair needs
+      // inter ≥ minInter(sz_a) ≤ min(sz_a, sz_b), so a container shorter
+      // than that cannot qualify — implied by the final threshold filter
+      // (with the same rounding slack), but it prunes candidates ahead of
+      // the O(sz) intersect and pushes into the join
+      .filter(col("fb.sz").cast("long") >=
+        expr(s"(fa.sz * ${math.round(threshold * 1e7) - 5}L + 9999999L)" +
+          " div 10000000L"))
       .withColumn("inter", size(array_intersect(col("fa.sh"), col("fb.sh"))))
       .withColumn("n_a", col("fa.sz").cast("int"))
       // integer half-up ratio, not round(double): cross-engine-exact
@@ -909,9 +924,8 @@ object Dedup {
                    id: String, text: String, n: Int = 5,
                    minTokens: Int = 3): DataFrame = {
     require(n >= 2, s"spanExcision: n must be >= 2, got $n")
-    val toks = corpus.select(col(id),
-        posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
+    val toks = graft.ops.Text.posTokens(
+      corpus.select(col(id), col(text)), text, as = "tok")
     val benchSh = benchmark
       .select(explode(array_distinct(shingles(col(text), n))).as("shingle"))
       .distinct()

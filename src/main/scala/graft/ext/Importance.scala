@@ -58,10 +58,8 @@ object Importance {
     */
   def dsirWeights(docs: DataFrame, id: String, text: String,
                   isTarget: Column): DataFrame = {
-    val toks = graft.CacheRegistry.persist(
-      docs.select(col(id), isTarget.as("tgt"),
-          posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= ""))
+    val toks = graft.CacheRegistry.persist(graft.ops.Text.posTokens(
+      docs.select(col(id), isTarget.as("tgt"), col(text)), text))
     val big = graft.CacheRegistry.persist(
       toks.select(col(id), col("tgt"), col("pos"), tokVal(col("w")).as("va"))
         .join(toks.select(col(id), (col("pos") - 1).as("pos"),

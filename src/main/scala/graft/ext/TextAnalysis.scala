@@ -585,9 +585,7 @@ object TextAnalysis {
     * phrase. Occurrence counting is a map-side-partial `groupBy(doc)`. */
   def phraseSearch(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = graft.CacheRegistry.persist(
-      docs.select(col(id),
-          posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= ""))
+      graft.ops.Text.posTokens(docs.select(col(id), col(text)), text))
     val big = graft.CacheRegistry.persist(
       toks.select(col(id), col("pos"), col("w").as("a"))
         .join(toks.select(col(id), (col("pos") - 1).as("pos"),
@@ -717,7 +715,15 @@ object TextAnalysis {
                 i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS u
               FROM v${k - 1} WHERE len(syms) >= 2) s
         GROUP BY u['a'], u['b']),
-      b$k AS (SELECT a, b FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+      -- exactly ONE row even when no pairs remain: the ('','') sentinel
+      -- can never match a symbol (tokens are non-empty), making the round
+      -- a no-op — the Scala trainer's `if (best.nonEmpty)` branch. An
+      -- empty b$k would cross-join v${k - 1} down to zero rows instead.
+      b$k AS (SELECT a, b FROM (
+                (SELECT a, b, 0 AS pri FROM p$k ORDER BY n DESC, a, b LIMIT 1)
+                UNION ALL
+                (SELECT '', '', 1)
+                ORDER BY pri LIMIT 1)),
       v$k AS MATERIALIZED (
         SELECT word, wc,
                list_reduce(list_transform(syms, x -> [x]),
@@ -772,9 +778,7 @@ object TextAnalysis {
   def cooccurrence(docs: DataFrame, text: String, win: Int,
                    k: Int): DataFrame = {
     val toks = graft.CacheRegistry.persist(
-      docs.select(col("doc_id"),
-          posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= ""))
+      graft.ops.Text.posTokens(docs.select(col("doc_id"), col(text)), text))
     // one count() action on the persisted tokens — the same cheap driver
     // scalar pageRank takes for N; it also warms the token cache the three
     // downstream subtrees reuse
@@ -1128,9 +1132,7 @@ object TextAnalysis {
     * bigrams in a single doc-pair cell, far past any real corpus. */
   def bigramLmScore(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = graft.CacheRegistry.persist(
-      docs.select(col(id),
-          posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= ""))
+      graft.ops.Text.posTokens(docs.select(col(id), col(text)), text))
     val vocab = toks.agg(countDistinct(col("w")).as("vocab_sz"))
     val big = graft.CacheRegistry.persist(
       toks.select(col(id), col("pos"), col("w").as("a"))

@@ -102,6 +102,19 @@ object Text {
     df.withColumn(as, explode(split(lower(col(text)), "\\s+")))
       .filter(col(as) =!= "")
 
+  /** POSITIONAL token stream — the q95 contract: lowercase, trim,
+    * whitespace-split, empties dropped AFTER positioning, so `pos` is a
+    * raw-split index and adjacency is exactly `pos + 1` (empty tokens
+    * break adjacency chains, by design). Every positional operator
+    * (cooccurrence, bigram LM, span excision, DSIR, phrase search) goes
+    * through here: the tokenization convention is corpus-wide, and five
+    * hand-copied spellings of it would fork silently on the first edit.
+    * All non-`text` columns of `df` are carried through. */
+  def posTokens(df: DataFrame, text: String, as: String = "w"): DataFrame =
+    df.select(df.columns.filter(_ != text).map(col) :+
+        posexplode(split(lower(trim(col(text))), "\\s+")).as(Seq("pos", as)): _*)
+      .filter(col(as) =!= "")
+
   // --- q24_wordcount: flagship MR example as one declarative pipeline ----
   // map → label-route → combine → reduce (wordcount.py:20-41) collapses to
   // explode + groupBy.count: partial agg gives the combiner, the shuffle

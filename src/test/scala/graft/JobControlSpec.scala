@@ -35,6 +35,33 @@ class JobControlSpec extends GraftSuite {
     } finally c.shutdown()
   }
 
+  test("an observed CANCELLED status never resurrects to RUNNING/SUCCEEDED") {
+    // cancel-while-queued race: a cancel landing before the worker thread
+    // claims the job finds no job group to kill; the worker must then NOT
+    // claim Queued→Running and run the dead job to SUCCEEDED. Submitting
+    // and cancelling immediately hits the pre-claim window often enough
+    // to make this a meaningful canary in every interleaving the box
+    // produces — in ALL of them, a status read as CANCELLED must stick.
+    val c = new JobControl(spark, sf)
+    try {
+      (1 to 8).foreach { _ =>
+        val j = c.submit("q1_agg")
+        c.cancel(j.id)
+        if (c.get(j.id).get.status == JobControl.Cancelled) {
+          Thread.sleep(300) // give a buggy worker time to resurrect it
+          assert(c.get(j.id).get.status == JobControl.Cancelled,
+            "terminal CANCELLED was overwritten by the worker thread")
+        } else {
+          // cancel raced past the claim: any terminal-or-running status is
+          // legal except FAILED (cancellation must not read as failure)
+          val fin = await(c, j.id, Set(JobControl.Cancelled,
+            JobControl.Succeeded, JobControl.Failed))
+          assert(fin != JobControl.Failed, fin)
+        }
+      }
+    } finally c.shutdown()
+  }
+
   test("unknown app is rejected synchronously; unknown id cancels to false") {
     val c = new JobControl(spark, sf)
     try {

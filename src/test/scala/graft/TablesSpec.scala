@@ -78,4 +78,19 @@ class TablesSpec extends GraftSuite {
       assert(Tables(spark, sf, n).columns.nonEmpty, n)
     }
   }
+
+  test("events instants are session-timezone independent (NTZ vintage)") {
+    // a caller-built session in another zone must read the SAME instants
+    // — java.sql.Timestamp compares by epoch, so equal sets ⇔ equal
+    // instants regardless of each session's rendering
+    val other = spark.newSession()
+    other.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    val utc = Tables.events(spark, sf)
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val la = Tables.events(other, sf)
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(la == utc, "events.ts shifted under a non-UTC session")
+  }
 }
