@@ -702,6 +702,58 @@ object Similarity {
     pqAdcTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
       Seq((1, 32), (33, 32)), pqK, pqIters, pqTopK)
 
+  // --- q155_index_persist: build-once / query-many PQ index lifecycle ----
+  /** The lifecycle piece around q99/q100: a trained ANN index is an
+    * ARTIFACT — trained once, persisted, loaded by every downstream query
+    * job — never retrained per query. This trains the q100 PQ index,
+    * WRITES its two artifact classes as parquet (per-subspace codebooks:
+    * k×dim rows, driver-trivial; per-vector code table: one row per
+    * corpus vector — the real index, columnar and scan-cheap), reloads
+    * both through fresh reads, and answers the q100 ADC query from the
+    * STORED artifacts alone. Doubles round-trip parquet exactly, so the
+    * result is bit-identical to the in-memory path and the oracle is
+    * q100's full recompute — the persistence hop is hash-certified, the
+    * q58/q75/q81 sink-roundtrip discipline applied to an index.
+    *
+    * Scale: at 100 TB the code table is ~1% of the corpus (two INTs per
+    * vector) and the query phase never touches raw embeddings except the
+    * query vector itself — the entire point of building the index. */
+  def q155IndexPersist(spark: SparkSession, dir: String): DataFrame = {
+    val subDims = Seq((1, 32), (33, 32))
+    val path = graft.sources.Sink.scratchPath("graft_pq_index", dir)
+    val ve = graft.CacheRegistry.persist(
+      Tables.embeddings(spark, dir).select(col("vec_id"),
+        vecAsDouble(col("embedding")).as("v")))
+    subDims.zipWithIndex.foreach { case ((start, len), s) =>
+      val sub = graft.CacheRegistry.persist(
+        ve.select(col("vec_id"), slice(col("v"), start, len).as("v")))
+      val cent = trainedCentroids(sub, "vec_id", pqK, pqIters)
+      cent.write.mode("overwrite").parquet(s"$path/cent$s")
+      assignTo(sub, cent, "vec_id")
+        .select(col("vec_id"), col("cid").as(s"code$s"))
+        .write.mode("overwrite").parquet(s"$path/code$s")
+    }
+    // query phase: stored artifacts only (ve supplies just the query vec)
+    val qv = ve.orderBy(col("vec_id")).limit(1).select(col("v").as("qv"))
+    val parts = subDims.zipWithIndex.map { case ((start, len), s) =>
+      val cent = spark.read.parquet(s"$path/cent$s")
+      val codes = spark.read.parquet(s"$path/code$s")
+      val lut = cent.crossJoin(broadcast(
+          qv.select(slice(col("qv"), start, len).as("q"))))
+        .select(col("cid").as(s"code$s"),
+          (dot(col("q"), col("q")) - lit(2) * dot(col("q"), col("c")) +
+            dot(col("c"), col("c"))).as(s"d$s"))
+      codes.join(broadcast(lut), s"code$s")
+    }
+    parts.reduce(_.join(_, "vec_id"))
+      .withColumn("adc",
+        subDims.indices.map(s => col(s"d$s")).reduce(_ + _))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(pqTopK)
+      .select(col("vec_id") +: subDims.indices.map(s => col(s"code$s")) :+
+        round(col("adc"), 6).as("adc6"): _*)
+  }
+
   /** Oracle: the q99 codebook chains plus the ADC join — the lookup
     * tables come from the FINAL centroid CTEs (`p0c2`/`p1c2`), and the
     * adc sum is ordered d0 + d1 in both engines so the doubles are
@@ -1245,6 +1297,7 @@ object Similarity {
     "q74_semantic_dedup"  -> q74SemanticDedup _,
     "q99_pq"              -> q99Pq _,
     "q100_pq_adc"         -> q100PqAdc _,
+    "q155_index_persist"  -> q155IndexPersist _,
     "q104_hard_negatives" -> q104HardNegatives _,
     "q105_ann_recall"     -> q105AnnRecall _,
     "q116_fuzzy_nn"       -> q116FuzzyNn _,
@@ -1264,6 +1317,8 @@ object Similarity {
     "q74_semantic_dedup"  -> q74SemanticDedupSql,
     "q99_pq"              -> q99PqSql,
     "q100_pq_adc"         -> q100PqAdcSql,
+    // the persisted-index query must equal the full in-memory recompute
+    "q155_index_persist"  -> q100PqAdcSql,
     "q104_hard_negatives" -> q104HardNegativesSql,
     "q105_ann_recall"     -> q105AnnRecallSql,
     "q116_fuzzy_nn"       -> q116FuzzyNnSql,

@@ -348,4 +348,18 @@ class SimilaritySpec extends GraftSuite {
     assert(s(3L) == 1.0 / 63.0 + 1.0 / 61.0)
     assert(s(1L) == 1.0 / 61.0 && s(2L) == 1.0 / 62.0 && s(4L) == 1.0 / 62.0)
   }
+
+  test("q155: the persisted-index query is bit-identical to the in-memory PQ path") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val roundtrip = canon(Similarity.q155IndexPersist(spark, sf))
+    val inMemory = canon(Similarity.q100PqAdc(spark, sf))
+    assert(roundtrip == inMemory)
+    // the artifacts exist on disk: 2 codebooks + 2 code tables
+    val path = graft.sources.Sink.scratchPath("graft_pq_index", sf)
+    Seq("cent0", "cent1", "code0", "code1").foreach { a =>
+      assert(new java.io.File(s"$path/$a/_SUCCESS").exists(), a)
+    }
+  }
 }
