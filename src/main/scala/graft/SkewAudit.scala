@@ -109,6 +109,18 @@ object SkewAudit {
     spark.read.parquet(s"$srcDir/nation.parquet")
       .write.mode("overwrite").parquet(s"$scratch/nation.parquet")
 
+    // ~10× part: keys shifted, names UNCHANGED — every sorted-neighborhood
+    // block gets 10× deeper with identical-name runs 10× longer, the worst
+    // legal input for a per-block window sort + rank-offset join
+    val pt = spark.read.parquet(s"$srcDir/part.parquet")
+    (0 until copies).map(i => pt.select(
+        (col("p_partkey") + lit(i * 1000000L)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice")))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scratch/part.parquet")
+
     val audit: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("q31_minhash_lsh", "q35_ngram_jaccard", "q41_simhash",
         "q47_dedup_clusters", "q50_train_pipeline",
@@ -158,7 +170,13 @@ object SkewAudit {
         // phrase search: the top bigram repeats in all 10 copies, so the
         // phrase-match join probes a 10× hotter single key — the 1-row
         // broadcast + groupBy(doc) discipline must keep it flat
-        "q153_phrase_search")
+        "q153_phrase_search",
+        // round-7 session-3: winnowing — every fingerprint repeats in all
+        // 10 copies (10× hotter inverted-index buckets, df-cap on the
+        // line) over doc-keyed window stacks; and sorted-neighborhood —
+        // 10× deeper blocks with 10× longer identical-name runs against
+        // the per-block rank join
+        "q156_winnowing", "q157_sorted_neighborhood")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))

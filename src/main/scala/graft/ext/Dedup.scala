@@ -557,6 +557,94 @@ object Dedup {
     verifyJaccard(pairs, docs, id, text, n, threshold)
   }
 
+  /** Winnowing fingerprint selection + near-dup candidates (Schleimer /
+    * Wilkerson / Aiken, SIGMOD'03 — the MOSS algorithm). Hash every k-token
+    * gram, slide a window of `w` consecutive gram hashes over each
+    * document, keep each window's MINIMUM hash (ties → rightmost), and
+    * dedup the kept set: the paper's guarantee is that any token run of
+    * length ≥ w+k−1 shared by two documents yields at least one shared
+    * fingerprint, while only ~2/(w+1) of all grams are retained — a
+    * position-robust sample that every-i-th-gram schemes (which one-token
+    * insertions de-align) cannot give. Distinct from q39 (ONE whole-doc
+    * fingerprint: equality-only), q31/q41 (set-level resemblance): this is
+    * the LOCAL fingerprint family — shared fingerprints localize WHERE the
+    * overlap is, which is why plagiarism/provenance pipelines use it.
+    *
+    * Scale shape: the gram build and window-min are doc-keyed window
+    * functions — one shuffle of (doc, pos, token-value) longs, per-group
+    * work bounded by document length, never a value-keyed window (the
+    * PlanShapeSpec invariant). The candidate phase is the q35
+    * inverted-index join on the fingerprint value with a stop-fingerprint
+    * cap: any fingerprint held by more than `maxDf` documents is dropped
+    * (boilerplate phrases — the df-capped analogue of q31's bucket cap),
+    * so no bucket goes quadratic at corpus scale.
+    *
+    * Arithmetic is engine-neutral (q39's discipline): token value
+    * `v = 31·len + first-char code`, gram hash a base-1000003 polynomial
+    * mod 1e9+7, and the rightmost-min tie-break is encoded numerically as
+    * `key = ghash·2²⁰ + (2²⁰−1 − gi)` so ONE `min()` over the w-frame
+    * resolves both the value and the tie (larger gram index → smaller
+    * key). `gi` is clamped into the 2²⁰ tie lane — past a million grams a
+    * doc's ties break leftmost instead, which stays deterministic in both
+    * engines. Window starts past `n−w+1` are suppressed (their frames are
+    * truncated sub-windows); documents with fewer than w grams keep their
+    * single full-frame minimum. */
+  private[graft] def winnowingFingerprints(
+      docs: DataFrame, id: String, text: String,
+      k: Int, w: Int): DataFrame = {
+    val M = 1000000007L
+    val toks = Text.posTokens(docs.select(col(id), col(text)), text)
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    def v(c: Column): Column =
+      (length(c) * 31 + ascii(substring(c, 1, 1))).cast("long")
+    // k contiguous raw-split positions (empty tokens break gram chains —
+    // the posTokens adjacency contract, same as the oracle's equi-joins)
+    val withLeads = toks.select(col(id) +: col("pos") +: col("w") +:
+        (1 until k).flatMap(j => Seq(
+          lead(col("w"), j).over(byDoc).as(s"w$j"),
+          lead(col("pos"), j).over(byDoc).as(s"pos$j"))): _*)
+      .filter((1 until k).map(j => col(s"pos$j") === col("pos") + j)
+        .reduce(_ && _))
+    val ghash = (1 until k).foldLeft(v(col("w")))(
+      (acc, j) => pmod(acc * 1000003L + v(col(s"w$j")), lit(M)))
+    val grams = withLeads.select(col(id), col("pos"), ghash.as("ghash"))
+    val seq = grams.select(col(id), col("ghash"),
+      row_number().over(byDoc).as("gi"),
+      count(lit(1)).over(Window.partitionBy(col(id))).as("n"))
+    val keyed = seq.withColumn("tkey",
+      col("ghash") * 1048576L +
+        greatest(lit(0L), lit(1048575L) - col("gi")))
+    keyed
+      .withColumn("wk", min(col("tkey")).over(
+        Window.partitionBy(col(id)).orderBy(col("gi")).rowsBetween(0, w - 1)))
+      .filter(col("gi") <= greatest(lit(1), col("n") - (w - 1)))
+      .select(col(id), expr("wk div 1048576").as("fp")).distinct()
+  }
+
+  def winnowingPairs(docs: DataFrame, id: String, text: String,
+                     k: Int = 3, w: Int = 4, maxDf: Int = 64,
+                     minShared: Int = 2): DataFrame = {
+    // persisted: referenced by the stop-fingerprint cap, both join sides,
+    // and the per-doc sizes — and its lineage holds the window stack
+    val fps = CacheRegistry.persist(
+      winnowingFingerprints(docs, id, text, k, w))
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val kept = fps.join(hot, Seq("fp"), "left_anti")
+    val sizes = kept.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    kept.as("a").join(kept.as("b"),
+        col(s"a.fp") === col(s"b.fp") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        graft.ops.Relational.ratio6(
+          "shared", "n_a + n_b - shared").as("resemblance6"))
+  }
+
   // --------------------------------------------------------------- queries
 
   // --- q27_exact_dedup: one canonical document per (lang, source) --------
@@ -1175,6 +1263,67 @@ object Dedup {
     FROM sh JOIN f USING (shingle)
     GROUP BY sh.doc_id"""
 
+  // --- q156_winnowing: MOSS winnowing fingerprint near-dup ---------------
+  def q156Winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowingPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DuckDB replay of [[winnowingPairs]] at the registered defaults
+    * (k=3, w=4, maxDf=64, minShared=2): the positional-token CTE is q153's,
+    * the gram chain is the `pos+1` adjacency equi-join, and the window-min
+    * / tie-lane arithmetic is integer-identical to the Scala. */
+  val q156WinnowingSql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, u['pos'] AS pos, u['w'] AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> struct_pack(pos := i - 1, w := ws[i]))) AS u
+        FROM t) s
+      WHERE u['w'] <> ''),
+    g3 AS (
+      SELECT a.doc_id, a.pos,
+             (((31 * length(a.w) + ascii(a.w[1:1])) * 1000003
+               + (31 * length(b.w) + ascii(b.w[1:1]))) % 1000000007
+              * 1000003
+              + (31 * length(c.w) + ascii(c.w[1:1]))) % 1000000007 AS ghash
+      FROM tok a
+      JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+    seqd AS (
+      SELECT doc_id, ghash,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS gi,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM g3),
+    keyed AS (
+      SELECT doc_id, gi, n,
+             ghash * 1048576 + GREATEST(0, 1048575 - gi) AS tkey
+      FROM seqd),
+    wins AS (
+      SELECT doc_id, gi, n,
+             MIN(tkey) OVER (PARTITION BY doc_id ORDER BY gi
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+      FROM keyed),
+    fps AS (
+      SELECT DISTINCT doc_id, wk // 1048576 AS fp
+      FROM wins WHERE gi <= GREATEST(1, n - 3)),
+    hot AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
+            WHERE df > 64),
+    kept AS (SELECT * FROM fps
+             WHERE fp NOT IN (SELECT fp FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, p.shared, za.sz AS n_a, zb.sz AS n_b,
+           """ + graft.ops.Relational.ratio6Sql(
+             "p.shared", "za.sz + zb.sz - p.shared") + raw""" AS resemblance6
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.id_a
+    JOIN sizes zb ON zb.doc_id = p.id_b
+    WHERE p.shared >= 2"""
+
   // declared after [[ngramShingleCtes]]: a forward reference between plain
   // vals in one object silently interpolates null into the SQL
   val q148ContainmentSql: String = s"""
@@ -1209,6 +1358,7 @@ object Dedup {
     "q93_substr_dup"    -> q93SubstrDup _,
     "q101_novelty"      -> q101Novelty _,
     "q148_containment"  -> q148Containment _,
+    "q156_winnowing"    -> q156Winnowing _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1229,5 +1379,6 @@ object Dedup {
     "q70_incremental_dedup" -> q70IncrementalDedupSql,
     "q93_substr_dup"    -> q93SubstrDupSql,
     "q101_novelty"      -> q101NoveltySql,
+    "q156_winnowing"    -> q156WinnowingSql,
   )
 }

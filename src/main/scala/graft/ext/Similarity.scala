@@ -1288,7 +1288,110 @@ object Similarity {
     FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
   }
 
+  // --- q157_sorted_neighborhood: SNM blocking for entity resolution -------
+  /** Sorted-neighborhood blocking (Hernández/Stolfo, SIGMOD'95) with the
+    * Sorted-Blocks overlap variant: records sort by a blocking key, every
+    * window of `w` consecutive records yields candidate pairs, and
+    * adjacent blocks exchange their w−1 boundary rows so a duplicate run
+    * straddling a block edge is not lost. Complements q126/q128's
+    * EQUALITY blocking: the sorted order pairs near keys that equality
+    * blocking would separate, at linear candidate cost O(n·w) instead of
+    * block-quadratic.
+    *
+    * Scale shape: the sort is block-keyed (`Window.partitionBy(blk)`,
+    * never a single global window) and the window expansion is ONE
+    * hash equi-join on (blk, rn) — the w−1 offsets explode on the left,
+    * the right side is probed once per offset. The overlap stage touches
+    * only 2(w−1) rows per block, routed through the block CATALOG (a
+    * distinct-blk frame orders of magnitude smaller than the data; its
+    * row_number is catalog-sized by construction and the next-block map
+    * broadcasts). The block key must be chosen so block cardinality grows
+    * with the corpus — here the name's first token; at 100 TB a longer
+    * key prefix — a low-cardinality block makes the per-block sort the
+    * bottleneck exactly like any skewed groupBy. */
+  def sortedNeighborhoodPairs(recs: DataFrame, id: String, key: String,
+                              blkOf: Column => Column, w: Int = 4,
+                              maxDist: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = recs.select(col(id).as("id"), col(key).as("key"))
+      .withColumn("blk", blkOf(col("key")))
+    val byBlk = Window.partitionBy(col("blk")).orderBy(col("key"), col("id"))
+    // persisted: probed by the within-window join (both sides), the tail
+    // and head slices, and its lineage holds the per-block sort
+    val rk = graft.CacheRegistry.persist(
+      base.select(col("id"), col("key"), col("blk"),
+        row_number().over(byBlk).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("blk"))).as("cnt")))
+    val probes = rk.withColumn("d", explode(array((1 until w).map(lit): _*)))
+      .select(col("id").as("id_l"), col("key").as("key_l"),
+        col("blk"), (col("rn") + col("d")).as("rn"))
+    val within = probes.join(
+      rk.select(col("id").as("id_r"), col("key").as("key_r"),
+        col("blk"), col("rn")),
+      Seq("blk", "rn"))
+    val cat = rk.select(col("blk")).distinct()
+    val bi = cat.withColumn("bi",
+      row_number().over(Window.orderBy(col("blk"))))
+    val nxt = bi.as("x").join(bi.as("y"), col("y.bi") === col("x.bi") + 1)
+      .select(col("x.blk").as("blk"), col("y.blk").as("nblk"))
+    val tails = rk.filter(col("rn") > col("cnt") - (w - 1))
+      .select(col("id").as("id_l"), col("key").as("key_l"), col("blk"))
+    val heads = rk.filter(col("rn") <= w - 1)
+      .select(col("id").as("id_r"), col("key").as("key_r"),
+        col("blk").as("nblk"))
+    val overlap = tails.join(broadcast(nxt), Seq("blk")).join(heads, Seq("nblk"))
+    val cand = within.select(col("id_l"), col("key_l"), col("id_r"), col("key_r"))
+      .union(overlap.select(col("id_l"), col("key_l"), col("id_r"), col("key_r")))
+    cand.select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        when(col("id_l") < col("id_r"), col("key_l")).otherwise(col("key_r"))
+          .as("name_a"),
+        when(col("id_l") < col("id_r"), col("key_r")).otherwise(col("key_l"))
+          .as("name_b"),
+        levenshtein(col("key_l"), col("key_r")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  def q157SortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(
+      Tables.part(spark, dir)
+        .select(col("p_partkey"), lower(col("p_name")).as("name")),
+      "p_partkey", "name", k => split(k, " ").getItem(0))
+
+  val q157SortedNeighborhoodSql: String = """
+    WITH rec AS (
+      SELECT p_partkey AS id, lower(p_name) AS key,
+             split_part(lower(p_name), ' ', 1) AS blk
+      FROM part),
+    rk AS (
+      SELECT id, key, blk,
+             ROW_NUMBER() OVER (PARTITION BY blk ORDER BY key, id) AS rn,
+             COUNT(*) OVER (PARTITION BY blk) AS cnt
+      FROM rec),
+    blks AS (
+      SELECT blk, ROW_NUMBER() OVER (ORDER BY blk) AS bi
+      FROM (SELECT DISTINCT blk FROM rec)),
+    within AS (
+      SELECT a.id AS id_l, a.key AS key_l, b.id AS id_r, b.key AS key_r
+      FROM rk a JOIN rk b
+        ON b.blk = a.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+    ovl AS (
+      SELECT a.id AS id_l, a.key AS key_l, b.id AS id_r, b.key AS key_r
+      FROM rk a
+      JOIN blks ba ON ba.blk = a.blk
+      JOIN blks bb ON bb.bi = ba.bi + 1
+      JOIN rk b ON b.blk = bb.blk AND b.rn <= 3
+      WHERE a.rn > a.cnt - 3),
+    cand AS (SELECT * FROM within UNION ALL SELECT * FROM ovl)
+    SELECT LEAST(id_l, id_r) AS id_a, GREATEST(id_l, id_r) AS id_b,
+           CASE WHEN id_l < id_r THEN key_l ELSE key_r END AS name_a,
+           CASE WHEN id_l < id_r THEN key_r ELSE key_l END AS name_b,
+           CAST(levenshtein(key_l, key_r) AS INT) AS dist
+    FROM cand WHERE levenshtein(key_l, key_r) <= 3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_sorted_neighborhood" -> q157SortedNeighborhood _,
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
     "q43_ivf_label_pairs" -> q43IvfLabelPairs _,
@@ -1309,6 +1412,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q157_sorted_neighborhood" -> q157SortedNeighborhoodSql,
     "q28_similarity_topk" -> q28SimilarityTopKSql,
     "q42_ann_topk"        -> q42AnnTopKSql,
     "q43_ivf_label_pairs" -> q43IvfLabelPairsSql,

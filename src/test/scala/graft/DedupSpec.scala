@@ -246,4 +246,52 @@ class DedupSpec extends GraftSuite {
       1L -> ((2L, 3L, 30L, 40L)),
       4L -> ((4L, 1L, 7L, 0L))))
   }
+
+  /** Scala brute-force replay of winnowing at (k, w): contiguous tokens,
+    * rightmost-min tie lane, truncated tail windows suppressed. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[Long] = {
+    val M = 1000000007L
+    val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val vs = ts.map(t => 31L * t.length + t.head.toInt)
+    if (vs.length < k) Set.empty
+    else {
+      val ghs = vs.sliding(k)
+        .map(g => g.tail.foldLeft(g.head)((a, v) => (a * 1000003L + v) % M))
+        .toVector
+      val keys = ghs.zipWithIndex.map { case (h, i) =>
+        h * 1048576L + math.max(0L, 1048575L - (i + 1)) }
+      val nWin = math.max(1, ghs.length - w + 1)
+      (0 until nWin).map(j => keys.slice(j, j + w).min / 1048576L).toSet
+    }
+  }
+
+  test("winnowing fingerprints match the brute-force reference") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "alpha beta gamma"),          // exactly one gram → one fingerprint
+      (3L, "tiny doc"),                  // < k tokens → none
+      (4L, "rep rep rep rep rep rep rep rep")) // all grams tie → rightmost mins
+    val docs = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, t) <- texts) {
+      val want = winnowRef(t, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"doc $id: got ${got.getOrElse(id, Set.empty)}, want $want")
+    }
+  }
+
+  test("winnowing guarantee: a shared w+k-1 token run yields a shared pair") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 tokens
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven twelve"),
+      (3L, "red green blue cyan magenta yellow black white gray pink"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+        k = 3, w = 4, maxDf = 64, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
 }

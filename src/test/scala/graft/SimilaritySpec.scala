@@ -362,4 +362,21 @@ class SimilaritySpec extends GraftSuite {
       assert(new java.io.File(s"$path/$a/_SUCCESS").exists(), a)
     }
   }
+
+  test("sorted neighborhood: window pairs, block-overlap pairs, window cutoff") {
+    val recs = Seq(
+      (1L, "aa"), (2L, "ab"), (3L, "ac"), (4L, "az"), // block 'a', sorted
+      (5L, "ba"))                                     // block 'b'
+      .toDF("id", "name")
+    val got = Similarity.sortedNeighborhoodPairs(
+        recs, "id", "name", k => substring(k, 1, 1), w = 3, maxDist = 9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-window (w=3 → offsets 1..2): (1,2),(1,3),(2,3),(2,4),(3,4);
+    // overlap: block-a tail {3,4} × block-b head {5}; (1,4) is 3 apart —
+    // beyond the window — and must NOT appear even though lev('aa','az')
+    // would pass the distance gate
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)), got.toString)
+  }
 }
