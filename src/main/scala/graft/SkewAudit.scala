@@ -176,7 +176,11 @@ object SkewAudit {
         // line) over doc-keyed window stacks; and sorted-neighborhood —
         // 10× deeper blocks with 10× longer identical-name runs against
         // the per-block rank join
-        "q156_winnowing", "q157_sorted_neighborhood")
+        "q156_winnowing", "q157_sorted_neighborhood",
+        // rank-sum drift shares q144's pair-partitioned cumulative shape;
+        // audited on its own because its per-pair reduction (rank terms)
+        // is a heavier window payload than KS's two counters
+        "q159_mannwhitney")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))

@@ -541,6 +541,108 @@ object Profiling {
   def q144KsDrift(spark: SparkSession, dir: String): DataFrame =
     ksPairs(graft.Tables.documents(spark, dir), "lang", "n_chars")
 
+  // --- q159_mannwhitney: two-sample rank-sum drift test -------------------
+  /** Mann–Whitney U (Wilcoxon rank-sum) for every group pair — the
+    * LOCATION-shift companion of q144's KS: KS reacts to any CDF
+    * divergence, U asks specifically "does one cohort's metric run
+    * systematically higher?", with a tie-corrected normal z. The standard
+    * pre-/post-crawl quality-metric gate.
+    *
+    * Rank arithmetic never touches a float: with ranks doubled, the
+    * tie-averaged rank of value x is the INTEGER `2·below(x) + t(x) + 1`
+    * (below = combined count of strictly smaller values, t = x's tie
+    * group), so the doubled rank sum `R2 = Σ dca·(2·below + t + 1)`, the
+    * doubled statistic `U2 = R2 − na(na+1)`, and the tie term
+    * `T = Σ(t³−t)` are all exact BIGINTs. Only the final z divides into
+    * doubles — one fixed expression tree both engines evaluate
+    * identically, then ROUND(6) (irrational √ ⇒ no 6-dp boundary, the
+    * q37 stddev argument). BIGINT headroom: R2 ~ c·n², exact to ~10⁹-row
+    * pairs — the q144 DECIMAL-swap note applies.
+    *
+    * Scale shape: identical to [[ksPairs]] — one (group, value) count
+    * shuffle, a ±delta union re-agg, a cumulative window partitioned by
+    * PAIR over distinct values (value-cardinality-bounded, never corpus
+    * rows), sizes broadcast. */
+  def mannWhitneyPairs(df: DataFrame, group: String, value: String): DataFrame = {
+    val counts = graft.CacheRegistry.persist(
+      df.select(col(group).as("g"), col(value).as("x"))
+        .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c")))
+    val sizes = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val pairs = sizes.select(col("g").as("ga"), col("n").as("na"))
+      .join(sizes.select(col("g").as("gb"), col("n").as("nb")),
+        col("ga") < col("gb"))
+    val deltas = counts
+      .join(broadcast(pairs.select("ga", "gb")), col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("x"),
+        col("c").as("dca"), lit(0L).as("dcb"))
+      .unionByName(counts
+        .join(broadcast(pairs.select("ga", "gb")), col("g") === col("gb"))
+        .select(col("ga"), col("gb"), col("x"),
+          lit(0L).as("dca"), col("c").as("dcb")))
+      .groupBy(col("ga"), col("gb"), col("x"))
+      .agg(sum(col("dca")).as("dca"), sum(col("dcb")).as("dcb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("x"))
+    val t = col("dca") + col("dcb")
+    val below = sum(col("dca")).over(w) + sum(col("dcb")).over(w) - t
+    val stats = deltas
+      .select(col("ga"), col("gb"), col("dca"),
+        t.as("t"), below.as("below"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(col("dca") * (lit(2L) * col("below") + col("t") + 1L))
+          .as("r2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+    val n = col("na") + col("nb")
+    val u2 = col("r2") - col("na") * (col("na") + 1L)
+    val varU = col("na").cast("double") * col("nb") *
+      ((n + 1L) - col("tie").cast("double") / (n * (n - 1L))) / 12.0
+    stats.join(broadcast(pairs), Seq("ga", "gb"))
+      .select(col("ga"), col("gb"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        (u2.cast("double") / 2.0).as("u"),
+        round(when(varU > 0,
+            (u2 - col("na") * col("nb")).cast("double") /
+              (lit(2.0) * sqrt(varU))), 6).as("z6"))
+  }
+
+  def q159MannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyPairs(graft.Tables.documents(spark, dir), "lang", "n_chars")
+
+  val q159MannWhitneySql: String = s"""
+    WITH c AS (SELECT lang AS g, n_chars AS x, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    s AS (SELECT g, SUM(c) AS n FROM c GROUP BY g),
+    pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+           FROM s a JOIN s b ON a.g < b.g),
+    m AS (SELECT ga, gb, x, SUM(dca) AS dca, SUM(dcb) AS dcb FROM (
+            SELECT pr.ga, pr.gb, c.x, c.c AS dca, 0 AS dcb
+            FROM c JOIN pr ON c.g = pr.ga
+            UNION ALL
+            SELECT pr.ga, pr.gb, c.x, 0, c.c
+            FROM c JOIN pr ON c.g = pr.gb) u
+          GROUP BY ga, gb, x),
+    cum AS (SELECT ga, gb, dca, dca + dcb AS t,
+                   SUM(dca) OVER (PARTITION BY ga, gb ORDER BY x)
+                   + SUM(dcb) OVER (PARTITION BY ga, gb ORDER BY x)
+                   - (dca + dcb) AS below
+            FROM m),
+    st AS (SELECT ga, gb,
+                  SUM(dca * (2 * below + t + 1)) AS r2,
+                  SUM(t * t * t - t) AS tie
+           FROM cum GROUP BY ga, gb)
+    SELECT st.ga, st.gb,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           CAST(r2 - na * (na + 1) AS DOUBLE) / 2.0 AS u,
+           ROUND(CASE WHEN CAST(na AS DOUBLE) * nb *
+                      ((na + nb + 1) - CAST(tie AS DOUBLE)
+                        / ((na + nb) * (na + nb - 1))) / 12.0 > 0
+             THEN CAST(r2 - na * (na + 1) - na * nb AS DOUBLE) /
+                  (2.0 * sqrt(CAST(na AS DOUBLE) * nb *
+                    ((na + nb + 1) - CAST(tie AS DOUBLE)
+                      / ((na + nb) * (na + nb - 1))) / 12.0))
+             END, 6) AS z6
+    FROM st JOIN pr ON pr.ga = st.ga AND pr.gb = st.gb"""
+
   val q144KsDriftSql: String = s"""
     WITH c AS (SELECT lang AS g, n_chars AS x, COUNT(*) AS c
                FROM documents GROUP BY 1, 2),
@@ -575,6 +677,7 @@ object Profiling {
     "q141_count_min"    -> q141CountMin _,
     "q142_diversity"    -> q142Diversity _,
     "q144_ks_drift"     -> q144KsDrift _,
+    "q159_mannwhitney"  -> q159MannWhitney _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -586,5 +689,6 @@ object Profiling {
     "q141_count_min"    -> q141CountMinSql,
     "q142_diversity"    -> q142DiversitySql,
     "q144_ks_drift"     -> q144KsDriftSql,
+    "q159_mannwhitney"  -> q159MannWhitneySql,
   )
 }

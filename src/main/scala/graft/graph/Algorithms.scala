@@ -410,6 +410,121 @@ object Algorithms {
     s"$prelude$steps\nSELECT id, ROUND(val, 6) AS trust FROM t$pageRankIters"
   }
 
+  // --- q158_hits: hubs & authorities (weighted HITS) ----------------------
+  /** HITS (Kleinberg, JACM'99), edge-weighted, max-normalized: auth(v)
+    * sums w·hub over v's in-edges, hub(u) sums w·auth over u's fresh
+    * out-neighbors, and each half-step divides by the frame's maximum —
+    * MAX, not the classical L2 norm, because max of doubles is
+    * order-invariant and division by one shared scalar is exact, so the
+    * DuckDB oracle (the same fixed point unrolled as generated CTEs,
+    * q32's pattern) reproduces every iterate bit-for-bit. The ranking is
+    * identical to any positive-scalar normalization. On the nation graph
+    * every in/out-degree is 2, so each per-vertex sum has exactly two
+    * double terms — commutatively exact in IEEE regardless of partial-agg
+    * order; the WEIGHTS are what break the graph's regularity (unweighted
+    * HITS on a 2-in/2-out-regular graph converges to the all-ones vector
+    * — no evidence), and each w·score product is one exact IEEE multiply.
+    *
+    * Scale shape: per iteration, two id-keyed left joins + hash aggs (the
+    * wordcount shuffle shape; a power-law hub key partial-aggregates
+    * map-side like any hot groupBy key) and ONE 1-row max broadcast —
+    * the q153 argmax discipline: the corpus-sized frame is never
+    * reshuffled to learn the normalizer. Each iterate `localCheckpoint`s
+    * (Pregel's lineage cadence): every normalize references its raw frame
+    * TWICE (the scores and the max), so an uncut plan would double per
+    * half-step — 2²⁴ nodes by iteration 12, OOM in plan stringification
+    * long before execution cost matters. */
+  def hits(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = graft.CacheRegistry.persist(
+      edges.select(col("src"), col("dst"), col("w")))
+    val ids = graft.CacheRegistry.persist(vertices.select(col("id")))
+    def normalized(raw: DataFrame): DataFrame = {
+      val r = graft.CacheRegistry.persist(raw)
+      val m = r.agg(max(col("raw")).as("m"))
+      r.crossJoin(broadcast(m))
+        .select(col("id"),
+          when(col("m") > 0, col("raw") / col("m")).otherwise(lit(0.0))
+            .as("score"))
+        .localCheckpoint()
+    }
+    var hub = ids.select(col("id"), lit(1.0).as("score"))
+    var auth = ids.select(col("id"), lit(1.0).as("score"))
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        ids.join(e, col("id") === col("dst"), "left_outer")
+          .join(hub.select(col("id").as("hid"), col("score").as("h")),
+            col("src") === col("hid"), "left_outer")
+          .groupBy(col("id"))
+          .agg(coalesce(sum(col("w") * col("h")), lit(0.0)).as("raw")))
+      hub = normalized(
+        ids.join(e, col("id") === col("src"), "left_outer")
+          .join(auth.select(col("id").as("aid"), col("score").as("a")),
+            col("dst") === col("aid"), "left_outer")
+          .groupBy(col("id"))
+          .agg(coalesce(sum(col("w") * col("a")), lit(0.0)).as("raw")))
+    }
+    hub.select(col("id"), col("score").as("hub"))
+      .join(auth.select(col("id"), col("score").as("auth")), Seq("id"))
+  }
+
+  val hitsIters = 12
+
+  /** Deterministic weights on [[nationEdges]]: `(src + 2·dst) % 7 + 1` —
+    * integer-derived in both engines, breaking the 2-regular symmetry. */
+  def q158Hits(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.nation(spark, dir).select(col("n_nationkey").as("id"))
+    val we = nationEdges(spark, dir).withColumn("w",
+      (pmod(col("src") + lit(2) * col("dst"), lit(7)) + 1).cast("double"))
+    hits(v, we, hitsIters)
+      .select(col("id"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+  }
+
+  /** Generated like q32's: one (ar, a, hr, h) CTE quartet per iteration,
+    * max-normalizers as scalar subqueries with the same >0 guard. All
+    * CTEs MATERIALIZED — the unrolled 48-CTE chain otherwise re-opens the
+    * nation parquet per reference and trips "Too many open files". */
+  val q158HitsSql: String = {
+    val prelude = """
+      WITH nat AS MATERIALIZED (SELECT n_nationkey FROM nation),
+      e AS MATERIALIZED (
+        SELECT src, dst, CAST((src + 2 * dst) % 7 + 1 AS DOUBLE) AS w FROM (
+          SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nat
+          UNION ALL
+          SELECT n_nationkey, (n_nationkey * 3 + 7) % 25 FROM nat) ed
+      ),
+      h0 AS (SELECT n_nationkey AS id, CAST(1.0 AS DOUBLE) AS score FROM nat)"""
+    val steps = (1 to hitsIters).map { i =>
+      s""", ar$i AS MATERIALIZED (
+        SELECT n.n_nationkey AS id,
+               COALESCE(SUM(e.w * h.score), CAST(0.0 AS DOUBLE)) AS raw
+        FROM nat n
+        LEFT JOIN e ON e.dst = n.n_nationkey
+        LEFT JOIN h${i - 1} h ON h.id = e.src
+        GROUP BY n.n_nationkey),
+      a$i AS MATERIALIZED (
+        SELECT id, CASE WHEN (SELECT MAX(raw) FROM ar$i) > 0
+                        THEN raw / (SELECT MAX(raw) FROM ar$i)
+                        ELSE CAST(0.0 AS DOUBLE) END AS score
+        FROM ar$i),
+      hr$i AS MATERIALIZED (
+        SELECT n.n_nationkey AS id,
+               COALESCE(SUM(e.w * a.score), CAST(0.0 AS DOUBLE)) AS raw
+        FROM nat n
+        LEFT JOIN e ON e.src = n.n_nationkey
+        LEFT JOIN a$i a ON a.id = e.dst
+        GROUP BY n.n_nationkey),
+      h$i AS MATERIALIZED (
+        SELECT id, CASE WHEN (SELECT MAX(raw) FROM hr$i) > 0
+                        THEN raw / (SELECT MAX(raw) FROM hr$i)
+                        ELSE CAST(0.0 AS DOUBLE) END AS score
+        FROM hr$i)"""
+    }.mkString
+    s"$prelude$steps\n      SELECT h.id AS id, ROUND(h.score, 6) AS hub," +
+      s" ROUND(a.score, 6) AS auth\n      FROM h$hitsIters h" +
+      s" JOIN a$hitsIters a ON a.id = h.id"
+  }
+
   def q33MaxPropagation(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("id"),
@@ -992,6 +1107,7 @@ object Algorithms {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q117_trustrank"      -> q117TrustRank _,
+    "q158_hits"           -> q158Hits _,
     "q33_max_propagation" -> q33MaxPropagation _,
     "q60_kcore"           -> q60KCore _,
     "q82_triangles"       -> q82Triangles _,
@@ -1005,6 +1121,7 @@ object Algorithms {
   def oracles: Map[String, String] = Map(
     "q32_pagerank"        -> q32PageRankSql,
     "q117_trustrank"      -> q117TrustRankSql,
+    "q158_hits"           -> q158HitsSql,
     "q33_max_propagation" -> q33MaxPropagationSql,
     "q60_kcore"           -> q60KCoreSql,
     "q82_triangles"       -> q82TrianglesSql,

@@ -190,4 +190,17 @@ class PregelSpec extends GraftSuite {
     // the marker advanced past the interrupt point during the resume
     assert(Pregel.resumeState(spark, dir).get._2 > 6)
   }
+
+  test("hits: star graph fixed point — center is the authority, leaves the hubs") {
+    // leaves 1..3 each point at center 0; the exact fixed point (reached
+    // in one iteration under max-normalization) is auth(0)=1, hub(leaf)=1,
+    // auth(leaf)=0, hub(0)=0
+    val v = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+      .withColumn("w", lit(1.0))
+    val got = Algorithms.hits(v, e, iters = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(0L) == ((0.0, 1.0)), got.toString)
+    (1L to 3L).foreach(i => assert(got(i) == ((1.0, 0.0)), got.toString))
+  }
 }

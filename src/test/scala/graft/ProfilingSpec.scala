@@ -160,4 +160,20 @@ class ProfilingSpec extends GraftSuite {
     assert(got(("b", "c")) == 0.5 && got(("b", "d")) == 1.0 &&
       got(("c", "d")) == 1.0)
   }
+
+  test("mannWhitneyPairs: hand-computed U and tie-corrected z") {
+    // pair (a,b): A={1,2,3} < B={4,5,6} → U=0, var=na·nb·(n+1)/12=5.25,
+    // z = -4.5/√5.25; pair (c,d): ties — C={1,1,2}, D={1,2,2}: doubled
+    // avg ranks 4 and 10 → R_a=9, U=3, T=2·(27−3)=48,
+    // var = 0.75·(7 − 48/30) = 4.05, z = -1.5/√4.05
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)) ++
+      Seq(1, 1, 2).map(("c", _)) ++ Seq(1, 2, 2).map(("d", _)))
+      .toDF("g", "x")
+    val got = Profiling.mannWhitneyPairs(df, "g", "x").collect()
+      .map(r => (r.getAs[String]("ga"), r.getAs[String]("gb")) ->
+        ((r.getAs[Double]("u"), r.getAs[Double]("z6")))).toMap
+    assert(got(("a", "b")) == ((0.0, -1.963961)), got.toString)
+    assert(got(("c", "d")) == ((3.0, -0.745356)), got.toString)
+    assert(got.size == 6)
+  }
 }
