@@ -180,7 +180,11 @@ object SkewAudit {
         // rank-sum drift shares q144's pair-partitioned cumulative shape;
         // audited on its own because its per-pair reduction (rank terms)
         // is a heavier window payload than KS's two counters
-        "q159_mannwhitney")
+        "q159_mannwhitney",
+        // aHash: the mapPartitions hash pass must stay flat at 10× docs,
+        // and the (blk, v) bucket join gets 10× deeper buckets (identical
+        // copies hash identically — every bucket is maximally hot)
+        "q160_ahash_neardup")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))

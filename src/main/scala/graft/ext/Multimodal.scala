@@ -155,13 +155,163 @@ object Multimodal {
     FROM f WHERE length(fr) = $q89FrameBytes"""
   }
 
+  // --- q160_ahash_neardup: perceptual average-hash near-dup ---------------
+  /** 64-bit average-hash (aHash) over the payload bytes — the perceptual-
+    * dedup primitive for image pipelines: resize to an 8×8 grid, threshold
+    * each cell against the global mean, band the 64 bits, and pair-join on
+    * matching bands. The "decode + resize" stage is the documented
+    * deterministic stub (no codecs in this container): the payload
+    * stretch-partitions into 64 contiguous byte slices — the box-resize
+    * analogue — and a cell's bit is the EXACT integer comparison
+    * `slice_sum · total_count ≥ total_sum · slice_count` (cell mean ≥
+    * global byte mean with no division), so the DuckDB oracle replays it
+    * integer-for-integer (ASCII corpus ⇒ char code = byte, the q89
+    * assumption). Slices that get no bytes (payload < 64 bytes) stay 0.
+    *
+    * Banding: eight 8-bit blocks — hamming ≤ 7 pigeonholes at least one
+    * exact block match, so every pair within the `maxHamming = 3` gate is
+    * provably a candidate. Word-level text edits scatter byte alignment
+    * far past the gate (measured: nearest non-planted candidate at
+    * hamming 10 on this corpus), which is correct — aHash detects
+    * PIXEL-level noise, not token edits; q31/q41/q156 own those. The
+    * registered query therefore plants its own positives (the q128
+    * derived-dirty-feed discipline): every document gets a byte-bumped
+    * copy (+1 at positions ≡ 0 mod 17, id + 1 000 000), and the hash
+    * compare certifies exactly the 500 planted pairs at distance ≤ 3 with
+    * zero false positives.
+    *
+    * Scale shape: hashing is one `mapPartitions` pass (the batched-decode
+    * plumbing), the candidate stage is the q41 block bucket join on
+    * (blk, v) — 8 long rows per payload, never the bytes — and the
+    * hamming gate unrolls to eight codegen'd xor/bit_count terms on the
+    * candidate pairs only. */
+  private[graft] def aHashOf(payload: Array[Byte]): Array[Long] = {
+    val L = payload.length
+    val blocks = new Array[Long](8)
+    if (L == 0) return blocks
+    val s = new Array[Long](64)
+    val c = new Array[Long](64)
+    var i = 0
+    while (i < L) {
+      val lane = ((i.toLong * 64) / L).toInt
+      s(lane) += (payload(i) & 0xFF)
+      c(lane) += 1
+      i += 1
+    }
+    var ts = 0L
+    var j = 0
+    while (j < 64) { ts += s(j); j += 1 }
+    j = 0
+    while (j < 64) {
+      if (c(j) > 0 && s(j) * L >= ts * c(j)) blocks(j / 8) |= (1L << (j % 8))
+      j += 1
+    }
+    blocks
+  }
+
+  /** (doc_id, payload) → (doc_id, blocks: array of 8 byte-valued longs). */
+  def aHashBlocks(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, aHashOf(p)) })
+      .toDF("doc_id", "blocks")
+  }
+
+  /** Every document plus a byte-bumped copy (+1 at positions ≡ 0 mod 17,
+    * id shifted) — the deterministic "noisy re-encode" feed. */
+  def withPerturbedCopies(media: DataFrame, shift: Long = 1000000L): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val q = new Array[Byte](p.length)
+        var i = 0
+        while (i < p.length) {
+          q(i) = (p(i) + (if (i % 17 == 0) 1 else 0)).toByte
+          i += 1
+        }
+        Seq((id, p), (id + shift, q))
+      }.toDF("doc_id", "payload")
+  }
+
+  def aHashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val wide = graft.CacheRegistry.persist(aHashBlocks(media))
+    val banded = wide.select(col("doc_id"),
+      posexplode(col("blocks")).as(Seq("blk", "v")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val ham = (0 until 8).map(b =>
+        bit_count(element_at(col("ba"), b + 1)
+          .bitwiseXOR(element_at(col("bb"), b + 1))))
+      .reduce(_ + _)
+    cand
+      .join(wide.select(col("doc_id").as("id_a"), col("blocks").as("ba")),
+        Seq("id_a"))
+      .join(wide.select(col("doc_id").as("id_b"), col("blocks").as("bb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def q160AHashNearDup(spark: SparkSession, dir: String): DataFrame =
+    aHashPairs(withPerturbedCopies(
+      mediaTable(spark, dir).select(col("doc_id"), col("payload"))))
+
+  val q160AHashNearDupSql: String = """
+    WITH t0 AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    ch0 AS (SELECT doc_id, (i * 64) // len AS lane,
+                   ascii(text[i+1:i+1]) AS code, i
+            FROM t0, unnest(range(0, length(text))) AS u(i)),
+    ch AS (SELECT doc_id, lane, code FROM ch0
+           UNION ALL
+           SELECT doc_id + 1000000, lane,
+                  code + CASE WHEN i % 17 = 0 THEN 1 ELSE 0 END
+           FROM ch0),
+    px AS (SELECT doc_id, lane, SUM(code) AS s, COUNT(*) AS c
+           FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(s) AS ts, SUM(c) AS tc FROM px GROUP BY 1),
+    bits AS (SELECT p.doc_id, p.lane,
+                    CASE WHEN p.s * t.tc >= t.ts * p.c THEN 1 ELSE 0 END AS bit
+             FROM px p JOIN tot t USING (doc_id)),
+    blk AS (SELECT doc_id, lane // 8 AS blk, SUM(bit * (1 << (lane % 8))) AS v
+            FROM bits GROUP BY 1, 2),
+    wide AS (SELECT doc_id,
+      MAX(CASE WHEN blk = 0 THEN v END)::BIGINT AS v0,
+      MAX(CASE WHEN blk = 1 THEN v END)::BIGINT AS v1,
+      MAX(CASE WHEN blk = 2 THEN v END)::BIGINT AS v2,
+      MAX(CASE WHEN blk = 3 THEN v END)::BIGINT AS v3,
+      MAX(CASE WHEN blk = 4 THEN v END)::BIGINT AS v4,
+      MAX(CASE WHEN blk = 5 THEN v END)::BIGINT AS v5,
+      MAX(CASE WHEN blk = 6 THEN v END)::BIGINT AS v6,
+      MAX(CASE WHEN blk = 7 THEN v END)::BIGINT AS v7
+      FROM blk GROUP BY doc_id),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM blk a JOIN blk b
+               ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a.v0, b.v0)) + bit_count(xor(a.v1, b.v1))
+              + bit_count(xor(a.v2, b.v2)) + bit_count(xor(a.v3, b.v3))
+              + bit_count(xor(a.v4, b.v4)) + bit_count(xor(a.v5, b.v5))
+              + bit_count(xor(a.v6, b.v6)) + bit_count(xor(a.v7, b.v7))
+             AS INT) AS hamming
+    FROM cand c JOIN wide a ON a.doc_id = c.id_a
+                JOIN wide b ON b.doc_id = c.id_b
+    WHERE bit_count(xor(a.v0, b.v0)) + bit_count(xor(a.v1, b.v1))
+        + bit_count(xor(a.v2, b.v2)) + bit_count(xor(a.v3, b.v3))
+        + bit_count(xor(a.v4, b.v4)) + bit_count(xor(a.v5, b.v5))
+        + bit_count(xor(a.v6, b.v6)) + bit_count(xor(a.v7, b.v7)) <= 3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_multimodal_meta" -> q34MultimodalMeta _,
     "q89_frame_sample"    -> q89FrameSample _,
+    "q160_ahash_neardup"  -> q160AHashNearDup _,
   )
 
   def oracles: Map[String, String] = Map(
     "q34_multimodal_meta" -> q34MultimodalMetaSql,
     "q89_frame_sample"    -> q89FrameSampleSql,
+    "q160_ahash_neardup"  -> q160AHashNearDupSql,
   )
 }

@@ -81,4 +81,32 @@ class MultimodalSpec extends GraftSuite {
         r.getAs[Int]("width").toLong * r.getAs[Int]("height"))
     }
   }
+
+  test("aHash: identical payloads at distance 0, byte noise near, rewrite far") {
+    // doc 2 = doc 1 exactly; doc 3 = doc 1 with sparse byte bumps (the
+    // perceptual-noise case); doc 4 is a different byte distribution
+    val base = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val noisy = base.getBytes("UTF-8").zipWithIndex
+      .map { case (b, i) => if (i % 19 == 0) (b + 1).toByte else b }
+    val media = Seq(
+      (1L, base.getBytes("UTF-8")),
+      (2L, base.getBytes("UTF-8")),
+      (3L, noisy),
+      (4L, ("ZZZZ aaaa 0000 !!!! " * 9).getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.aHashPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(got((1L, 2L)) == 0, got.toString)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 3, got.toString)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L), got.toString)
+  }
+
+  test("withPerturbedCopies plants a recoverable pair per document") {
+    val media = Seq((7L, "some reasonably long payload text here okay"
+      .getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val pairs = Multimodal.aHashPairs(
+        Multimodal.withPerturbedCopies(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((7L, 1000007L)), pairs.toString)
+  }
 }

@@ -31,10 +31,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # --only-present: skip oracles whose output dir was not dumped (a
+    # SPARK_GRAFT_ONLY-filtered Verify run) instead of failing them
+    only_present = "--only-present" in sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only_present:
+        import os
+        oracles = {n: s for n, s in oracles.items()
+                   if os.path.isdir(f"{out_dir}/{n}")}
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
