@@ -434,6 +434,85 @@ object Profiling {
     FROM est"""
   }
 
+  // --- q161_join_size: CM-sketch join-cardinality estimation --------------
+  /** Join-size estimation from two count-min sketches — the AQP/planner
+    * primitive: `|A ⨝ B|` on a key is the inner product Σ_k cA(k)·cB(k),
+    * and the sketch estimate is, per hash row j, Σ_b cA_j[b]·cB_j[b]
+    * (Cormode–Muthukrishnan's inner-product estimator), one-sided like
+    * the point estimate: collisions only ADD cross terms, so every row's
+    * estimate ≥ the exact size. This is what a planner consults before
+    * committing to a shuffle join at 100 TB — both sketches are ≤
+    * depth·width rows regardless of corpus size, broadcastable, and
+    * mergeable cell-wise, so the estimate costs two key-cardinality
+    * groupBys and a sketch-sized join instead of the join itself.
+    *
+    * The registered query estimates the same-user (click, view) pair
+    * count on events, width 16 over ~150 users — deliberately
+    * under-provisioned (q141's discipline) so the hash compare certifies
+    * genuine collision overshoot plus the no-undercount guarantee, not a
+    * collision-free replay. Hashes are the engine-portable md5→nibble
+    * substrate shared with q141, so DuckDB rebuilds both sketches
+    * bit-for-bit; all arithmetic (counts, products, sums) is exact
+    * BIGINT. */
+  def cmJoinSizeAudit(a: DataFrame, b: DataFrame, key: String,
+                      width: Int = 16, depth: Int = 4): DataFrame = {
+    def cnts(df: DataFrame) =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    val ca = graft.CacheRegistry.persist(cnts(a))
+    val cb = graft.CacheRegistry.persist(cnts(b))
+    val ska = countMinSketch(ca, "k", col("cnt"), width, depth)
+    val skb = countMinSketch(cb, "k", col("cnt"), width, depth)
+    val est = ska.as("x").join(skb.as("y"),
+        col("x.j") === col("y.j") && col("x.bucket") === col("y.bucket"))
+      .groupBy(col("x.j").as("j"))
+      .agg(sum(col("x.c") * col("y.c")).as("est_j"))
+    val exact = ca.as("a").join(cb.as("b"), col("a.k") === col("b.k"))
+      .agg(coalesce(sum(col("a.cnt") * col("b.cnt")), lit(0L))
+        .as("exact_size"))
+    est.crossJoin(broadcast(exact))
+      .select(col("j").cast("int").as("j"),
+        col("est_j").cast("long").as("est_j"),
+        col("exact_size").cast("long").as("exact_size"),
+        (col("est_j") >= col("exact_size")).as("no_undercount"))
+  }
+
+  def q161JoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    cmJoinSizeAudit(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"), "user_id")
+  }
+
+  val q161JoinSizeSql: String = {
+    val nib = graft.ext.Sampling.nibbleSumSql("h8")
+    raw"""
+    WITH ca AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events
+                WHERE event_type = 'click' GROUP BY 1),
+    cb AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+    ha AS (SELECT k, cnt, j,
+                  substring(md5(CAST(j AS VARCHAR) || ':' ||
+                                CAST(k AS VARCHAR)), 1, 8) AS h8
+           FROM ca, unnest([0, 1, 2, 3]) AS u(j)),
+    ska AS (SELECT j, $nib % 16 AS bucket, SUM(cnt) AS c
+            FROM ha GROUP BY 1, 2),
+    hb AS (SELECT k, cnt, j,
+                  substring(md5(CAST(j AS VARCHAR) || ':' ||
+                                CAST(k AS VARCHAR)), 1, 8) AS h8
+           FROM cb, unnest([0, 1, 2, 3]) AS u(j)),
+    skb AS (SELECT j, $nib % 16 AS bucket, SUM(cnt) AS c
+            FROM hb GROUP BY 1, 2),
+    ex AS (SELECT COALESCE(SUM(a.cnt * b.cnt), 0) AS exact_size
+           FROM ca a JOIN cb b ON a.k = b.k),
+    est AS (SELECT x.j AS j, SUM(x.c * y.c) AS est_j
+            FROM ska x JOIN skb y ON x.j = y.j AND x.bucket = y.bucket
+            GROUP BY 1)
+    SELECT CAST(est.j AS INT) AS j, CAST(est_j AS BIGINT) AS est_j,
+           CAST(exact_size AS BIGINT) AS exact_size,
+           est_j >= exact_size AS no_undercount
+    FROM est, ex"""
+  }
+
   // --- q142_diversity: Simpson token-diversity per source -----------------
   /** Per-source lexical diversity via the Simpson homogeneity index
     * `D = Σ nᵢ(nᵢ−1) / (N(N−1))` — the probability two tokens drawn
@@ -678,6 +757,7 @@ object Profiling {
     "q142_diversity"    -> q142Diversity _,
     "q144_ks_drift"     -> q144KsDrift _,
     "q159_mannwhitney"  -> q159MannWhitney _,
+    "q161_join_size"    -> q161JoinSize _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -690,5 +770,6 @@ object Profiling {
     "q142_diversity"    -> q142DiversitySql,
     "q144_ks_drift"     -> q144KsDriftSql,
     "q159_mannwhitney"  -> q159MannWhitneySql,
+    "q161_join_size"    -> q161JoinSizeSql,
   )
 }

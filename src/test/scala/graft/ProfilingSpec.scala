@@ -176,4 +176,17 @@ class ProfilingSpec extends GraftSuite {
     assert(got(("c", "d")) == ((3.0, -0.745356)), got.toString)
     assert(got.size == 6)
   }
+
+  test("cmJoinSizeAudit: exact at ample width, one-sided under collisions") {
+    // A = {1,1,2,3}, B = {1,2,2,9} on k → exact = 2·1 + 1·2 = 4
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 9L).toDF("k")
+    val ample = Profiling.cmJoinSizeAudit(a, b, "k", width = 1024, depth = 4)
+      .collect().map(r => (r.getAs[Long]("est_j"), r.getAs[Long]("exact_size")))
+    assert(ample.length == 4 && ample.forall(_._2 == 4L), ample.toSeq)
+    assert(ample.forall(_._1 == 4L), s"collision-free width must be exact: ${ample.toSeq}")
+    val tight = Profiling.cmJoinSizeAudit(a, b, "k", width = 2, depth = 4)
+      .collect().map(r => (r.getAs[Long]("est_j"), r.getAs[Boolean]("no_undercount")))
+    assert(tight.forall(t => t._1 >= 4L && t._2), s"one-sidedness violated: ${tight.toSeq}")
+  }
 }
