@@ -513,6 +513,62 @@ object Profiling {
     FROM est, ex"""
   }
 
+  // --- q162_gini: Gini concentration per group ----------------------------
+  /** Per-group Gini coefficient over a non-negative integer metric — the
+    * inequality profile (is one crawl's byte mass concentrated in a few
+    * giant documents?) next to q142's Simpson homogeneity and q144/q159's
+    * cross-group drift. Computed by the sorted-rank identity
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` (x ascending, i = 1..n), made
+    * EXACT and sort-free over data rows via the q133 distinct-value
+    * discipline: a tie block of count c after `below` smaller rows
+    * occupies ranks below+1..below+c, so Σ i·x over the block is
+    * `x·(c·below + c(c+1)/2)` — all BIGINT, one cumulative window over
+    * the per-group DISTINCT values, finished by a single
+    * [[graft.ops.Relational.ratio6]] (numerator ≥ 0 for non-negative x
+    * by the rearrangement inequality, meeting ratio6's precondition).
+    *
+    * Scale shape: one (group, value) count shuffle with map-side partial,
+    * a cumulative window partitioned by GROUP over its distinct values
+    * (value-cardinality-bounded, never data rows), one group re-agg.
+    * BIGINT headroom: Σ i·x ~ n·Σx — exact to ~10⁹ rows × 10⁹ totals
+    * split across groups; DECIMAL swap past (the q142 note). */
+  def giniPerGroup(df: DataFrame, group: String, value: String): DataFrame = {
+    val counts = df.select(col(group).as("g"), col(value).as("x"))
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("x"))
+    val below = sum(col("c")).over(w) - col("c")
+    val ranked = counts.select(col("g"), col("x"), col("c"),
+      below.as("below"))
+    ranked
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("x") * col("c")).as("total"),
+        sum(col("x") * (col("c") * col("below") +
+          expr("c * (c + 1) div 2"))).as("ix"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        col("total").cast("long").as("total"),
+        graft.ops.Relational.ratio6(
+          "2 * ix - (n + 1) * total", "n * total").as("gini6"))
+  }
+
+  def q162Gini(spark: SparkSession, dir: String): DataFrame =
+    giniPerGroup(graft.Tables.documents(spark, dir), "source", "n_chars")
+
+  val q162GiniSql: String = s"""
+    WITH c AS (SELECT source AS g, n_chars AS x, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    r AS (SELECT g, x, c,
+                 SUM(c) OVER (PARTITION BY g ORDER BY x) - c AS below
+          FROM c),
+    a AS (SELECT g, SUM(c) AS n, SUM(x * c) AS total,
+                 SUM(x * (c * below + c * (c + 1) // 2)) AS ix
+          FROM r GROUP BY g)
+    SELECT g, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+           ${graft.ops.Relational.ratio6Sql(
+             "2 * ix - (n + 1) * total", "n * total")} AS gini6
+    FROM a"""
+
   // --- q142_diversity: Simpson token-diversity per source -----------------
   /** Per-source lexical diversity via the Simpson homogeneity index
     * `D = Σ nᵢ(nᵢ−1) / (N(N−1))` — the probability two tokens drawn
@@ -758,6 +814,7 @@ object Profiling {
     "q144_ks_drift"     -> q144KsDrift _,
     "q159_mannwhitney"  -> q159MannWhitney _,
     "q161_join_size"    -> q161JoinSize _,
+    "q162_gini"         -> q162Gini _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -771,5 +828,6 @@ object Profiling {
     "q144_ks_drift"     -> q144KsDriftSql,
     "q159_mannwhitney"  -> q159MannWhitneySql,
     "q161_join_size"    -> q161JoinSizeSql,
+    "q162_gini"         -> q162GiniSql,
   )
 }

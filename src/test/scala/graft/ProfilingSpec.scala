@@ -189,4 +189,17 @@ class ProfilingSpec extends GraftSuite {
       .collect().map(r => (r.getAs[Long]("est_j"), r.getAs[Boolean]("no_undercount")))
     assert(tight.forall(t => t._1 >= 4L && t._2), s"one-sidedness violated: ${tight.toSeq}")
   }
+
+  test("giniPerGroup: 0 when uniform, (n-1)/n when concentrated, exact ties") {
+    val df = (Seq.fill(4)(("u", 4L)) ++ Seq(("s", 0L), ("s", 0L), ("s", 0L),
+      ("s", 4L)) ++ Seq(("m", 1L), ("m", 2L), ("m", 3L), ("m", 4L)) ++
+      Seq(("t", 1L), ("t", 1L), ("t", 2L)))
+      .toDF("g", "x")
+    val got = Profiling.giniPerGroup(df, "g", "x").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("gini6")).toMap
+    assert(got("u") == 0.0, got.toString)
+    assert(got("s") == 0.75, got.toString)      // total concentration: (n-1)/n
+    assert(got("m") == 0.25, got.toString)      // 1..4 by hand
+    assert(got("t") == 0.166667, got.toString)  // tie-block rank arithmetic
+  }
 }
