@@ -569,6 +569,66 @@ object Profiling {
              "2 * ix - (n + 1) * total", "n * total")} AS gini6
     FROM a"""
 
+  // --- q163_winsorize: exact-fence winsorized robust statistics -----------
+  /** Per-group winsorization — clamp a metric to its exact [P05, P95]
+    * order statistics and report the robust mean — the outlier-capping
+    * step before any mean-based quality gate (a handful of giant
+    * documents otherwise own the average). Fences are EXACT order
+    * statistics (k-th smallest, k = ⌈q·n⌉ computed as the integer
+    * `(n·q% + 99) div 100` — no interpolation, no floats), found on the
+    * per-group distinct-value cumulative frame (the q133 discipline), so
+    * the winsorized sum `Σ c·clamp(x, lo, hi)` stays BIGINT end-to-end
+    * and the mean is one [[graft.ops.Relational.ratio6]].
+    *
+    * Scale shape: one (group, value) count shuffle, one group-partitioned
+    * cumulative over distinct values, group sizes broadcast into the
+    * fence probe — data rows are never sorted or windowed. */
+  def winsorizedStats(df: DataFrame, group: String, value: String,
+                      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    val counts = df.select(col(group).as("g"), col(value).as("x"))
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("x"))
+    val cum = graft.CacheRegistry.persist(
+      counts.withColumn("cum", sum(col("c")).over(w)))
+    val sizes = cum.groupBy(col("g")).agg(max(col("cum")).as("n"))
+    val fences = cum.join(broadcast(sizes), Seq("g"))
+      .groupBy(col("g"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr(s"(n * $loPct + 99) div 100"), col("x")))
+          .as("lo"),
+        min(when(col("cum") >= expr(s"(n * $hiPct + 99) div 100"), col("x")))
+          .as("hi"))
+    cum.join(broadcast(fences), Seq("g"))
+      .groupBy(col("g"), col("n"), col("lo"), col("hi"))
+      .agg(sum(col("c") * greatest(col("lo"), least(col("hi"), col("x"))))
+        .as("wsum"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        col("lo").cast("long").as("lo"), col("hi").cast("long").as("hi"),
+        graft.ops.Relational.ratio6("wsum", "n").as("wmean6"))
+  }
+
+  def q163Winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizedStats(graft.Tables.documents(spark, dir), "lang", "n_chars")
+
+  val q163WinsorizeSql: String = s"""
+    WITH c AS (SELECT lang AS g, n_chars AS x, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    cm AS (SELECT g, x, c, SUM(c) OVER (PARTITION BY g ORDER BY x) AS cum
+           FROM c),
+    s AS (SELECT g, MAX(cum) AS n FROM cm GROUP BY g),
+    f AS (SELECT cm.g, s.n,
+                 MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN x END) AS lo,
+                 MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN x END) AS hi
+          FROM cm JOIN s USING (g) GROUP BY cm.g, s.n),
+    a AS (SELECT cm.g, f.n, f.lo, f.hi,
+                 SUM(c * GREATEST(f.lo, LEAST(f.hi, x))) AS wsum
+          FROM cm JOIN f USING (g) GROUP BY cm.g, f.n, f.lo, f.hi)
+    SELECT g, CAST(n AS BIGINT) AS n, CAST(lo AS BIGINT) AS lo,
+           CAST(hi AS BIGINT) AS hi,
+           ${graft.ops.Relational.ratio6Sql("wsum", "n")} AS wmean6
+    FROM a"""
+
   // --- q142_diversity: Simpson token-diversity per source -----------------
   /** Per-source lexical diversity via the Simpson homogeneity index
     * `D = Σ nᵢ(nᵢ−1) / (N(N−1))` — the probability two tokens drawn
@@ -815,6 +875,7 @@ object Profiling {
     "q159_mannwhitney"  -> q159MannWhitney _,
     "q161_join_size"    -> q161JoinSize _,
     "q162_gini"         -> q162Gini _,
+    "q163_winsorize"    -> q163Winsorize _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -829,5 +890,6 @@ object Profiling {
     "q159_mannwhitney"  -> q159MannWhitneySql,
     "q161_join_size"    -> q161JoinSizeSql,
     "q162_gini"         -> q162GiniSql,
+    "q163_winsorize"    -> q163WinsorizeSql,
   )
 }

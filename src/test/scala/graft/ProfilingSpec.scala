@@ -202,4 +202,18 @@ class ProfilingSpec extends GraftSuite {
     assert(got("m") == 0.25, got.toString)      // 1..4 by hand
     assert(got("t") == 0.166667, got.toString)  // tie-block rank arithmetic
   }
+
+  test("winsorizedStats: exact ceil(qn)-th order-statistic fences and clamped mean") {
+    // g1: 1..19 plus a 1000 outlier → fences (1, 19), mean (209)/20
+    // g2: 0..38 plus 2000 → k_lo=2 → lo=1, k_hi=38 → hi=37, clamp both ends
+    val g1 = (1L to 19L) :+ 1000L
+    val g2 = (0L to 38L) :+ 2000L
+    val df = (g1.map(("g1", _)) ++ g2.map(("g2", _))).toDF("g", "x")
+    val got = Profiling.winsorizedStats(df, "g", "x").collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+          r.getAs[Double]("wmean6")))).toMap
+    assert(got("g1") == ((20L, 1L, 19L, 10.45)), got.toString)
+    assert(got("g2") == ((40L, 1L, 37L, 19.45)), got.toString)
+  }
 }
