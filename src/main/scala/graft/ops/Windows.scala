@@ -171,6 +171,96 @@ object Windows {
              AS filled_v
     FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket"""
 
+  // --- q164_interp_fill: resample with linear interpolation ---------------
+  /** [[resampleFfill]]'s other fill policy: interior gaps take the LINEAR
+    * interpolation between the surrounding observations — the right
+    * semantics for sampled continuous signals (a sensor mean, a rate)
+    * where carrying the last value forward fabricates a plateau. Grid and
+    * bucket aggregation are q83's exactly; each gap row finds its
+    * neighbors with four ignoreNulls window functions over the SAME
+    * per-key ordered grid (one shuffle, one sort — Spark stacks all four
+    * frames on one WindowExec pair), and the interpolation
+    * `v0 + (v1 − v0) · (t − t0)/(t1 − t0)` is one fixed double tree over
+    * decimal-exact endpoint sums and INTEGER epoch offsets, identical in
+    * both engines (grid interior guarantees both neighbors exist; the
+    * grid spans min..max observed, so edge rows are observations).
+    *
+    * Scale shape: identical to q83 — the window partition is one key's
+    * grid (span/step-bounded), never a value column. */
+  def resampleInterp(events: DataFrame, key: String, ts: String,
+                     value: String, unit: String = "day"): DataFrame = {
+    val bucket = when(col(ts).isNull,
+        raise_error(lit(s"resampleInterp: null timestamp in column $ts")))
+      .otherwise(date_trunc(unit, col(ts)))
+    val buckets = events
+      .select(col(key), bucket.as("bucket"), col(value).as("v"))
+      .groupBy(col(key), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast(DecimalType(28, 6))).cast("double").as("sum_v"))
+    val grid = buckets.groupBy(col(key))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col(key),
+        explode(sequence(col("b0"), col("b1"), expr(s"interval 1 $unit")))
+          .as("bucket"))
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsB = when(col("sum_v").isNotNull, col("bucket"))
+    val t = unix_timestamp(col("bucket")).cast("double")
+    val t0 = unix_timestamp(col("t0")).cast("double")
+    val t1 = unix_timestamp(col("t1")).cast("double")
+    grid.join(buckets, Seq(key, "bucket"), "left_outer")
+      .select(col(key), col("bucket"), col("sum_v"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sum_v"), ignoreNulls = true).over(wPrev).as("v0"),
+        last(obsB, ignoreNulls = true).over(wPrev).as("t0"),
+        first(col("sum_v"), ignoreNulls = true).over(wNext).as("v1"),
+        first(obsB, ignoreNulls = true).over(wNext).as("t1"))
+      .select(col(key), col("bucket"), col("n_events"),
+        round(coalesce(col("sum_v"),
+          col("v0") + (col("v1") - col("v0")) * ((t - t0) / (t1 - t0))), 6)
+          .as("v6"),
+        col("sum_v").isNull.as("is_gap"))
+  }
+
+  def q164InterpFill(spark: SparkSession, dir: String): DataFrame =
+    resampleInterp(Tables.events(spark, dir), "user_id", "ts", "value")
+
+  val q164InterpFillSql: String = """
+    WITH b AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+             FROM b GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1,
+                      INTERVAL 1 DAY))::TIMESTAMP AS bucket
+             FROM span),
+    j AS (SELECT g.user_id, g.bucket, b.sum_v,
+                 COALESCE(b.n_events, 0) AS n_events,
+                 LAST_VALUE(b.sum_v IGNORE NULLS) OVER wp AS v0,
+                 LAST_VALUE(CASE WHEN b.sum_v IS NOT NULL THEN g.bucket END
+                            IGNORE NULLS) OVER wp AS t0,
+                 FIRST_VALUE(b.sum_v IGNORE NULLS) OVER wn AS v1,
+                 FIRST_VALUE(CASE WHEN b.sum_v IS NOT NULL THEN g.bucket END
+                             IGNORE NULLS) OVER wn AS t1
+          FROM grid g LEFT JOIN b
+            ON b.user_id = g.user_id AND b.bucket = g.bucket
+          WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY g.user_id ORDER BY g.bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, bucket, n_events,
+           ROUND(COALESCE(sum_v,
+             v0 + (v1 - v0) *
+               ((CAST(epoch(bucket) AS DOUBLE) - CAST(epoch(t0) AS DOUBLE)) /
+                (CAST(epoch(t1) AS DOUBLE) - CAST(epoch(t0) AS DOUBLE)))), 6)
+             AS v6,
+           sum_v IS NULL AS is_gap
+    FROM j"""
+
   // --- q103_funnel: ordered multi-step conversion funnel ------------------
   /** Funnel analysis: for each entity, the earliest time it completed
     * step 1, then the earliest step-2 event STRICTLY AFTER that, then the
@@ -406,6 +496,7 @@ object Windows {
     "q10_window_running" -> q10WindowRunning _,
     "q11_window_rank"   -> q11WindowRank _,
     "q83_resample"      -> q83Resample _,
+    "q164_interp_fill"  -> q164InterpFill _,
     "q103_funnel"       -> q103Funnel _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
@@ -417,6 +508,7 @@ object Windows {
     "q10_window_running" -> q10WindowRunningSql,
     "q11_window_rank"   -> q11WindowRankSql,
     "q83_resample"      -> q83ResampleSql,
+    "q164_interp_fill"  -> q164InterpFillSql,
     "q103_funnel"       -> q103FunnelSql,
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,

@@ -37,6 +37,24 @@ class AsofSessionSpec extends GraftSuite {
       || e.getCause != null && e.getCause.getMessage.contains("null timestamp"))
   }
 
+  test("resampleInterp: interior gaps take the exact linear interpolation") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-04 09:00:00"), 40.0),  // days 2, 3 are gaps → 20, 30
+      (1L, ts("2024-01-05 01:00:00"), 35.0))  // observed beats interpolation
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Windows.resampleInterp(ev, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString.take(10),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("2024-01-01", 1L, 10.0, false),
+      ("2024-01-02", 0L, 20.0, true),
+      ("2024-01-03", 0L, 30.0, true),
+      ("2024-01-04", 1L, 40.0, false),
+      ("2024-01-05", 1L, 35.0, false)), got.toString)
+  }
+
   test("asOfJoin picks the latest preceding right row, inclusive, per key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),
