@@ -645,6 +645,72 @@ object Dedup {
           "shared", "n_a + n_b - shared").as("resemblance6"))
   }
 
+  /** Multiset (weighted) n-gram Jaccard pairs — q35 with MULTIPLICITY:
+    * `J_w = Σ min(cA(s), cB(s)) / Σ max(cA(s), cB(s))`, the bag
+    * resemblance that set Jaccard silently inflates for repetition-heavy
+    * documents (a doc that repeats one template paragraph five times has
+    * the same DISTINCT shingle set as one clean copy — weighted Jaccard
+    * sees the mismatch; the q65 repetition signals are the per-doc
+    * diagnosis, this is the pairwise detector). `Σ max = n_a + n_b −
+    * Σ min`, so one min-sum join suffices.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — a shingle-keyed
+    * inverted-index self-join (shingles are the sharp key unigrams are
+    * not), per-doc counts instead of a distinct-explode, sizes joined
+    * after the pair aggregation; the threshold and output ratio are one
+    * integer-exact [[graft.ops.Relational.ratio6]] each. */
+  def weightedNgramJaccardPairs(docs: DataFrame, id: String, text: String,
+                                n: Int = 3,
+                                threshold: Double = 0.8): DataFrame = {
+    val sh = CacheRegistry.persist(
+      docs.select(col(id), explode(shingles(col(text), n)).as("s"))
+        .groupBy(col(id), col("s")).agg(count(lit(1)).as("c")))
+    val sizes = sh.groupBy(col(id)).agg(sum(col("c")).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(sum(least(col("a.c"), col("b.c"))).as("inter"))
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("n_b")), Seq("id_b"))
+      .filter(graft.ops.Relational.ratio6(
+        "inter", "n_a + n_b - inter") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        graft.ops.Relational.ratio6("inter", "n_a + n_b - inter")
+          .as("wjaccard6"))
+  }
+
+  def q165WeightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    weightedNgramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q165WeightedJaccardSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS ts
+      FROM documents),
+    sh AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s,
+             COUNT(*) AS c
+      FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 3 GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, array_to_string(ts, ' '), 1 FROM toks WHERE len(ts) < 3),
+    sz AS (SELECT doc_id, SUM(c) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(LEAST(a.c, b.c)) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, CAST(p.inter AS BIGINT) AS inter,
+           CAST(za.sz AS BIGINT) AS n_a, CAST(zb.sz AS BIGINT) AS n_b,
+           ${graft.ops.Relational.ratio6Sql(
+             "p.inter", "za.sz + zb.sz - p.inter")} AS wjaccard6
+    FROM pairs p
+    JOIN sz za ON za.doc_id = p.id_a
+    JOIN sz zb ON zb.doc_id = p.id_b
+    WHERE ${graft.ops.Relational.ratio6Sql(
+      "p.inter", "za.sz + zb.sz - p.inter")} >= 0.8"""
+
   // --------------------------------------------------------------- queries
 
   // --- q27_exact_dedup: one canonical document per (lang, source) --------
@@ -1359,6 +1425,7 @@ object Dedup {
     "q101_novelty"      -> q101Novelty _,
     "q148_containment"  -> q148Containment _,
     "q156_winnowing"    -> q156Winnowing _,
+    "q165_weighted_jaccard" -> q165WeightedJaccard _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1380,5 +1447,6 @@ object Dedup {
     "q93_substr_dup"    -> q93SubstrDupSql,
     "q101_novelty"      -> q101NoveltySql,
     "q156_winnowing"    -> q156WinnowingSql,
+    "q165_weighted_jaccard" -> q165WeightedJaccardSql,
   )
 }

@@ -282,6 +282,23 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("weighted jaccard separates repetition that set jaccard cannot see") {
+    // docs 1 and 2 repeat the same template 5x vs 2x: identical DISTINCT
+    // shingle sets (set J = 1) but weighted J = 4/13 — only the exact
+    // copy pair (2,3) survives the 0.8 gate
+    val docs = Seq(
+      (1L, "a b c " * 5), (2L, "a b c " * 2), (3L, "a b c " * 2))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val wj = Dedup.weightedNgramJaccardPairs(docs, "doc_id", "text")
+    assert(ids(wj) == Set((2L, 3L)), ids(wj).toString)
+    val row = wj.collect().head
+    assert(row.getAs[Double]("wjaccard6") == 1.0)
+  }
+
   test("winnowing guarantee: a shared w+k-1 token run yields a shared pair") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 tokens
     val docs = Seq(
