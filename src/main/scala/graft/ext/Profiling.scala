@@ -629,6 +629,73 @@ object Profiling {
            ${graft.ops.Relational.ratio6Sql("wsum", "n")} AS wmean6
     FROM a"""
 
+  // --- q166_theil_sen: robust per-entity trend (median pairwise slope) ----
+  /** Theil–Sen slope per entity over its daily activity — the robust
+    * volume-trend detector (is this user/source ramping up or decaying?)
+    * that a least-squares fit gets wrong under a single spike day: the
+    * estimator is the MEDIAN of all pairwise slopes `(c₂−c₁)/(d₂−d₁)`,
+    * breakdown point 29%. Day indices are integer offsets from a fixed
+    * epoch and counts are exact, so every slope is one IEEE division both
+    * engines compute identically; the median is positional (middle
+    * row_number, two-term mean for even counts) over the per-entity slope
+    * frame — ties collapse to equal doubles, so ORDER BY slope alone is
+    * value-deterministic.
+    *
+    * Scale shape: the corpus collapses to (entity, day) counts first
+    * (ONE map-side-partial shuffle — the only corpus-sized pass); the
+    * pairwise explode and its window live on per-entity DAILY frames,
+    * bounded by (span choose 2) per entity — days-per-entity is
+    * physically bounded, corpus rows are not. */
+  def theilSenTrend(events: DataFrame, entity: String, ts: String): DataFrame = {
+    val daily = graft.CacheRegistry.persist(
+      events.select(col(entity).as("e"),
+          datediff(date_trunc("day", col(ts)),
+            to_date(lit("2024-01-01"))).as("d"))
+        .groupBy(col("e"), col("d")).agg(count(lit(1)).as("c")))
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.e") === col("b.e") && col("a.d") < col("b.d"))
+      .select(col("a.e").as("e"),
+        ((col("b.c") - col("a.c")).cast("double") / (col("b.d") - col("a.d")))
+          .as("slope"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("e")).orderBy(col("slope"))
+    val ranked = slopes.select(col("e"), col("slope"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("e"))).as("m"))
+    ranked
+      .filter(col("rn") === expr("(m + 1) div 2") ||
+        col("rn") === expr("m div 2 + 1"))
+      .groupBy(col("e"))
+      .agg(max(col("m")).as("n_pairs"),
+        round((sum(col("slope")) / count(lit(1))), 6).as("slope6"))
+      .select(col("e"), col("n_pairs").cast("long").as("n_pairs"),
+        col("slope6"))
+  }
+
+  def q166TheilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenTrend(graft.Tables.events(spark, dir), "user_id", "ts")
+
+  val q166TheilSenSql: String = """
+    WITH daily AS (
+      SELECT user_id AS e,
+             datediff('day', DATE '2024-01-01',
+                      date_trunc('day', CAST(ts AS TIMESTAMP))) AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    sl AS (SELECT a.e,
+                  CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope
+           FROM daily a JOIN daily b ON a.e = b.e AND a.d < b.d),
+    r AS (SELECT e, slope,
+                 ROW_NUMBER() OVER (PARTITION BY e ORDER BY slope) AS rn,
+                 COUNT(*) OVER (PARTITION BY e) AS m
+          FROM sl)
+    SELECT e, CAST(MAX(m) AS BIGINT) AS n_pairs,
+           ROUND(SUM(slope) / COUNT(*), 6) AS slope6
+    FROM r
+    WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+    GROUP BY e"""
+
   // --- q142_diversity: Simpson token-diversity per source -----------------
   /** Per-source lexical diversity via the Simpson homogeneity index
     * `D = Σ nᵢ(nᵢ−1) / (N(N−1))` — the probability two tokens drawn
@@ -876,6 +943,7 @@ object Profiling {
     "q161_join_size"    -> q161JoinSize _,
     "q162_gini"         -> q162Gini _,
     "q163_winsorize"    -> q163Winsorize _,
+    "q166_theil_sen"    -> q166TheilSen _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -891,5 +959,6 @@ object Profiling {
     "q161_join_size"    -> q161JoinSizeSql,
     "q162_gini"         -> q162GiniSql,
     "q163_winsorize"    -> q163WinsorizeSql,
+    "q166_theil_sen"    -> q166TheilSenSql,
   )
 }

@@ -216,4 +216,17 @@ class ProfilingSpec extends GraftSuite {
     assert(got("g1") == ((20L, 1L, 19L, 10.45)), got.toString)
     assert(got("g2") == ((40L, 1L, 37L, 19.45)), got.toString)
   }
+
+  test("theilSenTrend: median pairwise slope, even and odd pair counts") {
+    def day(d: Int, k: Int) = Seq.fill(k)(
+      java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 12:00:00"))
+    // entity 1 counts (1,3,2,4) → slopes sorted (-1,.5,.5,1,2,2) → 0.75
+    // entity 2 counts (1,2,4)   → slopes (1,1.5,2) → 1.5
+    val ev = ((day(1, 1) ++ day(2, 3) ++ day(3, 2) ++ day(4, 4)).map((1L, _)) ++
+      (day(1, 1) ++ day(2, 2) ++ day(3, 4)).map((2L, _))).toDF("e", "ts")
+    val got = Profiling.theilSenTrend(ev, "e", "ts").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((6L, 0.75)), got.toString)
+    assert(got(2L) == ((3L, 1.5)), got.toString)
+  }
 }
