@@ -789,6 +789,70 @@ object Algorithms {
     s"$prelude$steps\nSELECT id, dist FROM d25"
   }
 
+  // --- q167_critical_path: weighted longest path on a DAG -----------------
+  /** Critical-path / longest-path relaxation over a DAG — the scheduling
+    * and lineage-depth primitive (deepest dependency chain ending at each
+    * node) that shortest-path machinery cannot answer: max-relaxation is
+    * only well-founded because the graph is acyclic, so it is exposed as
+    * a DAG-only operator. Same Pregel shape as [[shortestPaths]] with the
+    * dual lattice: messages `dist + w`, merge MAX, halt when no vertex
+    * improves — a monotone fixed point reached within the DAG depth.
+    * Every vertex starts at 0 (a path may begin anywhere), so the result
+    * is the heaviest path ENDING at each vertex.
+    *
+    * Scale shape: inherited from the Pregel loop — per superstep one
+    * edge-keyed join + max-merge hash agg (map-side partial; a hub dst
+    * key partial-aggregates like any hot groupBy key). */
+  def longestPathDag(vertices: DataFrame, edges: DataFrame,
+                     maxIter: Int): DataFrame =
+    Pregel.run(
+      vertices.select(col("id"), lit(0L).as("dist")),
+      edges, maxIter,
+      sendMsg = col("dist") + col("w"),
+      mergeMsg = max,
+      vprog = (df, _) => df.select(
+        col("id"),
+        greatest(col("dist"), col("msg")).as("dist"),
+        (greatest(col("dist"), col("msg")) <=> col("dist")).as("halt")),
+      blockSize = 3)
+
+  /** The q92 weighted nation graph restricted to src < dst edges — the
+    * wrap-around edges drop, every edge ascends, hence a DAG (depth ≤ 24
+    * on 25 nodes). */
+  private def nationDagEdges(spark: SparkSession, dir: String): DataFrame =
+    weightedNationEdges(spark, dir).filter(col("src") < col("dst"))
+
+  def q167CriticalPath(spark: SparkSession, dir: String): DataFrame =
+    longestPathDag(
+      Tables.nation(spark, dir).select(col("n_nationkey").as("id")),
+      nationDagEdges(spark, dir), maxIter = 30)
+
+  /** q92's unrolled-relaxation oracle with the dual operators
+    * (GREATEST/MAX — both engines skip NULLs identically); 25 generated
+    * MATERIALIZED rounds ≥ the DAG depth. */
+  val q167CriticalPathSql: String = {
+    val prelude = """
+      WITH e0 AS (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * 3 + 7) % 25 FROM nation),
+      e AS MATERIALIZED (
+        SELECT src, dst, (src * 7 + dst * 3) % 10 + 1 AS w
+        FROM e0 WHERE src < dst),
+      d0 AS (SELECT n_nationkey AS id, CAST(0 AS BIGINT) AS dist FROM nation)"""
+    val steps = (1 to 25).map { k =>
+      s""", d$k AS MATERIALIZED (
+        SELECT n.n_nationkey AS id,
+               GREATEST(p.dist, MAX(q.dist + e.w)) AS dist
+        FROM nation n
+        JOIN d${k - 1} p ON p.id = n.n_nationkey
+        LEFT JOIN e ON e.dst = n.n_nationkey
+        LEFT JOIN d${k - 1} q ON q.id = e.src
+        GROUP BY n.n_nationkey, p.dist)"""
+    }.mkString
+    s"$prelude$steps\nSELECT id, dist FROM d25"
+  }
+
   // --- q94_label_prop: synchronous label propagation communities ----------
   /** Community detection by synchronous label propagation (Raghavan et al.
     * 2007), made deterministic: each round every vertex tallies its OWN
@@ -1108,6 +1172,7 @@ object Algorithms {
     "q32_pagerank"        -> q32PageRank _,
     "q117_trustrank"      -> q117TrustRank _,
     "q158_hits"           -> q158Hits _,
+    "q167_critical_path"  -> q167CriticalPath _,
     "q33_max_propagation" -> q33MaxPropagation _,
     "q60_kcore"           -> q60KCore _,
     "q82_triangles"       -> q82Triangles _,
@@ -1122,6 +1187,7 @@ object Algorithms {
     "q32_pagerank"        -> q32PageRankSql,
     "q117_trustrank"      -> q117TrustRankSql,
     "q158_hits"           -> q158HitsSql,
+    "q167_critical_path"  -> q167CriticalPathSql,
     "q33_max_propagation" -> q33MaxPropagationSql,
     "q60_kcore"           -> q60KCoreSql,
     "q82_triangles"       -> q82TrianglesSql,

@@ -191,6 +191,16 @@ class PregelSpec extends GraftSuite {
     assert(Pregel.resumeState(spark, dir).get._2 > 6)
   }
 
+  test("longestPathDag: heaviest chain wins over the direct edge") {
+    // 1→2 (5), 2→3 (1), 1→3 (3): the 2-hop chain (6) beats the direct 3
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 3L))
+      .toDF("src", "dst", "w")
+    val got = Algorithms.longestPathDag(v, e, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 0L), got.toString)
+  }
+
   test("hits: star graph fixed point — center is the authority, leaves the hubs") {
     // leaves 1..3 each point at center 0; the exact fixed point (reached
     // in one iteration under max-normalization) is auth(0)=1, hub(leaf)=1,
