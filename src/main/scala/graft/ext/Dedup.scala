@@ -680,6 +680,35 @@ object Dedup {
           .as("wjaccard6"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: how many NEVER-SEEN-BEFORE
+    * n-gram shingles each ingestion bucket contributes, cumulatively —
+    * the corpus-health curve curation teams watch: a feed whose novel-
+    * shingle rate collapses has gone stale/duplicated (the aggregate view
+    * of q101's per-doc novelty; q101 scores documents, this scores the
+    * INGESTION ORDER). First-seen attribution is the same
+    * `groupBy(shingle).min(doc)` frame as q101 — one inverted-index
+    * shuffle; the curve itself is a bucket-count-sized frame (corpus
+    * rows ÷ bucketSize), so its single ordered cumulative window is
+    * curve-sized by construction — pick bucketSize so the CURVE stays
+    * human/driver-scale, which is what a curve is for. */
+  def vocabGrowthCurve(docs: DataFrame, id: String, text: String,
+                       n: Int = 3, bucketSize: Int = 50): DataFrame = {
+    val sh = docs.select(col(id),
+      explode(array_distinct(shingles(col(text), n))).as("s"))
+    val first = sh.groupBy(col("s")).agg(min(col(id)).as("first_doc"))
+    first.groupBy(expr(s"first_doc div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("novel"))
+      .withColumn("cum_vocab",
+        sum(col("novel")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("novel").cast("long").as("novel"),
+        col("cum_vocab").cast("long").as("cum_vocab"))
+  }
+
+  def q168VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthCurve(Tables.documents(spark, dir), "doc_id", "text")
+
   def q165WeightedJaccard(spark: SparkSession, dir: String): DataFrame =
     weightedNgramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -1390,6 +1419,16 @@ object Dedup {
     JOIN sizes zb ON zb.doc_id = p.id_b
     WHERE p.shared >= 2"""
 
+  // declared after [[ngramShingleCtes]] — same forward-reference rule
+  val q168VocabGrowthSql: String = s"""
+    WITH $ngramShingleCtes,
+    fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    bk AS (SELECT first_doc // 50 AS bucket, COUNT(*) AS novel
+           FROM fs GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(novel AS BIGINT) AS novel,
+           CAST(SUM(novel) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+    FROM bk"""
+
   // declared after [[ngramShingleCtes]]: a forward reference between plain
   // vals in one object silently interpolates null into the SQL
   val q148ContainmentSql: String = s"""
@@ -1426,6 +1465,7 @@ object Dedup {
     "q148_containment"  -> q148Containment _,
     "q156_winnowing"    -> q156Winnowing _,
     "q165_weighted_jaccard" -> q165WeightedJaccard _,
+    "q168_vocab_growth" -> q168VocabGrowth _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1448,5 +1488,6 @@ object Dedup {
     "q101_novelty"      -> q101NoveltySql,
     "q156_winnowing"    -> q156WinnowingSql,
     "q165_weighted_jaccard" -> q165WeightedJaccardSql,
+    "q168_vocab_growth" -> q168VocabGrowthSql,
   )
 }

@@ -299,6 +299,17 @@ class DedupSpec extends GraftSuite {
     assert(row.getAs[Double]("wjaccard6") == 1.0)
   }
 
+  test("vocabGrowthCurve: duplicates add no novelty, later buckets accumulate") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles: "a b c", "b c d" — both novel
+      (2L, "a b c d"),   // exact dup: zero novel shingles
+      (51L, "x y z"))    // bucket 1: one novel shingle
+      .toDF("doc_id", "text")
+    val got = Dedup.vocabGrowthCurve(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 2L, 2L), (1L, 1L, 3L)), got.toString)
+  }
+
   test("winnowing guarantee: a shared w+k-1 token run yields a shared pair") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 tokens
     val docs = Seq(
