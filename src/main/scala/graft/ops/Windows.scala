@@ -261,6 +261,62 @@ object Windows {
            sum_v IS NULL AS is_gap
     FROM j"""
 
+  // --- q169_streaks: gaps-and-islands activity runs -----------------------
+  /** Per-entity activity streaks — the gaps-and-islands idiom: collapse
+    * events to distinct active days, then `day_index − row_number()` is
+    * CONSTANT exactly within a maximal run of consecutive days, so one
+    * per-entity window + one groupBy yields every streak without a self
+    * join or iteration. Output per entity: active days, number of
+    * streaks, longest streak, and the current tail streak's length
+    * (streak ending on the entity's last active day) — the
+    * engagement-contract trio every retention dashboard wants.
+    *
+    * All integer arithmetic (day offsets from a fixed epoch); windows are
+    * entity-keyed over ACTIVE-DAY frames (bounded by span, not events —
+    * the q83 argument).
+    *
+    * Scale shape: one distinct-(entity, day) shuffle with map-side
+    * partial, one entity window, two entity-keyed aggs. */
+  def activityStreaks(events: DataFrame, entity: String, ts: String): DataFrame = {
+    val days = events.select(col(entity).as("e"),
+        datediff(date_trunc("day", col(ts)), to_date(lit("2024-01-01")))
+          .as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("e")).orderBy(col("d"))
+    val isl = days.withColumn("isl", col("d") - row_number().over(w))
+    val streaks = isl.groupBy(col("e"), col("isl"))
+      .agg(count(lit(1)).as("len"), max(col("d")).as("last_d"))
+    streaks.groupBy(col("e"))
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest"),
+        max_by(col("len"), col("last_d")).as("current"))
+      .select(col("e"), col("active_days").cast("long").as("active_days"),
+        col("n_streaks").cast("long").as("n_streaks"),
+        col("longest").cast("long").as("longest"),
+        col("current").cast("long").as("current"))
+  }
+
+  def q169Streaks(spark: SparkSession, dir: String): DataFrame =
+    activityStreaks(Tables.events(spark, dir), "user_id", "ts")
+
+  val q169StreaksSql: String = """
+    WITH days AS (
+      SELECT DISTINCT user_id AS e,
+             datediff('day', DATE '2024-01-01',
+                      date_trunc('day', CAST(ts AS TIMESTAMP))) AS d
+      FROM events),
+    isl AS (SELECT e, d,
+                   d - ROW_NUMBER() OVER (PARTITION BY e ORDER BY d) AS isl
+            FROM days),
+    st AS (SELECT e, isl, COUNT(*) AS len, MAX(d) AS last_d
+           FROM isl GROUP BY 1, 2)
+    SELECT e, CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest,
+           CAST(arg_max(len, last_d) AS BIGINT) AS current
+    FROM st GROUP BY e"""
+
   // --- q103_funnel: ordered multi-step conversion funnel ------------------
   /** Funnel analysis: for each entity, the earliest time it completed
     * step 1, then the earliest step-2 event STRICTLY AFTER that, then the
@@ -497,6 +553,7 @@ object Windows {
     "q11_window_rank"   -> q11WindowRank _,
     "q83_resample"      -> q83Resample _,
     "q164_interp_fill"  -> q164InterpFill _,
+    "q169_streaks"      -> q169Streaks _,
     "q103_funnel"       -> q103Funnel _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
@@ -509,6 +566,7 @@ object Windows {
     "q11_window_rank"   -> q11WindowRankSql,
     "q83_resample"      -> q83ResampleSql,
     "q164_interp_fill"  -> q164InterpFillSql,
+    "q169_streaks"      -> q169StreaksSql,
     "q103_funnel"       -> q103FunnelSql,
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,

@@ -55,6 +55,16 @@ class AsofSessionSpec extends GraftSuite {
       ("2024-01-05", 1L, 35.0, false)), got.toString)
   }
 
+  test("activityStreaks: islands collapse, duplicates ignored, tail streak") {
+    // active days 1,2,3 | 5 | 7,8 → 6 active, 3 streaks, longest 3, tail 2
+    val days = Seq(1, 1, 2, 3, 5, 7, 8) // day 1 twice: distinct must dedupe
+    val ev = days.map(d =>
+      (9L, ts(f"2024-01-${d}%02d 0$d:30:00"))).toDF("user_id", "ts")
+    val got = graft.ops.Windows.activityStreaks(ev, "user_id", "ts").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((6L, 3L, 3L, 2L)), got.toSeq.toString)
+  }
+
   test("asOfJoin picks the latest preceding right row, inclusive, per key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),
