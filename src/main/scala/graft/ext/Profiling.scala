@@ -696,6 +696,67 @@ object Profiling {
     WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
     GROUP BY e"""
 
+  // --- q170_mad: median absolute deviation per group ----------------------
+  /** Robust dispersion: the LOWER-median (k = (n+1) div 2-th order
+    * statistic — integer-exact, no interpolation, documented choice) of
+    * `|x − median|` per group. Completes the robust trio — q163 fences,
+    * q166 trend, this the spread — for outlier flagging at `k·MAD`
+    * without a stddev a single spike can inflate.
+    *
+    * Two rounds of the same distinct-value cumulative discipline: one to
+    * find each group's median, one over the re-aggregated deviation
+    * values; the value-count frames are all the shuffles ever carry.
+    * Everything BIGINT. */
+  def madPerGroup(df: DataFrame, group: String, value: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("x"))
+    def kth(counts: DataFrame): DataFrame = {
+      val cum = counts.withColumn("cum", sum(col("c")).over(w))
+      val sizes = cum.groupBy(col("g")).agg(max(col("cum")).as("n"))
+      cum.join(broadcast(sizes), Seq("g"))
+        .groupBy(col("g"), col("n"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("x")))
+          .as("med"))
+    }
+    val counts = graft.CacheRegistry.persist(
+      df.select(col(group).as("g"), col(value).as("x"))
+        .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c")))
+    val med = kth(counts)
+    val devCounts = counts.join(broadcast(med.select(col("g"), col("med"))),
+        Seq("g"))
+      .groupBy(col("g"), abs(col("x") - col("med")).as("x"))
+      .agg(sum(col("c")).as("c"))
+    kth(devCounts)
+      .select(col("g"), col("n").cast("long").as("n"),
+        col("med").cast("long").as("mad"))
+      .join(med.select(col("g"), col("med").cast("long").as("median")),
+        Seq("g"))
+      .select(col("g"), col("n"), col("median"), col("mad"))
+  }
+
+  def q170Mad(spark: SparkSession, dir: String): DataFrame =
+    madPerGroup(graft.Tables.documents(spark, dir), "lang", "n_chars")
+
+  val q170MadSql: String = """
+    WITH c AS (SELECT lang AS g, n_chars AS x, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    cm AS (SELECT g, x, c, SUM(c) OVER (PARTITION BY g ORDER BY x) AS cum
+           FROM c),
+    s AS (SELECT g, MAX(cum) AS n FROM cm GROUP BY g),
+    med AS (SELECT cm.g, s.n,
+                   MIN(CASE WHEN cum >= (n + 1) // 2 THEN x END) AS med
+            FROM cm JOIN s USING (g) GROUP BY cm.g, s.n),
+    dc AS (SELECT c.g, abs(c.x - m.med) AS x, SUM(c.c) AS c
+           FROM c JOIN med m ON m.g = c.g GROUP BY 1, 2),
+    dcm AS (SELECT g, x, c, SUM(c) OVER (PARTITION BY g ORDER BY x) AS cum
+            FROM dc),
+    mad AS (SELECT dcm.g, s.n,
+                   MIN(CASE WHEN cum >= (n + 1) // 2 THEN x END) AS mad
+            FROM dcm JOIN s USING (g) GROUP BY dcm.g, s.n)
+    SELECT mad.g, CAST(mad.n AS BIGINT) AS n,
+           CAST(med.med AS BIGINT) AS median, CAST(mad.mad AS BIGINT) AS mad
+    FROM mad JOIN med ON med.g = mad.g"""
+
   // --- q142_diversity: Simpson token-diversity per source -----------------
   /** Per-source lexical diversity via the Simpson homogeneity index
     * `D = Σ nᵢ(nᵢ−1) / (N(N−1))` — the probability two tokens drawn
@@ -944,6 +1005,7 @@ object Profiling {
     "q162_gini"         -> q162Gini _,
     "q163_winsorize"    -> q163Winsorize _,
     "q166_theil_sen"    -> q166TheilSen _,
+    "q170_mad"          -> q170Mad _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -960,5 +1022,6 @@ object Profiling {
     "q162_gini"         -> q162GiniSql,
     "q163_winsorize"    -> q163WinsorizeSql,
     "q166_theil_sen"    -> q166TheilSenSql,
+    "q170_mad"          -> q170MadSql,
   )
 }

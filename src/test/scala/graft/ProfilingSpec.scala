@@ -217,6 +217,18 @@ class ProfilingSpec extends GraftSuite {
     assert(got("g2") == ((40L, 1L, 37L, 19.45)), got.toString)
   }
 
+  test("madPerGroup: lower-median and MAD ignore the spike") {
+    // A = {1,2,3,4,100}: median 3, deviations {2,1,0,1,97} → MAD 1
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("A", _)) ++
+      Seq(5L, 5L, 5L).map(("B", _))).toDF("g", "x")
+    val got = Profiling.madPerGroup(df, "g", "x").collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("median"), r.getAs[Long]("mad"))))
+      .toMap
+    assert(got("A") == ((5L, 3L, 1L)), got.toString)
+    assert(got("B") == ((3L, 5L, 0L)), got.toString)
+  }
+
   test("theilSenTrend: median pairwise slope, even and odd pair counts") {
     def day(d: Int, k: Int) = Seq.fill(k)(
       java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 12:00:00"))
