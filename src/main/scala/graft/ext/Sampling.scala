@@ -403,6 +403,87 @@ object Sampling {
         !col("moved") || col("shard_full") === removedShard)
   }
 
+  // --- q171_hash_ring: consistent-hash ring with virtual nodes ------------
+  /** The OTHER consistent-assignment scheme next to q146's HRW: shards
+    * place `vnodes` points each on a 2³² ring (md5 of "shard:vnode"),
+    * a key belongs to the first ring point at-or-after its own hash
+    * (wrapping to the ring's minimum). Removing a shard deletes only its
+    * points, so exactly its keys move to their successors — the same
+    * minimal-movement contract as HRW, reached by a different mechanism
+    * (HRW re-ranks per key; the ring has static geometry, which is why
+    * real systems pick it when the shard set churns). Virtual nodes are
+    * the load-evening device — one point per shard would make arc lengths
+    * wildly uneven.
+    *
+    * Same engine-portable md5→nibble substrate and BIGINT
+    * `pos·16 + shard` tie-encoding as [[rendezvousAssign]]; the in-plan
+    * `stable_ok` invariant (`moved ⟹ old owner was the dead shard`) is
+    * what the hash compare certifies row by row. Scale shape: the ring is
+    * S·V rows per key exploded into a map-side-partial min — the q146
+    * discipline; the ring itself never ships, it is rederived from
+    * constants in the expression. */
+  def ringAssign(df: DataFrame, key: Column, shards: Int, vnodes: Int,
+                 removedShard: Int): DataFrame = {
+    require(shards <= 16, "shard id packs into 4 bits of the BIGINT enc")
+    val n = shards * vnodes
+    df.select(key.as("k"))
+      .withColumn("kh8",
+        substring(md5(col("k").cast("string").cast("binary")), 1, 8))
+      .withColumn("kh", expr(nibbleSumSql("kh8")))
+      .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("s", expr(s"i div $vnodes").cast("int"))
+      .withColumn("rh8", substring(md5(concat(col("s").cast("string"),
+        lit(":"), expr(s"i % $vnodes").cast("string")).cast("binary")), 1, 8))
+      .withColumn("enc", expr(nibbleSumSql("rh8")) * 16 + col("s"))
+      .groupBy(col("k"))
+      .agg(
+        coalesce(min(when(expr("enc div 16") >= col("kh"), col("enc"))),
+          min(col("enc"))).as("mf"),
+        coalesce(
+          min(when(expr("enc div 16") >= col("kh") &&
+            col("s") =!= removedShard, col("enc"))),
+          min(when(col("s") =!= removedShard, col("enc")))).as("mr"))
+      .select(col("k"),
+        (col("mf") % 16).cast("int").as("shard_full"),
+        (col("mr") % 16).cast("int").as("shard_reduced"))
+      .withColumn("moved", col("shard_full") =!= col("shard_reduced"))
+      .withColumn("stable_ok",
+        !col("moved") || col("shard_full") === removedShard)
+  }
+
+  def q171HashRing(spark: SparkSession, dir: String): DataFrame =
+    ringAssign(graft.Tables.documents(spark, dir), col("doc_id"),
+      shards = 8, vnodes = 4, removedShard = 3)
+      .withColumnRenamed("k", "doc_id")
+
+  val q171HashRingSql: String = s"""
+    WITH ks AS (
+      SELECT doc_id AS k,
+             ${nibbleSumSql("substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)")}
+               AS kh
+      FROM documents),
+    x AS (
+      SELECT k, kh, CAST(i // 4 AS INT) AS s,
+             ${nibbleSumSql(
+               "substring(md5(CAST(i // 4 AS VARCHAR) || ':' || " +
+               "CAST(i % 4 AS VARCHAR)), 1, 8)")} * 16 + i // 4 AS enc
+      FROM ks, unnest(range(32)) AS u(i)),
+    a AS (SELECT k,
+                 COALESCE(MIN(CASE WHEN enc // 16 >= kh THEN enc END),
+                          MIN(enc)) AS mf,
+                 COALESCE(MIN(CASE WHEN enc // 16 >= kh AND s <> 3
+                                   THEN enc END),
+                          MIN(CASE WHEN s <> 3 THEN enc END)) AS mr
+          FROM x GROUP BY k),
+    r AS (SELECT k AS doc_id,
+                 CAST(mf % 16 AS INT) AS shard_full,
+                 CAST(mr % 16 AS INT) AS shard_reduced
+          FROM a)
+    SELECT doc_id, shard_full, shard_reduced,
+           shard_full <> shard_reduced AS moved,
+           (shard_full = shard_reduced) OR (shard_full = 3) AS stable_ok
+    FROM r"""
+
   def q146Rendezvous(spark: SparkSession, dir: String): DataFrame =
     rendezvousAssign(Tables.documents(spark, dir), col("doc_id"),
       shards = 8, removedShard = 3)
@@ -435,6 +516,7 @@ object Sampling {
     "q120_ticket_sample"    -> q120TicketSample _,
     "q127_group_sample"     -> q127GroupSample _,
     "q146_rendezvous"       -> q146Rendezvous _,
+    "q171_hash_ring"        -> q171HashRing _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -445,5 +527,6 @@ object Sampling {
     "q120_ticket_sample"    -> q120TicketSampleSql,
     "q127_group_sample"     -> q127GroupSampleSql,
     "q146_rendezvous"       -> q146RendezvousSql,
+    "q171_hash_ring"        -> q171HashRingSql,
   )
 }

@@ -190,6 +190,36 @@ class SamplingSpec extends GraftSuite {
     assert(got.filter(_._1 == "big").map(_._2) == expectedBig)
   }
 
+  test("ringAssign: minimal movement, exact successor-on-ring replay") {
+    import spark.implicits._
+    val df = (1L to 100L).toList.toDF("doc_id")
+    val got = Sampling.ringAssign(df, col("doc_id"),
+        shards = 4, vnodes = 3, removedShard = 1)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Int]("shard_full"), r.getAs[Int]("shard_reduced"),
+          r.getAs[Boolean]("moved"), r.getAs[Boolean]("stable_ok")))).toMap
+    assert(got.size == 100)
+    assert(got.values.forall(_._4), "minimal-movement invariant")
+    assert(got.values.forall(v => v._3 == (v._1 == 1)),
+      "exactly the removed shard's keys move")
+    assert(got.values.forall(v => v._2 != 1), "nobody lands on the dead shard")
+    // driver-side replay: successor (first ring point at-or-after, wrap)
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val u32 = (s: String) => java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def owner(k: Long, shards: Seq[Int]): Int = {
+      val ring = for (s <- shards; v <- 0 until 3)
+        yield (u32(s"$s:$v") * 16 + s, s)
+      val kh = u32(k.toString)
+      val cand = ring.filter(_._1 / 16 >= kh)
+      (if (cand.nonEmpty) cand.min else ring.min)._2
+    }
+    (1L to 10L).foreach { k =>
+      assert(got(k)._1 == owner(k, 0 to 3), s"key $k full")
+      assert(got(k)._2 == owner(k, Seq(0, 2, 3)), s"key $k reduced")
+    }
+  }
+
   test("rendezvousAssign: minimal movement, exact md5-argmax replay") {
     import spark.implicits._
     val df = (1L to 100L).toList.toDF("doc_id")
