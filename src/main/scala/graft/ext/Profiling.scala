@@ -757,6 +757,67 @@ object Profiling {
            CAST(med.med AS BIGINT) AS median, CAST(mad.mad AS BIGINT) AS mad
     FROM mad JOIN med ON med.g = mad.g"""
 
+  // --- q172_skew_report: join-key skew advisory ---------------------------
+  /** The pre-join skew check as a first-class operator — what this
+    * library's own audits do by hand (SKEW_AUDIT_*): for a prospective
+    * join/groupBy key, report cardinality, the heaviest key's share, the
+    * Gini of the key-count distribution (q162's exact rank identity over
+    * the counts-of-counts frame), and a RECOMMENDED SALT FACTOR
+    * `⌈top1 / ⌈rows/partitions⌉⌉` — how many ways the hottest key must
+    * split so no single task owns more than an even partition's worth.
+    * All integers until the two ratio6 digits.
+    *
+    * Scale shape: one key-count shuffle (map-side partial), then every
+    * frame is key-cardinality- or distinct-count-sized; the advisory row
+    * is a broadcast-combined single row. */
+  def skewReport(df: DataFrame, keyCol: Column,
+                 partitions: Int = 32): DataFrame = {
+    val counts = graft.CacheRegistry.persist(
+      df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("c")))
+    val cc = counts.groupBy(col("c").as("x")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+    val gini = cc.withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+      .agg(sum(col("x") * (col("cnt") * col("below") +
+        expr("cnt * (cnt + 1) div 2"))).as("ix"))
+    val tot = counts.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("c")).as("top1_count"))
+    tot.crossJoin(broadcast(gini))
+      .select(col("n_rows").cast("long").as("n_rows"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("top1_count").cast("long").as("top1_count"),
+        graft.ops.Relational.ratio6("top1_count", "n_rows").as("top1_share6"),
+        graft.ops.Relational.ratio6(
+          "2 * ix - (n_keys + 1) * n_rows", "n_keys * n_rows").as("gini6"),
+        expr(s"""CAST((top1_count + ((n_rows + ${partitions - 1}) div
+          $partitions) - 1) div ((n_rows + ${partitions - 1}) div
+          $partitions) AS INT)""").as("salt_factor"))
+  }
+
+  def q172SkewReport(spark: SparkSession, dir: String): DataFrame =
+    skewReport(graft.Tables.events(spark, dir), col("event_type"))
+
+  val q172SkewReportSql: String = s"""
+    WITH c AS (SELECT event_type AS k, COUNT(*) AS c
+               FROM events GROUP BY 1),
+    cc AS (SELECT c AS x, COUNT(*) AS cnt FROM c GROUP BY 1),
+    r AS (SELECT x, cnt,
+                 SUM(cnt) OVER (ORDER BY x) - cnt AS below
+          FROM cc),
+    g AS (SELECT SUM(x * (cnt * below + cnt * (cnt + 1) // 2)) AS ix FROM r),
+    t AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                 MAX(c) AS top1_count
+          FROM c)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(top1_count AS BIGINT) AS top1_count,
+           ${graft.ops.Relational.ratio6Sql("top1_count", "n_rows")}
+             AS top1_share6,
+           ${graft.ops.Relational.ratio6Sql(
+             "2 * ix - (n_keys + 1) * n_rows", "n_keys * n_rows")} AS gini6,
+           CAST((top1_count + ((n_rows + 31) // 32) - 1)
+                // ((n_rows + 31) // 32) AS INT) AS salt_factor
+    FROM t, g"""
+
   // --- q142_diversity: Simpson token-diversity per source -----------------
   /** Per-source lexical diversity via the Simpson homogeneity index
     * `D = Σ nᵢ(nᵢ−1) / (N(N−1))` — the probability two tokens drawn
@@ -1006,6 +1067,7 @@ object Profiling {
     "q163_winsorize"    -> q163Winsorize _,
     "q166_theil_sen"    -> q166TheilSen _,
     "q170_mad"          -> q170Mad _,
+    "q172_skew_report"  -> q172SkewReport _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1023,5 +1085,6 @@ object Profiling {
     "q163_winsorize"    -> q163WinsorizeSql,
     "q166_theil_sen"    -> q166TheilSenSql,
     "q170_mad"          -> q170MadSql,
+    "q172_skew_report"  -> q172SkewReportSql,
   )
 }

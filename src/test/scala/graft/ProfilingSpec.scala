@@ -217,6 +217,18 @@ class ProfilingSpec extends GraftSuite {
     assert(got("g2") == ((40L, 1L, 37L, 19.45)), got.toString)
   }
 
+  test("skewReport: hand-computed share, gini, and salt recommendation") {
+    // counts a:10, b:5, c:1 over 16 rows; 4 partitions → chunk 4 → salt 3
+    val df = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq("c")).toDF("k")
+    val r = Profiling.skewReport(df, col("k"), partitions = 4).collect().head
+    assert(r.getAs[Long]("n_rows") == 16L && r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("top1_count") == 10L)
+    assert(r.getAs[Double]("top1_share6") == 0.625)
+    // gini of (1,5,10): (2·41 − 4·16)/(3·16) = 18/48
+    assert(r.getAs[Double]("gini6") == 0.375, r.toString)
+    assert(r.getAs[Int]("salt_factor") == 3, r.toString)
+  }
+
   test("madPerGroup: lower-median and MAD ignore the spike") {
     // A = {1,2,3,4,100}: median 3, deviations {2,1,0,1,97} → MAD 1
     val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("A", _)) ++
