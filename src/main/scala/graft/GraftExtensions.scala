@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftVectorExpressions.dotProductDescription)
     ext.injectFunction(GraftTextExpressions.ngramShinglesDescription)
     ext.injectFunction(GraftTextExpressions.rollingFingerprintDescription)
+    ext.injectFunction(GraftTextExpressions.jaroWinklerDescription)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandGuard)
   }
 }

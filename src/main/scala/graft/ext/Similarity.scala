@@ -1390,7 +1390,42 @@ object Similarity {
            CAST(levenshtein(key_l, key_r) AS INT) AS dist
     FROM cand WHERE levenshtein(key_l, key_r) <= 3"""
 
+  // --- q173_jaro_winkler: prefix-weighted name similarity pairs -----------
+  /** Blocked name-pair scoring with the native codegen'd
+    * [[graft.functions.TextExpressions.jaroWinkler]] expression — the
+    * string-similarity class q126's Levenshtein cannot express (edit
+    * distance punishes transpositions and ignores the shared-prefix
+    * signal record linkage lives on). Same first-token blocking as q126;
+    * the expression's semantics are pinned to DuckDB's
+    * `jaro_winkler_similarity` (floor-halved transpositions, boost only
+    * past jaro 0.7 — empirically confirmed corners), so the oracle runs
+    * the BUILT-IN DuckDB function against our native expression:
+    * independent implementations, one hash. */
+  def q173JaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(lower(col("p_name")).as("name")).distinct()
+      .withColumn("blk", split(col("name"), " ").getItem(0))
+    val jw = graft.functions.TextExpressions.jaroWinkler(
+      col("a.name"), col("b.name"))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        round(jw, 6).as("jw6"))
+      .filter(col("jw6") >= 0.8)
+  }
+
+  val q173JaroWinklerSql: String = """
+    WITH nm AS (
+      SELECT DISTINCT lower(p_name) AS name,
+             split_part(lower(p_name), ' ', 1) AS blk
+      FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw6
+    FROM nm a JOIN nm b ON a.blk = b.blk AND a.name < b.name
+    WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.8"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_jaro_winkler" -> q173JaroWinkler _,
     "q157_sorted_neighborhood" -> q157SortedNeighborhood _,
     "q28_similarity_topk" -> q28SimilarityTopK _,
     "q42_ann_topk"        -> q42AnnTopK _,
@@ -1412,6 +1447,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q173_jaro_winkler" -> q173JaroWinklerSql,
     "q157_sorted_neighborhood" -> q157SortedNeighborhoodSql,
     "q28_similarity_topk" -> q28SimilarityTopKSql,
     "q42_ann_topk"        -> q42AnnTopKSql,

@@ -21,4 +21,8 @@ object TextExpressions {
   /** Codegen'd polynomial rolling hash over the token stream. */
   def rollingFingerprint(text: Column): Column =
     org.apache.spark.sql.graft.GraftTextExpressions.rollingFingerprint(text)
+
+  /** Codegen'd Jaro-Winkler similarity (DuckDB-pinned semantics). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftTextExpressions.jaroWinkler(a, b)
 }

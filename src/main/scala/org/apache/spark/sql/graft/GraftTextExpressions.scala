@@ -125,9 +125,94 @@ object RollingFingerprint {
   }
 }
 
+/** Native Jaro-Winkler similarity — the string-similarity class the
+  * Levenshtein family cannot cover (edit distance punishes transpositions
+  * and rewards nothing for shared prefixes; names/titles need the
+  * opposite). Semantics pinned to the textbook algorithm AS DuckDB
+  * implements it (validated against its `jaro_winkler_similarity` on the
+  * classic triples martha/marhta = 0.961111, dwayne/duane = 0.84,
+  * dixon/dicksonx = 0.813333, plus probes that fix the two
+  * underspecified corners: transpositions floor-halve (an odd mismatch
+  * count truncates), and the 0.1·prefix boost applies only when jaro
+  * exceeds 0.7 — both confirmed empirically, so the oracle replays
+  * bit-for-bit). Either empty input → 0. A `BinaryExpression` with a
+  * static-call `doGenCode`, so it stays inside whole-stage codegen like
+  * its siblings. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.JaroWinkler.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  def compute(au: UTF8String, bu: UTF8String): Double = {
+    val s = au.toString
+    val t = bu.toString
+    val ls = s.length
+    val lt = t.length
+    if (ls == 0 || lt == 0) return 0.0
+    if (s == t) return 1.0
+    val window = math.max(0, math.max(ls, lt) / 2 - 1)
+    val sM = new Array[Boolean](ls)
+    val tM = new Array[Boolean](lt)
+    var m = 0
+    var i = 0
+    while (i < ls) {
+      val hi = math.min(lt - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tM(j) && t.charAt(j) == s.charAt(i)) {
+          sM(i) = true; tM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0
+    var mismatches = 0
+    i = 0
+    while (i < ls) {
+      if (sM(i)) {
+        while (!tM(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) mismatches += 1
+        k += 1
+      }
+      i += 1
+    }
+    val trans = mismatches / 2 // floor-halved (DuckDB-confirmed)
+    val mm = m.toDouble
+    val jaro = (mm / ls + mm / lt + (mm - trans) / mm) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(ls, lt))
+    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    jaro + 0.1 * l * (1.0 - jaro)
+  }
+}
+
 object GraftTextExpressions {
   def ngramShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(NGramShingles(ExpressionUtils.expression(text), n))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinkler(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def rollingFingerprint(text: Column): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text)))
@@ -177,10 +262,25 @@ object GraftTextExpressions {
       NGramShingles(children.head, n)
     })
 
+  /** SQL registration triple: `jaro_winkler(a, b)`. */
+  val jaroWinklerDescription:
+      (org.apache.spark.sql.catalyst.FunctionIdentifier,
+       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+       Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[JaroWinkler].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "jaro_winkler(a, b) takes exactly two arguments")
+      JaroWinkler(children.head, children(1))
+    })
+
   /** Register on an EXISTING session's function registry — the
     * already-running-session counterpart of `GraftExtensions`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(ngramShinglesDescription, rollingFingerprintDescription).foreach {
+    Seq(ngramShinglesDescription, rollingFingerprintDescription,
+      jaroWinklerDescription).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

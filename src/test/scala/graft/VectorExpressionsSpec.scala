@@ -137,6 +137,35 @@ class VectorExpressionsSpec extends GraftSuite {
     }
   }
 
+  test("jaro_winkler matches the classic triples and the pinned corners") {
+    org.apache.spark.sql.graft.GraftTextExpressions.register(spark)
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),   // textbook triple
+      ("dwayne", "duane", 0.84),
+      ("dixon", "dicksonx", 0.813333),
+      ("abcdef", "bcadef", 0.944444),   // odd mismatch count floor-halves
+      ("abcdef", "abczzz", 0.666667),   // boost gated: jaro <= 0.7 unboosted
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("abc", "", 0.0), ("", "", 0.0))
+    val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(col("a"), col("b"),
+        round(graft.functions.TextExpressions.jaroWinkler(col("a"), col("b")), 6)
+          .as("jw"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(2)).toMap
+    cases.foreach { case (a, b, want) =>
+      assert(got((a, b)) == want, s"($a, $b): got ${got((a, b))}, want $want") }
+    // SQL registration + interpreted path agree with codegen
+    val viaSql = spark.sql(
+      "SELECT round(jaro_winkler('martha', 'marhta'), 6)").head().getDouble(0)
+    assert(viaSql == 0.961111)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.collect().map(r => r.getDouble(2)).toSeq ==
+        cases.map(_._3), "interpreted path diverged")
+    }
+  }
+
   test("GraftExtensions injects dot_product into a new session") {
     import org.apache.spark.sql.SparkSession
     // builder().getOrCreate() would return the shared test session and skip
