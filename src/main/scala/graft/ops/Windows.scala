@@ -317,6 +317,68 @@ object Windows {
            CAST(arg_max(len, last_d) AS BIGINT) AS current
     FROM st GROUP BY e"""
 
+  // --- q174_rolling_dau: trailing-window distinct actives (DAU/WAU) -------
+  /** Daily actives and TRAILING-7-day actives per day — the engagement
+    * ratio every growth dashboard wants, and a computation window
+    * functions cannot express (COUNT(DISTINCT) over a moving frame is
+    * unsupported in every engine, because distinctness doesn't decompose
+    * over frame slides). The scalable spelling: collapse to distinct
+    * (entity, day) once, then each active day COVERS the `w` window
+    * positions it contributes to — a bounded ×w explode — and the
+    * trailing count is a plain distinct + groupBy on the cover day. The
+    * shuffle carries (entity, day) pairs ×w, never events; no frame ever
+    * holds a distinct-set accumulator.
+    *
+    * Day arithmetic on integer epoch offsets (the q166 convention);
+    * cover days clipped to the observed [min, max] span (leading days
+    * have genuinely partial windows — reported, not fabricated). */
+  def rollingActiveUsers(events: DataFrame, entity: String, ts: String,
+                         windowDays: Int = 7): DataFrame = {
+    val userDays = graft.CacheRegistry.persist(
+      events.select(col(entity).as("e"),
+          datediff(date_trunc("day", col(ts)), to_date(lit("2024-01-01")))
+            .as("d"))
+        .distinct())
+    val span = userDays.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val dau = userDays.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .withColumn("cd",
+        explode(sequence(col("d"), col("d") + (windowDays - 1))))
+      .select(col("e"), col("cd")).distinct()
+      .groupBy(col("cd")).agg(count(lit(1)).as("wau"))
+    wau.crossJoin(broadcast(span))
+      .filter(col("cd").between(col("d0"), col("d1")))
+      .join(dau.select(col("d").as("cd"), col("dau")), Seq("cd"), "left_outer")
+      .select(col("cd").cast("long").as("day"),
+        coalesce(col("dau"), lit(0L)).cast("long").as("dau"),
+        col("wau").cast("long").as("wau"),
+        graft.ops.Relational.ratio6("coalesce(dau, 0)", "wau")
+          .as("stickiness6"))
+  }
+
+  def q174RollingDau(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveUsers(Tables.events(spark, dir), "user_id", "ts")
+
+  val q174RollingDauSql: String = s"""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS e,
+             datediff('day', DATE '2024-01-01',
+                      date_trunc('day', CAST(ts AS TIMESTAMP))) AS d
+      FROM events),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    cov AS (SELECT DISTINCT e, d + i AS cd
+            FROM ud, unnest(range(0, 7)) AS u(i)),
+    wau AS (SELECT cd, COUNT(*) AS wau FROM cov GROUP BY cd)
+    SELECT CAST(w.cd AS BIGINT) AS day,
+           CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           ${graft.ops.Relational.ratio6Sql("COALESCE(dau.dau, 0)", "w.wau")}
+             AS stickiness6
+    FROM wau w CROSS JOIN span
+    LEFT JOIN dau ON dau.d = w.cd
+    WHERE w.cd BETWEEN span.d0 AND span.d1"""
+
   // --- q103_funnel: ordered multi-step conversion funnel ------------------
   /** Funnel analysis: for each entity, the earliest time it completed
     * step 1, then the earliest step-2 event STRICTLY AFTER that, then the
@@ -554,6 +616,7 @@ object Windows {
     "q83_resample"      -> q83Resample _,
     "q164_interp_fill"  -> q164InterpFill _,
     "q169_streaks"      -> q169Streaks _,
+    "q174_rolling_dau"  -> q174RollingDau _,
     "q103_funnel"       -> q103Funnel _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
@@ -567,6 +630,7 @@ object Windows {
     "q83_resample"      -> q83ResampleSql,
     "q164_interp_fill"  -> q164InterpFillSql,
     "q169_streaks"      -> q169StreaksSql,
+    "q174_rolling_dau"  -> q174RollingDauSql,
     "q103_funnel"       -> q103FunnelSql,
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,

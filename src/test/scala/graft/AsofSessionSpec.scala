@@ -65,6 +65,21 @@ class AsofSessionSpec extends GraftSuite {
     assert(got.toSeq == Seq((6L, 3L, 3L, 2L)), got.toSeq.toString)
   }
 
+  test("rollingActiveUsers: trailing-7 distinct actives, window clipping") {
+    // u1 active days 0 and 8; u2 active day 2.
+    // day 0: dau 1 (u1), wau 1; day 2: dau 1 (u2), wau 2 (u1 covers 0..6);
+    // day 7: dau 0, wau 1 (u2 covers 2..8); day 8: dau 1 (u1), wau 2
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00"))).toDF("user_id", "ts")
+    val got = graft.ops.Windows.rollingActiveUsers(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == (0L to 8L).toSet, got.toString) // clipped to span
+    assert(got(0L) == ((1L, 1L)) && got(2L) == ((1L, 2L)), got.toString)
+    assert(got(7L) == ((0L, 1L)) && got(8L) == ((1L, 2L)), got.toString)
+  }
+
   test("asOfJoin picks the latest preceding right row, inclusive, per key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),
