@@ -933,6 +933,72 @@ object Dedup {
            st.keep_chars, CAST(st.tot - st.keep_chars AS BIGINT) AS chars_dropped
     FROM st JOIN k ON st.cluster = k.cluster"""
 
+  // --- q175_dedup_yield: corpus-level dedup savings report ----------------
+  /** The number a curation run actually publishes: per SOURCE, how much
+    * the dedup pass saved — documents scanned, documents surviving the
+    * survivorship pick, characters dropped, and the duplicate ratio. A
+    * cluster's members can span sources, so the keep decision is made
+    * globally ([[canonicalPick]] over the full cluster frame) and then
+    * attributed back to each member's source; per-source arithmetic on
+    * per-source clusters would double-count cross-source groups.
+    *
+    * Scale shape: the cluster frame is one row per document; the keep set
+    * joins back by document id (hash join on the corpus key — no window,
+    * no skew: document ids are unique) and the report is one hash
+    * aggregate over |sources| groups with map-side partials. */
+  def dedupYield(clusters: DataFrame, docs: DataFrame, id: String,
+                 sizeCol: String, dimCol: String): DataFrame = {
+    val keep = canonicalPick(clusters, docs, id, sizeCol)
+      .select(col("keep_id").as(id), lit(1L).as("is_keep"))
+    clusters
+      .join(docs.select(col(id), col(sizeCol), col(dimCol)), id)
+      .join(keep, Seq(id), "left_outer")
+      .groupBy(col(dimCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_keep"), lit(0L))).as("n_kept"),
+        sum(col(sizeCol)).as("chars_total"),
+        sum(when(col("is_keep").isNull, col(sizeCol)).otherwise(lit(0L)))
+          .as("chars_dropped"))
+      .select(col(dimCol), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("chars_total"), col("chars_dropped"),
+        graft.ops.Relational.ratio6("n_docs - n_kept", "n_docs")
+          .as("dup_ratio6"))
+  }
+
+  def q175DedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupYield(q47DedupClusters(spark, dir), docs, "doc_id", "n_chars",
+      "source")
+  }
+
+  /** Replays the closure clustering, the q131 survivorship pick, and the
+    * per-source attribution — a drifted keep decision (or a member
+    * counted under the wrong source) fails the hash. */
+  val q175DedupYieldSql: String = s"""
+    WITH RECURSIVE $clusterCtes,
+    m AS (SELECT c.cluster, d.doc_id, d.n_chars
+          FROM clusters c JOIN documents d USING (doc_id)),
+    st AS (SELECT cluster, MAX(n_chars) AS keep_chars FROM m GROUP BY cluster),
+    k AS (SELECT m.cluster, MIN(m.doc_id) AS keep_id
+          FROM m JOIN st ON m.cluster = st.cluster
+                        AND m.n_chars = st.keep_chars
+          GROUP BY m.cluster),
+    lab AS (SELECT m.doc_id, d.source, d.n_chars,
+                   CASE WHEN k.keep_id IS NULL THEN 0 ELSE 1 END AS is_keep
+            FROM m JOIN documents d USING (doc_id)
+            LEFT JOIN k ON k.keep_id = m.doc_id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(is_keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(is_keep) AS BIGINT) AS n_dropped,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN is_keep = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_dropped,
+           ${graft.ops.Relational.ratio6Sql(
+             "COUNT(*) - SUM(is_keep)", "COUNT(*)")} AS dup_ratio6
+    FROM lab GROUP BY source"""
+
   // --- q62_decontaminate: benchmark n-gram overlap removal ----------------
   /** Deterministic split: docs with doc_id % 97 == 0 play the "benchmark";
     * the rest are the training corpus to scrub. */
@@ -1452,6 +1518,7 @@ object Dedup {
     "q41_simhash"       -> q41SimHash _,
     "q47_dedup_clusters" -> q47DedupClusters _,
     "q131_canonical_pick" -> q131CanonicalPick _,
+    "q175_dedup_yield"  -> q175DedupYield _,
     "q112_cc_alternating" -> q112CcAlternating _,
     "q130_durable_cc"   -> q130DurableCc _,
     "q62_decontaminate" -> q62Decontaminate _,
@@ -1476,6 +1543,7 @@ object Dedup {
     "q41_simhash"       -> ngramJaccardOracleSql,
     "q47_dedup_clusters" -> q47DedupClustersSql,
     "q131_canonical_pick" -> q131CanonicalPickSql,
+    "q175_dedup_yield"  -> q175DedupYieldSql,
     "q112_cc_alternating" -> q47DedupClustersSql,
     "q130_durable_cc"   -> q47DedupClustersSql,
     "q62_decontaminate" -> q62DecontaminateSql,

@@ -696,6 +696,99 @@ object Profiling {
     WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
     GROUP BY e"""
 
+  // --- q176_acf: per-group lag-k autocorrelation of daily volume ----------
+  /** Autocorrelation of each group's daily event-count series at chosen
+    * lags — the seasonality detector (lag 7 high → weekly cycle; lag 1
+    * high → day-to-day momentum) that tells a pipeline whether "today
+    * looks unlike yesterday" is signal or just the weekend. The series is
+    * ZERO-FILLED over the corpus-wide [min, max] day span: a missing day
+    * in a count series is a real zero, and computing ACF on observed days
+    * only would silently correlate across gaps.
+    *
+    * Cross-engine exactness, same discipline as [[correlations]]: daily
+    * counts are BIGINTs, every sufficient statistic (n, Σx, Σy, Σx², Σy²,
+    * Σxy) is exact integer arithmetic, and the final Pearson expression
+    * is the identical IEEE op sequence in both engines — no rounding
+    * anywhere.
+    *
+    * Scale shape: the corpus collapses to (group, day) counts in ONE
+    * map-side-partial shuffle — the only pass that sees raw events. The
+    * zero-filled series is |groups| × span-days rows (dashboard-sized);
+    * the lag pairing is a self-equi-join on (group, day+k) over that tiny
+    * frame, and the stats are one more hash aggregate. At 100 TB the
+    * events scan dominates and everything downstream is negligible. */
+  def lagAutocorr(events: DataFrame, group: String, ts: String,
+                  lags: Seq[Int]): DataFrame = {
+    val counts = graft.CacheRegistry.persist(
+      events.select(col(group).as("g"),
+          datediff(date_trunc("day", col(ts)),
+            to_date(lit("2024-01-01"))).as("d"))
+        .groupBy(col("g"), col("d")).agg(count(lit(1)).as("c")))
+    val span = counts.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val series = counts.select(col("g")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("g"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(counts, Seq("g", "d"), "left_outer")
+      .select(col("g"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val pairs = series
+      .select(col("g"), col("d"), col("c"),
+        explode(array(lags.map(lit): _*)).as("k")).as("x")
+      .join(series.as("y"),
+        col("x.g") === col("y.g") && col("y.d") === col("x.d") + col("x.k"))
+      .select(col("x.g").as("g"), col("x.k").as("k"),
+        col("x.c").as("cx"), col("y.c").as("cy"))
+    pairs.groupBy(col("g"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cx")).as("sx"), sum(col("cy")).as("sy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"),
+        sum(col("cx") * col("cy")).as("sxy"))
+      .select(col("g"), col("k").cast("int").as("lag"),
+        col("n").cast("long").as("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n") * col("syy") - col("sy") * col("sy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("acf"))
+  }
+
+  def q176Acf(spark: SparkSession, dir: String): DataFrame =
+    lagAutocorr(graft.Tables.events(spark, dir), "event_type", "ts",
+      Seq(1, 7))
+
+  val q176AcfSql: String = """
+    WITH daily AS (
+      SELECT event_type AS g,
+             datediff('day', DATE '2024-01-01',
+                      date_trunc('day', CAST(ts AS TIMESTAMP))) AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    series AS (
+      SELECT gs.g, sp.d0 + u.i AS d, COALESCE(daily.c, 0) AS c
+      FROM (SELECT DISTINCT g FROM daily) gs
+      CROSS JOIN span sp
+      CROSS JOIN unnest(range(0, sp.d1 - sp.d0 + 1)) AS u(i)
+      LEFT JOIN daily ON daily.g = gs.g AND daily.d = sp.d0 + u.i),
+    lagk AS (SELECT unnest([1, 7]) AS k),
+    p AS (SELECT x.g, lagk.k, x.c AS cx, y.c AS cy
+          FROM series x CROSS JOIN lagk
+          JOIN series y ON y.g = x.g AND y.d = x.d + lagk.k),
+    st AS (SELECT g, k, COUNT(*) AS n,
+                  CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy,
+                  CAST(SUM(cx*cx) AS BIGINT) AS sxx,
+                  CAST(SUM(cy*cy) AS BIGINT) AS syy,
+                  CAST(SUM(cx*cy) AS BIGINT) AS sxy
+           FROM p GROUP BY 1, 2)
+    SELECT g, CAST(k AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE) /
+             sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+                  CAST(n*syy - sy*sy AS DOUBLE))
+           END AS acf
+    FROM st"""
+
   // --- q170_mad: median absolute deviation per group ----------------------
   /** Robust dispersion: the LOWER-median (k = (n+1) div 2-th order
     * statistic — integer-exact, no interpolation, documented choice) of
@@ -1066,6 +1159,7 @@ object Profiling {
     "q162_gini"         -> q162Gini _,
     "q163_winsorize"    -> q163Winsorize _,
     "q166_theil_sen"    -> q166TheilSen _,
+    "q176_acf"          -> q176Acf _,
     "q170_mad"          -> q170Mad _,
     "q172_skew_report"  -> q172SkewReport _,
   )
@@ -1084,6 +1178,7 @@ object Profiling {
     "q162_gini"         -> q162GiniSql,
     "q163_winsorize"    -> q163WinsorizeSql,
     "q166_theil_sen"    -> q166TheilSenSql,
+    "q176_acf"          -> q176AcfSql,
     "q170_mad"          -> q170MadSql,
     "q172_skew_report"  -> q172SkewReportSql,
   )

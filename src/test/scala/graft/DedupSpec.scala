@@ -247,6 +247,25 @@ class DedupSpec extends GraftSuite {
       4L -> ((4L, 1L, 7L, 0L))))
   }
 
+  test("dedupYield attributes global keep decisions back to each source") {
+    // cluster 1 spans sources: keep doc 2 (longest) in sA; doc 1 (sA) and
+    // doc 3 (sB) drop. Singleton 4 (sB) keeps itself.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq((1L, 10L, "sA"), (2L, 30L, "sA"), (3L, 25L, "sB"),
+      (4L, 7L, "sB")).toDF("doc_id", "n_chars", "source")
+    val got = Dedup.dedupYield(clusters, docs, "doc_id", "n_chars", "source")
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped"), r.getAs[Long]("chars_total"),
+          r.getAs[Long]("chars_dropped"), r.getAs[Double]("dup_ratio6"))))
+      .toMap
+    assert(got == Map(
+      "sA" -> ((2L, 1L, 1L, 40L, 10L, 0.5)),
+      "sB" -> ((2L, 1L, 1L, 32L, 25L, 0.5))), got.toString)
+  }
+
   /** Scala brute-force replay of winnowing at (k, w): contiguous tokens,
     * rightmost-min tie lane, truncated tail windows suppressed. */
   private def winnowRef(text: String, k: Int, w: Int): Set[Long] = {

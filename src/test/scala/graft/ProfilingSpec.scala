@@ -253,4 +253,24 @@ class ProfilingSpec extends GraftSuite {
     assert(got(1L) == ((6L, 0.75)), got.toString)
     assert(got(2L) == ((3L, 1.5)), got.toString)
   }
+
+  test("lagAutocorr: linear ramp gives acf 1; gaps zero-fill over the span") {
+    import java.sql.Timestamp
+    def t(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d 0$i:00:00")
+    // group a: daily counts 1,2,3,4,5 on days 0..4 (perfectly linear);
+    // group b: one event on day 0 and day 2 → zero-filled [1,0,1,0,0]
+    val rows =
+      (0 to 4).flatMap(d => (0 to d).map(i => ("a", t(d, i)))) ++
+        Seq(("b", t(0, 0)), ("b", t(2, 0)))
+    val got = graft.ext.Profiling
+      .lagAutocorr(rows.toDF("g", "ts"), "g", "ts", Seq(1))
+      .collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("acf")))).toMap
+    assert(got("a")._1 == 4L && got("a")._2 == 1.0, got.toString)
+    // b lag-1 pairs: x=[1,0,1,0], y=[0,1,0,0] → cov·n = −2, vx = 4, vy = 3
+    assert(got("b")._1 == 4L &&
+      got("b")._2 == -2.0 / math.sqrt(4.0 * 3.0), got.toString)
+  }
 }
