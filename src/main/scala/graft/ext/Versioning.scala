@@ -299,7 +299,75 @@ object Versioning {
     SELECT lang, COUNT(*) AS n_rows, bit_xor(hv) AS checksum
     FROM h GROUP BY lang"""
 
+  // --- q177_vacuum: retention GC plan over a version log ------------------
+  /** The logical half of Delta/Iceberg VACUUM: given an append-only
+    * version log (one row per key×version), classify every row as
+    * `live` (the key's latest version — never removable), `retained`
+    * (superseded, but only AFTER the retention watermark — a time-travel
+    * reader inside the horizon may still need it), or `reclaimable`
+    * (superseded at or before the watermark — safe to delete). The
+    * decision is per-row and replayable, so the GC that acts on it can be
+    * audited against this plan.
+    *
+    * A row's removability hinges on when it was SUPERSEDED (its
+    * successor's version), not on its own age: an ancient version that is
+    * still current must survive every vacuum. That successor lookup is
+    * `lead(version)` over a window partitioned by the KEY — entity-
+    * bounded (a key's version count), never a value-keyed window. At
+    * 100 TB the real input is the table's transaction manifest (cf. the
+    * q98/q110 zone-map manifests), which is already orders of magnitude
+    * smaller than the data it describes. */
+  def vacuumPlan(log: DataFrame, key: Seq[String], versionCol: String,
+                 watermark: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*).orderBy(col(versionCol))
+    log.withColumn("next_version", lead(col(versionCol), 1).over(w))
+      .withColumn("status",
+        when(col("next_version").isNull, "live")
+          .when(col("next_version") > watermark, "retained")
+          .otherwise("reclaimable"))
+  }
+
+  /** The deterministic three-write version log q177 vacuums: base load
+    * (v0), the %7 re-crawl (v1), and a second %21 re-crawl (v2) — the
+    * same refresh lineage as q79/q80, extended one write. */
+  def q177Vacuum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val log = docs.withColumn("version", lit(0))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("n_chars", col("n_chars") + 5)
+        .withColumn("version", lit(1)))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(21)) === 0)
+        .withColumn("n_chars", col("n_chars") + 9)
+        .withColumn("version", lit(2)))
+    vacuumPlan(log, Seq("doc_id"), "version", watermark = 1L)
+      .select(col("doc_id"), col("version").cast("int").as("version"),
+        col("next_version").cast("int").as("next_version"),
+        col("status"), col("n_chars").cast("long").as("n_chars"))
+  }
+
+  val q177VacuumSql: String = """
+    WITH vlog AS (
+      SELECT doc_id, 0 AS version, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id, 1, n_chars + 5 FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, 2, n_chars + 9 FROM documents WHERE doc_id % 21 = 0),
+    l AS (SELECT doc_id, version, n_chars,
+                 LEAD(version) OVER (PARTITION BY doc_id
+                                     ORDER BY version) AS nv
+          FROM vlog)
+    SELECT doc_id, CAST(version AS INT) AS version,
+           CAST(nv AS INT) AS next_version,
+           CASE WHEN nv IS NULL THEN 'live'
+                WHEN nv > 1 THEN 'retained'
+                ELSE 'reclaimable' END AS status,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM l"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_vacuum"       -> q177Vacuum _,
     "q79_upsert"        -> q79Upsert _,
     "q80_snapshot_diff" -> q80SnapshotDiff _,
     "q96_scd2"          -> q96Scd2 _,
@@ -308,6 +376,7 @@ object Versioning {
   )
 
   def oracles: Map[String, String] = Map(
+    "q177_vacuum"       -> q177VacuumSql,
     "q79_upsert"        -> q79UpsertSql,
     "q80_snapshot_diff" -> q80SnapshotDiffSql,
     "q96_scd2"          -> q96Scd2Sql,

@@ -379,6 +379,61 @@ object Windows {
     LEFT JOIN dau ON dau.d = w.cd
     WHERE w.cd BETWEEN span.d0 AND span.d1"""
 
+  // --- q178_decay_trend: exact exponentially-decayed trending score -------
+  /** "What's trending": per group, recent activity counts more — each
+    * event is weighted `2^-(age_days)` relative to the corpus's newest
+    * day, over a bounded horizon. The weights are binary powers ON
+    * PURPOSE: the score is computed as an exact BIGINT
+    * `Σ count_d · 2^(H − age_d)` (the `2^H`-scaled fixed-point form), so
+    * ranking and the 6-dp share are bit-identical across engines — a
+    * float `exp(-λ·age)` spelling would make "trending #1 vs #2" depend
+    * on summation order. Half-life = one day; horizon H days (older
+    * events contribute nothing, which also bounds the scaled sum well
+    * inside BIGINT: the 2·p·10⁶ trick in ratio6 needs p ≲ 4.6e12, so H
+    * defaults to 20).
+    *
+    * Scale shape: raw events collapse to (group, day) counts in one
+    * map-side-partial shuffle; the horizon max-day and the share total
+    * are broadcast one-row frames. Nothing downstream of the first
+    * aggregate exceeds |groups| × H rows. */
+  def decayTrendScore(events: DataFrame, group: String, ts: String,
+                      horizonDays: Int = 20): DataFrame = {
+    val daily = events.select(col(group).as("g"),
+        datediff(date_trunc("day", col(ts)), to_date(lit("2024-01-01")))
+          .as("d"))
+      .groupBy(col("g"), col("d")).agg(count(lit(1)).as("c"))
+    val newest = daily.agg(max(col("d")).as("d1"))
+    val scores = daily.crossJoin(broadcast(newest))
+      .filter(col("d1") - col("d") <= horizonDays)
+      .withColumn("w", expr(
+        s"c * shiftleft(CAST(1 AS BIGINT), CAST($horizonDays - (d1 - d) AS INT))"))
+      .groupBy(col("g")).agg(sum(col("w")).as("iscore"))
+    val total = scores.agg(sum(col("iscore")).as("t"))
+    scores.crossJoin(broadcast(total))
+      .select(col("g"), col("iscore").cast("long").as("iscore"),
+        graft.ops.Relational.ratio6("iscore", "t").as("share6"))
+  }
+
+  def q178DecayTrend(spark: SparkSession, dir: String): DataFrame =
+    decayTrendScore(Tables.events(spark, dir), "event_type", "ts")
+
+  val q178DecayTrendSql: String = s"""
+    WITH dd AS (
+      SELECT event_type AS g,
+             datediff('day', DATE '2024-01-01',
+                      date_trunc('day', CAST(ts AS TIMESTAMP))) AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT MAX(d) AS d1 FROM dd),
+    sc AS (SELECT g,
+                  CAST(SUM(c * (CAST(1 AS BIGINT) << (20 - (d1 - d))))
+                       AS BIGINT) AS iscore
+           FROM dd CROSS JOIN mx WHERE d1 - d <= 20 GROUP BY g),
+    tot AS (SELECT CAST(SUM(iscore) AS BIGINT) AS t FROM sc)
+    SELECT g, iscore,
+           ${graft.ops.Relational.ratio6Sql("iscore", "t")} AS share6
+    FROM sc CROSS JOIN tot"""
+
   // --- q103_funnel: ordered multi-step conversion funnel ------------------
   /** Funnel analysis: for each entity, the earliest time it completed
     * step 1, then the earliest step-2 event STRICTLY AFTER that, then the
@@ -617,6 +672,7 @@ object Windows {
     "q164_interp_fill"  -> q164InterpFill _,
     "q169_streaks"      -> q169Streaks _,
     "q174_rolling_dau"  -> q174RollingDau _,
+    "q178_decay_trend"  -> q178DecayTrend _,
     "q103_funnel"       -> q103Funnel _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
@@ -631,6 +687,7 @@ object Windows {
     "q164_interp_fill"  -> q164InterpFillSql,
     "q169_streaks"      -> q169StreaksSql,
     "q174_rolling_dau"  -> q174RollingDauSql,
+    "q178_decay_trend"  -> q178DecayTrendSql,
     "q103_funnel"       -> q103FunnelSql,
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,

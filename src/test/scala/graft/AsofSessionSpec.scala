@@ -80,6 +80,21 @@ class AsofSessionSpec extends GraftSuite {
     assert(got(7L) == ((0L, 1L)) && got(8L) == ((1L, 2L)), got.toString)
   }
 
+  test("decayTrendScore: exact binary weights relative to the newest day") {
+    // a: day0 ×1, day1 ×2 → 2^19 + 2·2^20; b: day1 ×1 → 2^20.
+    // shares are exactly 5/7 and 2/7 at 6 dp (half-up)
+    val ev = Seq(
+      ("a", ts("2024-01-01 08:00:00")), ("a", ts("2024-01-02 08:00:00")),
+      ("a", ts("2024-01-02 09:00:00")), ("b", ts("2024-01-02 10:00:00")))
+      .toDF("g", "ts")
+    val got = graft.ops.Windows.decayTrendScore(ev, "g", "ts")
+      .collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("iscore"), r.getAs[Double]("share6")))).toMap
+    assert(got("a") == (((1L << 19) + 2L * (1L << 20), 0.714286)), got.toString)
+    assert(got("b") == (((1L << 20), 0.285714)), got.toString)
+  }
+
   test("asOfJoin picks the latest preceding right row, inclusive, per key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),

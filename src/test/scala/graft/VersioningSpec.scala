@@ -110,4 +110,18 @@ class VersioningSpec extends GraftSuite {
     assert(c("g2") != base("g2"),
       "null sentinel collided — acceptable only under the documented contract")
   }
+
+  test("vacuumPlan: live never reclaimed, watermark splits retained/reclaimable") {
+    val log = Seq(("k1", 0), ("k1", 1), ("k1", 2), ("k2", 0))
+      .toDF("key", "version")
+    val got = Versioning.vacuumPlan(log, Seq("key"), "version", watermark = 1L)
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Int]("version")) ->
+        r.getAs[String]("status")).toMap
+    assert(got == Map(
+      ("k1", 0) -> "reclaimable", // superseded by v1 ≤ watermark
+      ("k1", 1) -> "retained",    // superseded by v2 > watermark
+      ("k1", 2) -> "live",
+      ("k2", 0) -> "live"), got.toString)
+  }
 }
