@@ -1424,7 +1424,105 @@ object Similarity {
     FROM nm a JOIN nm b ON a.blk = b.blk AND a.name < b.name
     WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.8"""
 
+  // --- q179_margin_mining: margin-criterion cross-corpus pair mining ------
+  /** Margin-criterion alignment mining (the bitext-mining selection rule):
+    * a cross-corpus candidate pair is kept when its cosine stands out
+    * RELATIVE to both endpoints' neighborhoods —
+    * `margin(x,y) = cos(x,y) / ((avgTopK(x→B) + avgTopK(y→A)) / 2) ≥ τ` —
+    * not on an absolute threshold, which would flood the mined set with
+    * hub vectors (close to everything, aligned with nothing). Candidates
+    * are x's forward top-k.
+    *
+    * Exactness: cosines cross the engines as 6-dp-scaled BIGINTs, the
+    * margin inequality is cross-multiplied into pure integer arithmetic
+    * (`2·c·nₐ·n_b·τden ≥ τnum·(sₐ·n_b + s_b·nₐ)`, with actual
+    * neighborhood sizes so short sides don't distort the average), and
+    * the reported margin is ratio6 — set membership and every reported
+    * number are bit-identical across engines.
+    *
+    * Scale shape: this exact spelling is the all-pairs baseline, guarded
+    * like [[cosineTopK]] (the B side must broadcast). At corpus scale the
+    * candidate generation and both neighborhood averages swap onto the
+    * [[annCosineTopK]] bucketed substrate unchanged — the margin filter
+    * itself only ever consumes top-k frames. */
+  def marginPairs(a: DataFrame, b: DataFrame, k: Int,
+                  tauNum: Long = 105, tauDen: Long = 100,
+                  maxSideRows: Int = 500000): DataFrame = {
+    require(b.limit(maxSideRows + 1).count() <= maxSideRows,
+      s"marginPairs broadcasts the B side: more than $maxSideRows rows — " +
+        "swap candidate generation onto annCosineTopK for large corpora")
+    val pairs = graft.CacheRegistry.persist(
+      a.withColumn("an", norm(col("av")))
+        .crossJoin(broadcast(b.withColumn("bn", norm(col("bv")))))
+        .withColumn("c6",
+          round(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+            * 1000000).cast("long"))
+        .select(col("aid"), col("bid"), col("c6")))
+    val topA = Windows.perGroupTopK(pairs, group = Seq(col("aid")),
+      order = Seq(col("c6").desc, col("bid")), saltSrc = col("bid"), k = k)
+    val statsA = topA.groupBy(col("aid"))
+      .agg(sum(col("c6")).as("sa"), count(lit(1)).as("na"))
+    val statsB = Windows.perGroupTopK(pairs, group = Seq(col("bid")),
+        order = Seq(col("c6").desc, col("aid")), saltSrc = col("aid"), k = k)
+      .groupBy(col("bid"))
+      .agg(sum(col("c6")).as("sb"), count(lit(1)).as("nb"))
+    topA.select(col("aid"), col("bid"), col("c6"))
+      .join(statsA, "aid").join(statsB, "bid")
+      .filter(col("sa") * col("nb") + col("sb") * col("na") > 0 &&
+        lit(2) * col("c6") * col("na") * col("nb") * tauDen >=
+          lit(tauNum) * (col("sa") * col("nb") + col("sb") * col("na")))
+      .select(col("aid"), col("bid"),
+        (col("c6").cast("double") / 1000000).as("cos6"),
+        graft.ops.Relational.ratio6(
+          "2 * c6 * na * nb", "sa * nb + sb * na").as("margin6"))
+  }
+
+  /** Even vec_ids play corpus A, odd play corpus B; k = 4, τ = 1.05. */
+  def q179MarginMining(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+    marginPairs(
+      v.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("aid"), col("v").as("av")),
+      v.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id").as("bid"), col("v").as("bv")),
+      k = 4)
+  }
+
+  val q179MarginMiningSql: String = s"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aa AS (SELECT vec_id AS aid, v AS av FROM v WHERE vec_id % 2 = 0),
+    bb AS (SELECT vec_id AS bid, v AS bv FROM v WHERE vec_id % 2 = 1),
+    p AS (SELECT aid, bid,
+                 CAST(ROUND(ROUND(list_dot_product(av, bv) /
+                        (sqrt(list_dot_product(av, av)) *
+                         sqrt(list_dot_product(bv, bv))), 6)
+                      * 1000000) AS BIGINT) AS c6
+          FROM aa CROSS JOIN bb),
+    ra AS (SELECT aid, bid, c6,
+                  ROW_NUMBER() OVER (PARTITION BY aid
+                                     ORDER BY c6 DESC, bid) AS rn
+           FROM p),
+    sa AS (SELECT aid, CAST(SUM(c6) AS BIGINT) AS sa, COUNT(*) AS na
+           FROM ra WHERE rn <= 4 GROUP BY aid),
+    rb AS (SELECT bid, aid, c6,
+                  ROW_NUMBER() OVER (PARTITION BY bid
+                                     ORDER BY c6 DESC, aid) AS rn
+           FROM p),
+    sb AS (SELECT bid, CAST(SUM(c6) AS BIGINT) AS sb, COUNT(*) AS nb
+           FROM rb WHERE rn <= 4 GROUP BY bid)
+    SELECT c.aid, c.bid, CAST(c.c6 AS DOUBLE) / 1000000 AS cos6,
+           ${graft.ops.Relational.ratio6Sql(
+             "2 * c.c6 * sa.na * sb.nb", "sa.sa * sb.nb + sb.sb * sa.na")}
+             AS margin6
+    FROM (SELECT aid, bid, c6 FROM ra WHERE rn <= 4) c
+    JOIN sa USING (aid) JOIN sb USING (bid)
+    WHERE sa.sa * sb.nb + sb.sb * sa.na > 0
+      AND 2 * c.c6 * sa.na * sb.nb * 100 >=
+          105 * (sa.sa * sb.nb + sb.sb * sa.na)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_margin_mining" -> q179MarginMining _,
     "q173_jaro_winkler" -> q173JaroWinkler _,
     "q157_sorted_neighborhood" -> q157SortedNeighborhood _,
     "q28_similarity_topk" -> q28SimilarityTopK _,
@@ -1447,6 +1545,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q179_margin_mining" -> q179MarginMiningSql,
     "q173_jaro_winkler" -> q173JaroWinklerSql,
     "q157_sorted_neighborhood" -> q157SortedNeighborhoodSql,
     "q28_similarity_topk" -> q28SimilarityTopKSql,

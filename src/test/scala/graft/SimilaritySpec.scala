@@ -379,4 +379,22 @@ class SimilaritySpec extends GraftSuite {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
       (3L, 5L), (4L, 5L)), got.toString)
   }
+
+  test("marginPairs keeps standout pairs, drops neighborhood-average ones") {
+    // a1=(1,0) matches b1 exactly; a2=diag matches b3=diag exactly; the
+    // 45°-apart pairs score cos .707107 — above any absolute threshold a
+    // mined set would use, but NOT above their neighborhoods' average, so
+    // the margin rule must keep only the two exact matches
+    val s = math.sqrt(0.5)
+    val a = Seq((0L, Array(1.0, 0.0)), (2L, Array(s, s))).toDF("aid", "av")
+    val b = Seq((1L, Array(1.0, 0.0)), (3L, Array(0.0, 1.0)),
+      (5L, Array(s, s))).toDF("bid", "bv")
+    val got = Similarity.marginPairs(a, b, k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("aid"), r.getAs[Long]("bid")) ->
+        ((r.getAs[Double]("cos6"), r.getAs[Double]("margin6")))).toMap
+    assert(got.keySet == Set((0L, 1L), (2L, 5L)), got.toString)
+    assert(got.values.forall { case (c, m) => c == 1.0 && m > 1.17 && m < 1.18 },
+      got.toString)
+  }
 }
