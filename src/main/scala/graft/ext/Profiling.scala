@@ -789,6 +789,74 @@ object Profiling {
            END AS acf
     FROM st"""
 
+  // --- q180_benford: first-significant-digit fraud/anomaly screen ---------
+  /** Benford's-law screen over a money-like column: the first significant
+    * digit of naturally-occurring amounts follows `log10(1 + 1/d)`, and a
+    * synthesized or tampered feed (or a generator bug in a data vendor's
+    * pipeline) shows up as a flat or spiked digit histogram. Output is
+    * one row per digit with the observed share, the Benford expectation,
+    * and their signed deviation.
+    *
+    * Cross-engine exactness: the value is integer-ized to cents first
+    * (`ROUND(v·100)` — the q115 discipline), the digit is the first
+    * character of the INTEGER's decimal string (never a float `log10`
+    * whose boundary could flip a digit), shares are ratio6, the
+    * expectations are shared 6-dp literals, and the deviation is one IEEE
+    * subtraction of identical operands. One scan, one 9-group hash
+    * aggregate: nothing here notices 100 TB beyond the scan. */
+  def benfordScreen(df: DataFrame, value: String): DataFrame = {
+    val expected = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val expectedCase = (1 to 9).map(d =>
+      s"WHEN $d THEN CAST(${expected(d)} AS DOUBLE)").mkString(" ")
+    val digits = df
+      .select(expr(s"CAST(ROUND(($value) * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n").cast("long").as("n"),
+        graft.ops.Relational.ratio6("n", "t").as("share6"),
+        expr(s"CASE digit $expectedCase END").as("benford6"))
+      .withColumn("dev", col("share6") - col("benford6"))
+  }
+
+  def q180Benford(spark: SparkSession, dir: String): DataFrame =
+    benfordScreen(graft.Tables.events(spark, dir), "value")
+
+  val q180BenfordSql: String = s"""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ${graft.ops.Relational.ratio6Sql("n", "t")} AS share6,
+           CASE digit WHEN 1 THEN CAST(0.301030 AS DOUBLE)
+                      WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+                      WHEN 3 THEN CAST(0.124939 AS DOUBLE)
+                      WHEN 4 THEN CAST(0.096910 AS DOUBLE)
+                      WHEN 5 THEN CAST(0.079181 AS DOUBLE)
+                      WHEN 6 THEN CAST(0.066947 AS DOUBLE)
+                      WHEN 7 THEN CAST(0.057992 AS DOUBLE)
+                      WHEN 8 THEN CAST(0.051153 AS DOUBLE)
+                      WHEN 9 THEN CAST(0.045757 AS DOUBLE) END AS benford6,
+           ${graft.ops.Relational.ratio6Sql("n", "t")} -
+             CASE digit WHEN 1 THEN CAST(0.301030 AS DOUBLE)
+                        WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+                        WHEN 3 THEN CAST(0.124939 AS DOUBLE)
+                        WHEN 4 THEN CAST(0.096910 AS DOUBLE)
+                        WHEN 5 THEN CAST(0.079181 AS DOUBLE)
+                        WHEN 6 THEN CAST(0.066947 AS DOUBLE)
+                        WHEN 7 THEN CAST(0.057992 AS DOUBLE)
+                        WHEN 8 THEN CAST(0.051153 AS DOUBLE)
+                        WHEN 9 THEN CAST(0.045757 AS DOUBLE) END AS dev
+    FROM c CROSS JOIN t"""
+
   // --- q170_mad: median absolute deviation per group ----------------------
   /** Robust dispersion: the LOWER-median (k = (n+1) div 2-th order
     * statistic — integer-exact, no interpolation, documented choice) of
@@ -1160,6 +1228,7 @@ object Profiling {
     "q163_winsorize"    -> q163Winsorize _,
     "q166_theil_sen"    -> q166TheilSen _,
     "q176_acf"          -> q176Acf _,
+    "q180_benford"      -> q180Benford _,
     "q170_mad"          -> q170Mad _,
     "q172_skew_report"  -> q172SkewReport _,
   )
@@ -1179,6 +1248,7 @@ object Profiling {
     "q163_winsorize"    -> q163WinsorizeSql,
     "q166_theil_sen"    -> q166TheilSenSql,
     "q176_acf"          -> q176AcfSql,
+    "q180_benford"      -> q180BenfordSql,
     "q170_mad"          -> q170MadSql,
     "q172_skew_report"  -> q172SkewReportSql,
   )

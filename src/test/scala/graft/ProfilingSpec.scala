@@ -273,4 +273,18 @@ class ProfilingSpec extends GraftSuite {
     assert(got("b")._1 == 4L &&
       got("b")._2 == -2.0 / math.sqrt(4.0 * 3.0), got.toString)
   }
+
+  test("benfordScreen: integer-string digit, cents rounding, zero dropped") {
+    // 0.004 rounds to 0 cents and must be excluded; 9.5 → 950 → digit 9;
+    // 0.19 → 19 → digit 1 (first digit of the CENTS integer, documented)
+    val df = Seq(1.0, 12.5, 0.19, 9.5, 0.004, 250.0).toDF("v")
+    val got = graft.ext.Profiling.benfordScreen(df, "v")
+      .collect()
+      .map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share6")))).toMap
+    assert(got == Map(
+      1 -> ((3L, 0.6)),  // 100, 1250, 19
+      2 -> ((1L, 0.2)),  // 25000
+      9 -> ((1L, 0.2))), got.toString)
+  }
 }
