@@ -296,6 +296,38 @@ object Streams {
       events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  // --- q181_stream_actives: distinct actives per window, chained state ----
+  /** COUNT(DISTINCT user) per hour window as a stream: watermark-bounded
+    * dedup on (user, window-hour) FEEDING a windowed count — a chained
+    * two-stateful-operator pipeline (the Spark 3.4+ multi-stateful shape).
+    * Each operator's state is bounded by the horizon's active-key
+    * cardinality: the dedup holds one entry per (user, hour) inside the
+    * watermark, the aggregate one row per open window — neither scales
+    * with the stream's history, which is what makes exact streaming
+    * distinct-counting viable at firehose rates (the approximate
+    * alternative is an HLL sketch per window; this is the exact path).
+    * The batch form is the identical composition (dropDuplicates +
+    * groupBy), so the oracle is plain COUNT(DISTINCT). */
+  def uniqueActivesPerWindow(events: DataFrame, windowLen: String = "1 hour",
+                             horizon: String = "1 hour"): DataFrame = {
+    val keyed = events.select(col("user_id"), col("ts"),
+      date_trunc("hour", col("ts")).as("win_hour"))
+    // dedupStream already set the watermark; redefining it between two
+    // chained stateful operators is rejected outright in Spark 4
+    val dd = dedupStream(keyed, Seq("user_id", "win_hour"), horizon)
+    dd.groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").as("win_start"), col("n_users"))
+  }
+
+  def q181StreamActives(spark: SparkSession, dir: String): DataFrame =
+    uniqueActivesPerWindow(Tables.events(spark, dir))
+
+  val q181StreamActivesSql: String = """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1"""
+
   // --- q45_sessionize: batch sessions over events, oracled ----------------
   /** Streaming MERGE sink: applies each micro-batch as an upsert into a
     * versioned parquet target — the streaming face of
@@ -622,6 +654,7 @@ object Streams {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_event_window"   -> q40EventWindow _,
+    "q181_stream_actives" -> q181StreamActives _,
     "q45_sessionize"     -> q45Sessionize _,
     "q49_interval_join"  -> q49IntervalJoin _,
     "q51_session_window" -> q51SessionWindow _,
@@ -631,6 +664,7 @@ object Streams {
 
   def oracles: Map[String, String] = Map(
     "q40_event_window"   -> q40EventWindowSql,
+    "q181_stream_actives" -> q181StreamActivesSql,
     "q45_sessionize"     -> q45SessionizeSql,
     "q49_interval_join"  -> q49IntervalJoinSql,
     "q51_session_window" -> q51SessionWindowSql,

@@ -201,6 +201,32 @@ class AsofSessionSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming distinct actives equals batch COUNT(DISTINCT) per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = Streams.uniqueActivesPerWindow(ms.toDF().toDF("user_id", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_stream_actives").start()
+    try {
+      // hour 10: users {1, 2} with a same-hour duplicate of 1
+      ms.addData(Seq((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 10:20:00"))))
+      q.processAllAvailable()
+      // hour 11: users {1, 3} — user 1 again (distinct per-window, not
+      // globally); then a sentinel far enough ahead to finalize both hours
+      ms.addData(Seq((1L, ts("2024-01-01 10:30:00")),
+        (3L, ts("2024-01-01 11:05:00")), (1L, ts("2024-01-01 11:10:00"))))
+      q.processAllAvailable()
+      ms.addData(Seq((99L, ts("2024-01-01 14:00:00"))))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stream_actives")
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed == Map(
+        ts("2024-01-01 10:00:00") -> 2L, ts("2024-01-01 11:00:00") -> 2L),
+        streamed.toString)
+    } finally q.stop()
+  }
+
   test("q46 exact percentiles are ordered and grouped correctly") {
     val rows = graft.ops.Relational.q46Percentiles(spark, sf).collect()
     assert(rows.length == 3) // A, N, R
