@@ -184,7 +184,16 @@ object SkewAudit {
         // aHash: the mapPartitions hash pass must stay flat at 10× docs,
         // and the (blk, v) bucket join gets 10× deeper buckets (identical
         // copies hash identically — every bucket is maximally hot)
-        "q160_ahash_neardup")
+        "q160_ahash_neardup",
+        // round-7 session-4: rolling DAU — the ×7 cover explode runs on
+        // distinct (user, day) at 10× users, and the cover-day groupBy is
+        // the hot exchange the audit must show flat; ACF — the corpus
+        // collapse shuffle at 10× events feeding the dashboard-sized lag
+        // join; margin mining — the all-pairs baseline at 10× embeddings
+        // (156M candidate dots) with BOTH top-k windows keyed on the
+        // query/corpus ids — the salted two-phase top-k under its
+        // heaviest legal load
+        "q174_rolling_dau", "q176_acf", "q179_margin_mining")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
