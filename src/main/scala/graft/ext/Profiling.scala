@@ -857,6 +857,122 @@ object Profiling {
                         WHEN 9 THEN CAST(0.045757 AS DOUBLE) END AS dev
     FROM c CROSS JOIN t"""
 
+  // --- q182_k_anonymity: quasi-identifier re-identification audit ---------
+  /** k-anonymity audit over a quasi-identifier combination: every
+    * equivalence class (all rows sharing the quasi values) with fewer
+    * than k members is a re-identification risk — the privacy check a
+    * training-data release runs BEFORE publishing, next to the q66 PII
+    * scrub (scrubbing direct identifiers does nothing about a (lang,
+    * source, ...) combination that singles a record out). Reports every
+    * class with its size, the at-risk flag, and the worst-case
+    * re-identification probability 1/n as an exact 6-dp ratio.
+    *
+    * One hash aggregate with map-side partials over |classes| groups —
+    * the audit is a wordcount no matter the corpus size. */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityAudit: no quasi-identifier columns")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(quasi.map(col) ++ Seq(col("n").cast("long").as("n"),
+        (col("n") < k).as("at_risk"),
+        graft.ops.Relational.ratio6("1", "n").as("reident_risk6")): _*)
+  }
+
+  def q182KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityAudit(graft.Tables.documents(spark, dir),
+      Seq("lang", "source"), k = 10)
+
+  val q182KAnonymitySql: String = s"""
+    SELECT lang, source, COUNT(*) AS n,
+           COUNT(*) < 10 AS at_risk,
+           ${graft.ops.Relational.ratio6Sql("1", "COUNT(*)")}
+             AS reident_risk6
+    FROM documents GROUP BY lang, source"""
+
+  // --- q184_cuped: variance-reduced experiment readout --------------------
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data): adjust each
+    * variant's experiment-period metric by its pre-period covariate —
+    * `Ŷ = Y − θ·(X − E[X])` with `θ = cov(X,Y)/var(X)` — the standard
+    * variance-reduction that lets an A/B test reach significance on a
+    * fraction of the traffic. Per-user X (pre-period activity) and Y
+    * (experiment-period activity) are exact integer counts; θ and the
+    * adjusted means come out of ONE pooled sufficient-statistics row.
+    *
+    * Cross-engine exactness: never average per-user adjusted doubles (the
+    * sum order would differ) — algebra first:
+    * `mean(Ŷ|v) = Σy_v/n_v − θ·(Σx_v/n_v − Σx/n)`, every operand an exact
+    * BIGINT, every division/multiply one IEEE op both engines evaluate
+    * identically on identical inputs. θ NULL when var(X) = 0.
+    *
+    * Scale shape: events collapse to per-user (x, y) in one map-side-
+    * partial shuffle; pooled stats and the per-variant rollup are
+    * broadcast-sized. The experiment readout is a wordcount. */
+  def cupedReadout(events: DataFrame, key: String, ts: String,
+                   cutoverDay: Int, variants: Int = 2): DataFrame = {
+    val per = events.select(col(key).as("u"),
+        datediff(date_trunc("day", col(ts)),
+          to_date(lit("2024-01-01"))).as("d"))
+      .groupBy(col("u"))
+      .agg(sum(when(col("d") < cutoverDay, 1L).otherwise(0L)).as("x"),
+        sum(when(col("d") >= cutoverDay, 1L).otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(col("u"), lit(variants)).cast("int"))
+    val pooled = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val theta = when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("nv"),
+        sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
+      .crossJoin(broadcast(pooled))
+      .select(col("variant"), col("nv").cast("long").as("n_users"),
+        (col("syv").cast("double") / col("nv").cast("double")).as("mean_y"),
+        theta.as("theta"),
+        (col("syv").cast("double") / col("nv").cast("double") -
+          theta * (col("sxv").cast("double") / col("nv").cast("double") -
+            col("sx").cast("double") / col("n").cast("double")))
+          .as("mean_y_cuped"))
+  }
+
+  def q184Cuped(spark: SparkSession, dir: String): DataFrame =
+    cupedReadout(graft.Tables.events(spark, dir), "user_id", "ts",
+      cutoverDay = 15)
+
+  val q184CupedSql: String = """
+    WITH per AS (
+      SELECT user_id AS u,
+             CAST(SUM(CASE WHEN datediff('day', DATE '2024-01-01',
+                             date_trunc('day', CAST(ts AS TIMESTAMP))) < 15
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN datediff('day', DATE '2024-01-01',
+                             date_trunc('day', CAST(ts AS TIMESTAMP))) >= 15
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    pv AS (SELECT u, x, y, CAST(u % 2 AS INT) AS variant FROM per),
+    pooled AS (SELECT COUNT(*) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx,
+                      CAST(SUM(y) AS BIGINT) AS sy,
+                      CAST(SUM(x*x) AS BIGINT) AS sxx,
+                      CAST(SUM(x*y) AS BIGINT) AS sxy
+               FROM pv),
+    v AS (SELECT variant, COUNT(*) AS nv,
+                 CAST(SUM(x) AS BIGINT) AS sxv,
+                 CAST(SUM(y) AS BIGINT) AS syv
+          FROM pv GROUP BY variant)
+    SELECT variant, CAST(nv AS BIGINT) AS n_users,
+           CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) AS mean_y,
+           CASE WHEN n*sxx - sx*sx > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+           END AS theta,
+           CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) -
+             (CASE WHEN n*sxx - sx*sx > 0 THEN
+                CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+              END) *
+             (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE) -
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_y_cuped
+    FROM v CROSS JOIN pooled"""
+
   // --- q170_mad: median absolute deviation per group ----------------------
   /** Robust dispersion: the LOWER-median (k = (n+1) div 2-th order
     * statistic — integer-exact, no interpolation, documented choice) of
@@ -1229,6 +1345,8 @@ object Profiling {
     "q166_theil_sen"    -> q166TheilSen _,
     "q176_acf"          -> q176Acf _,
     "q180_benford"      -> q180Benford _,
+    "q182_k_anonymity"  -> q182KAnonymity _,
+    "q184_cuped"        -> q184Cuped _,
     "q170_mad"          -> q170Mad _,
     "q172_skew_report"  -> q172SkewReport _,
   )
@@ -1249,6 +1367,8 @@ object Profiling {
     "q166_theil_sen"    -> q166TheilSenSql,
     "q176_acf"          -> q176AcfSql,
     "q180_benford"      -> q180BenfordSql,
+    "q182_k_anonymity"  -> q182KAnonymitySql,
+    "q184_cuped"        -> q184CupedSql,
     "q170_mad"          -> q170MadSql,
     "q172_skew_report"  -> q172SkewReportSql,
   )

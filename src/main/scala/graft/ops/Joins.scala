@@ -250,7 +250,92 @@ object Joins {
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
     GROUP BY 1, 2"""
 
+  // --- q183_position_attribution: U-shaped multi-touch credit -------------
+  /** Position-based (U-shaped) multi-touch attribution — the model between
+    * q108's last-touch and linear: 40% of a conversion's credit to the
+    * FIRST touch in the lookback window, 40% to the LAST, the remaining
+    * 20% split evenly among the middles (one touch takes 100%, two split
+    * 50/50). Output is the per-conversion credit assignment (touch count,
+    * first/last touch ids, each position's weight) — the audit table a
+    * marketing rollup aggregates; conversions with zero in-window touches
+    * carry no credit and are absent by definition.
+    *
+    * Weights are 6-dp-exact: the endpoint weights are literals and the
+    * per-middle share `0.2/(n−2)` is ratio6(1, 5·(n−2)) — no float
+    * division whose rounding could differ across engines. First/last are
+    * min_by/max_by on the touch time (ns-grained timestamps: the q44/q108
+    * no-equal-µs-tie argument applies).
+    *
+    * Scale shape: one equi-key (user) join with a time-band filter — the
+    * q49 interval-join shape — then one hash aggregate per conversion.
+    * Per-user touch history is entity-bounded; nothing is windowed over
+    * values. */
+  def positionAttribution(conversions: DataFrame, touches: DataFrame,
+                          key: String, ts: String, id: String,
+                          lookbackUs: Long): DataFrame = {
+    val p = conversions.select(col(id).as("conv_id"), col(key).as("k"),
+      unix_micros(col(ts)).as("p_us"))
+    val c = touches.select(col(id).as("touch_id"), col(key).as("k"),
+      unix_micros(col(ts)).as("c_us"))
+    p.join(c, Seq("k"))
+      .filter(col("c_us") < col("p_us") &&
+        col("c_us") >= col("p_us") - lookbackUs)
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("touch_id"), col("c_us")).as("first_touch_id"),
+        max_by(col("touch_id"), col("c_us")).as("last_touch_id"))
+      .select(col("conv_id"), col("n").cast("long").as("n_touches"),
+        col("first_touch_id"), col("last_touch_id"),
+        expr("CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE) " +
+          "WHEN n = 2 THEN CAST(0.5 AS DOUBLE) " +
+          "ELSE CAST(0.4 AS DOUBLE) END").as("w_first6"),
+        expr("CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE) " +
+          "WHEN n = 2 THEN CAST(0.5 AS DOUBLE) " +
+          "ELSE CAST(0.4 AS DOUBLE) END").as("w_last6"),
+        when(col("n") >= 3,
+          graft.ops.Relational.ratio6("1", "5 * (n - 2)"))
+          .otherwise(lit(0.0)).as("w_mid6"))
+  }
+
+  def q183PositionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    positionAttribution(
+      e.filter(col("event_type") === "purchase"),
+      e.filter(col("event_type") === "click"),
+      key = "user_id", ts = "ts", id = "event_id",
+      lookbackUs = 86400000000L)
+  }
+
+  val q183PositionAttributionSql: String = s"""
+    WITH e AS (SELECT event_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+               FROM events),
+    p AS (SELECT event_id AS conv_id, user_id, us AS p_us
+          FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS touch_id, user_id, us AS c_us
+          FROM e WHERE event_type = 'click'),
+    j AS (SELECT conv_id, touch_id, c_us
+          FROM p JOIN c USING (user_id)
+          WHERE c_us < p_us AND c_us >= p_us - 86400000000),
+    g AS (SELECT conv_id, COUNT(*) AS n,
+                 arg_min(touch_id, c_us) AS first_touch_id,
+                 arg_max(touch_id, c_us) AS last_touch_id
+          FROM j GROUP BY conv_id)
+    SELECT conv_id, CAST(n AS BIGINT) AS n_touches,
+           first_touch_id, last_touch_id,
+           CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(0.4 AS DOUBLE) END AS w_first6,
+           CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE)
+                WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(0.4 AS DOUBLE) END AS w_last6,
+           CASE WHEN n >= 3 THEN
+             ${graft.ops.Relational.ratio6Sql("1", "5 * (n - 2)")}
+           ELSE CAST(0.0 AS DOUBLE) END AS w_mid6
+    FROM g"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_position_attribution" -> q183PositionAttribution _,
     "q6_semi_join"  -> q6SemiJoin _,
     "q7_anti_join"  -> q7AntiJoin _,
     "q8_outer_join" -> q8OuterJoin _,
@@ -268,5 +353,6 @@ object Joins {
     "q21_full_outer" -> q21FullOuterSql,
     "q44_asof_join" -> q44AsofJoinSql,
     "q108_attribution" -> q108AttributionSql,
+    "q183_position_attribution" -> q183PositionAttributionSql,
   )
 }

@@ -296,6 +296,67 @@ object Streams {
       events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  // --- q185_session_outcomes: bounce/engage/convert session rollup --------
+  /** The product-analytics readout on top of sessionization: every session
+    * classified as `converted` (contains a purchase — takes precedence: a
+    * one-event purchase session converted, it did not bounce), `bounced`
+    * (single event), or `engaged`, rolled up per session-start day. The
+    * gap fold is [[sessionizeBatch]]'s (30-min gap, lag-marks-boundary,
+    * running-sum numbering) re-derived WITH the event type in flight —
+    * outcome classification needs per-event payload the session aggregate
+    * has already collapsed.
+    *
+    * Scale shape: both window passes and the session aggregate share ONE
+    * user-keyed exchange (entity-bounded); the day×outcome rollup is a
+    * wordcount. */
+  def sessionOutcomes(events: DataFrame, gapMinutes: Int,
+                      convertType: String = "purchase"): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), count(lit(1)).as("n"),
+        max(when(col("event_type") === convertType, 1).otherwise(0)).as("conv"))
+      .groupBy(expr("CAST(start_us div 86400000000 AS INT)").as("day"),
+        when(col("conv") === 1, "converted")
+          .when(col("n") === 1, "bounced")
+          .otherwise("engaged").as("outcome"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  def q185SessionOutcomes(spark: SparkSession, dir: String): DataFrame =
+    sessionOutcomes(Tables.events(spark, dir), gapMinutes = 30)
+
+  val q185SessionOutcomesSql: String = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    m AS (SELECT user_id, event_id, event_type, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, event_type, us,
+                 SUM(brk) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS sid
+          FROM m),
+    g AS (SELECT user_id, sid, MIN(us) AS start_us, COUNT(*) AS n,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM s GROUP BY 1, 2)
+    SELECT CAST(start_us // 86400000000 AS INT) AS day,
+           CASE WHEN conv = 1 THEN 'converted'
+                WHEN n = 1 THEN 'bounced'
+                ELSE 'engaged' END AS outcome,
+           COUNT(*) AS n_sessions
+    FROM g GROUP BY 1, 2"""
+
   // --- q181_stream_actives: distinct actives per window, chained state ----
   /** COUNT(DISTINCT user) per hour window as a stream: watermark-bounded
     * dedup on (user, window-hour) FEEDING a windowed count — a chained
@@ -655,6 +716,7 @@ object Streams {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_event_window"   -> q40EventWindow _,
     "q181_stream_actives" -> q181StreamActives _,
+    "q185_session_outcomes" -> q185SessionOutcomes _,
     "q45_sessionize"     -> q45Sessionize _,
     "q49_interval_join"  -> q49IntervalJoin _,
     "q51_session_window" -> q51SessionWindow _,
@@ -665,6 +727,7 @@ object Streams {
   def oracles: Map[String, String] = Map(
     "q40_event_window"   -> q40EventWindowSql,
     "q181_stream_actives" -> q181StreamActivesSql,
+    "q185_session_outcomes" -> q185SessionOutcomesSql,
     "q45_sessionize"     -> q45SessionizeSql,
     "q49_interval_join"  -> q49IntervalJoinSql,
     "q51_session_window" -> q51SessionWindowSql,

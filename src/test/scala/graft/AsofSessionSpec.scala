@@ -227,6 +227,52 @@ class AsofSessionSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("positionAttribution: U-shaped weights, lookback excludes stale touches") {
+    val conv = Seq((100L, 1L, ts("2024-01-02 12:00:00")),
+      (101L, 2L, ts("2024-01-02 12:00:00")),
+      (102L, 3L, ts("2024-01-02 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val touch = Seq(
+      // user 1: four touches, one outside the 24h lookback
+      (10L, 1L, ts("2024-01-01 11:00:00")), // stale — excluded
+      (11L, 1L, ts("2024-01-02 08:00:00")),
+      (12L, 1L, ts("2024-01-02 09:00:00")),
+      (13L, 1L, ts("2024-01-02 10:00:00")),
+      // user 2: exactly two touches → 50/50
+      (20L, 2L, ts("2024-01-02 08:00:00")),
+      (21L, 2L, ts("2024-01-02 09:00:00"))).toDF("event_id", "user_id", "ts")
+    val got = graft.ops.Joins.positionAttribution(conv, touch,
+        "user_id", "ts", "event_id", 86400000000L)
+      .collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("first_touch_id"),
+          r.getAs[Long]("last_touch_id"), r.getAs[Double]("w_first6"),
+          r.getAs[Double]("w_last6"), r.getAs[Double]("w_mid6")))).toMap
+    assert(got == Map(
+      100L -> ((3L, 11L, 13L, 0.4, 0.4, 0.2)), // 0.2/(3−2) per middle
+      101L -> ((2L, 20L, 21L, 0.5, 0.5, 0.0))), got.toString)
+    assert(!got.contains(102L), "zero-touch conversion must be absent")
+  }
+
+  test("sessionOutcomes: converted beats bounced; gap splits sessions") {
+    val ev = Seq(
+      // user 1, day 0: one-event purchase session → converted (not bounced)
+      (1L, 1L, "purchase", ts("2024-01-01 10:00:00")),
+      // user 1, later same day after >30min gap: two views → engaged
+      (2L, 1L, "view", ts("2024-01-01 12:00:00")),
+      (3L, 1L, "view", ts("2024-01-01 12:10:00")),
+      // user 2, day 1: single view → bounced
+      (4L, 2L, "view", ts("2024-01-02 09:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.streaming.Streams.sessionOutcomes(ev, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getAs[Int]("day"), r.getAs[String]("outcome")) ->
+        r.getAs[Long]("n_sessions")).toMap
+    val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt
+    assert(got == Map(
+      (d0, "converted") -> 1L, (d0, "engaged") -> 1L,
+      (d0 + 1, "bounced") -> 1L), got.toString)
+  }
+
   test("q46 exact percentiles are ordered and grouped correctly") {
     val rows = graft.ops.Relational.q46Percentiles(spark, sf).collect()
     assert(rows.length == 3) // A, N, R

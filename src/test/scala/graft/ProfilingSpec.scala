@@ -274,6 +274,44 @@ class ProfilingSpec extends GraftSuite {
       got("b")._2 == -2.0 / math.sqrt(4.0 * 3.0), got.toString)
   }
 
+  test("kAnonymityAudit flags small classes with exact 1/n risk") {
+    val df = (Seq.fill(12)(("en", "a")) ++ Seq(("de", "b")) ++
+      Seq.fill(4)(("fr", "c"))).toDF("lang", "source")
+    val got = graft.ext.Profiling.kAnonymityAudit(df, Seq("lang", "source"), 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Boolean]("at_risk"),
+          r.getAs[Double]("reident_risk6")))).toMap
+    assert(got == Map(
+      ("en", "a") -> ((12L, false, 0.083333)),
+      ("de", "b") -> ((1L, true, 1.0)),
+      ("fr", "c") -> ((4L, true, 0.25))), got.toString)
+  }
+
+  test("cupedReadout: theta from pooled stats, adjusted means via algebra") {
+    import java.sql.Timestamp
+    def t(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d 0$i:00:00")
+    // cutover day 15. users 0/2 (variant 0): x=1,y=1 and x=2,y=2;
+    // user 1 (variant 1): x=1,y=2. pooled: n=3 sx=4 sy=5 sxx=6 sxy=7
+    // → theta = (3·7−4·5)/(3·6−4·4) = 1/2; E[X]=4/3
+    // v0: meanY=3/2, adj = 3/2 − ½·(3/2 − 4/3); v1: 2 − ½·(1 − 4/3)
+    val rows =
+      Seq((0L, t(0, 1)), (0L, t(20, 1))) ++
+        Seq((2L, t(0, 1)), (2L, t(1, 1)), (2L, t(20, 1)), (2L, t(21, 1))) ++
+        Seq((1L, t(0, 1)), (1L, t(20, 1)), (1L, t(21, 1)))
+    val got = graft.ext.Profiling
+      .cupedReadout(rows.toDF("user_id", "ts"), "user_id", "ts", 15)
+      .collect()
+      .map(r => r.getAs[Int]("variant") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("mean_y"),
+          r.getAs[Double]("theta"), r.getAs[Double]("mean_y_cuped")))).toMap
+    assert(got(0)._1 == 2L && got(0)._2 == 1.5 && got(0)._3 == 0.5, got.toString)
+    assert(got(0)._4 == 1.5 - 0.5 * (1.5 - 4.0 / 3.0), got.toString)
+    assert(got(1)._1 == 1L && got(1)._2 == 2.0 &&
+      got(1)._4 == 2.0 - 0.5 * (1.0 - 4.0 / 3.0), got.toString)
+  }
+
   test("benfordScreen: integer-string digit, cents rounding, zero dropped") {
     // 0.004 rounds to 0 cents and must be excluded; 9.5 → 950 → digit 9;
     // 0.19 → 19 → digit 1 (first digit of the CENTS integer, documented)
