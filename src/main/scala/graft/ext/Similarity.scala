@@ -1424,6 +1424,44 @@ object Similarity {
     FROM nm a JOIN nm b ON a.blk = b.blk AND a.name < b.name
     WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= 0.8"""
 
+  // --- q189_jl_projection: Johnson-Lindenstrauss dimensionality cut -------
+  /** Random-projection dimensionality reduction: 64-dim embeddings onto
+    * k = 16 signed-±1 hyperplanes, scaled 1/√k — the JL step that runs in
+    * FRONT of an IVF/PQ index build when the raw dimension makes codebook
+    * training the bottleneck. The same deterministic LCG hyperplanes as
+    * the sign-LSH bucketer, so the projection is a pure function of the
+    * data and fully replayable.
+    *
+    * Cross-engine exactness: each component is one sequential-fold dot
+    * product (bit-identical to `list_dot_product`), the 1/√16 = 1/4 scale
+    * is exact binary, and the 6-dp round crosses the boundary as always.
+    * Pure projection — no shuffle; at 100 TB it pipelines into whatever
+    * consumes it. */
+  def jlProject(corpus: DataFrame, k: Int = 16, dim: Int = 64): DataFrame = {
+    require(k > 0 && (math.sqrt(k) == math.floor(math.sqrt(k))),
+      "jlProject: k must be a perfect square so 1/sqrt(k) is exact in SQL")
+    val scale = math.sqrt(k)
+    corpus.select(col("vec_id"),
+      array((0 until k).map { j =>
+        val h = array(hyperplane(j, dim).map(lit): _*)
+        round(dot(col("v"), h) / scale, 6)
+      }: _*).as("proj"))
+  }
+
+  def q189JlProjection(spark: SparkSession, dir: String): DataFrame =
+    jlProject(corpus(spark, dir))
+
+  val q189JlProjectionSql: String = {
+    val comps = (0 until 16).map(j =>
+      s"ROUND(list_dot_product(v, ${hyperplaneSql(j, 64)}) / 4.0, 6)")
+      .mkString(",\n             ")
+    s"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           [$comps] AS proj
+    FROM c"""
+  }
+
   // --- q179_margin_mining: margin-criterion cross-corpus pair mining ------
   /** Margin-criterion alignment mining (the bitext-mining selection rule):
     * a cross-corpus candidate pair is kept when its cosine stands out
@@ -1523,6 +1561,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_margin_mining" -> q179MarginMining _,
+    "q189_jl_projection" -> q189JlProjection _,
     "q173_jaro_winkler" -> q173JaroWinkler _,
     "q157_sorted_neighborhood" -> q157SortedNeighborhood _,
     "q28_similarity_topk" -> q28SimilarityTopK _,
@@ -1546,6 +1585,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q179_margin_mining" -> q179MarginMiningSql,
+    "q189_jl_projection" -> q189JlProjectionSql,
     "q173_jaro_winkler" -> q173JaroWinklerSql,
     "q157_sorted_neighborhood" -> q157SortedNeighborhoodSql,
     "q28_similarity_topk" -> q28SimilarityTopKSql,

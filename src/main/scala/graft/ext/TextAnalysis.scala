@@ -193,6 +193,68 @@ object TextAnalysis {
            END AS quality
     FROM t"""
 
+  // --- q188_filter_gate: rule-based keep/drop with a reason bitmask -------
+  /** The C4/Gopher-style quality GATE that q37's score feeds: explicit
+    * per-rule pass/fail with a REASONS bitmask — a curation run must be
+    * able to say not just "dropped 12%" but "7% too short, 3% repetitive,
+    * 2% stopword-flooded", and re-tune one rule without re-running the
+    * others. Bits: 1 = too short (< minTokens), 2 = too long
+    * (> maxTokens), 4 = low diversity (distinct tokens < half of tokens —
+    * the repetition signal), 8 = stopword-heavy (> 25%), 16 = short-token
+    * gibberish (mean token length < 3 chars). `kept` = reasons 0.
+    *
+    * Every rule is integer arithmetic on one tokenization pass (counts
+    * and cross-multiplied ratio thresholds — no float ratio whose 6-dp
+    * boundary could flip a bit), so the gate decision is replayable
+    * bit-for-bit by an external auditor. One scan, no shuffle at all:
+    * the gate is a projection. */
+  def filterGate(docs: DataFrame, id: String, text: String,
+                 minTokens: Int = 20, maxTokens: Int = 1000): DataFrame = {
+    val toks = Text.tokenize(col(text))
+    docs.select(col(id), toks.as("__t"), length(col(text)).as("__len"))
+      .select(col(id), size(col("__t")).as("nt"),
+        size(array_distinct(col("__t"))).as("nd"),
+        size(filter(col("__t"), t => t.isin("the", "a"))).as("ns"),
+        col("__len"))
+      .select(col(id), col("nt").cast("long").as("n_tokens"),
+        (when(col("nt") < minTokens, 1).otherwise(0) +
+         when(col("nt") > maxTokens, 2).otherwise(0) +
+         when(col("nd") * 2 < col("nt"), 4).otherwise(0) +
+         when(col("ns") * 4 > col("nt"), 8).otherwise(0) +
+         // mean token length < 3 ⇔ chars-minus-separators < 3·tokens
+         when(col("__len") - col("nt") + 1 < col("nt") * 3, 16).otherwise(0))
+          .cast("int").as("reasons"))
+      .withColumn("kept", col("reasons") === 0)
+  }
+
+  def q188FilterGate(spark: SparkSession, dir: String): DataFrame =
+    filterGate(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q188FilterGateSql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS len,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    m AS (SELECT doc_id, len, len(tk) AS nt,
+                 len(list_distinct(tk)) AS nd,
+                 len(list_filter(tk, x -> x IN ('the', 'a'))) AS ns
+          FROM t)
+    SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           CAST((CASE WHEN nt < 20 THEN 1 ELSE 0 END) +
+                (CASE WHEN nt > 1000 THEN 2 ELSE 0 END) +
+                (CASE WHEN nd * 2 < nt THEN 4 ELSE 0 END) +
+                (CASE WHEN ns * 4 > nt THEN 8 ELSE 0 END) +
+                (CASE WHEN len - nt + 1 < nt * 3 THEN 16 ELSE 0 END)
+             AS INT) AS reasons,
+           ((CASE WHEN nt < 20 THEN 1 ELSE 0 END) +
+            (CASE WHEN nt > 1000 THEN 2 ELSE 0 END) +
+            (CASE WHEN nd * 2 < nt THEN 4 ELSE 0 END) +
+            (CASE WHEN ns * 4 > nt THEN 8 ELSE 0 END) +
+            (CASE WHEN len - nt + 1 < nt * 3 THEN 16 ELSE 0 END)) = 0
+             AS kept
+    FROM m"""
+
   // --- q38_token_stats: token counting incl. a BPE-ish estimate -----------
   def q38TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokenize(col("text"))
@@ -1195,6 +1257,7 @@ object TextAnalysis {
     "q29_tfidf"         -> q29TfIdf _,
     "q36_lang_id"       -> q36LangId _,
     "q37_quality_score" -> q37QualityScore _,
+    "q188_filter_gate"  -> q188FilterGate _,
     "q38_token_stats"   -> q38TokenStats _,
     "q39_fingerprint"   -> q39Fingerprint _,
     "q65_repetition"    -> q65Repetition _,
@@ -1216,6 +1279,7 @@ object TextAnalysis {
     "q29_tfidf"         -> q29TfIdfSql,
     "q36_lang_id"       -> q36LangIdSql,
     "q37_quality_score" -> q37QualityScoreSql,
+    "q188_filter_gate"  -> q188FilterGateSql,
     "q38_token_stats"   -> q38TokenStatsSql,
     "q39_fingerprint"   -> q39FingerprintSql,
     "q65_repetition"    -> q65RepetitionSql,

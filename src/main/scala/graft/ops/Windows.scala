@@ -434,6 +434,52 @@ object Windows {
            ${graft.ops.Relational.ratio6Sql("iscore", "t")} AS share6
     FROM sc CROSS JOIN tot"""
 
+  // --- q186_diurnal: hour-of-day seasonality profile ----------------------
+  /** Diurnal profile per group: total volume, the peak hour (ties to the
+    * smallest hour), the peak's count and its share — the load-shape
+    * summary capacity planning and anomaly baselines start from. Peak
+    * selection follows the canonicalPick discipline: a max aggregate plus
+    * a min-over-achievers semi-join, never a 24-row-per-group window
+    * sort (harmless at 24 rows, but the pattern must stay consistent so
+    * PlanShapeSpec's no-value-keyed-window claim survives composition).
+    *
+    * One corpus-sized (group, hour) count shuffle; everything after is
+    * |groups|×24. */
+  def diurnalProfile(events: DataFrame, group: String, ts: String): DataFrame = {
+    val counts = graft.CacheRegistry.persist(
+      events.select(col(group).as("g"), hour(col(ts)).as("h"))
+        .groupBy(col("g"), col("h")).agg(count(lit(1)).as("n")))
+    val stats = counts.groupBy(col("g"))
+      .agg(max(col("n")).as("peak_n"), sum(col("n")).as("n_total"))
+    val peak = counts
+      .join(stats.select(col("g"), col("peak_n")), Seq("g"))
+      .filter(col("n") === col("peak_n"))
+      .groupBy(col("g")).agg(min(col("h")).as("peak_hour"))
+    stats.join(peak, Seq("g"))
+      .select(col("g"), col("n_total").cast("long").as("n_total"),
+        col("peak_hour").cast("int").as("peak_hour"),
+        col("peak_n").cast("long").as("peak_n"),
+        graft.ops.Relational.ratio6("peak_n", "n_total").as("peak_share6"))
+  }
+
+  def q186Diurnal(spark: SparkSession, dir: String): DataFrame =
+    diurnalProfile(Tables.events(spark, dir), "event_type", "ts")
+
+  val q186DiurnalSql: String = s"""
+    WITH c AS (SELECT event_type AS g,
+                      EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS h,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    st AS (SELECT g, MAX(n) AS peak_n, SUM(n) AS n_total FROM c GROUP BY g),
+    pk AS (SELECT c.g, MIN(c.h) AS peak_hour
+           FROM c JOIN st ON c.g = st.g AND c.n = st.peak_n GROUP BY c.g)
+    SELECT st.g, CAST(st.n_total AS BIGINT) AS n_total,
+           CAST(pk.peak_hour AS INT) AS peak_hour,
+           CAST(st.peak_n AS BIGINT) AS peak_n,
+           ${graft.ops.Relational.ratio6Sql("st.peak_n", "st.n_total")}
+             AS peak_share6
+    FROM st JOIN pk ON st.g = pk.g"""
+
   // --- q103_funnel: ordered multi-step conversion funnel ------------------
   /** Funnel analysis: for each entity, the earliest time it completed
     * step 1, then the earliest step-2 event STRICTLY AFTER that, then the
@@ -533,6 +579,70 @@ object Windows {
                   + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS INT)
              AS steps_completed
     FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+
+  // --- q187_funnel_latency: time-to-convert order statistics --------------
+  /** How long conversion takes, not just whether it happens: exact
+    * p25/p50/p75/p90 of `t_last − t_first` microseconds over entities
+    * that completed the whole funnel. Order statistics use the q163/q170
+    * positional convention — the value at rank `⌈n·p/100⌉` over the
+    * distinct-value cumulative frame, integer-exact, no interpolation.
+    *
+    * The cumulative window here is GLOBAL (one quartile row for the whole
+    * funnel): its frame is the distinct-latency set, bounded by CONVERTED
+    * entities — the funnel has already collapsed the corpus, so the
+    * single-partition sort is dashboard-sized by construction, not a
+    * value-keyed window over events. */
+  def funnelLatencyQuartiles(events: DataFrame, entity: String,
+                             typeCol: String, ts: String,
+                             steps: Seq[String]): DataFrame = {
+    val last = s"t${steps.size}_us"
+    val lat = funnel(events, entity, typeCol, ts, steps)
+      .filter(col(last).isNotNull)
+      .select((col(last) - col("t1_us")).as("lat"))
+    val c = lat.groupBy(col("lat")).agg(count(lit(1)).as("c"))
+    val cum = c.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("lat"))))
+    val total = c.agg(sum(col("c")).as("n"))
+    cum.crossJoin(broadcast(total))
+      .agg(max(col("n")).cast("long").as("n_converted"),
+        min(when(col("cum") >= expr("(n * 25 + 99) div 100"), col("lat")))
+          .as("p25_us"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("lat")))
+          .as("p50_us"),
+        min(when(col("cum") >= expr("(n * 75 + 99) div 100"), col("lat")))
+          .as("p75_us"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("lat")))
+          .as("p90_us"))
+  }
+
+  def q187FunnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatencyQuartiles(graft.Tables.events(spark, dir), "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"))
+
+  val q187FunnelLatencySql: String = """
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1_us FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(ts_us) AS t2_us
+           FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts_us > t1_us
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(ts_us) AS t3_us
+           FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > t2_us
+           GROUP BY e.user_id),
+    lat AS (SELECT s3.t3_us - s1.t1_us AS lat
+            FROM s3 JOIN s1 USING (user_id)),
+    c AS (SELECT lat, COUNT(*) AS c FROM lat GROUP BY lat),
+    cm AS (SELECT lat, c, SUM(c) OVER (ORDER BY lat) AS cum FROM c),
+    t AS (SELECT SUM(c) AS n FROM c)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN lat END) AS p25_us,
+           MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lat END) AS p50_us,
+           MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN lat END) AS p75_us,
+           MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lat END) AS p90_us
+    FROM cm CROSS JOIN t"""
 
   // --- q129_rolling_anomaly: trailing-window z-score outlier flags --------
   /** Streaming-shaped anomaly detection in batch form: each event's value
@@ -673,6 +783,8 @@ object Windows {
     "q169_streaks"      -> q169Streaks _,
     "q174_rolling_dau"  -> q174RollingDau _,
     "q178_decay_trend"  -> q178DecayTrend _,
+    "q186_diurnal"      -> q186Diurnal _,
+    "q187_funnel_latency" -> q187FunnelLatency _,
     "q103_funnel"       -> q103Funnel _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
@@ -688,6 +800,8 @@ object Windows {
     "q169_streaks"      -> q169StreaksSql,
     "q174_rolling_dau"  -> q174RollingDauSql,
     "q178_decay_trend"  -> q178DecayTrendSql,
+    "q186_diurnal"      -> q186DiurnalSql,
+    "q187_funnel_latency" -> q187FunnelLatencySql,
     "q103_funnel"       -> q103FunnelSql,
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,

@@ -273,6 +273,37 @@ class AsofSessionSpec extends GraftSuite {
       (d0 + 1, "bounced") -> 1L), got.toString)
   }
 
+  test("diurnalProfile: peak hour with tie to the smallest hour") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 09:10:00")), ("a", ts("2024-01-01 09:20:00")),
+      ("a", ts("2024-01-02 14:00:00")), ("a", ts("2024-01-03 14:30:00")),
+      ("a", ts("2024-01-01 03:00:00")), // hours 9 and 14 tie at 2 → pick 9
+      ("b", ts("2024-01-01 23:00:00"))).toDF("g", "ts")
+    val got = graft.ops.Windows.diurnalProfile(ev, "g", "ts")
+      .collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Int]("peak_hour"),
+          r.getAs[Long]("peak_n"), r.getAs[Double]("peak_share6")))).toMap
+    assert(got("a") == ((5L, 9, 2L, 0.4)), got.toString)
+    assert(got("b") == ((1L, 23, 1L, 1.0)), got.toString)
+  }
+
+  test("funnelLatencyQuartiles: positional ranks over converted entities") {
+    // four converted users with latencies 10, 20, 30, 40 minutes (µs):
+    // ranks ⌈n·p/100⌉ for n=4 → p25@1, p50@2, p75@3, p90@4
+    val ev = (1 to 4).flatMap { u =>
+      Seq((u.toLong, "view", ts("2024-01-01 10:00:00")),
+        (u.toLong, "click", ts("2024-01-01 10:01:00")),
+        (u.toLong, "purchase", ts(f"2024-01-01 10:${10 * u}%02d:00")))
+    } ++ Seq((9L, "view", ts("2024-01-01 10:00:00"))) // non-entrant
+    val r = graft.ops.Windows.funnelLatencyQuartiles(
+      ev.toDF("user_id", "event_type", "ts"), "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase")).collect().head
+    val m = 60L * 1000000L
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 10 * m, 20 * m, 30 * m, 40 * m)), r.toString)
+  }
+
   test("q46 exact percentiles are ordered and grouped correctly") {
     val rows = graft.ops.Relational.q46Percentiles(spark, sf).collect()
     assert(rows.length == 3) // A, N, R

@@ -397,4 +397,19 @@ class SimilaritySpec extends GraftSuite {
     assert(got.values.forall { case (c, m) => c == 1.0 && m > 1.17 && m < 1.18 },
       got.toString)
   }
+
+  test("jlProject: 16 components, exact linearity on integer inputs") {
+    // integer inputs → every dot is an exact ±1 sum, /4 and the 6-dp
+    // round are exact, so projection must be EXACTLY linear
+    val v1 = Array.fill(64)(1.0)
+    val v2 = v1.map(_ * 2)
+    val df = Seq((1L, v1), (2L, v2)).toDF("vec_id", "v")
+    val got = Similarity.jlProject(df)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("proj")).toMap
+    assert(got(1L).size == 16, got(1L).toString)
+    assert(got(2L) == got(1L).map(_ * 2), s"${got(1L)} vs ${got(2L)}")
+    assert(got(1L).exists(_ != 0.0), "degenerate all-zero projection")
+  }
 }

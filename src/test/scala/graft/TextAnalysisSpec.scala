@@ -268,4 +268,22 @@ class TextAnalysisSpec extends GraftSuite {
       1L -> ((2L, 0L, "x y")),
       3L -> ((1L, 1L, "x y"))))
   }
+
+  test("filterGate: each rule sets its own bit, clean doc passes") {
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ") // 30 distinct
+    val repet = (1 to 30).map(_ => "word word2").mkString(" ") // 60 toks, 2 distinct
+    val stopy = (1 to 30).map(_ => "the a xx").mkString(" ") // 2/3 stopwords
+    val gibber = (1 to 30).map(i => s"a$i").mkString(" ") // short tokens
+    val docs = Seq((1L, clean), (2L, "too short"), (3L, repet),
+      (4L, stopy), (5L, gibber)).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.filterGate(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("reasons"), r.getAs[Boolean]("kept")))).toMap
+    assert(got(1L) == ((0, true)), got.toString)
+    assert((got(2L)._1 & 1) == 1 && !got(2L)._2, got.toString) // too short
+    assert((got(3L)._1 & 4) == 4, got.toString) // low diversity
+    assert((got(4L)._1 & 8) == 8, got.toString) // stopword-heavy
+    assert((got(5L)._1 & 16) == 16, got.toString) // short tokens
+  }
 }
