@@ -302,6 +302,200 @@ object Profiling {
            ${graft.ops.Relational.ratio6Sql("c.cum", "c.n")} AS ecdf6
     FROM documents d JOIN c ON c.n_chars = d.n_chars"""
 
+  // --- q190_quantile_norm: map each group onto the pooled distribution ----
+  /** Quantile normalization (the batch-effect correction): every group's
+    * value is replaced by the POOLED distribution's value at the
+    * equivalent rank, so all groups end up with the same marginal
+    * distribution — the cross-source length/score harmonization step
+    * before mixing corpora trained on different crawls. Positional
+    * convention throughout: a value's in-group rank is its cumulative
+    * count (upper ECDF), the pooled target rank is `⌈r·N/n_g⌉`, and the
+    * normalized value is the smallest pooled value whose cumulative
+    * reaches it — all integer arithmetic, no interpolation.
+    *
+    * Scale shape: both cumulative frames are distinct-value dictionaries
+    * (per-group and pooled value-count frames — the q121/q163
+    * discipline); the rank lookup is a range join against the BROADCAST
+    * pooled dictionary. Nothing touches row-level data after the two
+    * count aggregations. Output is dictionary-level (group, value →
+    * normalized), which a caller joins back like q121. */
+  def quantileNormalize(df: DataFrame, group: String,
+                        value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.CacheRegistry.persist(
+      df.select(col(group).as("g"), col(value).as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+    val grpCum = counts.select(col("g"), col("v"), col("cnt"),
+      sum(col("cnt")).over(wg).as("r"),
+      sum(col("cnt")).over(Window.partitionBy(col("g"))).as("ng"))
+    val pooled = counts.groupBy(col("v")).agg(sum(col("cnt")).as("pc"))
+    val wp = Window.orderBy(col("v"))
+    val pooledCum = pooled.select(col("v").as("pv"),
+      sum(col("pc")).over(wp).as("pcum"),
+      (sum(col("pc")).over(wp) - col("pc")).as("pprev"),
+      sum(col("pc")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("n"))
+    grpCum.join(broadcast(pooledCum),
+        expr("(r * n + ng - 1) div ng > pprev AND " +
+          "(r * n + ng - 1) div ng <= pcum"))
+      .select(col("g"), col("v"), col("cnt").cast("long").as("cnt"),
+        col("pv").as("qnorm"))
+  }
+
+  def q190QuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalize(
+      graft.Tables.documents(spark, dir).select("lang", "n_chars"),
+      "lang", "n_chars")
+
+  val q190QuantileNormSql: String = """
+    WITH c AS (SELECT lang AS g, n_chars AS v, COUNT(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+    gc AS (SELECT g, v, cnt,
+                  SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS r,
+                  SUM(cnt) OVER (PARTITION BY g) AS ng
+           FROM c),
+    p AS (SELECT v, SUM(cnt) AS pc FROM c GROUP BY v),
+    pcm AS (SELECT v AS pv,
+                   SUM(pc) OVER (ORDER BY v) AS pcum,
+                   SUM(pc) OVER (ORDER BY v) - pc AS pprev,
+                   SUM(pc) OVER () AS n
+            FROM p)
+    SELECT gc.g, gc.v, CAST(gc.cnt AS BIGINT) AS cnt, pcm.pv AS qnorm
+    FROM gc JOIN pcm
+      ON (gc.r * pcm.n + gc.ng - 1) // gc.ng > pcm.pprev
+     AND (gc.r * pcm.n + gc.ng - 1) // gc.ng <= pcm.pcum"""
+
+  // --- q191_fd_audit: functional-dependency discovery ---------------------
+  /** Functional-dependency audit over declared candidate pairs: does
+    * `lhs → rhs` hold (every lhs class maps to exactly one rhs value)?
+    * The schema-inference/data-contract check a profiling pass runs —
+    * a violated FD that "should" hold (order → customer, url → domain)
+    * is a corruption signal, and a holding FD is a normalization
+    * opportunity. Per pair: class count, violating classes, the worst
+    * class's rhs fan-out, and the verdict.
+    *
+    * Each pair is one `groupBy(lhs).agg(count_distinct(rhs))` — exact
+    * distinct per class (the classes are the scale unit, not rows) —
+    * folded to a single summary row; pairs union into one frame. */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdAudit: no candidate pairs")
+    pairs.map { case (a, b) =>
+      // internal alias must not collide with a user column named `k`
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("__fd_k"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("__fd_k") > 1, 1L).otherwise(0L)).as("violating"),
+          max(col("__fd_k")).as("max_fanout"))
+        .select(lit(s"$a->$b").as("fd"),
+          col("n_classes").cast("long").as("n_classes"),
+          col("violating").cast("long").as("violating"),
+          col("max_fanout").cast("long").as("max_fanout"),
+          (col("violating") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  def q191FdAudit(spark: SparkSession, dir: String): DataFrame =
+    fdAudit(graft.Tables.documents(spark, dir),
+      Seq("doc_id" -> "source", "lang" -> "source", "source" -> "lang"))
+
+  val q191FdAuditSql: String = {
+    def arm(a: String, b: String) = s"""
+      SELECT '$a->$b' AS fd, COUNT(*) AS n_classes,
+             CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating,
+             CAST(MAX(k) AS BIGINT) AS max_fanout,
+             SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT $a, COUNT(DISTINCT $b) AS k FROM documents GROUP BY $a)"""
+    Seq(arm("doc_id", "source"), arm("lang", "source"),
+      arm("source", "lang")).mkString("\nUNION ALL\n")
+  }
+
+  // --- q193_cusum: change-point location over daily volume ----------------
+  /** CUSUM change-point detection per group: the day where the cumulative
+    * deviation from the group's own mean peaks — the classic "when did
+    * this source's volume regime change" locator (a level shift makes
+    * |CUSUM| a tent with its apex at the change). Integer-exact: over D
+    * zero-filled days with group total S, `CUSUM_k·D = D·Σ_{d≤k}c_d − k·S`
+    * — reported SCALED BY D so it stays a BIGINT (both engines agree on
+    * every bit, no mean division anywhere). Apex ties resolve to the
+    * earliest day; the last day is excluded (its CUSUM is 0 by
+    * construction).
+    *
+    * Scale shape: the q176 substrate — one corpus-collapse shuffle to
+    * (group, day) counts, zero-fill over the global span, then
+    * group-keyed windows on the dashboard-sized series frame and a
+    * max-agg + min-day-over-achievers pick. */
+  def cusumChangePoint(events: DataFrame, group: String,
+                       ts: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.CacheRegistry.persist(
+      events.select(col(group).as("g"),
+          datediff(date_trunc("day", col(ts)),
+            to_date(lit("2024-01-01"))).as("d"))
+        .groupBy(col("g"), col("d")).agg(count(lit(1)).as("c")))
+    val span = counts.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val series = counts.select(col("g")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("g"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(counts, Seq("g", "d"), "left_outer")
+      .select(col("g"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("d"))
+    val cs = series
+      .withColumn("cum", sum(col("c")).over(wg))
+      .withColumn("idx", row_number().over(wg))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("s", sum(col("c")).over(Window.partitionBy(col("g"))))
+      .filter(col("idx") < col("nd")) // interior days only
+      .withColumn("cusum", col("cum") * col("nd") - col("idx") * col("s"))
+    val peaks = cs.groupBy(col("g"))
+      .agg(max(abs(col("cusum"))).as("peak"),
+        max(col("nd")).as("n_days"), max(col("s")).as("total"))
+    cs.join(peaks, Seq("g"))
+      .filter(abs(col("cusum")) === col("peak"))
+      .groupBy(col("g"), col("peak"), col("n_days"), col("total"))
+      .agg(min(col("d")).as("change_day"))
+      .select(col("g"), col("change_day").cast("int").as("change_day"),
+        col("peak").cast("long").as("max_abs_cusum_d"),
+        col("n_days").cast("long").as("n_days"),
+        col("total").cast("long").as("total"))
+  }
+
+  def q193Cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumChangePoint(graft.Tables.events(spark, dir), "event_type", "ts")
+
+  val q193CusumSql: String = """
+    WITH daily AS (
+      SELECT event_type AS g,
+             datediff('day', DATE '2024-01-01',
+                      date_trunc('day', CAST(ts AS TIMESTAMP))) AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    series AS (
+      SELECT gs.g, sp.d0 + u.i AS d, COALESCE(daily.c, 0) AS c
+      FROM (SELECT DISTINCT g FROM daily) gs
+      CROSS JOIN span sp
+      CROSS JOIN unnest(range(0, sp.d1 - sp.d0 + 1)) AS u(i)
+      LEFT JOIN daily ON daily.g = gs.g AND daily.d = sp.d0 + u.i),
+    cs AS (SELECT g, d,
+                  SUM(c) OVER (PARTITION BY g ORDER BY d) AS cum,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS idx,
+                  COUNT(*) OVER (PARTITION BY g) AS nd,
+                  SUM(c) OVER (PARTITION BY g) AS s
+           FROM series),
+    ci AS (SELECT g, d, cum * nd - idx * s AS cusum, nd, s
+           FROM cs WHERE idx < nd),
+    pk AS (SELECT g, MAX(ABS(cusum)) AS peak, MAX(nd) AS n_days,
+                  MAX(s) AS total
+           FROM ci GROUP BY g)
+    SELECT ci.g, CAST(MIN(ci.d) AS INT) AS change_day,
+           CAST(pk.peak AS BIGINT) AS max_abs_cusum_d,
+           CAST(pk.n_days AS BIGINT) AS n_days,
+           CAST(pk.total AS BIGINT) AS total
+    FROM ci JOIN pk ON ci.g = pk.g AND ABS(ci.cusum) = pk.peak
+    GROUP BY ci.g, pk.peak, pk.n_days, pk.total"""
+
   // --- q138_chi2: categorical association (contingency chi-square) --------
   /** Pearson chi-square contingency cells for two categorical columns —
     * the drift/association check a curation dashboard runs ("did the
@@ -1347,6 +1541,9 @@ object Profiling {
     "q180_benford"      -> q180Benford _,
     "q182_k_anonymity"  -> q182KAnonymity _,
     "q184_cuped"        -> q184Cuped _,
+    "q190_quantile_norm" -> q190QuantileNorm _,
+    "q191_fd_audit"     -> q191FdAudit _,
+    "q193_cusum"        -> q193Cusum _,
     "q170_mad"          -> q170Mad _,
     "q172_skew_report"  -> q172SkewReport _,
   )
@@ -1369,6 +1566,9 @@ object Profiling {
     "q180_benford"      -> q180BenfordSql,
     "q182_k_anonymity"  -> q182KAnonymitySql,
     "q184_cuped"        -> q184CupedSql,
+    "q190_quantile_norm" -> q190QuantileNormSql,
+    "q191_fd_audit"     -> q191FdAuditSql,
+    "q193_cusum"        -> q193CusumSql,
     "q170_mad"          -> q170MadSql,
     "q172_skew_report"  -> q172SkewReportSql,
   )

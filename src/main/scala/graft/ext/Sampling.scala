@@ -508,7 +508,52 @@ object Sampling {
            (shard_full = shard_reduced) OR (shard_full = 3) AS stable_ok
     FROM r"""
 
+  // --- q192_universe_sample: join-consistent cross-table sampling ---------
+  /** Universe sampling: keep a row iff a uniform hash of its JOIN KEY
+    * lands in the kept slice — the sampling that COMPOSES across tables.
+    * Bernoulli-sampling two fact tables independently and joining them
+    * keeps only p² of the matching pairs and biases every per-key
+    * aggregate; hashing the shared key keeps a kept order together with
+    * ALL of its lineitems, so joins, fan-outs, and per-entity
+    * distributions inside the sampled universe are exact, just over 1/mod
+    * of the keys. The hash is the md5-nibble BIGINT the sampling family
+    * already uses — deterministic, engine-identical, auditable.
+    *
+    * Scale shape: the filter is a pure projection pushed to each scan —
+    * sampling happens BEFORE the shuffle, so the join moves 1/mod of the
+    * data; that pre-shuffle cut is the entire point at 100 TB. */
+  def universeSample(df: DataFrame, keyCol: String, mod: Int,
+                     slice: Int): DataFrame = {
+    require(mod > 0 && slice >= 0 && slice < mod,
+      s"universeSample: need 0 <= slice < mod, got $slice/$mod")
+    df.filter(
+      expr(nibbleSumSql(s"md5(CAST($keyCol AS STRING))")) % mod === slice)
+  }
+
+  def q192UniverseSample(spark: SparkSession, dir: String): DataFrame = {
+    val o = universeSample(graft.Tables.orders(spark, dir), "o_orderkey",
+      mod = 10, slice = 0)
+    val l = universeSample(graft.Tables.lineitem(spark, dir), "l_orderkey",
+      mod = 10, slice = 0)
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        graft.ops.Relational.dsum(col("l_extendedprice")).as("revenue"))
+  }
+
+  val q192UniverseSampleSql: String = {
+    val h = (k: String) => nibbleSumSql(s"md5(CAST($k AS VARCHAR))")
+    s"""
+    SELECT COUNT(DISTINCT o_orderkey) AS n_orders,
+           COUNT(*) AS n_items,
+           ${graft.ops.Relational.dsumSql("l_extendedprice")} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE ${h("o_orderkey")} % 10 = 0
+      AND ${h("l_orderkey")} % 10 = 0"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_universe_sample" -> q192UniverseSample _,
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q68_cluster_split"     -> q68ClusterSplit _,
     "q77_temperature_mix"   -> q77TemperatureMix _,
@@ -520,6 +565,7 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q192_universe_sample" -> q192UniverseSampleSql,
     "q67_stratified_sample" -> q67StratifiedSampleSql,
     "q68_cluster_split"     -> q68ClusterSplitSql,
     "q77_temperature_mix"   -> q77TemperatureMixSql,

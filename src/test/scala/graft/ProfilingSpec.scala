@@ -312,6 +312,48 @@ class ProfilingSpec extends GraftSuite {
       got(1)._4 == 2.0 - 0.5 * (1.0 - 4.0 / 3.0), got.toString)
   }
 
+  test("quantileNormalize maps every group onto the pooled distribution") {
+    // pooled sorted [1,2,10,20]; both groups' rank-1 → pooled rank 2 (=2),
+    // rank-2 → pooled rank 4 (=20): identical marginals after mapping
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L))
+      .toDF("g", "v")
+    val got = graft.ext.Profiling.quantileNormalize(df, "g", "v")
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("v")) ->
+        r.getAs[Long]("qnorm")).toMap
+    assert(got == Map(
+      ("a", 1L) -> 2L, ("a", 2L) -> 20L,
+      ("b", 10L) -> 2L, ("b", 20L) -> 20L), got.toString)
+  }
+
+  test("fdAudit: held and violated dependencies with exact fan-out") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (3L, "y"), (4L, "z"))
+      .toDF("k", "v")
+    val got = graft.ext.Profiling.fdAudit(df, Seq("k" -> "v", "v" -> "k"))
+      .collect()
+      .map(r => r.getAs[String]("fd") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("violating"),
+          r.getAs[Long]("max_fanout"), r.getAs[Boolean]("holds")))).toMap
+    assert(got("k->v") == ((4L, 0L, 1L, true)), got.toString)
+    // v=x maps to keys {1,2} → one violating class, fan-out 2
+    assert(got("v->k") == ((3L, 1L, 2L, false)), got.toString)
+  }
+
+  test("cusumChangePoint locates a level shift at the scaled-CUSUM apex") {
+    import java.sql.Timestamp
+    def t(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:${i}%02d:00")
+    // daily counts [1, 1, 11, 11]: S=24, D=4 → CUSUM·D over interior days
+    // = [-20, -40, -20]; apex |−40| on day index 1
+    val rows = Seq(("a", t(0, 1)), ("a", t(1, 1))) ++
+      (1 to 11).map(i => ("a", t(2, i))) ++ (1 to 11).map(i => ("a", t(3, i)))
+    val r = graft.ext.Profiling
+      .cusumChangePoint(rows.toDF("g", "ts"), "g", "ts").collect().head
+    assert((r.getAs[Int]("change_day"), r.getAs[Long]("max_abs_cusum_d"),
+      r.getAs[Long]("n_days"), r.getAs[Long]("total")) ==
+      ((1, 40L, 4L, 24L)), r.toString)
+  }
+
   test("benfordScreen: integer-string digit, cents rounding, zero dropped") {
     // 0.004 rounds to 0 cents and must be excluded; 9.5 → 950 → digit 9;
     // 0.19 → 19 → digit 1 (first digit of the CENTS integer, documented)

@@ -244,4 +244,21 @@ class SamplingSpec extends GraftSuite {
       assert(got(k)._2 == win(k, Seq(0, 2, 3)), s"key $k reduced")
     }
   }
+
+  test("universeSample keeps parent and child tables join-consistent") {
+    import spark.implicits._
+    val parents = (1L to 200L).map(k => (k, s"p$k")).toDF("key", "pay")
+    val children = (1L to 200L).flatMap(k =>
+      (1 to 3).map(i => (k, i))).toDF("key", "seq")
+    val pk = Sampling.universeSample(parents, "key", 10, 0)
+      .select("key").collect().map(_.getLong(0)).toSet
+    val ck = Sampling.universeSample(children, "key", 10, 0)
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(pk == ck, s"universe mismatch: ${pk -- ck} / ${ck -- pk}")
+    assert(pk.nonEmpty && pk.size < 200, s"degenerate sample: ${pk.size}")
+    // every kept child key keeps ALL its rows (3 each), never a fraction
+    val cnt = Sampling.universeSample(children, "key", 10, 0)
+      .groupBy("key").count().collect().map(_.getLong(1)).toSet
+    assert(cnt == Set(3L), cnt.toString)
+  }
 }
