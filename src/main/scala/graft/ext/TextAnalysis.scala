@@ -255,6 +255,65 @@ object TextAnalysis {
              AS kept
     FROM m"""
 
+  // --- q194_blocklist: categorized term-screen (safety filter) ------------
+  /** Category blocklist screen — the safety/compliance sibling of q188's
+    * quality gate: per document, exact match counts against each term
+    * CATEGORY (not one flat list: policy thresholds differ per category,
+    * and the release report needs "flagged for X" breakdowns), plus the
+    * screened verdict when any category reaches its threshold. Terms here
+    * are drawn from the synthetic corpus vocabulary; a real deployment
+    * swaps the dictionary, not the operator.
+    *
+    * One tokenization pass, per-category counts as codegen'd array
+    * filters, no shuffle — the screen is a projection, which is what lets
+    * it run inline in an ingest pipeline at any scale. Dictionary size is
+    * the per-row cost knob; past a few thousand terms the path is an
+    * explode + broadcast dictionary join instead (the q62 decontaminate
+    * shape). */
+  def blocklistScreen(docs: DataFrame, id: String, text: String,
+                      categories: Seq[(String, Seq[String])],
+                      threshold: Int = 3): DataFrame = {
+    require(categories.nonEmpty, "blocklistScreen: no categories")
+    val toks = Text.tokenize(col(text))
+    val counted = docs.select(col(id) +: categories.map { case (c, terms) =>
+      size(filter(toks, t => t.isin(terms: _*))).cast("long").as(s"n_$c")
+    }: _*)
+    counted.withColumn("screened",
+      categories.map(c => col(s"n_${c._1}") >= threshold)
+        .reduce(_ || _))
+  }
+
+  /** The q194 dictionary — shared with the oracle so the two cannot
+    * drift. */
+  val blocklistCategories: Seq[(String, Seq[String])] = Seq(
+    "perf"  -> Seq("slow", "fast"),
+    "infra" -> Seq("spark", "table"),
+    "filler" -> Seq("the", "a"))
+
+  def q194Blocklist(spark: SparkSession, dir: String): DataFrame =
+    blocklistScreen(Tables.documents(spark, dir), "doc_id", "text",
+      blocklistCategories)
+
+  val q194BlocklistSql: String = {
+    val cats = blocklistCategories.map { case (c, terms) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"CAST(len(list_filter(tk, x -> x IN ($inList))) AS BIGINT) AS n_$c"
+    }.mkString(",\n             ")
+    val screen = blocklistCategories
+      .map { case (c, _) => s"n_$c >= 3" }.mkString(" OR ")
+    raw"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    m AS (SELECT doc_id,
+             $cats
+          FROM t)
+    SELECT doc_id, n_perf, n_infra, n_filler, ($screen) AS screened
+    FROM m"""
+  }
+
   // --- q38_token_stats: token counting incl. a BPE-ish estimate -----------
   def q38TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokenize(col("text"))
@@ -1258,6 +1317,7 @@ object TextAnalysis {
     "q36_lang_id"       -> q36LangId _,
     "q37_quality_score" -> q37QualityScore _,
     "q188_filter_gate"  -> q188FilterGate _,
+    "q194_blocklist"    -> q194Blocklist _,
     "q38_token_stats"   -> q38TokenStats _,
     "q39_fingerprint"   -> q39Fingerprint _,
     "q65_repetition"    -> q65Repetition _,
@@ -1280,6 +1340,7 @@ object TextAnalysis {
     "q36_lang_id"       -> q36LangIdSql,
     "q37_quality_score" -> q37QualityScoreSql,
     "q188_filter_gate"  -> q188FilterGateSql,
+    "q194_blocklist"    -> q194BlocklistSql,
     "q38_token_stats"   -> q38TokenStatsSql,
     "q39_fingerprint"   -> q39FingerprintSql,
     "q65_repetition"    -> q65RepetitionSql,

@@ -61,6 +61,63 @@ object Versioning {
           .otherwise("changed").as("status"): _*)
   }
 
+  // --- q195_diff_explain: column-level change attribution -----------------
+  /** [[snapshotDiff]]'s drill-down: for every key present in BOTH
+    * versions with at least one differing compare column, WHICH columns
+    * changed — the audit a schema-evolution or backfill review actually
+    * reads ("the re-crawl touched text on 14% of rows and n_chars on 2%
+    * — why did lang move on any?"). Null-safe per-column compares, the
+    * changed set emitted as an array in the caller's declared column
+    * order (deterministic — no engine-dependent set ordering).
+    *
+    * Same one-full-outer-join shape as q80, restricted to the
+    * both-present-and-changed slice; the per-column comparisons are
+    * codegen'd scalar work on the joined row. */
+  def snapshotDiffExplain(prev: DataFrame, next: DataFrame, key: Seq[String],
+                          compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiffExplain: no compare columns")
+    val p = prev.select((key ++ compareCols).map(col): _*)
+    val n = next.select((key ++ compareCols).map(col): _*)
+    val joined = p.as("p").join(n.as("n"), key)
+    val marks = compareCols.map(c =>
+      when(!(col(s"p.$c") <=> col(s"n.$c")), lit(c)))
+    joined
+      .select(key.map(col) :+
+        filter(array(marks: _*), x => x.isNotNull).as("changed_cols"): _*)
+      .filter(size(col("changed_cols")) > 0)
+  }
+
+  /** The q195 refresh: text re-crawled for %7 keys, n_chars recounted for
+    * %11 keys (both for %77) — so the explain output exercises one-column
+    * and two-column changes. */
+  def q195DiffExplain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val next = docs
+      .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      .withColumn("n_chars", when(pmod(col("doc_id"), lit(11)) === 0,
+        col("n_chars") + 1).otherwise(col("n_chars")))
+    snapshotDiffExplain(docs, next, Seq("doc_id"), Seq("text", "n_chars"))
+  }
+
+  val q195DiffExplainSql: String = """
+    WITH nxt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END
+               AS text,
+             CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents),
+    j AS (SELECT p.doc_id,
+                 list_filter([
+                   CASE WHEN p.text IS DISTINCT FROM n.text
+                        THEN 'text' END,
+                   CASE WHEN p.n_chars IS DISTINCT FROM n.n_chars
+                        THEN 'n_chars' END], x -> x IS NOT NULL)
+                   AS changed_cols
+          FROM documents p JOIN nxt n USING (doc_id))
+    SELECT doc_id, changed_cols FROM j WHERE len(changed_cols) > 0"""
+
   // --------------------------------------------------------------- queries
 
   /** The deterministic refresh batch both queries derive: every doc_id
@@ -368,6 +425,7 @@ object Versioning {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_vacuum"       -> q177Vacuum _,
+    "q195_diff_explain" -> q195DiffExplain _,
     "q79_upsert"        -> q79Upsert _,
     "q80_snapshot_diff" -> q80SnapshotDiff _,
     "q96_scd2"          -> q96Scd2 _,
@@ -377,6 +435,7 @@ object Versioning {
 
   def oracles: Map[String, String] = Map(
     "q177_vacuum"       -> q177VacuumSql,
+    "q195_diff_explain" -> q195DiffExplainSql,
     "q79_upsert"        -> q79UpsertSql,
     "q80_snapshot_diff" -> q80SnapshotDiffSql,
     "q96_scd2"          -> q96Scd2Sql,

@@ -269,6 +269,21 @@ class TextAnalysisSpec extends GraftSuite {
       3L -> ((1L, 1L, "x y"))))
   }
 
+  test("blocklistScreen: per-category counts, threshold fires the verdict") {
+    val docs = Seq(
+      (1L, "slow slow fast words here"),      // perf 3 → screened
+      (2L, "spark table nothing else"),       // infra 2 → clean
+      (3L, "clean text entirely")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.blocklistScreen(docs, "doc_id", "text",
+        Seq("perf" -> Seq("slow", "fast"), "infra" -> Seq("spark", "table")))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_perf"), r.getAs[Long]("n_infra"),
+          r.getAs[Boolean]("screened")))).toMap
+    assert(got == Map(1L -> ((3L, 0L, true)), 2L -> ((0L, 2L, false)),
+      3L -> ((0L, 0L, false))), got.toString)
+  }
+
   test("filterGate: each rule sets its own bit, clean doc passes") {
     val clean = (1 to 30).map(i => s"word$i").mkString(" ") // 30 distinct
     val repet = (1 to 30).map(_ => "word word2").mkString(" ") // 60 toks, 2 distinct

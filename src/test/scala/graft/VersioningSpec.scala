@@ -111,6 +111,19 @@ class VersioningSpec extends GraftSuite {
       "null sentinel collided — acceptable only under the documented contract")
   }
 
+  test("snapshotDiffExplain names exactly the changed columns, in order") {
+    val prev = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "t", "n")
+    val next = Seq((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 31L))
+      .toDF("id", "t", "n")
+    val got = Versioning.snapshotDiffExplain(prev, next, Seq("id"),
+        Seq("t", "n"))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getAs[scala.collection.Seq[String]]("changed_cols")).toMap
+    assert(got == Map(2L -> Seq("t", "n"), 3L -> Seq("n")), got.toString)
+  }
+
   test("vacuumPlan: live never reclaimed, watermark splits retained/reclaimable") {
     val log = Seq(("k1", 0), ("k1", 1), ("k1", 2), ("k2", 0))
       .toDF("key", "version")
