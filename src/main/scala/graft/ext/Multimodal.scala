@@ -303,13 +303,75 @@ object Multimodal {
         + bit_count(xor(a.v4, b.v4)) + bit_count(xor(a.v5, b.v5))
         + bit_count(xor(a.v6, b.v6)) + bit_count(xor(a.v7, b.v7)) <= 3"""
 
+  // --- q198_media_conformance: magic-byte sniff vs claimed mime -----------
+  /** Ingest validation for binary payloads: does the payload's MAGIC
+    * PREFIX match the mime the metadata claims? (PNG `89504E47`, WAV
+    * `RIFF`, MP4 `ftyp` at offset 5.) A feed whose payloads don't sniff
+    * as their claimed type is mislabeled, truncated, or adversarial —
+    * the check runs BEFORE any decoder touches the bytes, on the raw
+    * binary column, as pure codegen'd prefix work. Per claimed mime:
+    * row count, sniff pass/fail, and byte-volume stats.
+    *
+    * On this synthetic corpus every payload is text bytes, so every
+    * sniff honestly FAILS — the oracle pins that the comparisons are
+    * byte-for-byte right, and the spec feeds real magic bytes to pin the
+    * pass path. One scan, |mimes| output rows. */
+  def mediaConformance(media: DataFrame): DataFrame = {
+    val sniffOk = when(col("meta.mime") === "image/png",
+        hex(substring(col("payload"), 1, 4)) === "89504E47")
+      .when(col("meta.mime") === "audio/wav",
+        hex(substring(col("payload"), 1, 4)) === "52494646")
+      .when(col("meta.mime") === "video/mp4",
+        hex(substring(col("payload"), 5, 4)) === "66747970")
+      .otherwise(lit(false))
+    media.select(col("meta.mime").as("mime"), sniffOk.as("ok"),
+        length(col("payload")).as("b"))
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_sniff_ok"),
+        min(col("b")).cast("long").as("min_bytes"),
+        max(col("b")).cast("long").as("max_bytes"),
+        sum(col("b")).cast("long").as("total_bytes"))
+      .withColumn("n", col("n").cast("long"))
+  }
+
+  def q198MediaConformance(spark: SparkSession, dir: String): DataFrame =
+    mediaConformance(mediaTable(spark, dir))
+
+  val q198MediaConformanceSql: String = """
+    WITH m AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                             WHEN 1 THEN 'audio/wav'
+                             ELSE 'video/mp4' END AS mime,
+             text
+      FROM documents),
+    -- DuckDB has no BLOB substring; the corpus is ASCII, so byte i ==
+    -- char i and slicing BEFORE encode() inspects the same prefix bytes
+    s AS (SELECT mime, octet_length(encode(text)) AS b,
+                 CASE mime
+                   WHEN 'image/png' THEN
+                     hex(encode(substring(text, 1, 4))) = '89504E47'
+                   WHEN 'audio/wav' THEN
+                     hex(encode(substring(text, 1, 4))) = '52494646'
+                   ELSE hex(encode(substring(text, 5, 4))) = '66747970'
+                 END AS ok
+          FROM m)
+    SELECT mime, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_sniff_ok,
+           CAST(MIN(b) AS BIGINT) AS min_bytes,
+           CAST(MAX(b) AS BIGINT) AS max_bytes,
+           CAST(SUM(b) AS BIGINT) AS total_bytes
+    FROM s GROUP BY mime"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_media_conformance" -> q198MediaConformance _,
     "q34_multimodal_meta" -> q34MultimodalMeta _,
     "q89_frame_sample"    -> q89FrameSample _,
     "q160_ahash_neardup"  -> q160AHashNearDup _,
   )
 
   def oracles: Map[String, String] = Map(
+    "q198_media_conformance" -> q198MediaConformanceSql,
     "q34_multimodal_meta" -> q34MultimodalMetaSql,
     "q89_frame_sample"    -> q89FrameSampleSql,
     "q160_ahash_neardup"  -> q160AHashNearDupSql,

@@ -314,6 +314,71 @@ object TextAnalysis {
     FROM m"""
   }
 
+  // --- q197_dataset_card: one-row corpus summary --------------------------
+  /** The dataset card's numbers block in one row: document and
+    * language/source cardinalities, character volume, the ~4-chars/token
+    * BPE estimate, the exact-duplicate ratio (distinct full texts vs
+    * docs), and the dominant language with its share (ties to the
+    * lexicographically smallest code — deterministic). The summary every
+    * corpus release ships; kept to EXACT integers and half-up ratios so
+    * two engines (or two releases) can be diffed bit-for-bit.
+    *
+    * One pass for the global aggregate + one |langs|-sized rollup for the
+    * dominant language; `count_distinct(text)` is the only heavy
+    * distinct, and it is the point of the number it feeds. */
+  def datasetCard(docs: DataFrame, lang: String, source: String,
+                  text: String): DataFrame = {
+    val langCounts = docs.groupBy(col(lang)).agg(count(lit(1)).as("n"))
+    val topN = langCounts.agg(max(col("n")).as("top_n"))
+    val top = langCounts.crossJoin(broadcast(topN))
+      .filter(col("n") === col("top_n"))
+      .agg(min(col(lang)).as("top_lang"), max(col("top_n")).as("tn"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(lang)).as("n_langs"),
+        countDistinct(col(source)).as("n_sources"),
+        sum(length(col(text))).as("total_chars"),
+        sum(ceil(length(col(text)).cast("double") / 4).cast("long"))
+          .as("est_tokens"),
+        countDistinct(col(text)).as("nd"))
+      .crossJoin(broadcast(top))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_langs").cast("long").as("n_langs"),
+        col("n_sources").cast("long").as("n_sources"),
+        col("total_chars").cast("long").as("total_chars"),
+        col("est_tokens").cast("long").as("est_tokens"),
+        graft.ops.Relational.ratio6("n_docs - nd", "n_docs")
+          .as("exact_dup_ratio6"),
+        col("top_lang"),
+        graft.ops.Relational.ratio6("tn", "n_docs").as("top_lang_share6"))
+  }
+
+  def q197DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCard(Tables.documents(spark, dir), "lang", "source", "text")
+
+  val q197DatasetCardSql: String = s"""
+    WITH lc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tn AS (SELECT MAX(n) AS top_n FROM lc),
+    tp AS (SELECT MIN(lang) AS top_lang, MAX(top_n) AS tn
+           FROM lc CROSS JOIN tn WHERE lc.n = tn.top_n),
+    g AS (SELECT COUNT(*) AS n_docs,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 COUNT(DISTINCT source) AS n_sources,
+                 CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                 CAST(SUM(CAST(ceil(CAST(length(text) AS DOUBLE) / 4)
+                               AS BIGINT)) AS BIGINT) AS est_tokens,
+                 COUNT(DISTINCT text) AS nd
+          FROM documents)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           total_chars, est_tokens,
+           ${graft.ops.Relational.ratio6Sql("n_docs - nd", "n_docs")}
+             AS exact_dup_ratio6,
+           top_lang,
+           ${graft.ops.Relational.ratio6Sql("tn", "n_docs")}
+             AS top_lang_share6
+    FROM g CROSS JOIN tp"""
+
   // --- q38_token_stats: token counting incl. a BPE-ish estimate -----------
   def q38TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokenize(col("text"))
@@ -1318,6 +1383,7 @@ object TextAnalysis {
     "q37_quality_score" -> q37QualityScore _,
     "q188_filter_gate"  -> q188FilterGate _,
     "q194_blocklist"    -> q194Blocklist _,
+    "q197_dataset_card" -> q197DatasetCard _,
     "q38_token_stats"   -> q38TokenStats _,
     "q39_fingerprint"   -> q39Fingerprint _,
     "q65_repetition"    -> q65Repetition _,
@@ -1341,6 +1407,7 @@ object TextAnalysis {
     "q37_quality_score" -> q37QualityScoreSql,
     "q188_filter_gate"  -> q188FilterGateSql,
     "q194_blocklist"    -> q194BlocklistSql,
+    "q197_dataset_card" -> q197DatasetCardSql,
     "q38_token_stats"   -> q38TokenStatsSql,
     "q39_fingerprint"   -> q39FingerprintSql,
     "q65_repetition"    -> q65RepetitionSql,

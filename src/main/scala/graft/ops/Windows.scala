@@ -644,6 +644,59 @@ object Windows {
            MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lat END) AS p90_us
     FROM cm CROSS JOIN t"""
 
+  // --- q196_interarrival: per-type inter-arrival time profile -------------
+  /** Inter-arrival profile: the p50/p90 of the gap between one entity's
+    * CONSECUTIVE events of the same type — the metric that separates
+    * "bursty" signals (errors clustering in incidents) from steady ones,
+    * and the empirical base for choosing session gaps and stream
+    * watermark horizons. Successor gaps come from an entity-bounded
+    * window (partition by user × type); quantiles use the positional
+    * convention over per-type distinct-gap cumulative frames (the q163
+    * discipline — shuffles carry value counts, not events). */
+  def interArrivalProfile(events: DataFrame, entity: String, group: String,
+                          ts: String): DataFrame = {
+    val w = Window.partitionBy(col("g"), col("u"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col(group).as("g"), col(entity).as("u"),
+        unix_micros(col(ts)).as("us"), col("event_id"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("g"), (col("us") - col("prev")).as("gap"))
+    val c = gaps.groupBy(col("g"), col("gap")).agg(count(lit(1)).as("c"))
+    val cum = c
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("gap"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).cast("long").as("n_gaps"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("gap")))
+          .as("p50_us"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("gap")))
+          .as("p90_us"))
+  }
+
+  def q196Interarrival(spark: SparkSession, dir: String): DataFrame =
+    interArrivalProfile(Tables.events(spark, dir), "user_id", "event_type",
+      "ts")
+
+  val q196InterarrivalSql: String = """
+    WITH e AS (SELECT event_type AS g, user_id AS u, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    gp AS (SELECT g, us - lag(us) OVER (PARTITION BY g, u
+                                        ORDER BY us, event_id) AS gap
+           FROM e),
+    c AS (SELECT g, gap, COUNT(*) AS c FROM gp WHERE gap IS NOT NULL
+          GROUP BY g, gap),
+    cm AS (SELECT g, gap, c,
+                  SUM(c) OVER (PARTITION BY g ORDER BY gap) AS cum,
+                  SUM(c) OVER (PARTITION BY g) AS n
+           FROM c)
+    SELECT g, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN gap END) AS p50_us,
+           MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN gap END) AS p90_us
+    FROM cm GROUP BY g"""
+
   // --- q129_rolling_anomaly: trailing-window z-score outlier flags --------
   /** Streaming-shaped anomaly detection in batch form: each event's value
     * scored against the trailing `win` PRECEDING events of ITS OWN entity
@@ -785,6 +838,7 @@ object Windows {
     "q178_decay_trend"  -> q178DecayTrend _,
     "q186_diurnal"      -> q186Diurnal _,
     "q187_funnel_latency" -> q187FunnelLatency _,
+    "q196_interarrival" -> q196Interarrival _,
     "q103_funnel"       -> q103Funnel _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
@@ -802,6 +856,7 @@ object Windows {
     "q178_decay_trend"  -> q178DecayTrendSql,
     "q186_diurnal"      -> q186DiurnalSql,
     "q187_funnel_latency" -> q187FunnelLatencySql,
+    "q196_interarrival" -> q196InterarrivalSql,
     "q103_funnel"       -> q103FunnelSql,
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,

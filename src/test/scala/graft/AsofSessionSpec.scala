@@ -304,6 +304,27 @@ class AsofSessionSpec extends GraftSuite {
       r.getLong(4)) == ((4L, 10 * m, 20 * m, 30 * m, 40 * m)), r.toString)
   }
 
+  test("interArrivalProfile: per-entity successor gaps, positional quantiles") {
+    // type a, user 1: gaps 60s, 120s; user 2 contributes one 60s gap →
+    // gaps [60, 60, 120]s: p50 rank ⌈1.5⌉=2 → 60s, p90 rank ⌈2.7⌉=3 → 120s
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "a", ts("2024-01-01 10:01:00")),
+      (3L, 1L, "a", ts("2024-01-01 10:03:00")),
+      (4L, 2L, "a", ts("2024-01-01 12:00:00")),
+      (5L, 2L, "a", ts("2024-01-01 12:01:00")),
+      (6L, 3L, "b", ts("2024-01-01 09:00:00"))) // single event → no gap
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.Windows
+      .interArrivalProfile(ev, "user_id", "event_type", "ts")
+      .collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("p50_us"),
+          r.getAs[Long]("p90_us")))).toMap
+    val m = 60L * 1000000L
+    assert(got == Map("a" -> ((3L, m, 2 * m))), got.toString)
+  }
+
   test("q46 exact percentiles are ordered and grouped correctly") {
     val rows = graft.ops.Relational.q46Percentiles(spark, sf).collect()
     assert(rows.length == 3) // A, N, R

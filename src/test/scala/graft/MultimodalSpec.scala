@@ -109,4 +109,25 @@ class MultimodalSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((7L, 1000007L)), pairs.toString)
   }
+
+  test("mediaConformance: real magic bytes pass, text bytes fail") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A) ++
+      Array.fill[Byte](10)(7)
+    val wav = "RIFF1234WAVEfmt ".getBytes("UTF-8")
+    val mp4 = Array[Byte](0, 0, 0, 32) ++ "ftypisom".getBytes("UTF-8")
+    val fake = "just some text".getBytes("UTF-8")
+    val media = Seq(
+      (1L, png, "image/png"), (2L, wav, "audio/wav"),
+      (3L, mp4, "video/mp4"), (4L, fake, "image/png"))
+      .toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"), col("payload"),
+        struct(col("mime"), lit(16).as("width"), lit(16).as("height"))
+          .as("meta"))
+    val got = Multimodal.mediaConformance(media)
+      .collect()
+      .map(r => r.getAs[String]("mime") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_sniff_ok")))).toMap
+    assert(got == Map("image/png" -> ((2L, 1L)), "audio/wav" -> ((1L, 1L)),
+      "video/mp4" -> ((1L, 1L))), got.toString)
+  }
 }

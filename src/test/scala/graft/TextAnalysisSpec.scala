@@ -269,6 +269,24 @@ class TextAnalysisSpec extends GraftSuite {
       3L -> ((1L, 1L, "x y"))))
   }
 
+  test("datasetCard: one-row summary with exact dup ratio and top lang") {
+    val docs = Seq(
+      (1L, "en", "s1", "hello world"), (2L, "en", "s1", "hello world"),
+      (3L, "en", "s2", "unique one"), (4L, "de", "s2", "vier worte hier ja"))
+      .toDF("doc_id", "lang", "source", "text")
+    val r = graft.ext.TextAnalysis.datasetCard(docs, "lang", "source", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 4L && r.getAs[Long]("n_langs") == 2L &&
+      r.getAs[Long]("n_sources") == 2L, r.toString)
+    // one exact duplicate pair → dup ratio 1/4
+    assert(r.getAs[Double]("exact_dup_ratio6") == 0.25, r.toString)
+    assert(r.getAs[String]("top_lang") == "en" &&
+      r.getAs[Double]("top_lang_share6") == 0.75, r.toString)
+    // 11+11+10+18 chars; est tokens ceil/4 = 3+3+3+5
+    assert(r.getAs[Long]("total_chars") == 50L &&
+      r.getAs[Long]("est_tokens") == 14L, r.toString)
+  }
+
   test("blocklistScreen: per-category counts, threshold fires the verdict") {
     val docs = Seq(
       (1L, "slow slow fast words here"),      // perf 3 → screened
