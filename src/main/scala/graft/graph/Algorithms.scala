@@ -709,6 +709,72 @@ object Algorithms {
       // min-relaxation is monotone: the converged state is a fixed point
       blockSize = 3)
 
+  // --- q199_widest_path: max-bottleneck capacity from a source ------------
+  /** Widest-path (max-bottleneck): for every vertex, the best achievable
+    * MINIMUM edge weight along any path from the source — the
+    * capacity-planning dual of [[shortestPaths]] (max-flow along a single
+    * path, link-quality routing, weakest-link lineage). Same Pregel
+    * relaxation with the bottleneck lattice: messages `least(width, w)`,
+    * merge MAX, halt when no vertex improves. Monotone (widths only
+    * grow, bounded by the max edge weight), so the fixed point lands
+    * within |V| rounds on ANY graph — unlike max-PLUS relaxation
+    * (q167), max-MIN needs no acyclicity: a cycle cannot raise its own
+    * bottleneck. Unreached stays NULL; the source reports the `capInit`
+    * sentinel (no incoming constraint), documented rather than
+    * special-cased so the oracle replays the identical lattice. */
+  def widestPath(vertices: DataFrame, edges: DataFrame, sourceId: Long,
+                 capInit: Long = 1000000L, maxIter: Int = 50): DataFrame =
+    Pregel.run(
+      vertices.select(col("id"),
+        when(col("id") === sourceId, lit(capInit))
+          .otherwise(lit(null).cast("long")).as("width")),
+      edges, maxIter,
+      sendMsg = when(col("width").isNotNull, least(col("width"), col("w"))),
+      mergeMsg = max,
+      vprog = (df, _) => df.select(
+        col("id"),
+        greatest(col("width"), col("msg")).as("width"),
+        (greatest(col("width"), col("msg")) <=> col("width")).as("halt")),
+      blockSize = 3)
+
+  def q199WidestPath(spark: SparkSession, dir: String): DataFrame =
+    widestPath(
+      Tables.nation(spark, dir).select(col("n_nationkey").as("id")),
+      weightedNationEdges(spark, dir), sourceId = 0L)
+
+  /** q92's generated-round oracle with the bottleneck operators; 25
+    * MATERIALIZED rounds ≥ |V| bounds the fixed point on the cyclic
+    * graph. The relaxation term guards NULL explicitly: LEAST skips
+    * NULLs in DuckDB, which would treat an UNREACHED upstream as
+    * infinite capacity (q92's `dist + w` never hit this — addition
+    * propagates NULL; min-composition does not). */
+  val q199WidestPathSql: String = {
+    val prelude = """
+      WITH e0 AS (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * 3 + 7) % 25 FROM nation),
+      e AS MATERIALIZED (
+        SELECT src, dst, (src * 7 + dst * 3) % 10 + 1 AS w FROM e0),
+      d0 AS (SELECT n_nationkey AS id,
+                    CASE WHEN n_nationkey = 0
+                         THEN CAST(1000000 AS BIGINT) END AS width
+             FROM nation)"""
+    val steps = (1 to 25).map { k =>
+      s""", d$k AS MATERIALIZED (
+        SELECT n.n_nationkey AS id,
+               GREATEST(p.width,
+                        MAX(CASE WHEN q.width IS NOT NULL
+                                 THEN LEAST(q.width, e.w) END)) AS width
+        FROM nation n
+        JOIN d${k - 1} p ON p.id = n.n_nationkey
+        LEFT JOIN e ON e.dst = n.n_nationkey
+        LEFT JOIN d${k - 1} q ON q.id = e.src
+        GROUP BY n.n_nationkey, p.width)"""
+    }.mkString
+    s"$prelude$steps\nSELECT id, width FROM d25"
+  }
+
   // --- q88_incremental_cc: CC with edges arriving in waves (G7 addition) --
   /** Two-level star graph over the documents ids — every doc points at its
     * 10-block hub, every hub at its 100-block superhub (diameter ≤ 4, so
@@ -1178,6 +1244,7 @@ object Algorithms {
     "q82_triangles"       -> q82Triangles _,
     "q88_incremental_cc"  -> q88IncrementalCc _,
     "q92_sssp"            -> q92Sssp _,
+    "q199_widest_path"    -> q199WidestPath _,
     "q94_label_prop"      -> q94LabelProp _,
     "q145_scc"            -> q145Scc _,
     "q150_landmark_bfs"   -> q150LandmarkBfs _,
@@ -1193,6 +1260,7 @@ object Algorithms {
     "q82_triangles"       -> q82TrianglesSql,
     "q88_incremental_cc"  -> q88IncrementalCcSql,
     "q92_sssp"            -> q92SsspSql,
+    "q199_widest_path"    -> q199WidestPathSql,
     "q94_label_prop"      -> q94LabelPropSql,
     "q145_scc"            -> q145SccSql,
     "q150_landmark_bfs"   -> q150LandmarkBfsSql,

@@ -201,6 +201,19 @@ class PregelSpec extends GraftSuite {
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 0L), got.toString)
   }
 
+  test("widestPath: longer wide route beats the direct narrow edge") {
+    // 0→1 (4) direct, but 0→2 (9), 2→3 (9), 3→1 (5) gives bottleneck 5;
+    // 4 is unreachable and must stay NULL
+    val v = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((0L, 1L, 4L), (0L, 2L, 9L), (2L, 3L, 9L), (3L, 1L, 5L))
+      .toDF("src", "dst", "w")
+    val got = Algorithms.widestPath(v, e, sourceId = 0L).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(0L -> 1000000L, 1L -> 5L, 2L -> 9L, 3L -> 9L,
+      4L -> -1L), got.toString)
+  }
+
   test("hits: star graph fixed point — center is the authority, leaves the hubs") {
     // leaves 1..3 each point at center 0; the exact fixed point (reached
     // in one iteration under max-normalization) is auth(0)=1, hub(leaf)=1,
