@@ -366,6 +366,48 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Window"), "value-keyed window in containment plan")
   }
 
+  test("q188/q194 gates are pure projections — zero exchanges in the plan") {
+    // the whole point of the filter/blocklist gates is that they run
+    // inline in an ingest scan; ANY Exchange means a shuffle crept in
+    for (q <- Seq("q188_filter_gate", "q194_blocklist")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: gate plan gained a shuffle")
+    }
+  }
+
+  test("q192 universe sample: the key-hash filter sits below the join exchange") {
+    // sampling must cut data BEFORE the shuffle — the md5-nibble Filter
+    // has to print after (= physically below) the first Exchange, inside
+    // the scan stage, and the join must stay a real equi-join
+    val p = plan("q192_universe_sample")
+    val ex = p.indexOf("Exchange")
+    val f = p.indexOf("md5")
+    assert(ex >= 0 && f > ex, s"filter/exchange order broke: ex=$ex f=$f")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "join degenerated")
+  }
+
+  test("q190 quantile norm: pooled dictionary broadcasts into the range join") {
+    // the rank lookup is a non-equi join — correct ONLY as a broadcast of
+    // the dictionary-sized pooled frame; a CartesianProduct would pair
+    // row-level frames
+    val p = plan("q190_quantile_norm")
+    assert(p.contains("BroadcastNestedLoopJoin"), "dictionary not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q174 rolling DAU: cover-day distinct + groupBy, never a window") {
+    val p = plan("q174_rolling_dau")
+    assert(!p.contains("Window"), "value-keyed window in rolling-DAU plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q179 margin mining: B side broadcasts, no cartesian fallback") {
+    val p = plan("q179_margin_mining")
+    assert(p.contains("BroadcastExchange"), "B side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q149 DSIR: bucket statistics broadcast, no value-keyed window") {
     // the 1009-bucket ratio frame must reach the per-doc counts as a
     // broadcast — a shuffled join on `bucket` would hash-partition the
