@@ -379,6 +379,77 @@ object TextAnalysis {
              AS top_lang_share6
     FROM g CROSS JOIN tp"""
 
+  // --- q200_gate_report: per-source filter yield + dominant reason --------
+  /** The release view over [[filterGate]]: per source, how many documents
+    * pass, the pass rate, and the DOMINANT failure reason (the most
+    * frequent nonzero reasons-bitmask; ties to the smallest mask —
+    * deterministic). This is the number a curation weekly review reads:
+    * "source s7 dropped to 61% pass, driven by the repetition rule."
+    *
+    * Composes the gate (a pure projection) with one (source, reasons)
+    * count shuffle and the max-agg + min-mask-over-achievers pick —
+    * wordcount-shaped regardless of corpus size. */
+  def gateReport(docs: DataFrame, id: String, text: String,
+                 dimCol: String): DataFrame = {
+    val gated = filterGate(docs.select(col(id), col(text), col(dimCol)),
+        id, text)
+      .join(docs.select(col(id), col(dimCol)), id)
+    val counts = graft.CacheRegistry.persist(
+      gated.groupBy(col(dimCol), col("reasons"))
+        .agg(count(lit(1)).as("n")))
+    val totals = counts.groupBy(col(dimCol))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("reasons") === 0, col("n")).otherwise(0L)).as("n_pass"))
+    val worstN = counts.filter(col("reasons") =!= 0)
+      .groupBy(col(dimCol)).agg(max(col("n")).as("wn"))
+    val worst = counts.filter(col("reasons") =!= 0)
+      .join(worstN, Seq(dimCol))
+      .filter(col("n") === col("wn"))
+      .groupBy(col(dimCol)).agg(min(col("reasons")).as("top_reason"))
+    totals.join(worst, Seq(dimCol), "left_outer")
+      .select(col(dimCol), col("n_docs").cast("long").as("n_docs"),
+        col("n_pass").cast("long").as("n_pass"),
+        graft.ops.Relational.ratio6("n_pass", "n_docs").as("pass_rate6"),
+        col("top_reason").cast("int").as("top_reason"))
+  }
+
+  def q200GateReport(spark: SparkSession, dir: String): DataFrame =
+    gateReport(Tables.documents(spark, dir), "doc_id", "text", "source")
+
+  val q200GateReportSql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, source, length(text) AS len,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    m AS (SELECT doc_id, source, len, len(tk) AS nt,
+                 len(list_distinct(tk)) AS nd,
+                 len(list_filter(tk, x -> x IN ('the', 'a'))) AS ns
+          FROM t),
+    g AS (SELECT source,
+                 (CASE WHEN nt < 20 THEN 1 ELSE 0 END) +
+                 (CASE WHEN nt > 1000 THEN 2 ELSE 0 END) +
+                 (CASE WHEN nd * 2 < nt THEN 4 ELSE 0 END) +
+                 (CASE WHEN ns * 4 > nt THEN 8 ELSE 0 END) +
+                 (CASE WHEN len - nt + 1 < nt * 3 THEN 16 ELSE 0 END)
+                   AS reasons
+          FROM m),
+    c AS (SELECT source, reasons, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(n) AS n_docs,
+                   SUM(CASE WHEN reasons = 0 THEN n ELSE 0 END) AS n_pass
+            FROM c GROUP BY source),
+    wn AS (SELECT source, MAX(n) AS wn FROM c WHERE reasons <> 0
+           GROUP BY source),
+    w AS (SELECT c.source, MIN(c.reasons) AS top_reason
+          FROM c JOIN wn ON c.source = wn.source AND c.n = wn.wn
+          WHERE c.reasons <> 0 GROUP BY c.source)
+    SELECT tot.source, CAST(tot.n_docs AS BIGINT) AS n_docs,
+           CAST(tot.n_pass AS BIGINT) AS n_pass,
+           ${graft.ops.Relational.ratio6Sql("tot.n_pass", "tot.n_docs")}
+             AS pass_rate6,
+           CAST(w.top_reason AS INT) AS top_reason
+    FROM tot LEFT JOIN w ON tot.source = w.source"""
+
   // --- q38_token_stats: token counting incl. a BPE-ish estimate -----------
   def q38TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokenize(col("text"))
@@ -1384,6 +1455,7 @@ object TextAnalysis {
     "q188_filter_gate"  -> q188FilterGate _,
     "q194_blocklist"    -> q194Blocklist _,
     "q197_dataset_card" -> q197DatasetCard _,
+    "q200_gate_report"  -> q200GateReport _,
     "q38_token_stats"   -> q38TokenStats _,
     "q39_fingerprint"   -> q39Fingerprint _,
     "q65_repetition"    -> q65Repetition _,
@@ -1408,6 +1480,7 @@ object TextAnalysis {
     "q188_filter_gate"  -> q188FilterGateSql,
     "q194_blocklist"    -> q194BlocklistSql,
     "q197_dataset_card" -> q197DatasetCardSql,
+    "q200_gate_report"  -> q200GateReportSql,
     "q38_token_stats"   -> q38TokenStatsSql,
     "q39_fingerprint"   -> q39FingerprintSql,
     "q65_repetition"    -> q65RepetitionSql,

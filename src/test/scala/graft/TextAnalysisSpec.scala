@@ -269,6 +269,24 @@ class TextAnalysisSpec extends GraftSuite {
       3L -> ((1L, 1L, "x y"))))
   }
 
+  test("gateReport: pass rate and dominant failure reason per source") {
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ")
+    val short = "too short"
+    val docs = Seq(
+      (1L, clean, "sA"), (2L, clean + " more", "sA"), (3L, short, "sA"),
+      (4L, short, "sB"), (5L, short + " x", "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ext.TextAnalysis.gateReport(docs, "doc_id", "text",
+        "source")
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"),
+          r.getAs[Double]("pass_rate6"), r.getAs[Int]("top_reason"))))
+      .toMap
+    assert(got("sA") == ((3L, 2L, 0.666667, 1)), got.toString)
+    assert(got("sB") == ((2L, 0L, 0.0, 1)), got.toString)
+  }
+
   test("datasetCard: one-row summary with exact dup ratio and top lang") {
     val docs = Seq(
       (1L, "en", "s1", "hello world"), (2L, "en", "s1", "hello world"),
