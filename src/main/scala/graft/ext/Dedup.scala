@@ -242,13 +242,39 @@ object Dedup {
     * so hot boilerplate shingles stay out of the probe side), and the
     * verify step is one array_intersect over the two cached sets. All
     * shuffles are key-partitioned aggregates/joins; nothing is windowed
-    * by value. */
+    * by value.
+    *
+    * `maxPostings` hard-caps worst-case candidate volume (the mirror of
+    * [[lshCandidates]]' `maxBucket`): shingles appearing in more than
+    * `maxPostings` documents are boilerplate by definition and are
+    * excluded from the shingle UNIVERSE — prefixes, postings, and the
+    * verify intersect all operate on the capped sets, so both engines
+    * (and the oracle SQL) agree on the reduced semantics. This bounds
+    * every posting list at `maxPostings` rows, making candidate volume
+    * ≤ |prefix occurrences| × maxPostings instead of quadratic in the
+    * hottest shingle's df. Recall note: containment is then judged over
+    * non-boilerplate shingles only — a pair whose overlap is PURE
+    * boilerplate no longer qualifies (usually the desired behavior: a
+    * shared nav bar is not containment), and a document consisting
+    * entirely of capped shingles gets no judgment at all. The default
+    * (10000) never binds on the test corpora — semantics there are
+    * identical to the uncapped operator.
+    *
+    * Residual cost honesty: on a twin-heavy corpus (k verbatim copies of
+    * each doc) the TRUE output is itself Θ(k²) pairs — no candidate cap
+    * can make that cheap, which is why the pipeline discipline is
+    * exact-dedup (q27) BEFORE containment. The cap bounds the
+    * boilerplate-driven failure mode, not the duplicated-corpus one. */
   def containmentPairs(docs: DataFrame, id: String, text: String,
-                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxPostings: Int = 10000): DataFrame = {
     val sh = CacheRegistry.persist(docs.select(col(id).as("doc_id"),
       explode(array_distinct(shingles(col(text), n))).as("shingle")))
     val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("dfq"))
-    val ranked = sh.join(dfCounts, Seq("shingle"))
+    // df-cap: groupBy.count + inner join on the shingle key — the same
+    // no-value-keyed-window discipline as lshCandidates' bucket cap
+    val ranked = CacheRegistry.persist(
+      sh.join(dfCounts.filter(col("dfq") <= maxPostings), Seq("shingle")))
     val sets = CacheRegistry.persist(ranked
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("dfq"), col("shingle"))))
@@ -260,9 +286,10 @@ object Dedup {
         (col("sz") - minInterExpr(threshold) + 1).cast("int")))
     val prefixes = sets.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
-    // full postings on the container side: every shingle of every doc
+    // container-side postings: every CAPPED shingle of every doc — each
+    // posting list is ≤ maxPostings rows by construction
     val cand = prefixes.as("a")
-      .join(sh.as("b"),
+      .join(ranked.select("doc_id", "shingle").as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -1499,10 +1526,15 @@ object Dedup {
   // vals in one object silently interpolates null into the SQL
   val q148ContainmentSql: String = s"""
     WITH $ngramShingleCtes,
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    -- mirror of containmentPairs' maxPostings df-cap (default 10000):
+    -- boilerplate shingles leave the universe before sizing OR pairing
+    shc AS (SELECT s.doc_id, s.shingle FROM sh s
+            JOIN (SELECT shingle FROM sh GROUP BY shingle
+                  HAVING COUNT(*) <= 10000) k USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
       GROUP BY 1, 2)
     SELECT p.id_a, p.id_b, CAST(p.inter AS INT) AS inter,
            CAST(za.sz AS INT) AS n_a,

@@ -1448,17 +1448,25 @@ object Similarity {
       }: _*).as("proj"))
   }
 
+  /** The q189 registry entry ships [[jlProject]]'s components as k scalar
+    * DOUBLE columns `p00..p15` rather than one `proj` array: a top-level
+    * list column breaks the driver comparator's pandas `sort_values`
+    * (ndarray cells are unhashable), and stringifying doubles would trade
+    * exact binary comparison for engine-specific float rendering. Scalar
+    * columns keep the compare bit-exact AND comparator-safe. */
   def q189JlProjection(spark: SparkSession, dir: String): DataFrame =
-    jlProject(corpus(spark, dir))
+    jlProject(corpus(spark, dir)).select(col("vec_id") +:
+      (0 until 16).map(j => element_at(col("proj"), j + 1)
+        .as(f"p$j%02d")): _*)
 
   val q189JlProjectionSql: String = {
     val comps = (0 until 16).map(j =>
-      s"ROUND(list_dot_product(v, ${hyperplaneSql(j, 64)}) / 4.0, 6)")
+      f"ROUND(list_dot_product(v, ${hyperplaneSql(j, 64)}) / 4.0, 6) AS p$j%02d")
       .mkString(",\n             ")
     s"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT vec_id,
-           [$comps] AS proj
+           $comps
     FROM c"""
   }
 

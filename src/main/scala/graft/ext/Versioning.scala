@@ -89,7 +89,11 @@ object Versioning {
 
   /** The q195 refresh: text re-crawled for %7 keys, n_chars recounted for
     * %11 keys (both for %77) — so the explain output exercises one-column
-    * and two-column changes. */
+    * and two-column changes. The registry entry flattens the
+    * `changed_cols` array to a comma-joined string at the output
+    * boundary (column names never contain commas): a top-level list
+    * column breaks the driver comparator's pandas `sort_values`
+    * (ndarray cells are unhashable) — same convention as q30/q114. */
   def q195DiffExplain(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val next = docs
@@ -98,6 +102,8 @@ object Versioning {
       .withColumn("n_chars", when(pmod(col("doc_id"), lit(11)) === 0,
         col("n_chars") + 1).otherwise(col("n_chars")))
     snapshotDiffExplain(docs, next, Seq("doc_id"), Seq("text", "n_chars"))
+      .select(col("doc_id"),
+        concat_ws(",", col("changed_cols")).as("changed_cols"))
   }
 
   val q195DiffExplainSql: String = """
@@ -116,7 +122,8 @@ object Versioning {
                         THEN 'n_chars' END], x -> x IS NOT NULL)
                    AS changed_cols
           FROM documents p JOIN nxt n USING (doc_id))
-    SELECT doc_id, changed_cols FROM j WHERE len(changed_cols) > 0"""
+    SELECT doc_id, array_to_string(changed_cols, ',') AS changed_cols
+    FROM j WHERE len(changed_cols) > 0"""
 
   // --------------------------------------------------------------- queries
 

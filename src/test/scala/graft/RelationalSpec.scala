@@ -45,6 +45,36 @@ class RelationalSpec extends GraftSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query has an oracle (none silently rows-only checked)") {
+    // Intentionally oracle-less entries go here WITH a reason; an empty
+    // set means the driver hash-compares every registered query.
+    val oracleLess: Set[String] = Set.empty
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleLess
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+    val stale = oracleLess.intersect(SparkEntry.oracleSql.keySet)
+    assert(stale.isEmpty, s"oracle-less allowlist is stale: $stale")
+  }
+
+  test("no registered query emits a top-level array/map column") {
+    // The driver's comparator sorts rows with pandas sort_values, which
+    // dies on unhashable ndarray cells — every array-valued result must
+    // serialize at the output boundary (to_json / concat_ws / scalar
+    // explode), like q30 and q114 do. This walks analyzed schemas only
+    // (no execution), so it guards all 200 entries cheaply.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.toSeq.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"top-level array/map columns break the driver comparator: " +
+        offenders.mkString(", "))
+  }
+
   test("equi-depth histogram: bins partition each group at ~n/4 rows") {
     val rows = graft.ops.Relational.q106EquidepthHist(spark, sf).collect()
     val byGroup = rows.groupBy(_.getString(0))

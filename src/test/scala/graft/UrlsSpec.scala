@@ -78,4 +78,28 @@ class UrlsSpec extends GraftSuite {
     // symmetric jaccard at the same bar finds nothing
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9).count() == 0)
   }
+
+  test("containmentPairs maxPostings cap drops boilerplate-only overlap") {
+    // docs 1-4 share a long boilerplate block plus a unique suffix each;
+    // doc 5 is a genuine excerpt of doc 6 (all-unique vocabulary).
+    val boiler = "click here to subscribe now for daily updates and news"
+    val docs = Seq(
+      (1L, s"$boiler apple banana"),
+      (2L, s"$boiler cherry date"),
+      (3L, s"$boiler elder fig"),
+      (4L, s"$boiler grape honeydew"),
+      (5L, "quark lepton boson gluon photon"),
+      (6L, "quark lepton boson gluon photon hadron meson baryon neutrino"))
+      .toDF("doc_id", "text")
+    // uncapped: boilerplate drives 12 ordered pairs among docs 1-4
+    // (8 shared internal shingles / 10 per doc = 0.8 ≥ 0.5), plus (5,6)
+    val loose = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((5L, 6L)) && loose.count(_._1 <= 4L) == 12, loose)
+    // maxPostings=2: every boilerplate shingle has df=4 > 2 and leaves
+    // the universe — docs 1-4 pair with nobody, the true excerpt remains
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((5L, 6L)), capped.toString)
+  }
 }
