@@ -277,18 +277,30 @@ object Multimodal {
              FROM px p JOIN tot t USING (doc_id)),
     blk AS (SELECT doc_id, lane // 8 AS blk, SUM(bit * (1 << (lane % 8))) AS v
             FROM bits GROUP BY 1, 2),
-    wide AS (SELECT doc_id,
-      MAX(CASE WHEN blk = 0 THEN v END)::BIGINT AS v0,
-      MAX(CASE WHEN blk = 1 THEN v END)::BIGINT AS v1,
-      MAX(CASE WHEN blk = 2 THEN v END)::BIGINT AS v2,
-      MAX(CASE WHEN blk = 3 THEN v END)::BIGINT AS v3,
-      MAX(CASE WHEN blk = 4 THEN v END)::BIGINT AS v4,
-      MAX(CASE WHEN blk = 5 THEN v END)::BIGINT AS v5,
-      MAX(CASE WHEN blk = 6 THEN v END)::BIGINT AS v6,
-      MAX(CASE WHEN blk = 7 THEN v END)::BIGINT AS v7
-      FROM blk GROUP BY doc_id),
+    -- full doc universe + COALESCE to 0: lanes that receive no bytes
+    -- (payload < 64 bytes) and docs with no bytes at all must replay the
+    -- Scala side's zero blocks, not vanish as NULL/absent rows
+    docs_u AS (SELECT doc_id FROM t0
+               UNION ALL SELECT doc_id + 1000000 FROM t0),
+    wide AS (SELECT d.doc_id,
+      COALESCE(MAX(CASE WHEN blk = 0 THEN v END), 0)::BIGINT AS v0,
+      COALESCE(MAX(CASE WHEN blk = 1 THEN v END), 0)::BIGINT AS v1,
+      COALESCE(MAX(CASE WHEN blk = 2 THEN v END), 0)::BIGINT AS v2,
+      COALESCE(MAX(CASE WHEN blk = 3 THEN v END), 0)::BIGINT AS v3,
+      COALESCE(MAX(CASE WHEN blk = 4 THEN v END), 0)::BIGINT AS v4,
+      COALESCE(MAX(CASE WHEN blk = 5 THEN v END), 0)::BIGINT AS v5,
+      COALESCE(MAX(CASE WHEN blk = 6 THEN v END), 0)::BIGINT AS v6,
+      COALESCE(MAX(CASE WHEN blk = 7 THEN v END), 0)::BIGINT AS v7
+      FROM docs_u d LEFT JOIN blk USING (doc_id) GROUP BY d.doc_id),
+    -- band from the coalesced wide row (all 8 blocks, zeros included) so
+    -- short/empty docs bucket on their zero blocks exactly like Scala
+    bands AS (SELECT doc_id, u.b AS blk,
+                     CASE u.b WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                              WHEN 3 THEN v3 WHEN 4 THEN v4 WHEN 5 THEN v5
+                              WHEN 6 THEN v6 ELSE v7 END AS v
+              FROM wide, unnest(range(0, 8)) AS u(b)),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM blk a JOIN blk b
+             FROM bands a JOIN bands b
                ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
            CAST(bit_count(xor(a.v0, b.v0)) + bit_count(xor(a.v1, b.v1))

@@ -526,8 +526,13 @@ object Sampling {
                      slice: Int): DataFrame = {
     require(mod > 0 && slice >= 0 && slice < mod,
       s"universeSample: need 0 <= slice < mod, got $slice/$mod")
-    df.filter(
-      expr(nibbleSumSql(s"md5(CAST($keyCol AS STRING))")) % mod === slice)
+    // project the md5 prefix once, then filter on the projected column —
+    // nibbleSumSql's documented contract (ringAssign/rendezvousAssign do
+    // the same) rather than inlining the md5 into all 8 nibble terms
+    df.withColumn("__us_h8",
+        substring(md5(col(keyCol).cast("string")), 1, 8))
+      .filter(expr(nibbleSumSql("__us_h8")) % mod === slice)
+      .drop("__us_h8")
   }
 
   def q192UniverseSample(spark: SparkSession, dir: String): DataFrame = {

@@ -159,13 +159,18 @@ case class JaroWinkler(left: Expression, right: Expression)
 }
 
 object JaroWinkler {
+  /** Iterates UTF-8 BYTES, not UTF-16 code units: DuckDB's
+    * `jaro_winkler_similarity` operates on the raw byte string, so
+    * byte-level matching is what keeps the oracle pinning exact for
+    * non-ASCII input too (multi-byte code points count as their byte
+    * length and can half-match — identical to DuckDB, by construction). */
   def compute(au: UTF8String, bu: UTF8String): Double = {
-    val s = au.toString
-    val t = bu.toString
+    val s = au.getBytes
+    val t = bu.getBytes
     val ls = s.length
     val lt = t.length
     if (ls == 0 || lt == 0) return 0.0
-    if (s == t) return 1.0
+    if (java.util.Arrays.equals(s, t)) return 1.0
     val window = math.max(0, math.max(ls, lt) / 2 - 1)
     val sM = new Array[Boolean](ls)
     val tM = new Array[Boolean](lt)
@@ -176,7 +181,7 @@ object JaroWinkler {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!tM(j) && t.charAt(j) == s.charAt(i)) {
+        if (!tM(j) && t(j) == s(i)) {
           sM(i) = true; tM(j) = true; m += 1; found = true
         }
         j += 1
@@ -190,7 +195,7 @@ object JaroWinkler {
     while (i < ls) {
       if (sM(i)) {
         while (!tM(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) mismatches += 1
+        if (s(i) != t(k)) mismatches += 1
         k += 1
       }
       i += 1
@@ -201,7 +206,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(ls, lt))
-    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    while (l < maxL && s(l) == t(l)) l += 1
     jaro + 0.1 * l * (1.0 - jaro)
   }
 }

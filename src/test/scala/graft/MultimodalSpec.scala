@@ -101,6 +101,24 @@ class MultimodalSpec extends GraftSuite {
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L), got.toString)
   }
 
+  test("aHash: short and empty payloads get zero blocks, pair together") {
+    // payload < 64 bytes leaves some lanes byteless (bit 0); an empty
+    // payload is all-zero blocks. These must hash, band, and pair — the
+    // DuckDB oracle replays the same zeros via its COALESCE universe.
+    assert(Multimodal.aHashOf(Array.emptyByteArray).forall(_ == 0L))
+    val ab = Multimodal.aHashOf("ab".getBytes("UTF-8"))
+    // "ab": byte 0 → lane 0 (97·2 < 195 ⇒ 0), byte 1 → lane 32
+    // (98·2 ≥ 195 ⇒ bit 0 of block 4); all byteless lanes stay 0
+    assert(ab.toSeq == Seq(0L, 0L, 0L, 0L, 1L, 0L, 0L, 0L), ab.toSeq)
+    val media = Seq(
+      (1L, Array.emptyByteArray), (2L, Array.emptyByteArray),
+      (3L, "ab".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val pairs = Multimodal.aHashPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    // the two empty docs are distance 0; "ab" is 1 bit from empty
+    assert(pairs == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1), pairs)
+  }
+
   test("withPerturbedCopies plants a recoverable pair per document") {
     val media = Seq((7L, "some reasonably long payload text here okay"
       .getBytes("UTF-8"))).toDF("doc_id", "payload")

@@ -146,7 +146,15 @@ class VectorExpressionsSpec extends GraftSuite {
       ("abcdef", "bcadef", 0.944444),   // odd mismatch count floor-halves
       ("abcdef", "abczzz", 0.666667),   // boost gated: jaro <= 0.7 unboosted
       ("abc", "abc", 1.0),
-      ("", "abc", 0.0), ("abc", "", 0.0), ("", "", 0.0))
+      ("", "abc", 0.0), ("abc", "", 0.0), ("", "", 0.0),
+      // non-ASCII: DuckDB compares UTF-8 BYTES (multi-byte code points
+      // half-match) — values below read straight off
+      // duckdb jaro_winkler_similarity, pinning the byte-level semantics
+      ("café", "cafe", 0.848333),
+      ("naïve", "naive", 0.857778),
+      ("日本語", "日本誤", 0.955556),
+      ("über", "uber", 0.783333),
+      ("œuf", "oeuf", 0.666667))
     val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
       .select(col("a"), col("b"),
         round(graft.functions.TextExpressions.jaroWinkler(col("a"), col("b")), 6)
