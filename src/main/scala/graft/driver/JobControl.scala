@@ -3,7 +3,11 @@ package graft.driver
 import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted, SparkListenerStageSubmitted,
+  SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.{Success => TaskSuccess, TaskFailedReason}
 
 /** Submit / track / cancel facade — the Spark form of remap's initiator
   * entry point (`/root/reference/daemons/initiator/http_interface.py:45-64`:
@@ -36,6 +40,65 @@ final class JobControl(spark: SparkSession, sfDir: String) {
       t.setDaemon(true); t
     }
   })
+
+  // --- per-job progress (remap's monitor shows task movement per job:
+  // `daemons/initiator/monitor.py:32-45` reads the initiator's
+  // tasks/allocatedtasks/completedtasks dicts). Under Spark the submit
+  // thread runs every Spark job inside the job-group named by our id, so
+  // a listener can attribute stage/task events back to the tracked job
+  // via the `spark.jobGroup.id` property on SparkListenerJobStart.
+  // Listener-bus discipline: O(1) counter bumps only, never blocking.
+  private val progressById = new ConcurrentHashMap[String, MutableProgress]()
+  private val stageOwner = new ConcurrentHashMap[Int, String]()
+  private val listener = new SparkListener {
+    override def onJobStart(ev: SparkListenerJobStart): Unit = {
+      val gid = Option(ev.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
+      if (gid != null && jobs.containsKey(gid)) {
+        val p = progressById.computeIfAbsent(gid, _ => new MutableProgress)
+        p.sparkJobs.incrementAndGet()
+        ev.stageInfos.foreach(si => stageOwner.put(si.stageId, gid))
+      }
+    }
+    override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = {
+      val p = owner(ev.stageInfo.stageId)
+      if (p != null) {
+        p.stagesSubmitted.incrementAndGet()
+        // first attempt only: a fetch-failure resubmit re-runs tasks the
+        // total already counts
+        if (ev.stageInfo.attemptNumber() == 0)
+          p.tasksTotal.addAndGet(ev.stageInfo.numTasks)
+      }
+    }
+    override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+      val p = owner(ev.stageInfo.stageId)
+      if (p != null && ev.stageInfo.failureReason.isEmpty)
+        p.stagesCompleted.incrementAndGet()
+      // the owner map is keyed by stageId (attempts share it); drop the
+      // mapping only once no further attempt can arrive
+      if (ev.stageInfo.failureReason.isEmpty)
+        stageOwner.remove(ev.stageInfo.stageId)
+    }
+    override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
+      val p = owner(ev.stageId)
+      if (p != null) ev.reason match {
+        case TaskSuccess => p.tasksCompleted.incrementAndGet()
+        case r: TaskFailedReason if r.countTowardsTaskFailures =>
+          p.taskRetries.incrementAndGet()
+        case _ => ()
+      }
+    }
+    private def owner(stageId: Int): MutableProgress = {
+      val gid = stageOwner.get(stageId)
+      if (gid == null) null else progressById.get(gid)
+    }
+  }
+  spark.sparkContext.addSparkListener(listener)
+
+  /** Point-in-time progress for a tracked job — zeros until its first
+    * Spark job enters the scheduler (a QUEUED job has no stages yet). */
+  def progressOf(id: String): Progress = Option(progressById.get(id))
+    .map(_.snapshot).getOrElse(Progress(0, 0, 0, 0, 0, 0))
 
   /** The registered applications — remap's GET /apps listed the app
     * directories the initiator could start (`initiator.py` list_apps). */
@@ -138,7 +201,10 @@ final class JobControl(spark: SparkSession, sfDir: String) {
       case (addr, (maxMem, remaining)) => NodeInfo(addr, maxMem, remaining)
     }.sortBy(_.address)
 
-  def shutdown(): Unit = pool.shutdownNow()
+  def shutdown(): Unit = {
+    spark.sparkContext.removeSparkListener(listener)
+    pool.shutdownNow()
+  }
 }
 
 object JobControl {
@@ -153,4 +219,28 @@ object JobControl {
                            error: Option[String], priority: Int = 0)
   final case class NodeInfo(address: String, maxMemBytes: Long,
                             remainingMemBytes: Long)
+
+  /** Per-job progress counters — the Spark rendering of the initiator's
+    * "N tasks left, N committed, N complete, N failed" per-job state. */
+  final case class Progress(sparkJobs: Int, stagesSubmitted: Int,
+                            stagesCompleted: Int, tasksTotal: Int,
+                            tasksCompleted: Int, taskRetries: Int) {
+    /** Completed fraction of first-attempt tasks, in [0, 100]; 0 before
+      * any stage is known. */
+    def pct: Int =
+      if (tasksTotal <= 0) 0
+      else math.min(100, (tasksCompleted * 100L / tasksTotal).toInt)
+  }
+
+  private[driver] final class MutableProgress {
+    val sparkJobs = new AtomicInteger
+    val stagesSubmitted = new AtomicInteger
+    val stagesCompleted = new AtomicInteger
+    val tasksTotal = new AtomicInteger
+    val tasksCompleted = new AtomicInteger
+    val taskRetries = new AtomicInteger
+    def snapshot: Progress = Progress(sparkJobs.get, stagesSubmitted.get,
+      stagesCompleted.get, tasksTotal.get, tasksCompleted.get,
+      taskRetries.get)
+  }
 }

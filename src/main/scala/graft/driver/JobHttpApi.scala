@@ -44,12 +44,12 @@ object JobHttpApi {
         case ("GET", "/api/v1.0/apps") =>
           respond(ex, 200, jarr(c.listApps.map(jstr)))
         case ("GET", "/api/v1.0/jobs") =>
-          respond(ex, 200, jarr(c.listJobs.map(jobJson)))
+          respond(ex, 200, jarr(c.listJobs.map(j => jobJson(c, j))))
         case ("POST", "/api/v1.0/jobs") =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           appField(body) match {
             case Some(name) if graft.SparkEntry.queries.contains(name) =>
-              respond(ex, 201, jobJson(c.submit(name, priorityField(body))))
+              respond(ex, 201, jobJson(c, c.submit(name, priorityField(body))))
             case Some(name) =>
               respond(ex, 400, jobj("error" -> jstr(s"unknown app '$name'")))
             case None =>
@@ -57,7 +57,7 @@ object JobHttpApi {
           }
         case ("GET", JobPath(id)) =>
           c.get(id) match {
-            case Some(j) => respond(ex, 200, jobJson(j))
+            case Some(j) => respond(ex, 200, jobJson(c, j))
             case None    => respond(ex, 404, jobj("error" -> jstr("not found")))
           }
         case ("DELETE", JobPath(id)) =>
@@ -105,12 +105,25 @@ object JobHttpApi {
   private def jarr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
   private def jobj(fields: (String, String)*): String =
     fields.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-  private def jobJson(j: JobControl.JobInfo): String = jobj(
-    "id" -> jstr(j.id),
-    "app" -> jstr(j.name),
-    "status" -> jstr(j.status),
-    "priority" -> j.priority.toString,
-    "submitted_ms" -> j.submittedMs.toString,
-    "finished_ms" -> j.finishedMs.map(_.toString).getOrElse("null"),
-    "error" -> j.error.map(jstr).getOrElse("null"))
+  private def jobJson(c: JobControl, j: JobControl.JobInfo): String = {
+    // progress depth — the remap monitor's per-job task movement
+    // (`monitor.py:32-45`); zeros while the job is still QUEUED
+    val p = c.progressOf(j.id)
+    jobj(
+      "id" -> jstr(j.id),
+      "app" -> jstr(j.name),
+      "status" -> jstr(j.status),
+      "priority" -> j.priority.toString,
+      "submitted_ms" -> j.submittedMs.toString,
+      "finished_ms" -> j.finishedMs.map(_.toString).getOrElse("null"),
+      "error" -> j.error.map(jstr).getOrElse("null"),
+      "progress" -> jobj(
+        "pct" -> p.pct.toString,
+        "spark_jobs" -> p.sparkJobs.toString,
+        "stages_submitted" -> p.stagesSubmitted.toString,
+        "stages_completed" -> p.stagesCompleted.toString,
+        "tasks_total" -> p.tasksTotal.toString,
+        "tasks_completed" -> p.tasksCompleted.toString,
+        "task_retries" -> p.taskRetries.toString))
+  }
 }

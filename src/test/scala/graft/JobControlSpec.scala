@@ -148,6 +148,41 @@ class JobControlSpec extends GraftSuite {
     assert(JobHttpApi.priorityField("""{"app":"x"}""") == 0)
   }
 
+  test("progress counters populate for a tracked job and surface in the job doc") {
+    val c = new JobControl(spark, sf)
+    val server = JobHttpApi.start(c)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1.0"
+    val http = HttpClient.newHttpClient()
+    try {
+      val j = c.submit("q1_agg")
+      await(c, j.id, Set(JobControl.Succeeded, JobControl.Failed))
+      // listener bus is async: completion events can trail the job status
+      val t0 = System.currentTimeMillis()
+      while ((c.progressOf(j.id).tasksCompleted == 0 ||
+              c.progressOf(j.id).stagesCompleted == 0) &&
+             System.currentTimeMillis() - t0 < 30000)
+        Thread.sleep(50)
+      val p = c.progressOf(j.id)
+      assert(p.sparkJobs >= 1, p.toString)
+      assert(p.stagesSubmitted >= 1 && p.stagesCompleted >= 1, p.toString)
+      assert(p.tasksTotal >= 1 && p.tasksCompleted >= 1, p.toString)
+      assert(p.taskRetries == 0, p.toString)
+      assert(p.pct == 100, p.toString)
+      // and the REST job doc carries the same depth
+      val doc = http.send(
+        HttpRequest.newBuilder(URI.create(base + s"/jobs/${j.id}")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(doc.contains("\"progress\":{"), doc)
+      assert(doc.contains("\"pct\":100"), doc)
+      assert(doc.contains("\"task_retries\":0"), doc)
+      assert("\"tasks_completed\":(\\d+)".r.findFirstMatchIn(doc)
+        .exists(_.group(1).toInt >= 1), doc)
+      // an unknown-to-the-scheduler job (still queued/never started) reads
+      // as zeros rather than absent
+      assert(c.progressOf("job-424242").pct == 0)
+    } finally { server.stop(0); c.shutdown() }
+  }
+
   test("priority lands as the scheduler pool on every Spark job the query spawns") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val pools = new java.util.concurrent.ConcurrentLinkedQueue[String]()
