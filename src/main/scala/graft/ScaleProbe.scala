@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling-exponent probe: time a query family at sf0.1 and at a
+  * derived ~10×-ROWS corpus, and report observed wall-clock exponents —
+  * the closest local[32] proxy for the "would this hold at 100×" claims
+  * the operator scaladocs make.
+  *
+  * This is NOT [[SkewAudit]]'s corpus: that one derives verbatim twins
+  * (every shingle repeats in all copies) to maximize key heat. Here the
+  * derivation is the IID direction — more rows of the same per-row
+  * character, the way a real corpus grows:
+  *   - lineitem / orders / customer / events: key-shifted copies (10× the
+  *     entities, per-entity degree unchanged);
+  *   - documents: copy i rewrites every token with an `_i` suffix, so
+  *     copies share no shingles — near-dup structure per copy matches the
+  *     original corpus, cross-copy similarity is zero;
+  *   - embeddings: copy i rotates the vector by 8·i positions — a
+  *     permutation keeps norms but moves direction, so sign-LSH buckets
+  *     spread instead of crowding.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe"`. One warmup + 2 timed runs per
+  * (query, scale); prints a table with the log10 ratio as the observed
+  * exponent (1.0 = linear; anything ≲ 1.2 at this size is shuffle-log
+  * noise, not superlinearity). SPARK_GRAFT_ONLY filters queries.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = LocalSession.build(cpus)
+
+    val scratch = Files.createTempDirectory("graft_scale").toString
+
+    // documents: token-suffix rewrite per copy — zero cross-copy shingle
+    // overlap (copy 0 keeps the original text verbatim)
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    (0 until copies).map { i =>
+      val txt = if (i == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"_$i"))), " ")
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        txt.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+
+    // embeddings: rotate by 8·i positions per copy (norm-preserving
+    // permutation, direction moves → buckets spread)
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until copies).map { i =>
+      val rot = if (i == 0) col("embedding")
+        else transform(sequence(lit(0), lit(63)),
+          k => element_at(col("embedding"), pmod(k + lit(8 * i), lit(64)) + 1))
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+
+    // facts: key-shifted copies, many even files (SkewAudit's discipline)
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until copies).map(i => li.select(
+        (col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * 1000000L)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
+
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    (0 until copies).map(i => cust.select(
+        (col("c_custkey") + lit(i * 1000000L)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal")))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scratch/customer.parquet")
+
+    val probes = Seq("q1_agg", "q9_window_topk", "q31_minhash_lsh",
+      "q42_ann_topk", "q112_cc_alternating")
+      .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
+
+    def timeOne(name: String, dir: String): Double = {
+      val q = SparkEntry.queries(name)
+      def run(): Double = {
+        CacheRegistry.unpersistAll(blocking = true)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc(); System.gc()
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warmup: JIT + codegen + file listing
+      math.min(run(), run())
+    }
+
+    println(f"${"query"}%-22s ${"t_1x_s"}%8s ${"t_10x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
+    probes.foreach { name =>
+      val t1 = timeOne(name, srcDir)
+      val t10 = timeOne(name, scratch)
+      val ratio = t10 / t1
+      val exp = math.log10(ratio)
+      println(f"$name%-22s $t1%8.2f $t10%8.2f $ratio%7.2f $exp%5.2f")
+    }
+
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(scratch)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

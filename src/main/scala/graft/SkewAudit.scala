@@ -193,11 +193,56 @@ object SkewAudit {
         // (156M candidate dots) with BOTH top-k windows keyed on the
         // query/corpus ids — the salted two-phase top-k under its
         // heaviest legal load
-        "q174_rolling_dau", "q176_acf", "q179_margin_mining")
+        "q174_rolling_dau", "q176_acf", "q179_margin_mining",
+        // round-8: the twin-corpus CC — ngramJaccardPairs gives every doc
+        // 9 verbatim twins (quadratic true pair set, the q148 analysis),
+        // then alternating-star must absorb 100× the edges without a hot
+        // partition
+        "q112_cc_alternating")
         // same SPARK_GRAFT_ONLY convention as Verify/Bench — isolating one
         // query is how an audit anomaly gets separated from loop state
         .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
-        .map(n => n -> SparkEntry.queries(n))
+        .map(n => n -> SparkEntry.queries(n)) ++
+      // --- iterative graph family at 10× edges (round-8): the registered
+      // q94/q145 run on the 25-node nation demo graph, so the LOOP
+      // operators are audited here on corpus-sized graphs instead —
+      // 6M-edge bipartite order↔part for CC + LPA (part hubs are the hot
+      // keys), and 6M ring edges (one cycle per order) for SCC's
+      // trim + FW-BW-MIN rounds.
+      Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+        "x_cc_bipartite_6m" -> ((s, dir) => {
+          val li = s.read.parquet(s"$dir/lineitem.parquet")
+          val edges = li.select(col("l_orderkey").as("src"),
+            (col("l_partkey") + lit(100000000L)).as("dst"))
+          val verts = edges.select(col("src").as("id"))
+            .union(edges.select(col("dst").as("id"))).distinct()
+          graft.graph.Algorithms.ccAlternating(verts, edges)
+        }),
+        "x_lpa_bipartite_6m" -> ((s, dir) => {
+          val li = s.read.parquet(s"$dir/lineitem.parquet")
+          val edges = li.select(col("l_orderkey").as("src"),
+            (col("l_partkey") + lit(100000000L)).as("dst"))
+          val verts = edges.select(col("src").as("id"))
+            .union(edges.select(col("dst").as("id"))).distinct()
+          graft.graph.Algorithms.labelPropagation(verts, edges, iters = 3)
+        }),
+        "x_scc_rings_6m" -> ((s, dir) => {
+          val li = s.read.parquet(s"$dir/lineitem.parquet")
+          // one directed ring per order: linenumber i → i+1, max wraps to
+          // min — every vertex is on a cycle, so trim removes nothing and
+          // the FW-BW-MIN rounds carry the full graph
+          val v = li.select(
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+          val nxt = v.groupBy("ok").agg(min("ln").as("lo"), max("ln").as("hi"))
+          val edges = v.join(nxt, Seq("ok"))
+            .select(col("id").as("src"),
+              (col("ok") * 8 + when(col("ln") === col("hi"), col("lo"))
+                .otherwise(col("ln") + 1)).as("dst"))
+          graft.graph.Algorithms.stronglyConnectedComponents(
+            v.select("id"), edges)
+        }))
+        .filter { case (n, _) => SparkEntry.onlyFilter.forall(_.contains(n)) }
 
     // JIT/codegen warmup: the first query otherwise pays compilation on a
     // few tasks and false-flags as skew (observed: the same stage at 3.4×

@@ -148,7 +148,21 @@ object Algorithms {
     val loopSession = {
       val s = org.apache.spark.sql.graft.GraftSessionBridge.cloneSession(spark)
       s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // AQE on for ONE reason: skew-join splitting. Star contraction
+      // concentrates the giant component's adjacency on its center key, so
+      // the und⋈min join's hub partition becomes the round's straggler
+      // (10×-edge audit: ratio 4-6 on late rounds). AQE splits that
+      // partition and replicates the 1-row-per-key min side; partition
+      // COALESCING stays off because the loop already sizes its shuffles
+      // to the edge count. Thresholds lowered from the 256 MB default:
+      // a hub partition here is hot in rows, not gigabytes.
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16m")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       s
     }
     e = org.apache.spark.sql.graft.GraftSessionBridge.rebind(e, loopSession)
