@@ -109,6 +109,43 @@ class GraftPropertiesSpec extends GraftSuite {
     }
   }
 
+  test("property: containmentPairs equals brute force, capped and uncapped") {
+    // same collision-heavy vocabulary as the jaccard property; the capped
+    // pass recomputes the brute force over the df-filtered shingle
+    // UNIVERSE — the exact semantics the maxPostings scaladoc promises
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5")
+    val gen = for {
+      nd <- Gen.choose(8, 16)
+      docs <- Gen.listOfN(nd, Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield docs
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    for (s <- 11L to 13L; cap <- Seq(Int.MaxValue, 3)) {
+      val docs = sample(gen, s).zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+      val t = 0.5
+      val got = Dedup.containmentPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 3, t, cap)
+        .select("id_a", "id_b", "inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // brute force over the df-capped universe (cap = MaxValue → full)
+      val raw = docs.map { case (i, txt) => i -> shingleSet(txt) }
+      val df = raw.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val sets = raw.map { case (i, sh) =>
+        i -> sh.filter(g => df(g) <= cap) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        inter = (sa & sb).size
+        if round6(inter.toDouble / sa.size) >= t
+      } yield (a, b, inter)).toSet
+      assert(got == expected, s"seed $s cap $cap")
+    }
+  }
+
   test("property: trustRank seeded with EVERY vertex degenerates to pageRank") {
     // with S = V the teleport vector is uniform 1/N — TrustRank's update
     // rule becomes PageRank's exactly; the two code paths build the
