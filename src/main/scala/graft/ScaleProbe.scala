@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * (every shingle repeats in all copies) to maximize key heat. Here the
   * derivation is the IID direction — more rows of the same per-row
   * character, the way a real corpus grows:
-  *   - lineitem / orders / customer / events: key-shifted copies (10× the
-  *     entities, per-entity degree unchanged);
+  *   - lineitem / customer: key-shifted copies (10× the entities,
+  *     per-entity degree unchanged) — only the tables the probe set
+  *     reads are derived; extend the derivation alongside `probes`;
   *   - documents: copy i rewrites every token with an `_i` suffix, so
   *     copies share no shingles — near-dup structure per copy matches the
   *     original corpus, cross-copy similarity is zero;
@@ -91,10 +92,7 @@ object ScaleProbe {
     def timeOne(name: String, dir: String): Double = {
       val q = SparkEntry.queries(name)
       def run(): Double = {
-        CacheRegistry.unpersistAll(blocking = true)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        System.gc(); System.gc()
+        CacheRegistry.drainForMeasurement(spark)
         val t0 = System.nanoTime()
         q(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

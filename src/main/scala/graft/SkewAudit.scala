@@ -258,16 +258,11 @@ object SkewAudit {
     println(f"${"query"}%-20s ${"stage"}%6s ${"tasks"}%6s ${"med_ms"}%8s ${"max_ms"}%8s ${"ratio"}%6s flag")
     val flagged = scala.collection.mutable.ArrayBuffer[String]()
     audit.foreach { case (name, q) =>
-      // Bench's inter-run hygiene, verbatim: without the localCheckpoint
-      // sweep + double-gc, one query's pinned blocks bill the next — the
-      // loop once showed q50 at 263s that reruns at 30s in isolation,
-      // with per-task balance unchanged (allocation debt, not skew)
-      CacheRegistry.unpersistAll(blocking = true)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
-      System.gc()
-      Thread.sleep(100)
+      // Bench's inter-run hygiene: without the localCheckpoint sweep +
+      // double-gc, one query's pinned blocks bill the next — the loop
+      // once showed q50 at 263s that reruns at 30s in isolation, with
+      // per-task balance unchanged (allocation debt, not skew)
+      CacheRegistry.drainForMeasurement(spark)
       stats.reset()
       val t0 = System.nanoTime()
       q(spark, scratch).write.format("noop").mode("overwrite").save()

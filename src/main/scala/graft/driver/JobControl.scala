@@ -50,6 +50,11 @@ final class JobControl(spark: SparkSession, sfDir: String) {
   // Listener-bus discipline: O(1) counter bumps only, never blocking.
   private val progressById = new ConcurrentHashMap[String, MutableProgress]()
   private val stageOwner = new ConcurrentHashMap[Int, String]()
+  // sparkJobId → its stage ids, so onJobEnd can sweep stageOwner entries
+  // for stages that never fire completion events (SKIPPED stages reusing
+  // cached/shuffle output, or stages abandoned by a job abort) — without
+  // the sweep stageOwner grows without bound on a long-lived driver
+  private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
   private val listener = new SparkListener {
     override def onJobStart(ev: SparkListenerJobStart): Unit = {
       val gid = Option(ev.properties)
@@ -58,7 +63,13 @@ final class JobControl(spark: SparkSession, sfDir: String) {
         val p = progressById.computeIfAbsent(gid, _ => new MutableProgress)
         p.sparkJobs.incrementAndGet()
         ev.stageInfos.foreach(si => stageOwner.put(si.stageId, gid))
+        jobStages.put(ev.jobId, ev.stageInfos.map(_.stageId))
       }
+    }
+    override def onJobEnd(ev: org.apache.spark.scheduler.SparkListenerJobEnd)
+        : Unit = {
+      val stages = jobStages.remove(ev.jobId)
+      if (stages != null) stages.foreach(stageOwner.remove(_))
     }
     override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = {
       val p = owner(ev.stageInfo.stageId)
@@ -75,7 +86,8 @@ final class JobControl(spark: SparkSession, sfDir: String) {
       if (p != null && ev.stageInfo.failureReason.isEmpty)
         p.stagesCompleted.incrementAndGet()
       // the owner map is keyed by stageId (attempts share it); drop the
-      // mapping only once no further attempt can arrive
+      // mapping only once no further attempt can arrive — failed attempts
+      // and never-completed (skipped/aborted) stages are swept at job end
       if (ev.stageInfo.failureReason.isEmpty)
         stageOwner.remove(ev.stageInfo.stageId)
     }

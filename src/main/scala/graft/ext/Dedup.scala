@@ -267,7 +267,7 @@ object Dedup {
     * boilerplate-driven failure mode, not the duplicated-corpus one. */
   def containmentPairs(docs: DataFrame, id: String, text: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       maxPostings: Int = 10000): DataFrame = {
+                       maxPostings: Int = defaultMaxPostings): DataFrame = {
     val sh = CacheRegistry.persist(docs.select(col(id).as("doc_id"),
       explode(array_distinct(shingles(col(text), n))).as("shingle")))
     val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("dfq"))
@@ -1524,13 +1524,19 @@ object Dedup {
 
   // declared after [[ngramShingleCtes]]: a forward reference between plain
   // vals in one object silently interpolates null into the SQL
+  /** One constant owns the df-cap default so the Scala signature and the
+    * generated oracle SQL cannot drift (the q42 targetBucket pattern) —
+    * drift would surface only on corpora where the cap binds, which the
+    * test corpora deliberately don't. */
+  private[graft] final val defaultMaxPostings: Int = 10000
+
   val q148ContainmentSql: String = s"""
     WITH $ngramShingleCtes,
-    -- mirror of containmentPairs' maxPostings df-cap (default 10000):
+    -- mirror of containmentPairs' maxPostings df-cap (shared constant):
     -- boilerplate shingles leave the universe before sizing OR pairing
     shc AS (SELECT s.doc_id, s.shingle FROM sh s
             JOIN (SELECT shingle FROM sh GROUP BY shingle
-                  HAVING COUNT(*) <= 10000) k USING (shingle)),
+                  HAVING COUNT(*) <= $defaultMaxPostings) k USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter

@@ -156,13 +156,21 @@ class JobControlSpec extends GraftSuite {
     try {
       val j = c.submit("q1_agg")
       await(c, j.id, Set(JobControl.Succeeded, JobControl.Failed))
-      // listener bus is async: completion events can trail the job status
+      // Listener bus is async: by SUCCEEDED all events are POSTED, but
+      // they drain after. First-event sighting can observe a mid-drain
+      // state (stage 2 submitted, its tasks not yet counted → pct < 100),
+      // so poll until two consecutive snapshots are identical AND carry
+      // completed work — in-order delivery makes a stable nonzero
+      // snapshot the drained one.
       val t0 = System.currentTimeMillis()
-      while ((c.progressOf(j.id).tasksCompleted == 0 ||
-              c.progressOf(j.id).stagesCompleted == 0) &&
-             System.currentTimeMillis() - t0 < 30000)
-        Thread.sleep(50)
-      val p = c.progressOf(j.id)
+      var p = c.progressOf(j.id)
+      var settled = false
+      while (!settled && System.currentTimeMillis() - t0 < 30000) {
+        Thread.sleep(200)
+        val q = c.progressOf(j.id)
+        settled = q == p && q.tasksCompleted > 0 && q.stagesCompleted > 0
+        p = q
+      }
       assert(p.sparkJobs >= 1, p.toString)
       assert(p.stagesSubmitted >= 1 && p.stagesCompleted >= 1, p.toString)
       assert(p.tasksTotal >= 1 && p.tasksCompleted >= 1, p.toString)

@@ -35,8 +35,15 @@ class RelationalSpec extends GraftSuite {
   }
 
   test("every registered query returns rows at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
+    try SparkEntry.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    } finally {
+      // operator-internal persists must not outlive the walk: a plan left
+      // in the shared session's CacheManager would be silently substituted
+      // into later suites' matching subplans (breaking PlanShapeSpec's
+      // shape guards depending on suite order)
+      CacheRegistry.unpersistAll(blocking = true)
+      spark.catalog.clearCache()
     }
   }
 
@@ -60,15 +67,21 @@ class RelationalSpec extends GraftSuite {
     // The driver's comparator sorts rows with pandas sort_values, which
     // dies on unhashable ndarray cells — every array-valued result must
     // serialize at the output boundary (to_json / concat_ws / scalar
-    // explode), like q30 and q114 do. This walks analyzed schemas only
-    // (no execution), so it guards all 200 entries cheaply.
+    // explode), like q30 and q114 do. Only the analyzed schema is READ,
+    // but note that CONSTRUCTING some entries runs Spark jobs (the
+    // iterative graph/dedup operators execute their loops at build time),
+    // so this is not free — it shares that cost with the rows>0 walk
+    // above and sweeps the caches construction pinned.
     import org.apache.spark.sql.types.{ArrayType, MapType}
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    val offenders = try SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       fn(spark, sf).schema.fields.toSeq.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
                   f.dataType.isInstanceOf[MapType] =>
           s"$name.${f.name}: ${f.dataType.simpleString}"
       }
+    } finally {
+      CacheRegistry.unpersistAll(blocking = true)
+      spark.catalog.clearCache()
     }
     assert(offenders.isEmpty,
       s"top-level array/map columns break the driver comparator: " +
