@@ -85,8 +85,24 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$scratch/customer.parquet")
 
+    // events: ids and users shifted per copy — 10× the users, per-user
+    // event stream unchanged (entity-bounded windows stay entity-bounded)
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until copies).map(i => ev.select(
+        (col("event_id") + lit(i * 10000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+
     val probes = Seq("q1_agg", "q9_window_topk", "q31_minhash_lsh",
-      "q42_ann_topk", "q112_cc_alternating")
+      "q42_ann_topk", "q112_cc_alternating",
+      // round-8 extension: the token-join, capped-PPJoin, segment, and
+      // event-windowed families — each a different shuffle shape
+      "q136_bm25", "q148_containment", "q114_segment_dedup",
+      "q174_rolling_dau", "q103_funnel")
       .filter(n => SparkEntry.onlyFilter.forall(_.contains(n)))
 
     def timeOne(name: String, dir: String): Double = {

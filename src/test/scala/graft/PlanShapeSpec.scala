@@ -420,4 +420,24 @@ class PlanShapeSpec extends GraftSuite {
     // frame crossJoins in as a broadcast, the library-wide totals idiom)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q189 JL projection stays a pure scan-side projection — zero exchanges") {
+    // the round-8 scalar-column output contract must not cost a shuffle:
+    // 16 rounded dot products + element_at over one scan, codegen'd
+    val p = plan("q189_jl_projection")
+    assert(!p.contains("Exchange"), "JL projection plan gained a shuffle")
+    // `*(1) Project` = the projection sits inside whole-stage-codegen
+    // stage 1 (executedPlan renders the codegen star, not the node name)
+    assert(p.contains("*(1) Project"), "projection fell out of codegen")
+  }
+
+  test("q195 diff explain: one join, no window, scan pruned to compare columns") {
+    // the column-attribution drill-down is one equi-join on the key plus
+    // per-row comparisons; a second join or a window means the concat_ws
+    // output step restructured the plan
+    val p = plan("q195_diff_explain")
+    assert(count(p, "Join") == 1, p.take(600))
+    assert(!p.contains("Window"), "value-keyed window in diff-explain plan")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
