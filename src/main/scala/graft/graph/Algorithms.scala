@@ -122,6 +122,35 @@ object Algorithms {
     * per round, against Pregel's full-materialization halt vote. Lineage
     * is cut with a lazy localCheckpoint every 3 rounds, as in [[Pregel]].
     */
+  /** AQE policy for the alternating-star loop session, keyed on edge
+    * count — extracted so the gate is pinned by a spec, not just prose.
+    *
+    * AQE on for ONE reason, and only on BIG graphs: skew-join splitting.
+    * Star contraction concentrates the giant component's adjacency on
+    * its center key, so the und⋈min join's hub partition becomes the
+    * round's straggler (10×-edge audit: ratio 4-6 on late rounds; fix
+    * measured 104 s → 38 s at 6M edges). AQE splits that partition and
+    * replicates the 1-row-per-key min side; partition COALESCING stays
+    * off because the loop already sizes its shuffles to the edge count,
+    * and the skew thresholds are lowered from the 256 MB default because
+    * a hub partition here is hot in rows, not gigabytes (at factor 3 /
+    * 16 MB the splitter ignored the exact late-round straggler it
+    * targets — the loop frame SHRINKS as stars contract). The size gate
+    * exists because per-stage replanning is driver overhead paid every
+    * round: on the sf0.1 corpus graph (~50k edges, no giant component)
+    * blanket AQE cost +5.5 s over 18 rounds with nothing to split; 1M
+    * edges ≈ the point where one hub partition outweighs ~0.3 s/round
+    * of replanning. */
+  private[graft] def ccLoopConfs(nE: Long): Seq[(String, String)] =
+    if (nE >= 1000000L) Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+    else Seq("spark.sql.adaptive.enabled" -> "false")
+
   def ccAlternating(vertices: DataFrame, edges: DataFrame,
                     maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -148,30 +177,7 @@ object Algorithms {
     val loopSession = {
       val s = org.apache.spark.sql.graft.GraftSessionBridge.cloneSession(spark)
       s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      // AQE on for ONE reason, and only on BIG graphs: skew-join
-      // splitting. Star contraction concentrates the giant component's
-      // adjacency on its center key, so the und⋈min join's hub partition
-      // becomes the round's straggler (10×-edge audit: ratio 4-6 on late
-      // rounds; fix measured 104 s → 38 s at 6M edges). AQE splits that
-      // partition and replicates the 1-row-per-key min side; partition
-      // COALESCING stays off because the loop already sizes its shuffles
-      // to the edge count, and the skew thresholds are lowered from the
-      // 256 MB default because a hub partition here is hot in rows, not
-      // gigabytes. The size gate exists because per-stage replanning is
-      // driver overhead paid every round: on the sf0.1 corpus graph
-      // (~50k edges, no giant component) blanket AQE cost +5.5 s over
-      // 18 rounds with nothing to split. Below 2 loop partitions there
-      // is no straggler to divide; 1M edges ≈ the point where one hub
-      // partition outweighs ~0.3 s/round of replanning.
-      if (nE >= 1000000L) {
-        s.conf.set("spark.sql.adaptive.enabled", "true")
-        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-          "4m")
-        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      } else s.conf.set("spark.sql.adaptive.enabled", "false")
+      ccLoopConfs(nE).foreach { case (k, v) => s.conf.set(k, v) }
       s
     }
     e = org.apache.spark.sql.graft.GraftSessionBridge.rebind(e, loopSession)

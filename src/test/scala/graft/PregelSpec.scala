@@ -226,4 +226,24 @@ class PregelSpec extends GraftSuite {
     assert(got(0L) == ((0.0, 1.0)), got.toString)
     (1L to 3L).foreach(i => assert(got(i) == ((1.0, 0.0)), got.toString))
   }
+
+  test("ccAlternating AQE gate: small graphs replanning-free, big graphs skew-split") {
+    // the calibration SKEW_AUDIT_r08.md measured: ungated AQE cost q112
+    // +5.5s of per-round replanning on a ~50k-edge graph, while the
+    // 6M-edge hub graph needs the split (104s → 38s). A retune that
+    // flips either branch re-opens one of those regressions.
+    val small = Algorithms.ccLoopConfs(50000L).toMap
+    assert(small("spark.sql.adaptive.enabled") == "false", small.toString)
+    assert(!small.contains("spark.sql.adaptive.skewJoin.enabled"))
+    val big = Algorithms.ccLoopConfs(6000000L).toMap
+    assert(big("spark.sql.adaptive.enabled") == "true", big.toString)
+    assert(big("spark.sql.adaptive.skewJoin.enabled") == "true")
+    // coalescing must stay off: the loop sizes its own shuffles
+    assert(big("spark.sql.adaptive.coalescePartitions.enabled") == "false")
+    // thresholds must stay row-hot-scale, not the 256 MB byte default
+    // (factor 3 / 16m demonstrably missed the late-round straggler)
+    assert(big("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      == "4m")
+    assert(big("spark.sql.adaptive.skewJoin.skewedPartitionFactor") == "2")
+  }
 }
