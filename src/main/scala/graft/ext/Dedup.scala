@@ -801,7 +801,12 @@ object Dedup {
       FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
       WHERE len(ts) >= 3
       UNION
-      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 3)"""
+      -- COALESCE: array_to_string([], ' ') is NULL in DuckDB and a NULL
+      -- shingle never equi-joins — an EMPTY doc would silently vanish
+      -- from every per-doc rollup over sh while Spark's single empty
+      -- shingle keeps it (round-8 edge-corpus sweep, q101)
+      SELECT doc_id, COALESCE(array_to_string(ts, ' '), '')
+      FROM toks WHERE len(ts) < 3)"""
 
   private[ext] val ngramPairCtes: String = s"""$ngramShingleCtes,
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

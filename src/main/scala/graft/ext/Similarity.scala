@@ -186,21 +186,40 @@ object Similarity {
 
   // --------------------------------------------------------------- queries
 
+  /** Zero-norm (all-zero) embeddings are DIRECTIONLESS: cosine against
+    * them is 0/0, which under ANSI mode kills the whole job with
+    * DIVIDE_BY_ZERO — and one bad encoder output in 100 TB of embeddings
+    * is a certainty, not an edge case (found by the round-8 adversarial
+    * edge-corpus sweep: a single zero vector crashed nine similarity
+    * queries). The rule: zero-norm vectors are excluded from every
+    * cosine-semantics corpus at load (a directionless vector can be
+    * similar to nothing); the oracle SQL mirrors the same WHERE. The
+    * euclidean family (k-means cells) keeps them — a zero point has a
+    * perfectly defined position. */
+  private def nonzeroVecs(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(dot(col(vecCol), col(vecCol)) > lit(0.0))
+
+  /** The oracle-side mirror of [[nonzeroVecs]]. */
+  private val nonzeroVecWhere: String =
+    "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
+
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+    nonzeroVecs(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v")), "v")
 
   private def queryVecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    nonzeroVecs(Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), vecAsDouble(col("embedding")).as("qv"))
+      .select(col("vec_id").as("qid"), vecAsDouble(col("embedding")).as("qv")),
+      "qv")
 
   // --- q28_similarity_topk: exact cosine top-5 for 10 query vectors -------
   def q28SimilarityTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopK(corpus(spark, dir), queryVecs(spark, dir), 5)
 
-  val q28SimilarityTopKSql: String = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  val q28SimilarityTopKSql: String = s"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE $nonzeroVecWhere),
     q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
     p AS (SELECT qid, vec_id,
                  ROUND(list_dot_product(qv, v) /
@@ -262,7 +281,8 @@ object Similarity {
         FROM $from, pl"""
 
   val q42AnnTopKSql: String = s"""
-    WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE $nonzeroVecWhere),
     ${planesCteSql("ve", defaultTargetBucket)},
     b AS (SELECT vec_id, v, ${bucketSqlAdaptive("v")} AS bkt FROM ve, pl),
     sz AS (SELECT bkt FROM b GROUP BY bkt HAVING COUNT(*) <= $defaultMaxBucket),
@@ -336,7 +356,8 @@ object Similarity {
   }
 
   val q48EmbedNearDupSql: String = s"""
-    WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE $nonzeroVecWhere),
     corpus AS (
       SELECT vec_id, v FROM ve
       UNION ALL
@@ -361,8 +382,9 @@ object Similarity {
   // similar per cell. Exact within cells, so fully oracle-able — and the
   // label-partitioned join is the shape an IVF index join has at scale.
   def ivfLabelTopPairs(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val b = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), vecAsDouble(col("embedding")).as("v"))
+    val b = nonzeroVecs(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vecAsDouble(col("embedding")).as("v")),
+      "v")
       .withColumn("nrm", norm(col("v")))
     val pairs = b.as("l").join(b.as("r"),
         col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
@@ -380,8 +402,9 @@ object Similarity {
   def q43IvfLabelPairs(spark: SparkSession, dir: String): DataFrame =
     ivfLabelTopPairs(spark, dir, 3)
 
-  val q43IvfLabelPairsSql: String = """
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  val q43IvfLabelPairsSql: String = s"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE $nonzeroVecWhere),
     p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
                  ROUND(list_dot_product(a.v, b.v) /
                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
@@ -574,11 +597,12 @@ object Similarity {
       nearDupCorpus(spark, dir).select(col("vec_id"), col("v")),
       "vec_id", "v", kMeansK, kMeansIters, threshold = 0.9)
 
-  private val plantedVeSql: String = """
+  private val plantedVeSql: String = s"""
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE $nonzeroVecWhere
       UNION ALL
       SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.02)
-      FROM embeddings WHERE vec_id < 50"""
+      FROM embeddings WHERE vec_id < 50 AND $nonzeroVecWhere"""
 
   val q74SemanticDedupSql: String = s"""
     WITH ${kMeansCtes(plantedVeSql, kMeansK, kMeansIters)},
@@ -797,8 +821,8 @@ object Similarity {
   def hardNegatives(spark: SparkSession, dir: String, maxQid: Long,
                     nNeg: Int): DataFrame = {
     val lv = graft.CacheRegistry.persist(
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
-        vecAsDouble(col("embedding")).as("v")))
+      nonzeroVecs(Tables.embeddings(spark, dir).select(col("vec_id"),
+        col("label"), vecAsDouble(col("embedding")).as("v")), "v"))
     val m = graft.CacheRegistry.persist(
       kMeans(Tables.embeddings(spark, dir), "vec_id", "embedding",
           kMeansK, kMeansIters)
@@ -827,7 +851,8 @@ object Similarity {
   val q104HardNegativesSql: String = s"""
     WITH ${kMeansCtes("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
       kMeansK, kMeansIters)},
-    lv AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    lv AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE $nonzeroVecWhere),
     m AS (SELECT a.vec_id, a.cid, l.label, l.v
           FROM af a JOIN lv l USING (vec_id)),
     p AS (SELECT q.vec_id AS qid, c.vec_id AS neg_id,
@@ -1267,7 +1292,8 @@ object Similarity {
                    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
                         AS INT) AS lex_rank
             FROM sc ORDER BY score DESC, doc_id LIMIT 100),
-    ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE $nonzeroVecWhere),
     qv AS (SELECT v AS qv FROM ve WHERE vec_id = 0),
     p AS (SELECT vec_id,
                  ROUND(list_dot_product(qv, v) /
@@ -1455,9 +1481,15 @@ object Similarity {
     * exact binary comparison for engine-specific float rendering. Scalar
     * columns keep the compare bit-exact AND comparator-safe. */
   def q189JlProjection(spark: SparkSession, dir: String): DataFrame =
-    jlProject(corpus(spark, dir)).select(col("vec_id") +:
-      (0 until 16).map(j => element_at(col("proj"), j + 1)
-        .as(f"p$j%02d")): _*)
+    // UNFILTERED corpus, deliberately: JL projection is a pure linear map
+    // with no cosine — a zero vector projects to a perfectly defined zero
+    // row, so the nonzeroVecs rule does not apply (and the oracle scans
+    // the raw table)
+    jlProject(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v")))
+      .select(col("vec_id") +:
+        (0 until 16).map(j => element_at(col("proj"), j + 1)
+          .as(f"p$j%02d")): _*)
 
   val q189JlProjectionSql: String = {
     val comps = (0 until 16).map(j =>
@@ -1525,8 +1557,8 @@ object Similarity {
 
   /** Even vec_ids play corpus A, odd play corpus B; k = 4, τ = 1.05. */
   def q179MarginMining(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+    val v = nonzeroVecs(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v")), "v")
     marginPairs(
       v.filter(pmod(col("vec_id"), lit(2)) === 0)
         .select(col("vec_id").as("aid"), col("v").as("av")),
@@ -1536,7 +1568,8 @@ object Similarity {
   }
 
   val q179MarginMiningSql: String = s"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE $nonzeroVecWhere),
     aa AS (SELECT vec_id AS aid, v AS av FROM v WHERE vec_id % 2 = 0),
     bb AS (SELECT vec_id AS bid, v AS bv FROM v WHERE vec_id % 2 = 1),
     p AS (SELECT aid, bid,

@@ -562,14 +562,20 @@ object TextAnalysis {
              ts[i+3] || ' ' || ts[i+4] AS g
       FROM toks, unnest(range(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 5
       UNION ALL
-      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 5),
+      -- COALESCE: array_to_string([], ' ') is NULL in DuckDB, and a NULL
+      -- gram silently drops out of COUNT(DISTINCT g) — an EMPTY doc then
+      -- reads dup_frac 1.0 while Spark's single-empty-shingle reads 0
+      -- (caught by the round-8 edge-corpus sweep)
+      SELECT doc_id, COALESCE(array_to_string(ts, ' '), '')
+      FROM toks WHERE len(ts) < 5),
     s5 AS (SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT g) AS nd5
            FROM g5 GROUP BY 1),
     g2 AS (
       SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
       FROM toks, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2
       UNION ALL
-      SELECT doc_id, array_to_string(ts, ' ') FROM toks WHERE len(ts) < 2),
+      SELECT doc_id, COALESCE(array_to_string(ts, ' '), '')
+      FROM toks WHERE len(ts) < 2),
     c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
     s2 AS (SELECT doc_id, MAX(c) AS top2, SUM(c) AS n2 FROM c2 GROUP BY 1)
     SELECT s5.doc_id, CAST(s5.n5 AS INT) AS n_5grams,

@@ -815,10 +815,18 @@ object Algorithms {
     * schedule-independent fixed point. */
   def q88IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val fwd = docs.select(col("doc_id").as("src"),
+    val fwdRaw = docs.select(col("doc_id").as("src"),
         expr("(doc_id div 10) * 10").as("dst"))
       .unionByName(docs.filter(expr("doc_id % 10 = 0"))
         .select(col("doc_id").as("src"), expr("(doc_id div 100) * 100").as("dst")))
+    // clip to EXISTING docs: on a sparse id space the decade/century hub
+    // (doc_id div 10)·10 may not be a document, and an edge into a
+    // phantom vertex is undefined — the Pregel side would drop it while
+    // a naive closure oracle would happily route labels THROUGH it
+    // (divergence caught by the round-8 edge-corpus sweep); the hub edge
+    // exists only when the hub doc does, identically on both sides
+    val fwd = fwdRaw.join(docs.select(col("doc_id").as("dst")),
+      Seq("dst"), "left_semi")
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .withColumn("wave", pmod(col("src") + col("dst"), lit(3)).cast("int"))
@@ -829,9 +837,11 @@ object Algorithms {
 
   val q88IncrementalCcSql: String = """
     WITH RECURSIVE fwd AS (
-      SELECT doc_id AS src, (doc_id // 10) * 10 AS dst FROM documents
-      UNION ALL
-      SELECT doc_id, (doc_id // 100) * 100 FROM documents WHERE doc_id % 10 = 0),
+      SELECT f.src, f.dst FROM (
+        SELECT doc_id AS src, (doc_id // 10) * 10 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id // 100) * 100 FROM documents WHERE doc_id % 10 = 0
+      ) f JOIN documents d ON d.doc_id = f.dst),
     ed AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
     reach(id, lbl) AS (
       SELECT doc_id, doc_id FROM documents

@@ -256,10 +256,14 @@ object Relational {
       // would drop that group entirely; COUNT DISTINCT keeps it at 0)
       .agg(count(col("l_orderkey")).as("exact_orders"),
            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      // bound: 5% relative with a ±2 absolute floor — Spark's HLL++ has
+      // no sparse mode, so a 16-distinct group can estimate 15 (6.25%
+      // relative, 1 absolute); the floor only matters below 40 distincts,
+      // where relative error is the wrong yardstick anyway (edge-corpus
+      // sweep finding)
       .select(col("l_returnflag"), col("exact_orders"),
-        (col("exact_orders") === 0 ||
-          abs(col("approx_orders") - col("exact_orders")) /
-            col("exact_orders") < 0.05).as("approx_ok"))
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          greatest(col("exact_orders") * 0.05, lit(2.0))).as("approx_ok"))
 
   val q13ApproxDistinctSql: String = """
     SELECT l_returnflag,
@@ -362,20 +366,35 @@ object Relational {
   // (~20k rows/group) that is ±2 ranks — far inside the 1% value bound.
   def q54ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // The sketch returns an ACTUAL data value; the exact target is the
+    // INTERPOLATED percentile. At scale they agree within 1% relative,
+    // but on a tiny group the interpolation gap alone can exceed 1%
+    // (measured 2.9% at n=29) — so the bound also accepts an ap equal to
+    // the discrete percentile, which is what a zero-error sketch returns
+    // (verified: at full accuracy ap == percentile_disc on every group).
     li.groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("pe"),
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
           .as("ap"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("pd50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("pd90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("pd99"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
         round(col("pe")(0), 4).as("p50_exact"),
         round(col("pe")(1), 4).as("p90_exact"),
         round(col("pe")(2), 4).as("p99_exact"),
         col("n"),
-        (abs(col("ap")(0) - round(col("pe")(0), 4)) / round(col("pe")(0), 4) < 0.01 &&
-         abs(col("ap")(1) - round(col("pe")(1), 4)) / round(col("pe")(1), 4) < 0.01 &&
-         abs(col("ap")(2) - round(col("pe")(2), 4)) / round(col("pe")(2), 4) < 0.01)
+        (((abs(col("ap")(0) - round(col("pe")(0), 4)) / round(col("pe")(0), 4) < 0.01) ||
+            col("ap")(0) === col("pd50")) &&
+         ((abs(col("ap")(1) - round(col("pe")(1), 4)) / round(col("pe")(1), 4) < 0.01) ||
+            col("ap")(1) === col("pd90")) &&
+         ((abs(col("ap")(2) - round(col("pe")(2), 4)) / round(col("pe")(2), 4) < 0.01) ||
+            col("ap")(2) === col("pd99")))
           .as("approx_ok"))
   }
 
