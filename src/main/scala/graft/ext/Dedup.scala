@@ -339,6 +339,7 @@ object Dedup {
       .distinct()
     val hits = corpus
       .select(col(id), explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      // bcast-ok: benchmark-side shingles — decontamination contract: benchmark suites << corpus (scaladoc)
       .join(broadcast(benchSh), Seq("shingle"), "inner")
       .groupBy(col(id))
       .agg(count(lit(1)).cast("int").as("n_hit_shingles"))
@@ -400,8 +401,10 @@ object Dedup {
       .agg(map_from_entries(collect_list(struct(col("widx"), col("bits")))).as("bm"))
     val probed = corpus
       .select(col(id), explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      // bcast-ok: benchmark-side shingles — decontamination contract: benchmark suites << corpus (scaladoc)
       .join(broadcast(benchSh.withColumn("__bench", lit(true))),
         Seq("shingle"), "left_outer")
+      // bcast-ok: bloomMap is a 1-row map aggregate
       .crossJoin(broadcast(bloomMap))
     val allBitsSet = (0 until kHashes).map { i =>
       expr(s"(shiftright(coalesce(element_at(bm, shiftright(" +
@@ -425,6 +428,7 @@ object Dedup {
     val fpStats = allDocs.agg(
       (sum(when(col("bloom_hit") && !col("contaminated"), 1L).otherwise(0L)) <=
         count(lit(1)).cast("double") * maxDocFpFrac).as("fp_ok"))
+    // bcast-ok: fpStats is a 1-row global aggregate
     allDocs.crossJoin(broadcast(fpStats))
       .select(col(id), col("contaminated"),
         (col("contaminated") && !col("bloom_hit")).as("missed"),
@@ -1218,6 +1222,7 @@ object Dedup {
         lead(col("tok"), n - 1).over(w).isNotNull.as("full"))
       .filter(col("full"))
     val coveredArr = posSh
+      // bcast-ok: benchmark-side shingles — decontamination contract: benchmark suites << corpus (scaladoc)
       .join(broadcast(benchSh), Seq("shingle"))
       .select(col(id), explode(sequence(col("pos"), col("pos") + lit(n - 1)))
         .as("pos"))

@@ -73,10 +73,12 @@ object Importance {
     val tot = big.agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("st"),
       sum(when(col("tgt"), 0L).otherwise(1L)).as("sr"))
+    // bcast-ok: tot is a 1-row global aggregate
     val ratios = cnt.crossJoin(broadcast(tot)).select(col("bucket"),
       (((col("ct") + 1) * (col("sr") + DsirBuckets)).cast("double") /
         ((col("cr") + 1) * (col("st") + DsirBuckets)).cast("double")).as("r"))
     big.groupBy(col(id), col("bucket")).agg(count(lit(1)).as("n"))
+      // bcast-ok: ratios is one row per bucket — DsirBuckets is a fixed constant
       .join(broadcast(ratios), "bucket")
       .withColumn("v", col("n").cast("double") * col("r"))
       .groupBy(col(id))

@@ -149,6 +149,7 @@ object Pipeline {
         expr(s"(n_docs + ${docsPerShard - 1}) div $docsPerShard")).as("shards"))
     val w = Window.partitionBy(col("shard")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bcast-ok: nShards is a 1-row global aggregate
     docs.crossJoin(broadcast(nShards))
       .select(col(id), pmod(col(id), col("shards")).as("shard"),
         tokens.cast("long").as("n_tok"))

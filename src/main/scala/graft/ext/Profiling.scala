@@ -281,6 +281,7 @@ object Profiling {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = vals.select(col(valueCol),
       sum(col("cnt")).over(w).as("cum"), sum(col("cnt")).over(total).as("n"))
+    // bcast-ok: distinct-value dictionary — documented dictionary << corpus contract (scaladoc)
     df.join(broadcast(cum), Seq(valueCol))
       .select(df.columns.map(col) :+
         graft.ops.Relational.ratio6("cum", "n").as("ecdf6"): _*)
@@ -337,6 +338,7 @@ object Profiling {
       sum(col("pc")).over(
         Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)).as("n"))
+    // bcast-ok: pooled distinct-value dictionary — documented dictionary << corpus contract (scaladoc)
     grpCum.join(broadcast(pooledCum),
         expr("(r * n + ng - 1) div ng > pprev AND " +
           "(r * n + ng - 1) div ng <= pcum"))
@@ -436,6 +438,7 @@ object Profiling {
         .groupBy(col("g"), col("d")).agg(count(lit(1)).as("c")))
     val span = counts.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val series = counts.select(col("g")).distinct()
+      // bcast-ok: span is a 1-row min/max aggregate
       .crossJoin(broadcast(span))
       .select(col("g"), explode(sequence(col("d0"), col("d1"))).as("d"))
       .join(counts, Seq("g", "d"), "left_outer")
@@ -517,7 +520,9 @@ object Profiling {
     val ra = cells.groupBy(col(a)).agg(sum(col("o")).as("ra"))
     val cb = cells.groupBy(col(b)).agg(sum(col("o")).as("cb"))
     val n = cells.agg(sum(col("o")).as("n"))
+    // bcast-ok: per-category marginals — contingency columns are categorical by contract
     cells.join(broadcast(ra), a).join(broadcast(cb), b)
+      // bcast-ok: n is a 1-row global aggregate
       .crossJoin(broadcast(n))
       .select(col(a), col(b), col("o"),
         graft.ops.Relational.ratio6("ra * cb", "n").as("expected6"),
@@ -590,6 +595,7 @@ object Profiling {
         lit(":"), col("w")).cast("binary")), 1, 8))
       .withColumn("bucket",
         expr(graft.ext.Sampling.nibbleSumSql("h8")) % width)
+      // bcast-ok: count-min sketch — fixed depth x width
       .join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("w"))
       .agg(max(col("cnt")).cast("long").as("exact_cnt"),
@@ -663,6 +669,7 @@ object Profiling {
     val exact = ca.as("a").join(cb.as("b"), col("a.k") === col("b.k"))
       .agg(coalesce(sum(col("a.cnt") * col("b.cnt")), lit(0L))
         .as("exact_size"))
+    // bcast-ok: exact is a 1-row aggregate
     est.crossJoin(broadcast(exact))
       .select(col("j").cast("int").as("j"),
         col("est_j").cast("long").as("est_j"),
@@ -786,6 +793,7 @@ object Profiling {
     val cum = graft.CacheRegistry.persist(
       counts.withColumn("cum", sum(col("c")).over(w)))
     val sizes = cum.groupBy(col("g")).agg(max(col("cum")).as("n"))
+    // bcast-ok: sizes is one row per group — categorical grouping contract
     val fences = cum.join(broadcast(sizes), Seq("g"))
       .groupBy(col("g"), col("n"))
       .agg(
@@ -793,6 +801,7 @@ object Profiling {
           .as("lo"),
         min(when(col("cum") >= expr(s"(n * $hiPct + 99) div 100"), col("x")))
           .as("hi"))
+    // bcast-ok: fences is one row per group — categorical grouping contract
     cum.join(broadcast(fences), Seq("g"))
       .groupBy(col("g"), col("n"), col("lo"), col("hi"))
       .agg(sum(col("c") * greatest(col("lo"), least(col("hi"), col("x"))))
@@ -920,6 +929,7 @@ object Profiling {
         .groupBy(col("g"), col("d")).agg(count(lit(1)).as("c")))
     val span = counts.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val series = counts.select(col("g")).distinct()
+      // bcast-ok: span is a 1-row min/max aggregate
       .crossJoin(broadcast(span))
       .select(col("g"), explode(sequence(col("d0"), col("d1"))).as("d"))
       .join(counts, Seq("g", "d"), "left_outer")
@@ -1011,6 +1021,7 @@ object Profiling {
         .as("digit"))
     val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("t"))
+    // bcast-ok: total is a 1-row aggregate
     counts.crossJoin(broadcast(total))
       .select(col("digit"), col("n").cast("long").as("n"),
         graft.ops.Relational.ratio6("n", "t").as("share6"),
@@ -1119,6 +1130,7 @@ object Profiling {
     per.groupBy(col("variant"))
       .agg(count(lit(1)).as("nv"),
         sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
+      // bcast-ok: pooled is a 1-row aggregate
       .crossJoin(broadcast(pooled))
       .select(col("variant"), col("nv").cast("long").as("n_users"),
         (col("syv").cast("double") / col("nv").cast("double")).as("mean_y"),
@@ -1184,6 +1196,7 @@ object Profiling {
     def kth(counts: DataFrame): DataFrame = {
       val cum = counts.withColumn("cum", sum(col("c")).over(w))
       val sizes = cum.groupBy(col("g")).agg(max(col("cum")).as("n"))
+      // bcast-ok: sizes is one row per group — categorical grouping contract
       cum.join(broadcast(sizes), Seq("g"))
         .groupBy(col("g"), col("n"))
         .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("x")))
@@ -1193,6 +1206,7 @@ object Profiling {
       df.select(col(group).as("g"), col(value).as("x"))
         .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c")))
     val med = kth(counts)
+    // bcast-ok: med is one row per group — categorical grouping contract
     val devCounts = counts.join(broadcast(med.select(col("g"), col("med"))),
         Seq("g"))
       .groupBy(col("g"), abs(col("x") - col("med")).as("x"))
@@ -1252,6 +1266,7 @@ object Profiling {
         expr("cnt * (cnt + 1) div 2"))).as("ix"))
     val tot = counts.agg(sum(col("c")).as("n_rows"),
       count(lit(1)).as("n_keys"), max(col("c")).as("top1_count"))
+    // bcast-ok: gini is a 1-row aggregate
     tot.crossJoin(broadcast(gini))
       .select(col("n_rows").cast("long").as("n_rows"),
         col("n_keys").cast("long").as("n_keys"),
@@ -1370,10 +1385,12 @@ object Profiling {
       .join(sizes.select(col("g").as("gb"), col("n").as("nb")),
         col("ga") < col("gb"))
     val deltas = counts
+      // bcast-ok: group-pair frame — categorical squared, not data-scaled
       .join(broadcast(pairs.select("ga", "gb")), col("g") === col("ga"))
       .select(col("ga"), col("gb"), col("x"),
         col("c").as("dca"), lit(0L).as("dcb"))
       .unionByName(counts
+        // bcast-ok: group-pair frame — categorical squared, not data-scaled
         .join(broadcast(pairs.select("ga", "gb")), col("g") === col("gb"))
         .select(col("ga"), col("gb"), col("x"),
           lit(0L).as("dca"), col("c").as("dcb")))
@@ -1384,6 +1401,7 @@ object Profiling {
     deltas
       .withColumn("ca", sum(col("dca")).over(w))
       .withColumn("cb", sum(col("dcb")).over(w))
+      // bcast-ok: group-pair frame — categorical squared, not data-scaled
       .join(broadcast(pairs), Seq("ga", "gb"))
       .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
       .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
@@ -1427,10 +1445,12 @@ object Profiling {
       .join(sizes.select(col("g").as("gb"), col("n").as("nb")),
         col("ga") < col("gb"))
     val deltas = counts
+      // bcast-ok: group-pair frame — categorical squared, not data-scaled
       .join(broadcast(pairs.select("ga", "gb")), col("g") === col("ga"))
       .select(col("ga"), col("gb"), col("x"),
         col("c").as("dca"), lit(0L).as("dcb"))
       .unionByName(counts
+        // bcast-ok: group-pair frame — categorical squared, not data-scaled
         .join(broadcast(pairs.select("ga", "gb")), col("g") === col("gb"))
         .select(col("ga"), col("gb"), col("x"),
           lit(0L).as("dca"), col("c").as("dcb")))
@@ -1451,6 +1471,7 @@ object Profiling {
     val u2 = col("r2") - col("na") * (col("na") + 1L)
     val varU = col("na").cast("double") * col("nb") *
       ((n + 1L) - col("tie").cast("double") / (n * (n - 1L))) / 12.0
+    // bcast-ok: group-pair frame — categorical squared, not data-scaled
     stats.join(broadcast(pairs), Seq("ga", "gb"))
       .select(col("ga"), col("gb"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),

@@ -113,6 +113,7 @@ object Sampling {
         when(floor(col("rate") * 256) >= 256, lit("g0"))
           .otherwise(format_string("%02x",
             floor(col("rate") * 256).cast("int"))).as("thr"))
+    // bcast-ok: one row per stratum; strata already collapsed through a 1-row collect_list upstream, so bounded by construction
     df.join(broadcast(rates), stratum)
       .withColumn("bucket", hashBucket(key))
       .filter(col("bucket") < col("thr"))
@@ -223,11 +224,13 @@ object Sampling {
     // underscore-prefixed internals: Spark resolves case-insensitively, so
     // an alias like "W" would collide with a caller's weight column "w"
     val tot = weights.agg(sum(col(w)).as("_tot"))
+    // bcast-ok: tot is a 1-row global sum aggregate
     val based = weights.crossJoin(broadcast(tot))
       .select(col(stratum), col(w),
         expr(s"($budget * $w) div _tot").as("_base"),
         expr(s"($budget * $w) % _tot").as("_rem"))
     val leftover = based.agg((lit(budget) - sum(col("_base"))).as("_left"))
+    // bcast-ok: leftover is a 1-row global aggregate
     based.crossJoin(broadcast(leftover))
       .withColumn("_rk",
         row_number().over(Window.orderBy(col("_rem").desc, col(stratum))))

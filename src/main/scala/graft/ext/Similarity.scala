@@ -59,6 +59,7 @@ object Similarity {
       s"cosineTopK broadcasts the query side: more than " +
         s"$maxQueryRows rows — use annCosineTopK for large query sets")
     val pairs = corpus.withColumn("nv", norm(col("v")))
+      // bcast-ok: query side, size-guarded by the maxQueryRows require above
       .crossJoin(broadcast(queries.withColumn("nq", norm(col("qv")))))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos",
@@ -164,6 +165,7 @@ object Similarity {
                     targetBucket: Long = defaultTargetBucket,
                     maxBucket: Long = defaultMaxBucket, dim: Int = 64,
                     broadcastQueries: Boolean = true): DataFrame = {
+    // bcast-ok: hyperplane frame — row count fixed by targetBucket, not data-scaled
     val pl = broadcast(planesDf(corpus, targetBucket))
     val capped = cappedBuckets(corpus, "v", pl, maxBucket, dim)
     val qb = queries.crossJoin(pl)
@@ -173,6 +175,7 @@ object Similarity {
       .drop("qbkt", "probe")
     val qside = qb.withColumn("nq", norm(col("qv")))
     val pairs = capped.withColumn("nv", norm(col("v")))
+      // bcast-ok: gated by the broadcastQueries knob (caller asserts a small query set; shuffle path otherwise)
       .join(if (broadcastQueries) broadcast(qside) else qside, Seq("bkt"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos",
@@ -318,6 +321,7 @@ object Similarity {
                        targetBucket: Long = defaultTargetBucket,
                        maxBucket: Long = defaultMaxBucket,
                        dim: Int = 64): DataFrame = {
+    // bcast-ok: hyperplane frame — row count fixed by targetBucket, not data-scaled
     val pl = broadcast(planesDf(corpus, targetBucket))
     val b = graft.CacheRegistry.persist(
       cappedBuckets(corpus, "v", pl, maxBucket, dim)
@@ -457,6 +461,7 @@ object Similarity {
     * into the cross join and the argmin partial-aggregates map-side. */
   private def assignTo(ve: DataFrame, cent: DataFrame,
                        id: String): DataFrame =
+    // bcast-ok: centroid frame — k rows
     ve.crossJoin(broadcast(cent))
       .withColumn("d2", dot(col("v"), col("v")) -
         lit(2) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
@@ -702,6 +707,7 @@ object Similarity {
       val sub = graft.CacheRegistry.persist(
         ve.select(col(id), slice(col("v"), start, len).as("v")))
       val cent = trainedCentroids(sub, id, k, iters)
+      // bcast-ok: LUT is k centroids x one query row
       val lut = cent.crossJoin(broadcast(
           qv.select(slice(col("qv"), start, len).as("q"))))
         .select(col("cid").as(s"code$s"),
@@ -709,6 +715,7 @@ object Similarity {
             dot(col("c"), col("c"))).as(s"d$s"))
       assignTo(sub, cent, id)
         .select(col(id), col("cid").as(s"code$s"))
+        // bcast-ok: LUT — k rows
         .join(broadcast(lut), s"code$s")
     }
     parts.reduce(_.join(_, id))
@@ -762,11 +769,13 @@ object Similarity {
     val parts = subDims.zipWithIndex.map { case ((start, len), s) =>
       val cent = spark.read.parquet(s"$path/cent$s")
       val codes = spark.read.parquet(s"$path/code$s")
+      // bcast-ok: LUT is k centroids x one query row
       val lut = cent.crossJoin(broadcast(
           qv.select(slice(col("qv"), start, len).as("q"))))
         .select(col("cid").as(s"code$s"),
           (dot(col("q"), col("q")) - lit(2) * dot(col("q"), col("c")) +
             dot(col("c"), col("c"))).as(s"d$s"))
+      // bcast-ok: LUT — k rows
       codes.join(broadcast(lut), s"code$s")
     }
     parts.reduce(_.join(_, "vec_id"))
@@ -931,17 +940,26 @@ object Similarity {
     * makes the distinct cheap; the per-value NN table is tiny and
     * broadcasts). For genuinely high-cardinality columns the block size
     * is the knob, exactly as in [[graft.ext.Dedup.lshCandidates]].
+    * The low-cardinality contract is ENFORCED, not assumed: the distinct
+    * value count is measured once (the frame is persisted, so the probe
+    * is not repeated work), and past `maxBroadcastValues` the final
+    * row↔answer join falls back to an unhinted shuffle join instead of
+    * broadcasting a data-scaled frame.
     * Ties break on (distance, neighbor value) so the answer is
     * deterministic. Singleton blocks yield NULL neighbors, never a
     * fabricated match. */
   def fuzzyNearestNeighbor(df: DataFrame, idCol: String, nameCol: String,
-                           lenBand: Int = 2): DataFrame = {
+                           lenBand: Int = 2,
+                           maxBroadcastValues: Int = 1000000): DataFrame = {
     val rows = df.select(col(idCol), lower(col(nameCol)).as("name"))
-    val values = rows.groupBy(col("name"))
-      .agg(min(col(idCol)).as("rep_id"))
-      .select(col("name"), col("rep_id"),
-        split(col("name"), " ").getItem(0).as("blk"),
-        length(col("name")).as("ln"))
+    val values = graft.CacheRegistry.persist(
+      rows.groupBy(col("name"))
+        .agg(min(col(idCol)).as("rep_id"))
+        .select(col("name"), col("rep_id"),
+          split(col("name"), " ").getItem(0).as("blk"),
+          length(col("name")).as("ln")))
+    val fitsBroadcast =
+      values.limit(maxBroadcastValues + 1).count() <= maxBroadcastValues
     val cand = values.as("a").join(values.as("b"),
         col("a.blk") === col("b.blk") && col("a.name") =!= col("b.name") &&
           abs(col("a.ln") - col("b.ln")) <= lenBand)
@@ -951,7 +969,10 @@ object Similarity {
     val best = cand.groupBy(col("name")).agg(min(col("c")).as("m"))
       .select(col("name"), col("m.nn_name").as("nn_name"),
         col("m.nn_id").as("nn_partkey"), col("m.dist").as("dist"))
-    rows.join(broadcast(best), Seq("name"), "left_outer")
+    // bcast-ok: one row per distinct name, measured ≤ maxBroadcastValues
+    // above; high-cardinality inputs take the unhinted branch
+    rows.join(if (fitsBroadcast) broadcast(best) else best,
+        Seq("name"), "left_outer")
       .select(col(idCol), col("name"), col("nn_name"), col("nn_partkey"),
         col("dist"))
   }
@@ -1102,7 +1123,10 @@ object Similarity {
     * both bounds the blow-up (≤ maxDeg²/2 rows per key) and denoises —
     * the standard frequent-item cut. Degrees for the Jaccard denominator
     * are computed on the CAPPED relation so the score's universe matches
-    * the pair universe; the count frames broadcast. Output is top-k by
+    * the pair universe; the degree frames scale with the entity count, so
+    * they carry no broadcast hint — AQE broadcasts them while they fit and
+    * falls back to a (pair-keyed, hence small relative to the preceding
+    * self-join) shuffle join beyond that. Output is top-k by
     * (jaccard, pair) — jaccard6 is exact-rational, so the boundary cannot
     * flake across engines. */
   def linkPredict(rel: DataFrame, left: String, right: String,
@@ -1114,8 +1138,8 @@ object Similarity {
     // the degree frame — unpersisted, the whole upstream (source join +
     // distinct + cap semi-join) would run three times
     val capped = graft.CacheRegistry.persist(
-      r.join(broadcast(keyDeg.filter(col("rdeg") <= maxDeg)
-        .select("r")), "r"))
+      r.join(keyDeg.filter(col("rdeg") <= maxDeg)
+        .select("r"), "r"))
     val deg = capped.groupBy(col("l")).agg(count(lit(1)).as("deg"))
     val pairs = capped.as("a")
       .join(capped.as("b"), col("a.r") === col("b.r") && col("a.l") < col("b.l"))
@@ -1123,8 +1147,8 @@ object Similarity {
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
     pairs
-      .join(broadcast(deg.select(col("l").as("id_a"), col("deg").as("deg_a"))), "id_a")
-      .join(broadcast(deg.select(col("l").as("id_b"), col("deg").as("deg_b"))), "id_b")
+      .join(deg.select(col("l").as("id_a"), col("deg").as("deg_a")), "id_a")
+      .join(deg.select(col("l").as("id_b"), col("deg").as("deg_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("common"),
         graft.ops.Relational.ratio6(
           "common", "deg_a + deg_b - common").as("jaccard6"))
@@ -1180,6 +1204,7 @@ object Similarity {
     val stats = comps.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"),
         sum(col("xq") * col("xq")).as("ss"))
+    // bcast-ok: stats is one row per embedding dimension — dim-bounded
     comps.join(broadcast(stats), "dim")
       .select(col(id), col("dim"),
         expr("""CASE WHEN n > 1 AND
@@ -1334,10 +1359,17 @@ object Similarity {
     * broadcasts). The block key must be chosen so block cardinality grows
     * with the corpus — here the name's first token; at 100 TB a longer
     * key prefix — a low-cardinality block makes the per-block sort the
-    * bottleneck exactly like any skewed groupBy. */
+    * bottleneck exactly like any skewed groupBy. The catalog-sized
+    * contract is MEASURED, not assumed: the successor map's global
+    * `row_number` window and broadcast both assume blocks ≪ rows, so the
+    * catalog is counted (short-circuit `limit(n+1).count`) and a catalog
+    * past `maxCatalogBlocks` raises with the remediation (coarser block
+    * key, or a range-partitioned successor derivation) instead of
+    * silently single-tasking a data-scaled sort. */
   def sortedNeighborhoodPairs(recs: DataFrame, id: String, key: String,
                               blkOf: Column => Column, w: Int = 4,
-                              maxDist: Int = 3): DataFrame = {
+                              maxDist: Int = 3,
+                              maxCatalogBlocks: Int = 4000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = recs.select(col(id).as("id"), col(key).as("key"))
       .withColumn("blk", blkOf(col("key")))
@@ -1356,6 +1388,10 @@ object Similarity {
         col("blk"), col("rn")),
       Seq("blk", "rn"))
     val cat = rk.select(col("blk")).distinct()
+    require(cat.limit(maxCatalogBlocks + 1).count() <= maxCatalogBlocks,
+      s"sortedNeighborhoodPairs: more than $maxCatalogBlocks distinct " +
+        "blocks — the block-successor catalog assumes blocks ≪ rows; " +
+        "coarsen the block key or derive successors range-partitioned")
     val bi = cat.withColumn("bi",
       row_number().over(Window.orderBy(col("blk"))))
     val nxt = bi.as("x").join(bi.as("y"), col("y.bi") === col("x.bi") + 1)
@@ -1365,6 +1401,7 @@ object Similarity {
     val heads = rk.filter(col("rn") <= w - 1)
       .select(col("id").as("id_r"), col("key").as("key_r"),
         col("blk").as("nblk"))
+    // bcast-ok: block-successor map, catalog-sized — measured above
     val overlap = tails.join(broadcast(nxt), Seq("blk")).join(heads, Seq("nblk"))
     val cand = within.select(col("id_l"), col("key_l"), col("id_r"), col("key_r"))
       .union(overlap.select(col("id_l"), col("key_l"), col("id_r"), col("key_r")))
@@ -1531,6 +1568,7 @@ object Similarity {
         "swap candidate generation onto annCosineTopK for large corpora")
     val pairs = graft.CacheRegistry.persist(
       a.withColumn("an", norm(col("av")))
+        // bcast-ok: B side, size-guarded by the maxSideRows require above
         .crossJoin(broadcast(b.withColumn("bn", norm(col("bv")))))
         .withColumn("c6",
           round(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)

@@ -330,6 +330,7 @@ object TextAnalysis {
                   text: String): DataFrame = {
     val langCounts = docs.groupBy(col(lang)).agg(count(lit(1)).as("n"))
     val topN = langCounts.agg(max(col("n")).as("top_n"))
+    // bcast-ok: topN is a 1-row global max aggregate
     val top = langCounts.crossJoin(broadcast(topN))
       .filter(col("n") === col("top_n"))
       .agg(min(col(lang)).as("top_lang"), max(col("top_n")).as("tn"))
@@ -340,6 +341,7 @@ object TextAnalysis {
         sum(ceil(length(col(text)).cast("double") / 4).cast("long"))
           .as("est_tokens"),
         countDistinct(col(text)).as("nd"))
+      // bcast-ok: top is the languages tied at max count — lang-id enum-bounded
       .crossJoin(broadcast(top))
       .select(col("n_docs").cast("long").as("n_docs"),
         col("n_langs").cast("long").as("n_langs"),
@@ -687,6 +689,7 @@ object TextAnalysis {
           struct(lit(i).as("r"),
             pmod(xxhash64(col("tok"), lit(i)), lit(width.toLong)).as("h"))): _*))
           .as("c"))
+      // bcast-ok: count-min sketch cells — fixed depth x width
       .join(broadcast(cells),
         col("c.r") === col("r") && col("c.h") === col("h"))
       .groupBy(col("tok"), col("n"))
@@ -698,6 +701,7 @@ object TextAnalysis {
     // an engine-dependent membership (3000 * 0.001 is 3.0000000000000004
     // as a double, exactly 3.000 as a decimal, which is what SQL computes)
     val share = lit(BigDecimal(minShare).underlying())
+    // bcast-ok: total is a 1-row global aggregate
     est.crossJoin(broadcast(total))
       .filter(col("n") >= col("total") * share)
       .select(col("tok"), col("n"),
@@ -856,6 +860,7 @@ object TextAnalysis {
     val top = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("a"), col("b")).limit(1)
       .select(col("a").as("qa"), col("b").as("qb"))
+    // bcast-ok: top is limit(1)
     big.join(broadcast(top),
         col("a") === col("qa") && col("b") === col("qb"))
       .groupBy(col(id))
@@ -1163,6 +1168,7 @@ object TextAnalysis {
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabSize)
       .select(col("w"), lit(true).as("in_vocab"))
+    // bcast-ok: vocab is limit(vocabSize)
     val per = toks.join(broadcast(vocab), Seq("w"), "left_outer")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"),
@@ -1230,6 +1236,7 @@ object TextAnalysis {
     val tf = toks.groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("T"))
+    // bcast-ok: tot is a 1-row global aggregate
     val scored = tf.join(freq, "w").crossJoin(broadcast(tot))
       .groupBy(col(id))
       .agg(sum(col("tf") * expr("T div cnt")).as("rsum"),
@@ -1245,6 +1252,7 @@ object TextAnalysis {
         Window.partitionBy(col("rarity")).orderBy(col(id))))
       .join(cum.select(col("rarity"), col("before")), "rarity")
       .withColumn("r", col("before") + col("rn"))
+      // bcast-ok: nTot is a 1-row global aggregate
       .crossJoin(broadcast(nTot))
     ranked.withColumn("bucket",
       expr(s"""CASE WHEN r <= (N % $k) * ((N div $k) + 1)
@@ -1321,7 +1329,9 @@ object TextAnalysis {
     val qtf = toks.filter(col("w").isin(query: _*))
       .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
     val dfs = qtf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // bcast-ok: dfs is one row per query term — bounded by the caller's query length
     qtf.join(broadcast(dfs), "w").join(dl, id)
+      // bcast-ok: nDocs and totL are 1-row global aggregates
       .crossJoin(broadcast(nDocs)).crossJoin(broadcast(totL))
       .withColumn("v",
         expr("22 * L * tf * (2*N - 2*df + 1)").cast("double") /
@@ -1407,6 +1417,7 @@ object TextAnalysis {
       c2.groupBy(col("a")).agg(sum(col("cnt2")).as("cnt1")), "a")
     big.groupBy(col(id), col("a"), col("b")).agg(count(lit(1)).as("tf"))
       .join(model, Seq("a", "b"))
+      // bcast-ok: vocab is a 1-row countDistinct aggregate
       .crossJoin(broadcast(vocab))
       .withColumn("v",
         expr("tf * (cnt2 + 1)").cast("double") /

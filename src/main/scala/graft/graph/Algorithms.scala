@@ -470,6 +470,7 @@ object Algorithms {
     def normalized(raw: DataFrame): DataFrame = {
       val r = graft.CacheRegistry.persist(raw)
       val m = r.agg(max(col("raw")).as("m"))
+      // bcast-ok: m is a 1-row global max aggregate
       r.crossJoin(broadcast(m))
         .select(col("id"),
           when(col("m") > 0, col("raw") / col("m")).otherwise(lit(0.0))
@@ -1072,6 +1073,7 @@ object Algorithms {
     val mins = n.groupBy(col("r")).agg(min(col("k")).as("m"))
     val m0 = mins.orderBy(col("r")).limit(1).select(col("m").as("hub"))
     ring.unionByName(mins
+      // bcast-ok: m0 is limit(1) — a single hub row
       .join(broadcast(m0), col("m") =!= col("hub"))
       .select(col("m").as("src"), col("hub").as("dst")))
   }

@@ -152,7 +152,11 @@ object Relational {
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""
 
   // --- q3_join_agg: fact⋈fact⋈dim three-way join → agg --------------------
-  // customer (1.5k) broadcasts; orders⋈lineitem is the real shuffle join.
+  // customer grows linearly with the dataset, so it carries NO broadcast
+  // hint: AQE's runtime size check picks broadcast-hash while the side fits
+  // (it does at every test sf) and degrades to a shuffle join at the scale
+  // where a forced hint would OOM the driver. orders⋈lineitem is the real
+  // shuffle join either way.
   // countDistinct stays MIXED into the agg list deliberately: its distinct
   // rewrite does expand the scan 2×, but q3's other buffers are a decimal
   // sum and a count (bytes, not q13's 4KB HLL sketches), so the expand is
@@ -165,7 +169,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
@@ -202,7 +206,9 @@ object Relational {
     val r = Tables.region(spark, dir)
     val n = Tables.nation(spark, dir)
     val c = Tables.customer(spark, dir)
+    // bcast-ok: nation is a 25-row fixed dim
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      // bcast-ok: region is a 5-row fixed dim
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_customers"),
@@ -325,6 +331,7 @@ object Relational {
         round(col("bs")(0), 4).as("b1"),
         round(col("bs")(1), 4).as("b2"),
         round(col("bs")(2), 4).as("b3"))
+    // bcast-ok: bounds is one row per l_returnflag — enum-bounded
     li.join(broadcast(bounds), "l_returnflag")
       .withColumn("bin",
         when(col("l_extendedprice") > col("b3"), 3)
@@ -476,7 +483,9 @@ object Relational {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(s, l("l_suppkey") === s("s_suppkey") &&
                c("c_nationkey") === s("s_nationkey"))
+      // bcast-ok: nation is a 25-row fixed dim
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      // bcast-ok: region is a 5-row fixed dim
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))

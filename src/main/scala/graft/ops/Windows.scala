@@ -346,6 +346,7 @@ object Windows {
         explode(sequence(col("d"), col("d") + (windowDays - 1))))
       .select(col("e"), col("cd")).distinct()
       .groupBy(col("cd")).agg(count(lit(1)).as("wau"))
+    // bcast-ok: span is a 1-row global min/max aggregate
     wau.crossJoin(broadcast(span))
       .filter(col("cd").between(col("d0"), col("d1")))
       .join(dau.select(col("d").as("cd"), col("dau")), Seq("cd"), "left_outer")
@@ -403,12 +404,14 @@ object Windows {
           .as("d"))
       .groupBy(col("g"), col("d")).agg(count(lit(1)).as("c"))
     val newest = daily.agg(max(col("d")).as("d1"))
+    // bcast-ok: newest is a 1-row global max aggregate
     val scores = daily.crossJoin(broadcast(newest))
       .filter(col("d1") - col("d") <= horizonDays)
       .withColumn("w", expr(
         s"c * shiftleft(CAST(1 AS BIGINT), CAST($horizonDays - (d1 - d) AS INT))"))
       .groupBy(col("g")).agg(sum(col("w")).as("iscore"))
     val total = scores.agg(sum(col("iscore")).as("t"))
+    // bcast-ok: total is a 1-row global sum aggregate
     scores.crossJoin(broadcast(total))
       .select(col("g"), col("iscore").cast("long").as("iscore"),
         graft.ops.Relational.ratio6("iscore", "t").as("share6"))
@@ -603,6 +606,7 @@ object Windows {
     val cum = c.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("lat"))))
     val total = c.agg(sum(col("c")).as("n"))
+    // bcast-ok: total is a 1-row global sum aggregate
     cum.crossJoin(broadcast(total))
       .agg(max(col("n")).cast("long").as("n_converted"),
         min(when(col("cum") >= expr("(n * 25 + 99) div 100"), col("lat")))
@@ -797,6 +801,7 @@ object Windows {
       .groupBy(col(state).as("from_state"), col("_next").as("to_state"))
       .agg(count(lit(1)).as("n"))
     steps
+      // bcast-ok: one row per distinct from_state — enum-bounded state space, not data-scaled
       .join(broadcast(steps.groupBy(col("from_state"))
         .agg(sum(col("n")).as("tot"))), "from_state")
       .select(col("from_state"), col("to_state"), col("n"),

@@ -693,6 +693,7 @@ object Streams {
   def enrichedWindowAgg(events: DataFrame, dim: DataFrame,
                         windowLen: String = "1 hour"): DataFrame = {
     val in = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    // bcast-ok: dim is nation-keyed (pmod 25) — 25-row fixed dim
     in.join(broadcast(dim),
         pmod(col("user_id"), lit(25)) === col("n_nationkey"))
       .groupBy(window(col("ts"), windowLen), col("n_name"))

@@ -426,9 +426,11 @@ class PlanShapeSpec extends GraftSuite {
     // 16 rounded dot products + element_at over one scan, codegen'd
     val p = plan("q189_jl_projection")
     assert(!p.contains("Exchange"), "JL projection plan gained a shuffle")
-    // `*(1) Project` = the projection sits inside whole-stage-codegen
-    // stage 1 (executedPlan renders the codegen star, not the node name)
-    assert(p.contains("*(1) Project"), "projection fell out of codegen")
+    // `*(N) Project` = the projection sits inside SOME whole-stage-codegen
+    // stage (executedPlan renders the codegen star, not the node name);
+    // the stage NUMBER is upstream-renumbering noise, so don't pin it
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      "projection fell out of codegen")
   }
 
   test("q195 diff explain: one join, no window, scan pruned to compare columns") {

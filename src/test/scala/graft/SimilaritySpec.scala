@@ -270,6 +270,26 @@ class SimilaritySpec extends GraftSuite {
     assert(got(4L) == ((null, None, None)))
   }
 
+  test("fuzzyNearestNeighbor: high-cardinality input takes the unhinted " +
+      "fallback with identical results") {
+    // 120 distinct names (3 per block, dist-1 chains) — over the forced
+    // maxBroadcastValues=16, so the final row↔answer join must take the
+    // no-broadcast-hint branch; contract: byte-identical answers
+    val df = (0 until 40).flatMap { b =>
+      Seq((b * 3L + 1, s"blk$b aaa"), (b * 3L + 2, s"blk$b aab"),
+        (b * 3L + 3, s"blk$b abb"))
+    }.toDF("id", "name")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val hinted = key(Similarity.fuzzyNearestNeighbor(df, "id", "name"))
+    val fallback = key(
+      Similarity.fuzzyNearestNeighbor(df, "id", "name",
+        maxBroadcastValues = 16))
+    assert(fallback == hinted)
+    assert(fallback.size == 120)
+  }
+
   test("record linkage: exact wins, fuzzy resolves residue, unmatchable → NULL") {
     // replicate q128's derivation on the real table, then check the three
     // regimes hold: %3==0 keys (corrupted) link fuzzy at distance 1 back
@@ -378,6 +398,17 @@ class SimilaritySpec extends GraftSuite {
     // would pass the distance gate
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
       (3L, 5L), (4L, 5L)), got.toString)
+  }
+
+  test("sorted neighborhood: catalog past maxCatalogBlocks raises, not " +
+      "single-tasks") {
+    val recs = Seq((1L, "aa"), (2L, "ab"), (3L, "ba"), (4L, "bb"))
+      .toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sortedNeighborhoodPairs(
+        recs, "id", "name", k => substring(k, 1, 1), maxCatalogBlocks = 1)
+    }
+    assert(e.getMessage.contains("distinct"))
   }
 
   test("marginPairs keeps standout pairs, drops neighborhood-average ones") {
