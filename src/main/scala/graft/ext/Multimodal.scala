@@ -131,10 +131,11 @@ object Multimodal {
     * metadata side): every 4th 32-byte frame of each payload, emitted as
     * uppercase hex so the DuckDB replay pins the slice arithmetic AND
     * every byte of every frame. Spark slices the actual BinaryType
-    * payload; the oracle slices the VARCHAR and then encodes — legal
-    * because the corpus is pure ASCII (char == byte, the same documented
-    * assumption the native text expressions make), and a divergence would
-    * fail the hash loudly rather than silently. */
+    * payload; the oracle is byte-exact for ANY input (non-ASCII included):
+    * DuckDB has no BLOB substring, so it hex-encodes the UTF-8 payload
+    * once and slices 2-hex-char byte pairs — frame i is the 64-hex-char
+    * window at byte offset i·stride·frameBytes, compared as hex directly
+    * (both engines' `hex` is uppercase). */
   val q89FrameBytes = 32
   val q89Stride = 4
 
@@ -146,13 +147,14 @@ object Multimodal {
   val q89FrameSampleSql: String = {
     val step = q89FrameBytes * q89Stride
     s"""
-    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
     f AS (SELECT doc_id, CAST(r.i AS INT) AS frame_idx,
-                 substring(text, CAST(r.i * $step + 1 AS BIGINT),
-                           $q89FrameBytes) AS fr
+                 substring(h, CAST(r.i * $step * 2 + 1 AS BIGINT),
+                           ${q89FrameBytes * 2}) AS fr
           FROM d, unnest(range(0, ((n - 1) // $step) + 1)) AS r(i))
-    SELECT doc_id, frame_idx, hex(encode(fr)) AS frame_hex
-    FROM f WHERE length(fr) = $q89FrameBytes"""
+    SELECT doc_id, frame_idx, fr AS frame_hex
+    FROM f WHERE length(fr) = ${q89FrameBytes * 2}"""
   }
 
   // --- q160_ahash_neardup: perceptual average-hash near-dup ---------------
@@ -165,8 +167,10 @@ object Multimodal {
     * analogue — and a cell's bit is the EXACT integer comparison
     * `slice_sum · total_count ≥ total_sum · slice_count` (cell mean ≥
     * global byte mean with no division), so the DuckDB oracle replays it
-    * integer-for-integer (ASCII corpus ⇒ char code = byte, the q89
-    * assumption). Slices that get no bytes (payload < 64 bytes) stay 0.
+    * integer-for-integer — byte-exact for ANY input: it walks
+    * 2-hex-char pairs of `hex(encode(text))` (the q89 pattern), so
+    * non-ASCII payloads replay their actual UTF-8 bytes. Slices that get
+    * no bytes (payload < 64 bytes) stay 0.
     *
     * Banding: eight 8-bit blocks — hamming ≤ 7 pigeonholes at least one
     * exact block match, so every pair within the `maxHamming = 3` gate is
@@ -217,9 +221,13 @@ object Multimodal {
       .toDF("doc_id", "blocks")
   }
 
+  /** Copy-id offset shared by [[withPerturbedCopies]]'s default and the
+    * q160 oracle SQL — interpolated into both so they cannot drift. */
+  val q160Shift = 1000000L
+
   /** Every document plus a byte-bumped copy (+1 at positions ≡ 0 mod 17,
     * id shifted) — the deterministic "noisy re-encode" feed. */
-  def withPerturbedCopies(media: DataFrame, shift: Long = 1000000L): DataFrame = {
+  def withPerturbedCopies(media: DataFrame, shift: Long = q160Shift): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
@@ -259,15 +267,23 @@ object Multimodal {
     aHashPairs(withPerturbedCopies(
       mediaTable(spark, dir).select(col("doc_id"), col("payload"))))
 
-  val q160AHashNearDupSql: String = """
-    WITH t0 AS (SELECT doc_id, text, length(text) AS len FROM documents),
+  val q160AHashNearDupSql: String = s"""
+    WITH t0 AS (SELECT doc_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS len FROM documents),
+    -- byte i decoded from its hex pair (no BLOB indexing in DuckDB);
+    -- strpos over the hex alphabet is the pair → integer map
     ch0 AS (SELECT doc_id, (i * 64) // len AS lane,
-                   ascii(text[i+1:i+1]) AS code, i
-            FROM t0, unnest(range(0, length(text))) AS u(i)),
+                   (strpos('0123456789ABCDEF',
+                      substring(h, CAST(i * 2 + 1 AS BIGINT), 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF',
+                      substring(h, CAST(i * 2 + 2 AS BIGINT), 1)) - 1) AS code,
+                   i
+            FROM t0, unnest(range(0, len)) AS u(i)),
+    -- % 256 replays the Scala side's byte wraparound ((0xFF + 1).toByte)
     ch AS (SELECT doc_id, lane, code FROM ch0
            UNION ALL
-           SELECT doc_id + 1000000, lane,
-                  code + CASE WHEN i % 17 = 0 THEN 1 ELSE 0 END
+           SELECT doc_id + $q160Shift, lane,
+                  (code + CASE WHEN i % 17 = 0 THEN 1 ELSE 0 END) % 256
            FROM ch0),
     px AS (SELECT doc_id, lane, SUM(code) AS s, COUNT(*) AS c
            FROM ch GROUP BY 1, 2),
@@ -281,7 +297,7 @@ object Multimodal {
     -- (payload < 64 bytes) and docs with no bytes at all must replay the
     -- Scala side's zero blocks, not vanish as NULL/absent rows
     docs_u AS (SELECT doc_id FROM t0
-               UNION ALL SELECT doc_id + 1000000 FROM t0),
+               UNION ALL SELECT doc_id + $q160Shift FROM t0),
     wide AS (SELECT d.doc_id,
       COALESCE(MAX(CASE WHEN blk = 0 THEN v END), 0)::BIGINT AS v0,
       COALESCE(MAX(CASE WHEN blk = 1 THEN v END), 0)::BIGINT AS v1,
