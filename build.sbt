@@ -16,6 +16,12 @@ run / fork := true
 // line in sbt's `[info] ` logger prefix — the bench/verify drivers parse
 // stdout lines as JSON and the prefix broke that (BENCH_r02 "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's `[success] Total time: …` epilogue: it lands on stdout
+// AFTER the bench's summary JSON, so every BENCH_r*.json recorded
+// "parsed": null — the driver's last-line parse read the epilogue, not the
+// JSON. With it off, the JSON is the final stdout line. Success is still
+// observable via the exit code (Bench exits nonzero on any query error).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,6 +48,11 @@ final class JobControl(spark: SparkSession, sfDir: String) {
   // a listener can attribute stage/task events back to the tracked job
   // via the `spark.jobGroup.id` property on SparkListenerJobStart.
   // Listener-bus discipline: O(1) counter bumps only, never blocking.
+  // Retention: progressById shares the `jobs` map's keep-forever policy —
+  // both are the driver-side job HISTORY (remap's monitor likewise never
+  // forgets a job), one small record per submitted job. If `jobs` ever
+  // gains eviction, evict the matching progressById entry in the same
+  // sweep so the two maps cannot drift.
   private val progressById = new ConcurrentHashMap[String, MutableProgress]()
   private val stageOwner = new ConcurrentHashMap[Int, String]()
   // sparkJobId → its stage ids, so onJobEnd can sweep stageOwner entries
@@ -94,7 +99,11 @@ final class JobControl(spark: SparkSession, sfDir: String) {
     override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
       val p = owner(ev.stageId)
       if (p != null) ev.reason match {
-        case TaskSuccess => p.tasksCompleted.incrementAndGet()
+        // attempt 0 only, mirroring the tasksTotal rule above — otherwise
+        // retry/speculative successes push tasksCompleted past tasksTotal
+        // and an API consumer computing its own fraction reads >100%
+        case TaskSuccess if ev.stageAttemptId == 0 =>
+          p.tasksCompleted.incrementAndGet()
         case r: TaskFailedReason if r.countTowardsTaskFailures =>
           p.taskRetries.incrementAndGet()
         case _ => ()

@@ -15,6 +15,7 @@ gate-time compare."""
 import json
 import multiprocessing as mp
 import os
+import queue
 import sys
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -73,7 +74,13 @@ def main():
             timed_out.append(name)
             print(f"TIMEOUT {name} (> {timeout}s DuckDB)")
             continue
-        msg = q.get() if not q.empty() else f"FAIL {name}: worker died"
+        # q.empty() right after join() races the Queue feeder thread's
+        # flush — a passing worker could be misread as dead; a bounded
+        # get() waits out the flush instead
+        try:
+            msg = q.get(timeout=5)
+        except queue.Empty:
+            msg = f"FAIL {name}: worker died"
         print(msg)
         if msg.startswith("PASS"):
             passed += 1
