@@ -1275,6 +1275,52 @@ object Algorithms {
     s"$prelude$steps\nSELECT id, lm AS landmark, dist FROM d25"
   }
 
+  // --- q201_cc_atscale: the gated-AQE CC branch, oracle-checked -----------
+  /** Correctness coverage for [[ccLoopConfs]]' nE ≥ 1M branch — the AQE
+    * skew-join configuration the 10×-edge audit added for hub stragglers
+    * (`SKEW_AUDIT_r08.md`) — which no corpus-derived registry query can
+    * reach at gate scale (sf0.01's whole lineitem is ~60k rows). The graph
+    * is synthesized from `spark.range`, so the query exercises the SAME
+    * gated branch at every sf: 2²⁰ vertices, a 1023-spoke star on every
+    * 1024-id block (the centers are exactly the high-degree hubs the skew
+    * splitter targets) plus chain edges welding each aligned group of 4
+    * centers — 1,048,320 canonical edges ≥ the 1M gate by construction
+    * (pinned, with the conf set itself, in PregelSpec). Components are
+    * therefore the 4096-id blocks, and the oracle replays the expected
+    * per-component rollup in closed form (count 4096, sum of a
+    * consecutive-id run) — analytic, engine-independent, and any
+    * mislabeling under the AQE loop session breaks the hash. Output is
+    * 256 rows, so the compare stays bounded while every one of the 2²⁰
+    * labels feeds the checked aggregate. */
+  private[graft] val q201Vertices = 1L << 20
+
+  /** q201's edge set, shared with the PregelSpec pin that counts its
+    * canonical (deduped, self-loop-free) form against the 1M gate. */
+  private[graft] def q201Edges(spark: SparkSession): DataFrame = {
+    val spokes = spark.range(q201Vertices)
+      .filter(pmod(col("id"), lit(1024)) =!= 0)
+      .select(col("id").as("src"), expr("(id div 1024) * 1024").as("dst"))
+    val chain = spark.range(1L, 1024L)
+      .filter(pmod(col("id"), lit(4)) =!= 0)
+      .select((col("id") * 1024).as("src"), ((col("id") - 1) * 1024).as("dst"))
+    spokes.unionByName(chain)
+  }
+
+  def q201CcAtScale(spark: SparkSession, dir: String): DataFrame =
+    ccAlternating(spark.range(q201Vertices).select(col("id")),
+        q201Edges(spark))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
+
+  /** Closed-form expectation: component g*4096 holds ids
+    * [g·4096, (g+1)·4096), so sum_ids = 4096·(g·4096) + 4095·4096/2. */
+  val q201CcAtScaleSql: String = """
+    SELECT CAST(g * 4096 AS BIGINT) AS component,
+           CAST(4096 AS BIGINT) AS n_members,
+           CAST(g * 16777216 + 8386560 AS BIGINT) AS sum_ids
+    FROM (SELECT CAST(u.i AS BIGINT) AS g
+          FROM unnest(range(0, 256)) AS u(i))"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q117_trustrank"      -> q117TrustRank _,
@@ -1289,6 +1335,7 @@ object Algorithms {
     "q94_label_prop"      -> q94LabelProp _,
     "q145_scc"            -> q145Scc _,
     "q150_landmark_bfs"   -> q150LandmarkBfs _,
+    "q201_cc_atscale"     -> q201CcAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1305,5 +1352,6 @@ object Algorithms {
     "q94_label_prop"      -> q94LabelPropSql,
     "q145_scc"            -> q145SccSql,
     "q150_landmark_bfs"   -> q150LandmarkBfsSql,
+    "q201_cc_atscale"     -> q201CcAtScaleSql,
   )
 }

@@ -246,4 +246,26 @@ class PregelSpec extends GraftSuite {
       == "4m")
     assert(big("spark.sql.adaptive.skewJoin.skewedPartitionFactor") == "2")
   }
+
+  test("q201 provably exercises the gated AQE branch: its canonical edge " +
+      "count clears the 1M gate") {
+    // the proof chain behind q201's correctness row: (1) its ACTUAL edge
+    // set, canonicalized exactly as ccAlternating's nE measures it
+    // (undirected dedup, self-loops dropped), counts ≥ 1e6, (2)
+    // ccLoopConfs at that count turns the AQE skew path on (pinned
+    // above), and (3) ccAlternating applies ccLoopConfs(nE)
+    // unconditionally — so a green q201 hash IS a correctness run
+    // through the gated loop session.
+    import org.apache.spark.sql.functions._
+    val nCanonical = Algorithms.q201Edges(spark)
+      .select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().count()
+    assert(nCanonical == 1024L * 1023L + 768L, nCanonical)
+    assert(nCanonical >= 1000000L)
+    assert(Algorithms.ccLoopConfs(nCanonical).toMap
+      .get("spark.sql.adaptive.skewJoin.enabled").contains("true"))
+  }
 }
