@@ -21,7 +21,10 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // "parsed": null — the driver's last-line parse read the epilogue, not the
 // JSON. With it off, the JSON is the final stdout line. Success is still
 // observable via the exit code (Bench exits nonzero on any query error).
-ThisBuild / showSuccess := false
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-settings lint so every sbt run doesn't open with a [warn]
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

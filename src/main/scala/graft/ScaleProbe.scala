@@ -118,19 +118,24 @@ object ScaleProbe {
     }
 
     println(f"${"query"}%-22s ${"t_1x_s"}%8s ${"t_10x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
-    probes.foreach { name =>
-      val t1 = timeOne(name, srcDir)
-      val t10 = timeOne(name, scratch)
-      val ratio = t10 / t1
-      val exp = math.log10(ratio)
-      println(f"$name%-22s $t1%8.2f $t10%8.2f $ratio%7.2f $exp%5.2f")
-    }
-
+    // scratch cleanup in a finally: a probe that dies mid-run (the 100×
+    // q148 attempt filled the disk with sort spill) must not also leak a
+    // multi-GB derived corpus on top of the condition that killed it
     try {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(scratch)).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
+      probes.foreach { name =>
+        val t1 = timeOne(name, srcDir)
+        val t10 = timeOne(name, scratch)
+        val ratio = t10 / t1
+        val exp = math.log10(ratio)
+        println(f"$name%-22s $t1%8.2f $t10%8.2f $ratio%7.2f $exp%5.2f")
+      }
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(scratch)).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

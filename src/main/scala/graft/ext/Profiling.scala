@@ -267,20 +267,20 @@ object Profiling {
     * `cume_dist() OVER (ORDER BY v)` is an un-partitioned global sort of
     * the corpus (one task at 100 TB, the classic window-function trap).
     * Instead the cumulative count runs over the DISTINCT-VALUE dictionary
-    * (`groupBy(v).count` → tiny frame → one-task window over |distinct|
-    * rows, fine because the dictionary is orders of magnitude smaller
-    * than the data), and every row then picks its ecdf up by an equi-join
-    * on the value — broadcast, corpus never shuffled. The ratio is
+    * (`groupBy(v).count`), and since round 9 on
+    * [[graft.ops.Windows.rangePrefixSum]] — the cumulative holds even for
+    * a near-unique value column. Every row then picks its ecdf up by an
+    * equi-join on the value — broadcast while the dictionary fits (the
+    * remaining dictionary ≪ corpus contract; for a near-unique column
+    * drop the hint and let AQE pick the join). The ratio is
     * [[graft.ops.Relational.ratio6]] integer arithmetic. */
   def ecdfNormalize(df: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vals = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = vals.select(col(valueCol),
-      sum(col("cnt")).over(w).as("cum"), sum(col("cnt")).over(total).as("n"))
+    val nTot = vals.agg(sum(col("cnt")).as("n"))
+    val cum = graft.ops.Windows.rangePrefixSum(vals, valueCol, "cnt", "cum")
+      // bcast-ok: nTot is a 1-row global aggregate
+      .crossJoin(broadcast(nTot))
+      .select(col(valueCol), col("cum"), col("n"))
     // bcast-ok: distinct-value dictionary — documented dictionary << corpus contract (scaladoc)
     df.join(broadcast(cum), Seq(valueCol))
       .select(df.columns.map(col) :+
@@ -331,13 +331,12 @@ object Profiling {
       sum(col("cnt")).over(wg).as("r"),
       sum(col("cnt")).over(Window.partitionBy(col("g"))).as("ng"))
     val pooled = counts.groupBy(col("v")).agg(sum(col("cnt")).as("pc"))
-    val wp = Window.orderBy(col("v"))
-    val pooledCum = pooled.select(col("v").as("pv"),
-      sum(col("pc")).over(wp).as("pcum"),
-      (sum(col("pc")).over(wp) - col("pc")).as("pprev"),
-      sum(col("pc")).over(
-        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)).as("n"))
+    val pooledN = pooled.agg(sum(col("pc")).as("n"))
+    val pooledCum = graft.ops.Windows.rangePrefixSum(pooled, "v", "pc", "pcum")
+      .withColumn("pprev", col("pcum") - col("pc"))
+      // bcast-ok: pooledN is a 1-row global aggregate
+      .crossJoin(broadcast(pooledN))
+      .select(col("v").as("pv"), col("pcum"), col("pprev"), col("n"))
     // bcast-ok: pooled distinct-value dictionary — documented dictionary << corpus contract (scaladoc)
     grpCum.join(broadcast(pooledCum),
         expr("(r * n + ng - 1) div ng > pprev AND " +
@@ -1260,8 +1259,8 @@ object Profiling {
     val counts = graft.CacheRegistry.persist(
       df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("c")))
     val cc = counts.groupBy(col("c").as("x")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
-    val gini = cc.withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+    val gini = graft.ops.Windows.rangePrefixSum(cc, "x", "cnt", "ccum")
+      .withColumn("below", col("ccum") - col("cnt"))
       .agg(sum(col("x") * (col("cnt") * col("below") +
         expr("cnt * (cnt + 1) div 2"))).as("ix"))
     val tot = counts.agg(sum(col("c")).as("n_rows"),

@@ -233,6 +233,7 @@ object Sampling {
     // bcast-ok: leftover is a 1-row global aggregate
     based.crossJoin(broadcast(leftover))
       .withColumn("_rk",
+        // window-ok: one row per stratum — enum-bounded allocation frame
         row_number().over(Window.orderBy(col("_rem").desc, col(stratum))))
       .select(col(stratum), col(w),
         (col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
@@ -560,7 +561,63 @@ object Sampling {
       AND ${h("l_orderkey")} % 10 = 0"""
   }
 
+  // --- q202_shuffle_order: deterministic seeded global training order -----
+  /** The global-shuffle step of a training run: assign every document a
+    * dense rank 1..N in a seeded pseudorandom order (`md5(seed:id)`), so
+    * any engine — and any RERUN — derives the identical epoch order. The
+    * usual `ORDER BY rand()` is neither reproducible nor resumable; a
+    * hash order is both, and changing the seed string is a fresh epoch.
+    * Like the rest of this module it keys on md5 of a stable id (see the
+    * object scaladoc for why md5 and not xxhash64).
+    *
+    * Scale shape — the point of the operator: a naive
+    * `row_number() OVER (ORDER BY hash)` funnels the CORPUS through one
+    * task. Instead: (1) bucket each row by the first 4 hex digits of its
+    * hash — ≤ 65 536 buckets, ~N/65 536 rows each; (2) aggregate
+    * per-bucket counts (map-side partial) and turn them into starting
+    * offsets with [[graft.ops.Windows.rangePrefixSum]] over the
+    * ≤ 65 536-row counts frame; (3) broadcast the offsets back and rank
+    * WITHIN each
+    * bucket (per-bucket sort, the same salt-safe discipline as q9's
+    * top-k). Because the bucket is a prefix of the hash, per-bucket order
+    * concatenated in bucket order IS the global hash order. One shuffle
+    * of the ids (the per-bucket sort); the corpus's payload columns never
+    * move — join the order back by id.
+    *
+    * The reference has no shuffle operator; its nearest idiom is the
+    * app-chosen partition label (`examples/wordcount/wordcount.py:28-37`),
+    * which is step (1) here. */
+  def shuffleOrder(df: DataFrame, key: Column, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(key.as("k"))
+      .withColumn("h",
+        md5(concat(lit(seed + ":"), col("k").cast("string")).cast("binary")))
+      .withColumn("bkt", substring(col("h"), 1, 4))
+    val offsets = graft.ops.Windows.rangePrefixSum(
+        keyed.groupBy(col("bkt")).agg(count(lit(1)).as("n")),
+        "bkt", "n", "cum")
+      .withColumn("off", col("cum") - col("n"))
+      .select(col("bkt"), col("off"))
+    // bcast-ok: offsets is one row per hex-prefix bucket, ≤ 16^4 rows by construction
+    keyed.join(broadcast(offsets), "bkt")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("h"), col("k"))))
+      .select(col("k"), (col("off") + col("rn")).as("ord"))
+  }
+
+  def q202ShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    shuffleOrder(Tables.documents(spark, dir), col("doc_id"), "epoch0")
+      .select(col("k").as("doc_id"), col("ord"))
+
+  val q202ShuffleOrderSql: String = """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS ord
+    FROM documents"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_shuffle_order" -> q202ShuffleOrder _,
     "q192_universe_sample" -> q192UniverseSample _,
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q68_cluster_split"     -> q68ClusterSplit _,
@@ -573,6 +630,7 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q202_shuffle_order" -> q202ShuffleOrderSql,
     "q192_universe_sample" -> q192UniverseSampleSql,
     "q67_stratified_sample" -> q67StratifiedSampleSql,
     "q68_cluster_split"     -> q68ClusterSplitSql,

@@ -1393,6 +1393,7 @@ object Similarity {
         "blocks — the block-successor catalog assumes blocks ≪ rows; " +
         "coarsen the block key or derive successors range-partitioned")
     val bi = cat.withColumn("bi",
+      // window-ok: ≤ maxCatalogBlocks rows by the measured require() above
       row_number().over(Window.orderBy(col("blk"))))
     val nxt = bi.as("x").join(bi.as("y"), col("y.bi") === col("x.bi") + 1)
       .select(col("x.blk").as("blk"), col("y.blk").as("nblk"))
@@ -1638,7 +1639,77 @@ object Similarity {
       AND 2 * c.c6 * sa.na * sb.nb * 100 >=
           105 * (sa.sa * sb.nb + sb.sb * sa.na)"""
 
+  // --- q203_int8_quant: symmetric int8 scalar quantization ----------------
+  /** Per-vector symmetric int8 scalar quantization — the storage format a
+    * 100 TB embedding corpus actually ships (4 bytes/dim float32 → 1 byte
+    * of code + one float scale per vector, a 3.9× index-size cut that PQ
+    * (q99) refines further but SQ serves first because decode is one
+    * multiply). Codes are `floor(x · 127/max|x|)` per component, so the
+    * widest component maps to ±127 and the dequant error is bounded by
+    * `max|x|/127` per dimension.
+    *
+    * The reference has no quantizer (its embedding-adjacent surface is
+    * generic map/reduce); this extends the q99/q100 compression family.
+    *
+    * Cross-engine exactness (why the oracle hash-matches, the q139
+    * discipline): float→double is exact, `max(abs(x))` over the array is
+    * order-free, `127.0/ma` and `x·s` are single correctly-rounded IEEE
+    * ops both engines evaluate identically, and `floor` of the identical
+    * double is the identical integer — after which every output is exact
+    * BIGINT arithmetic (min/max/Σ/Σc² over ≤128 codes). `floor` (not
+    * round) sidesteps round-half-mode questions, and its codes stay in
+    * [-128, 127]: x ≥ -ma gives x·s ≥ -127·(1+ε) so floor ≥ -128 — int8
+    * by construction, no clamp. The one double output, the scale, is
+    * itself a single division both engines derive bit-identically.
+    *
+    * All-zero vectors have no widest component (`127/0`); they are
+    * excluded with the same rationale as [[nonzeroVecs]] — nothing to
+    * quantize — and the oracle mirrors the WHERE.
+    *
+    * Scale shape: a single codegen'd projection — no shuffle, no agg, no
+    * join; quantizing 100 TB is exactly one read pass. */
+  def int8Quantize(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val v = vecAsDouble(col(vec))
+    emb
+      .select(col(id), v.as("v"),
+        array_max(transform(v, x => abs(x))).as("ma"))
+      .filter(col("ma") > lit(0.0))
+      .withColumn("s", lit(127.0) / col("ma"))
+      .withColumn("codes",
+        transform(col("v"), x => floor(x * col("s")).cast("long")))
+      .select(col(id),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c * c)
+          .as("code_sq_sum"),
+        col("s").as("q_scale"))
+  }
+
+  def q203Int8Quant(spark: SparkSession, dir: String): DataFrame =
+    int8Quantize(Tables.embeddings(spark, dir), "vec_id", "embedding")
+
+  val q203Int8QuantSql: String = """
+    WITH m AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+      FROM embeddings),
+    c AS (
+      SELECT vec_id, 127.0 / ma AS s,
+             list_transform(v, x -> CAST(FLOOR(x * (127.0 / ma)) AS BIGINT))
+               AS codes
+      FROM m WHERE ma > 0)
+    SELECT vec_id,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT)
+             AS code_sq_sum,
+           s AS q_scale
+    FROM c"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_int8_quant" -> q203Int8Quant _,
     "q179_margin_mining" -> q179MarginMining _,
     "q189_jl_projection" -> q189JlProjection _,
     "q173_jaro_winkler" -> q173JaroWinkler _,
@@ -1663,6 +1734,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q203_int8_quant" -> q203Int8QuantSql,
     "q179_margin_mining" -> q179MarginMiningSql,
     "q189_jl_projection" -> q189JlProjectionSql,
     "q173_jaro_winkler" -> q173JaroWinklerSql,

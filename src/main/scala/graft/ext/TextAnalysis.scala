@@ -1223,9 +1223,12 @@ object TextAnalysis {
     * residual hot vocabulary) → per-doc agg. The k-tile RANK is the
     * scale-aware part: no global `ntile` window (one partition at 100 TB);
     * instead the rank is assembled from a distinct-SCORE cumulative frame
-    * (scores are floor-divided integers — heavily collapsed) plus a
-    * per-score row_number, and the tile comes from the closed-form NTILE
-    * formula `q = N div k, m = N mod k`. The oracle runs DuckDB's actual
+    * (scores are floor-divided integers — heavily collapsed, and since
+    * round 9 the cumulative itself runs on
+    * [[graft.ops.Windows.rangePrefixSum]], so even an uncollapsed score
+    * set never funnels through one task) plus a per-score row_number, and
+    * the tile comes from the closed-form NTILE formula
+    * `q = N div k, m = N mod k`. The oracle runs DuckDB's actual
     * `NTILE(3)` — an independent derivation of the same assignment. */
   def rarityBuckets(docs: DataFrame, id: String, text: String,
                     k: Int = 3): DataFrame = {
@@ -1243,10 +1246,10 @@ object TextAnalysis {
         sum(col("tf")).as("ntok"))
       .select(col(id), expr("rsum div ntok").as("rarity"))
     val nTot = scored.agg(count(lit(1)).as("N"))
-    val cum = scored.groupBy(col("rarity")).agg(count(lit(1)).as("nd"))
-      .withColumn("before", coalesce(
-        sum(col("nd")).over(Window.orderBy(col("rarity"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cum = graft.ops.Windows.rangePrefixSum(
+        scored.groupBy(col("rarity")).agg(count(lit(1)).as("nd")),
+        "rarity", "nd", "cumr")
+      .withColumn("before", col("cumr") - col("nd"))
     val ranked = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("rarity")).orderBy(col(id))))

@@ -44,6 +44,49 @@ object Windows {
       .filter(col("rn") <= k)
   }
 
+  /** Scale-safe global prefix sum — [[perGroupTopK]]'s sibling for the
+    * other window-function trap: `sum(...) OVER (ORDER BY key)` with no
+    * partition funnels the whole frame through ONE task. Callers here
+    * always run it over a distinct-KEY frame (post-`groupBy` value
+    * dictionaries: latencies, rarity scores, value counts), which is
+    * smaller than the corpus but still GROWS with it — "the dictionary is
+    * small" is a contract, not a law, and this removes the need for it.
+    *
+    * Plan: range-partition the frame by the key into `buckets` ordered
+    * slices; an in-partition cumulative window (partitioned — never one
+    * task); per-slice totals from the running sum's own per-partition max
+    * (structurally the same frame, so slice ids cannot drift between the
+    * two reads); an exclusive prefix over the ≤ `buckets`-row totals
+    * frame; broadcast the offsets back. Output value = local cumsum +
+    * slice offset — bit-identical to the one-task window at any
+    * partitioning, since a prefix sum over distinct keys is
+    * partition-independent.
+    *
+    * Contract: ONE ROW PER KEY (range boundaries may split equal keys
+    * across slices, which would double-count a key's prefix) — every
+    * call site feeds a `groupBy(key)` aggregate, which guarantees it.
+    * Reserved column check mirrors [[perGroupTopK]]. */
+  def rangePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                     out: String, buckets: Int = 256): DataFrame = {
+    require(Seq("rps_pid", "rps_loc").forall(c => !df.columns.contains(c)),
+      "rangePrefixSum reserves the `rps_pid` and `rps_loc` column names")
+    val local = df.repartitionByRange(buckets, col(orderCol))
+      .withColumn("rps_pid", spark_partition_id())
+      .withColumn("rps_loc", sum(col(valueCol)).over(
+        Window.partitionBy(col("rps_pid")).orderBy(col(orderCol))))
+    val offs = local.groupBy(col("rps_pid"))
+      .agg(max(col("rps_loc")).as("rps_n"))
+      .withColumn("rps_off", coalesce(
+        // window-ok: one row per range slice, ≤ `buckets` rows by construction
+        sum(col("rps_n")).over(Window.orderBy(col("rps_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L).cast("long")))
+      .select(col("rps_pid"), col("rps_off"))
+    // bcast-ok: offs is one row per range slice, ≤ `buckets` rows by construction
+    local.join(broadcast(offs), "rps_pid")
+      .withColumn(out, col("rps_loc") + col("rps_off"))
+      .drop("rps_pid", "rps_loc")
+  }
+
   // --- q9_window_topk: per-group top-k via the two-phase salted plan ------
   def q9WindowTopK(spark: SparkSession, dir: String): DataFrame =
     perGroupTopK(
@@ -590,11 +633,11 @@ object Windows {
     * positional convention — the value at rank `⌈n·p/100⌉` over the
     * distinct-value cumulative frame, integer-exact, no interpolation.
     *
-    * The cumulative window here is GLOBAL (one quartile row for the whole
-    * funnel): its frame is the distinct-latency set, bounded by CONVERTED
-    * entities — the funnel has already collapsed the corpus, so the
-    * single-partition sort is dashboard-sized by construction, not a
-    * value-keyed window over events. */
+    * The cumulative frame is the distinct-latency set — µs latencies are
+    * nearly unique per converter, so it scales with CONVERTED entities;
+    * round 9 moved it from a one-task global window onto
+    * [[rangePrefixSum]], so the quartile scan holds even when the funnel
+    * converts a 100 TB corpus's worth of users. */
   def funnelLatencyQuartiles(events: DataFrame, entity: String,
                              typeCol: String, ts: String,
                              steps: Seq[String]): DataFrame = {
@@ -603,8 +646,7 @@ object Windows {
       .filter(col(last).isNotNull)
       .select((col(last) - col("t1_us")).as("lat"))
     val c = lat.groupBy(col("lat")).agg(count(lit(1)).as("c"))
-    val cum = c.withColumn("cum",
-      sum(col("c")).over(Window.orderBy(col("lat"))))
+    val cum = rangePrefixSum(c, "lat", "c", "cum")
     val total = c.agg(sum(col("c")).as("n"))
     // bcast-ok: total is a 1-row global sum aggregate
     cum.crossJoin(broadcast(total))

@@ -25,6 +25,17 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q3 customer join broadcasts WITHOUT a hint while the side fits") {
+    // round-9 contract: q3 carries no broadcast() hint (customer scales
+    // with the data — a forced hint is an OOM at 100x), and the planner's
+    // size statistics pick broadcast-hash on their own at any sf where
+    // customer is under the threshold. If this fails, either the
+    // statistics path broke or someone re-added the hint's tradeoff
+    // without revisiting Relational.scala's q3 comment.
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("q5 dimension joins broadcast, fact side never shuffles for the join") {
     val p = plan("q5_join_region")
     assert(count(p, "BroadcastHashJoin") == 2)

@@ -12,6 +12,22 @@ class SamplingSpec extends GraftSuite {
     intercept[IllegalArgumentException](Sampling.rateThreshold(1.5))
   }
 
+  test("shuffleOrder: dense 1..N rank equal to an exact md5-order replay") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val ids = docs.collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(s"seedX:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = ids.sortBy(id => (h(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val got = Sampling.shuffleOrder(docs, col("doc_id"), "seedX")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSeq.sorted == (1L to ids.length).toList,
+      "ranks must be a dense 1..N permutation")
+    assert(got == expected,
+      "two-phase bucketed rank must equal the single-order md5 rank")
+  }
+
   test("stratified sample is deterministic, within tolerance, strata-scoped") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val rates = Map("en" -> 0.5, "es" -> 0.1) // other langs: dropped

@@ -357,6 +357,22 @@ class SimilaritySpec extends GraftSuite {
       "zero-variance dim must yield NULL, not ±inf")
   }
 
+  test("int8Quantize: hand-computed codes, all-zero vector excluded") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // directionless: dropped
+      (3L, Array(-2.0f, 1.0f, 0.5f, -1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.int8Quantize(emb, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    // vec 1: ma=1, s=127 → codes [127, ⌊-63.5⌋=-64, ⌊31.75⌋=31, 0]
+    // vec 3: ma=2, s=63.5 → codes [-127, 63, 31, ⌊-63.5⌋=-64]
+    assert(got == Set(
+      (1L, -64L, 127L, 94L, 16129L + 4096L + 961L, 127.0),
+      (3L, -127L, 63L, -97L, 16129L + 3969L + 961L + 4096L, 63.5)))
+  }
+
   test("rrfFuse: hand-computed fusion, union semantics, id tiebreak") {
     val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
     val vec = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
