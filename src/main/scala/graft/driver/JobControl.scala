@@ -28,7 +28,8 @@ import org.apache.spark.{Success => TaskSuccess, TaskFailedReason}
   * nothing is collected to the driver); a deployment that wants results
   * lands them through a real sink inside the query itself.
   */
-final class JobControl(spark: SparkSession, sfDir: String) {
+final class JobControl(spark: SparkSession, sfDir: String,
+                       maxJobHistory: Int = 10000) {
   import JobControl._
 
   private val seq = new AtomicInteger
@@ -48,13 +49,22 @@ final class JobControl(spark: SparkSession, sfDir: String) {
   // a listener can attribute stage/task events back to the tracked job
   // via the `spark.jobGroup.id` property on SparkListenerJobStart.
   // Listener-bus discipline: O(1) counter bumps only, never blocking.
-  // Retention: progressById shares the `jobs` map's keep-forever policy —
-  // both are the driver-side job HISTORY (remap's monitor likewise never
-  // forgets a job), one small record per submitted job. If `jobs` ever
-  // gains eviction, evict the matching progressById entry in the same
-  // sweep so the two maps cannot drift.
+  // Retention: `jobs` and `progressById` are the driver-side job HISTORY,
+  // one small record per submitted job, capped at `maxJobHistory`: when a
+  // submit pushes the history past the cap, the OLDEST TERMINAL jobs are
+  // evicted together with their progress entries in one sweep (the two
+  // maps cannot drift), so a long-lived driver's control plane stays
+  // bounded. Queued/Running jobs are never evicted — the cap applies to
+  // history, not to live work.
   private val progressById = new ConcurrentHashMap[String, MutableProgress]()
   private val stageOwner = new ConcurrentHashMap[Int, String]()
+  // per-stage set of completed task INDICES: a logical task counts toward
+  // tasksCompleted exactly once no matter which stage ATTEMPT or
+  // speculative copy finishes it — counting only attempt 0 undercounted
+  // after a fetch-failure retry (the successes land in attempt 1+ and the
+  // progress fraction could never reach 100). Swept with stageOwner.
+  private val stageTaskDone =
+    new ConcurrentHashMap[Int, java.util.Set[Int]]()
   // sparkJobId → its stage ids, so onJobEnd can sweep stageOwner entries
   // for stages that never fire completion events (SKIPPED stages reusing
   // cached/shuffle output, or stages abandoned by a job abort) — without
@@ -74,7 +84,9 @@ final class JobControl(spark: SparkSession, sfDir: String) {
     override def onJobEnd(ev: org.apache.spark.scheduler.SparkListenerJobEnd)
         : Unit = {
       val stages = jobStages.remove(ev.jobId)
-      if (stages != null) stages.foreach(stageOwner.remove(_))
+      if (stages != null) stages.foreach { sid =>
+        stageOwner.remove(sid); stageTaskDone.remove(sid)
+      }
     }
     override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = {
       val p = owner(ev.stageInfo.stageId)
@@ -93,17 +105,23 @@ final class JobControl(spark: SparkSession, sfDir: String) {
       // the owner map is keyed by stageId (attempts share it); drop the
       // mapping only once no further attempt can arrive — failed attempts
       // and never-completed (skipped/aborted) stages are swept at job end
-      if (ev.stageInfo.failureReason.isEmpty)
+      if (ev.stageInfo.failureReason.isEmpty) {
         stageOwner.remove(ev.stageInfo.stageId)
+        stageTaskDone.remove(ev.stageInfo.stageId)
+      }
     }
     override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
       val p = owner(ev.stageId)
       if (p != null) ev.reason match {
-        // attempt 0 only, mirroring the tasksTotal rule above — otherwise
-        // retry/speculative successes push tasksCompleted past tasksTotal
-        // and an API consumer computing its own fraction reads >100%
-        case TaskSuccess if ev.stageAttemptId == 0 =>
-          p.tasksCompleted.incrementAndGet()
+        // count by task INDEX, once per stage: tasksTotal counts attempt-0
+        // partitions, and indices are stable across attempts, so dedup on
+        // the index keeps tasksCompleted ≤ tasksTotal (no >100% from
+        // retry/speculative copies) while still crediting a task whose
+        // only success lands in attempt 1+ (no permanent undercount)
+        case TaskSuccess =>
+          val done = stageTaskDone.computeIfAbsent(ev.stageId,
+            _ => ConcurrentHashMap.newKeySet[Int]())
+          if (done.add(ev.taskInfo.index)) p.tasksCompleted.incrementAndGet()
         case r: TaskFailedReason if r.countTowardsTaskFailures =>
           p.taskRetries.incrementAndGet()
         case _ => ()
@@ -146,6 +164,7 @@ final class JobControl(spark: SparkSession, sfDir: String) {
     val info = JobInfo(id, name, Queued, System.currentTimeMillis(), None, None,
       priority)
     jobs.put(id, info)
+    evictHistory()
     pool.execute { () =>
       // Queued→Running ONLY: a cancel that lands while the job is still in
       // the pool queue sets CANCELLED before any job group exists, so its
@@ -180,6 +199,17 @@ final class JobControl(spark: SparkSession, sfDir: String) {
     }
     info
   }
+
+  /** Evict the oldest TERMINAL jobs (and their progress entries, same
+    * sweep) once the history exceeds `maxJobHistory`. O(n log n) on the
+    * ≤ cap+1-entry control-plane map — negligible next to a submit. */
+  private def evictHistory(): Unit =
+    if (jobs.size > maxJobHistory) {
+      val terminal = Set(Succeeded, Failed, Cancelled)
+      listJobs.filter(j => terminal.contains(j.status))
+        .take(jobs.size - maxJobHistory)
+        .foreach { j => jobs.remove(j.id); progressById.remove(j.id) }
+    }
 
   private def finish(id: String, st: String, err: Option[String]): Unit =
     jobs.computeIfPresent(id, (_, j) =>

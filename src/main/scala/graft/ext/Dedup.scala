@@ -264,33 +264,50 @@ object Dedup {
     * each doc) the TRUE output is itself Θ(k²) pairs — no candidate cap
     * can make that cheap, which is why the pipeline discipline is
     * exact-dedup (q27) BEFORE containment. The cap bounds the
-    * boilerplate-driven failure mode, not the duplicated-corpus one. */
+    * boilerplate-driven failure mode, not the duplicated-corpus one.
+    *
+    * Shingle payload: every stage downstream of the distinct-explode
+    * carries `xxhash64(shingle)` (8 bytes) rather than the 3-gram string
+    * (~25+ bytes) — the verify join's shuffle/spill payload, measured at
+    * 74 GB for the 100× one-box probe when it carried full string arrays
+    * (SCALE_PROBE.md), is dominated by the two `sh` arrays per candidate
+    * row, so the token width is the spill multiplier. Correctness: the
+    * prefix filter is pigeonhole-based (ANY `plen`-subset of A must hit
+    * B when |A∩B| ≥ minInter), so it is exact under any token encoding;
+    * set sizes and intersections differ from the string-level truth only
+    * if two DISTINCT shingles in one comparison collide in 64 bits —
+    * probability ≤ sz²·2⁻⁶⁴ per document pair (sz ≈ 10³ → ~5·10⁻¹⁴),
+    * and xxhash64 is deterministic, so the DuckDB oracle (which stays on
+    * strings) either always or never agrees for a given corpus. */
   def containmentPairs(docs: DataFrame, id: String, text: String,
                        n: Int = 3, threshold: Double = 0.5,
                        maxPostings: Int = defaultMaxPostings): DataFrame = {
+    // distinct on STRINGS first (the semantic unit), then hash: a 64-bit
+    // collision can shrink a set by 1 but never inflate it
     val sh = CacheRegistry.persist(docs.select(col(id).as("doc_id"),
-      explode(array_distinct(shingles(col(text), n))).as("shingle")))
-    val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("dfq"))
-    // df-cap: groupBy.count + inner join on the shingle key — the same
+      explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("tok")))
+    val dfCounts = sh.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    // df-cap: groupBy.count + inner join on the token key — the same
     // no-value-keyed-window discipline as lshCandidates' bucket cap
     val ranked = CacheRegistry.persist(
-      sh.join(dfCounts.filter(col("dfq") <= maxPostings), Seq("shingle")))
+      sh.join(dfCounts.filter(col("dfq") <= maxPostings), Seq("tok")))
     val sets = CacheRegistry.persist(ranked
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("dfq"), col("shingle"))))
+      .agg(sort_array(collect_list(struct(col("dfq"), col("tok"))))
         .as("ranked"))
       .select(col("doc_id"),
-        transform(col("ranked"), r => r("shingle")).as("sh"),
+        transform(col("ranked"), r => r("tok")).as("sh"),
         size(col("ranked")).as("sz"))
       .withColumn("plen",
         (col("sz") - minInterExpr(threshold) + 1).cast("int")))
     val prefixes = sets.select(col("doc_id"),
-      explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
-    // container-side postings: every CAPPED shingle of every doc — each
+      explode(slice(col("sh"), lit(1), col("plen"))).as("tok"))
+    // container-side postings: every CAPPED token of every doc — each
     // posting list is ≤ maxPostings rows by construction
     val cand = prefixes.as("a")
-      .join(ranked.select("doc_id", "shingle").as("b"),
-        col("a.shingle") === col("b.shingle") &&
+      .join(ranked.select("doc_id", "tok").as("b"),
+        col("a.tok") === col("b.tok") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()

@@ -270,9 +270,11 @@ object Profiling {
     * (`groupBy(v).count`), and since round 9 on
     * [[graft.ops.Windows.rangePrefixSum]] — the cumulative holds even for
     * a near-unique value column. Every row then picks its ecdf up by an
-    * equi-join on the value — broadcast while the dictionary fits (the
-    * remaining dictionary ≪ corpus contract; for a near-unique column
-    * drop the hint and let AQE pick the join). The ratio is
+    * equi-join on the value — UNHINTED: the dictionary is data-scaled (a
+    * near-unique column makes it corpus-sized), so the join strategy is
+    * left to AQE's runtime size check, which broadcasts exactly when the
+    * dictionary is actually small (the q3/q134 discipline — data-scaled
+    * frames never carry a force-hint). The ratio is
     * [[graft.ops.Relational.ratio6]] integer arithmetic. */
   def ecdfNormalize(df: DataFrame, valueCol: String): DataFrame = {
     val vals = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
@@ -281,8 +283,7 @@ object Profiling {
       // bcast-ok: nTot is a 1-row global aggregate
       .crossJoin(broadcast(nTot))
       .select(col(valueCol), col("cum"), col("n"))
-    // bcast-ok: distinct-value dictionary — documented dictionary << corpus contract (scaladoc)
-    df.join(broadcast(cum), Seq(valueCol))
+    df.join(cum, Seq(valueCol))
       .select(df.columns.map(col) :+
         graft.ops.Relational.ratio6("cum", "n").as("ecdf6"): _*)
   }
@@ -317,11 +318,19 @@ object Profiling {
     * Scale shape: both cumulative frames are distinct-value dictionaries
     * (per-group and pooled value-count frames — the q121/q163
     * discipline); the rank lookup is a range join against the BROADCAST
-    * pooled dictionary. Nothing touches row-level data after the two
-    * count aggregations. Output is dictionary-level (group, value →
-    * normalized), which a caller joins back like q121. */
+    * pooled dictionary — a non-equi predicate, so unlike q121's equi
+    * lookup there is no AQE shuffle fallback, and the dictionary ≪ corpus
+    * contract is ENFORCED: the pooled aggregate also counts its own
+    * distinct values, and a `raise_error` guard fused into `pcum` (a
+    * column the join condition reads, so pruning cannot elide it) fails
+    * the broadcast job with remediation the moment the dictionary exceeds
+    * `maxDictValues` — no eager probe job, the plan stays lazy. Nothing
+    * touches row-level data after the two count aggregations. Output is
+    * dictionary-level (group, value → normalized), which a caller joins
+    * back like q121. */
   def quantileNormalize(df: DataFrame, group: String,
-                        value: String): DataFrame = {
+                        value: String,
+                        maxDictValues: Int = 4000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = graft.CacheRegistry.persist(
       df.select(col(group).as("g"), col(value).as("v"))
@@ -331,13 +340,21 @@ object Profiling {
       sum(col("cnt")).over(wg).as("r"),
       sum(col("cnt")).over(Window.partitionBy(col("g"))).as("ng"))
     val pooled = counts.groupBy(col("v")).agg(sum(col("cnt")).as("pc"))
-    val pooledN = pooled.agg(sum(col("pc")).as("n"))
+    val pooledN = pooled.agg(sum(col("pc")).as("n"),
+      count(lit(1)).as("dict_sz"))
     val pooledCum = graft.ops.Windows.rangePrefixSum(pooled, "v", "pc", "pcum")
       .withColumn("pprev", col("pcum") - col("pc"))
       // bcast-ok: pooledN is a 1-row global aggregate
       .crossJoin(broadcast(pooledN))
+      .withColumn("pcum", when(col("dict_sz") > maxDictValues,
+        raise_error(lit("quantileNormalize: pooled value dictionary " +
+          s"exceeds $maxDictValues distinct values — the rank lookup " +
+          "range-joins against a broadcast dictionary; bucketize the " +
+          "value column (round/bin) or raise maxDictValues"))
+          .cast("long")).otherwise(col("pcum")))
       .select(col("v").as("pv"), col("pcum"), col("pprev"), col("n"))
-    // bcast-ok: pooled distinct-value dictionary — documented dictionary << corpus contract (scaladoc)
+    // bcast-ok: pooled distinct-value dictionary, ≤ maxDictValues rows by
+    // the raise_error guard fused into pcum above
     grpCum.join(broadcast(pooledCum),
         expr("(r * n + ng - 1) div ng > pprev AND " +
           "(r * n + ng - 1) div ng <= pcum"))

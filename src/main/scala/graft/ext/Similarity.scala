@@ -944,7 +944,12 @@ object Similarity {
     * value count is measured once (the frame is persisted, so the probe
     * is not repeated work), and past `maxBroadcastValues` the final
     * row↔answer join falls back to an unhinted shuffle join instead of
-    * broadcasting a data-scaled frame.
+    * broadcasting a data-scaled frame. EAGERNESS NOTE: because the probe
+    * must run before the join strategy is chosen, CALLING this builder
+    * executes a Spark job (the distinct-value count) even if the returned
+    * DataFrame is never acted on — unlike the module's otherwise-lazy
+    * plan builders — and the persisted values frame stays registered in
+    * [[graft.CacheRegistry]] until the caller's next unpersistAll.
     * Ties break on (distance, neighbor value) so the answer is
     * deterministic. Singleton blocks yield NULL neighbors, never a
     * fabricated match. */
@@ -1360,12 +1365,13 @@ object Similarity {
     * with the corpus — here the name's first token; at 100 TB a longer
     * key prefix — a low-cardinality block makes the per-block sort the
     * bottleneck exactly like any skewed groupBy. The catalog-sized
-    * contract is MEASURED, not assumed: the successor map's global
-    * `row_number` window and broadcast both assume blocks ≪ rows, so the
-    * catalog is counted (short-circuit `limit(n+1).count`) and a catalog
-    * past `maxCatalogBlocks` raises with the remediation (coarser block
-    * key, or a range-partitioned successor derivation) instead of
-    * silently single-tasking a data-scaled sort. */
+    * contract is ENFORCED, not assumed: the successor map's global
+    * `row_number` window and broadcast both assume blocks ≪ rows, so a
+    * `raise_error` guard fused into the row_number output fails the job
+    * with the remediation (coarser block key, or a range-partitioned
+    * successor derivation) the moment a catalog exceeds
+    * `maxCatalogBlocks` — at execution time, inside the same job, so the
+    * plan stays lazy and no probe pre-job re-runs the sort lineage. */
   def sortedNeighborhoodPairs(recs: DataFrame, id: String, key: String,
                               blkOf: Column => Column, w: Int = 4,
                               maxDist: Int = 3,
@@ -1388,13 +1394,24 @@ object Similarity {
         col("blk"), col("rn")),
       Seq("blk", "rn"))
     val cat = rk.select(col("blk")).distinct()
-    require(cat.limit(maxCatalogBlocks + 1).count() <= maxCatalogBlocks,
-      s"sortedNeighborhoodPairs: more than $maxCatalogBlocks distinct " +
-        "blocks — the block-successor catalog assumes blocks ≪ rows; " +
-        "coarsen the block key or derive successors range-partitioned")
+    // Catalog-size guard, folded into the row_number itself instead of an
+    // eager limit(n+1).count() pre-job (the r9 probe re-ran the per-block
+    // sort lineage once per invocation — q157's bench went 0.47→2.01 s for
+    // a number the window below derives anyway). raise_error fires during
+    // the SAME job the moment row maxCatalogBlocks+1 streams out of the
+    // sort, so an oversized catalog still fails loudly — at execution time,
+    // with the remediation text — and the plan stays lazy (no job until the
+    // caller acts).
     val bi = cat.withColumn("bi",
-      // window-ok: ≤ maxCatalogBlocks rows by the measured require() above
+      // window-ok: ≤ maxCatalogBlocks rows enforced by the raise_error
+      // guard fused into this window's output
       row_number().over(Window.orderBy(col("blk"))))
+      .withColumn("bi", when(col("bi") > maxCatalogBlocks,
+        raise_error(lit(s"sortedNeighborhoodPairs: more than " +
+          s"$maxCatalogBlocks distinct blocks — the block-successor " +
+          "catalog assumes blocks ≪ rows; coarsen the block key or " +
+          "derive successors range-partitioned"))
+          .cast("int")).otherwise(col("bi")))
     val nxt = bi.as("x").join(bi.as("y"), col("y.bi") === col("x.bi") + 1)
       .select(col("x.blk").as("blk"), col("y.blk").as("nblk"))
     val tails = rk.filter(col("rn") > col("cnt") - (w - 1))
@@ -1402,7 +1419,8 @@ object Similarity {
     val heads = rk.filter(col("rn") <= w - 1)
       .select(col("id").as("id_r"), col("key").as("key_r"),
         col("blk").as("nblk"))
-    // bcast-ok: block-successor map, catalog-sized — measured above
+    // bcast-ok: block-successor map, ≤ maxCatalogBlocks rows by the
+    // raise_error guard fused into the catalog row_number above
     val overlap = tails.join(broadcast(nxt), Seq("blk")).join(heads, Seq("nblk"))
     val cand = within.select(col("id_l"), col("key_l"), col("id_r"), col("key_r"))
       .union(overlap.select(col("id_l"), col("key_l"), col("id_r"), col("key_r")))

@@ -1321,6 +1321,125 @@ object Algorithms {
     FROM (SELECT CAST(u.i AS BIGINT) AS g
           FROM unnest(range(0, 256)) AS u(i))"""
 
+  // --- q204_scc_atscale: trim + doubled-graph FW-BW at ≥1M edges ----------
+  /** At-scale correctness coverage for [[stronglyConnectedComponents]] —
+    * q145's machinery (trim, ×2 forward/backward encoding, multi-round
+    * settle) runs in the gate only on the 25-vertex nation graph; this
+    * query runs the SAME code over a range-synthesized graph the gate can
+    * reach at every sf (the q201 trick). Structure, chosen so every piece
+    * of the algorithm is load-bearing AND the answer is closed-form:
+    *
+    *  - 2¹⁹ ids in 512 blocks of 1024, each block a hub-and-spoke CYCLE
+    *    (center ↔ every spoke, both directions) — one SCC per block with
+    *    diameter 2, so the inner min-label propagation converges in a few
+    *    supersteps instead of O(block) (a plain ring would need 1024);
+    *  - a one-way chain edge from every ODD block's center into its even
+    *    partner ((2k+1)·1024 → 2k·1024): reachability without return, so
+    *    nothing merges, but odd blocks see bwd = partner's min ≠ fwd and
+    *    CANNOT settle in round 1 — the settle-remove-repeat loop must run
+    *    a genuine second round (even blocks settle first, odd second);
+    *  - 512 extra vertices 2¹⁹+k, each with ONE out-edge into center
+    *    k·1024 and no in-edges — trimmed as singleton SCCs in round 1.
+    *
+    * ~1.05M directed edges (doubled to ~2.1M in the round-1 encoded CC),
+    * pinned ≥ 1M in PregelSpec. Output is the per-SCC rollup (1024 rows:
+    * 512 blocks + 512 singletons), each row analytic: block g sums a
+    * consecutive run, a singleton sums itself. */
+  private[graft] val q204Blocks = 512L
+  private[graft] val q204BlockSize = 1024L
+  private[graft] def q204Vertices(spark: SparkSession): DataFrame =
+    spark.range(q204Blocks * q204BlockSize + q204Blocks).select(col("id"))
+  private[graft] def q204Edges(spark: SparkSession): DataFrame = {
+    val n = q204Blocks * q204BlockSize
+    val spokes = spark.range(n)
+      .filter(pmod(col("id"), lit(q204BlockSize)) =!= 0)
+      .select(col("id"), expr(s"(id div $q204BlockSize) * $q204BlockSize")
+        .as("c"))
+    val hubCycle = spokes.select(col("id").as("src"), col("c").as("dst"))
+      .unionByName(spokes.select(col("c").as("src"), col("id").as("dst")))
+    val chain = spark.range(q204Blocks)
+      .filter(pmod(col("id"), lit(2)) === 1)
+      .select((col("id") * q204BlockSize).as("src"),
+        ((col("id") - 1) * q204BlockSize).as("dst"))
+    val trimIn = spark.range(q204Blocks)
+      .select((col("id") + n).as("src"), (col("id") * q204BlockSize).as("dst"))
+    hubCycle.unionByName(chain).unionByName(trimIn)
+  }
+
+  def q204SccAtScale(spark: SparkSession, dir: String): DataFrame =
+    stronglyConnectedComponents(q204Vertices(spark), q204Edges(spark))
+      .groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
+
+  /** Closed form: block g is SCC(g·1024) over ids [g·1024, (g+1)·1024) —
+    * sum 1024·g·1024 + 1023·1024/2; vertex 2¹⁹+k is its own singleton. */
+  val q204SccAtScaleSql: String = """
+    SELECT CAST(g * 1024 AS BIGINT) AS scc_id,
+           CAST(1024 AS BIGINT) AS n_members,
+           CAST(g * 1048576 + 523776 AS BIGINT) AS sum_ids
+    FROM (SELECT CAST(u.i AS BIGINT) AS g FROM unnest(range(0, 512)) AS u(i))
+    UNION ALL
+    SELECT CAST(524288 + k AS BIGINT) AS scc_id,
+           CAST(1 AS BIGINT) AS n_members,
+           CAST(524288 + k AS BIGINT) AS sum_ids
+    FROM (SELECT CAST(u.i AS BIGINT) AS k FROM unnest(range(0, 512)) AS u(i))"""
+
+  // --- q205_labelprop_atscale: hub tallies + majority votes at ≥1M edges --
+  /** At-scale correctness coverage for [[labelPropagation]] — q94 runs the
+    * tally/majority/tie machinery only on 25 nations; this replays it over
+    * a range-synthesized graph where the majority contest repeats EVERY
+    * round and the margin is exactly one vote, so the self-label and the
+    * count-then-max tally are both load-bearing at scale:
+    *
+    *  - CENTERS take the 8192 globally smallest ids (center of block g is
+    *    id g; its 63 spokes are 8192+63g+i), center ↔ each spoke both
+    *    directions: round 1 every tally ties at count 1 and the min rule
+    *    labels all of block g with g — centers must hold the global
+    *    minima or round 1's all-tie min pulls every center to the
+    *    previous block's spoke ids and the "stable" structure drifts;
+    *  - every spoke of block g also votes one-way into the NEXT block's
+    *    center ((g+1) mod 8192): from round 2 on, center g tallies 64
+    *    votes for g (own label + 63 own spokes) against 63 votes for
+    *    g−1 — the correct majority holds by ONE vote, and since g−1 < g,
+    *    a tally that dropped the self-vote or mis-counted would TIE and
+    *    the min tie-break would flip every center's label, breaking the
+    *    hash (the wrong answer cannot hide behind the tie-break, which is
+    *    why the cross votes arrive from the PREVIOUS block, not the next).
+    *
+    * ~1.55M directed edges, pinned ≥ 1M in PregelSpec; the center tally
+    * window partitions hold 127 incoming rows — the bounded-by-degree
+    * contract exercised at real degree. Output: per-community rollup,
+    * 8192 analytic rows. */
+  private[graft] val q205Blocks = 8192L
+  private[graft] val q205SpokesPerBlock = 63L
+  private[graft] def q205Edges(spark: SparkSession): DataFrame = {
+    val n = q205Blocks * (q205SpokesPerBlock + 1)
+    val spokes = spark.range(q205Blocks, n)
+      .select(col("id"),
+        expr(s"(id - $q205Blocks) div $q205SpokesPerBlock").as("g"))
+    val star = spokes.select(col("id").as("src"), col("g").as("dst"))
+      .unionByName(spokes.select(col("g").as("src"), col("id").as("dst")))
+    val cross = spokes.select(col("id").as("src"),
+      pmod(col("g") + 1, lit(q205Blocks)).as("dst"))
+    star.unionByName(cross)
+  }
+
+  def q205LabelPropAtScale(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(
+      spark.range(q205Blocks * (q205SpokesPerBlock + 1)).select(col("id")),
+      q205Edges(spark), lpaIters)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"),
+        sum(col("id")).as("sum_ids"))
+      .select(col("lbl").as("community"), col("n_members"), col("sum_ids"))
+
+  /** Closed form: community g = {g} ∪ {8192+63g+i : i<63} — sum
+    * g + 63·8192 + 63·63·g + 62·63/2 = 3970·g + 518049. */
+  val q205LabelPropAtScaleSql: String = """
+    SELECT CAST(g AS BIGINT) AS community,
+           CAST(64 AS BIGINT) AS n_members,
+           CAST(3970 * g + 518049 AS BIGINT) AS sum_ids
+    FROM (SELECT CAST(u.i AS BIGINT) AS g FROM unnest(range(0, 8192)) AS u(i))"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank"        -> q32PageRank _,
     "q117_trustrank"      -> q117TrustRank _,
@@ -1336,6 +1455,8 @@ object Algorithms {
     "q145_scc"            -> q145Scc _,
     "q150_landmark_bfs"   -> q150LandmarkBfs _,
     "q201_cc_atscale"     -> q201CcAtScale _,
+    "q204_scc_atscale"    -> q204SccAtScale _,
+    "q205_labelprop_atscale" -> q205LabelPropAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1353,5 +1474,7 @@ object Algorithms {
     "q145_scc"            -> q145SccSql,
     "q150_landmark_bfs"   -> q150LandmarkBfsSql,
     "q201_cc_atscale"     -> q201CcAtScaleSql,
+    "q204_scc_atscale"    -> q204SccAtScaleSql,
+    "q205_labelprop_atscale" -> q205LabelPropAtScaleSql,
   )
 }

@@ -54,10 +54,11 @@ object Windows {
     *
     * Plan: range-partition the frame by the key into `buckets` ordered
     * slices; an in-partition cumulative window (partitioned — never one
-    * task); per-slice totals from the running sum's own per-partition max
-    * (structurally the same frame, so slice ids cannot drift between the
-    * two reads); an exclusive prefix over the ≤ `buckets`-row totals
-    * frame; broadcast the offsets back. Output value = local cumsum +
+    * task); per-slice totals as `sum(valueCol)` grouped on the slice id of
+    * the SAME partitioned frame (so slice ids cannot drift between the two
+    * reads; a plain sum, not max of the running sum, so negative values —
+    * deltas, signed adjustments — total correctly); an exclusive prefix
+    * over the ≤ `buckets`-row totals frame; broadcast the offsets back. Output value = local cumsum +
     * slice offset — bit-identical to the one-task window at any
     * partitioning, since a prefix sum over distinct keys is
     * partition-independent.
@@ -75,7 +76,7 @@ object Windows {
       .withColumn("rps_loc", sum(col(valueCol)).over(
         Window.partitionBy(col("rps_pid")).orderBy(col(orderCol))))
     val offs = local.groupBy(col("rps_pid"))
-      .agg(max(col("rps_loc")).as("rps_n"))
+      .agg(sum(col(valueCol)).as("rps_n"))
       .withColumn("rps_off", coalesce(
         // window-ok: one row per range slice, ≤ `buckets` rows by construction
         sum(col("rps_n")).over(Window.orderBy(col("rps_pid"))

@@ -35,6 +35,24 @@ class JobControlSpec extends GraftSuite {
     } finally c.shutdown()
   }
 
+  test("history cap evicts oldest terminal jobs AND their progress, jointly") {
+    val c = new JobControl(spark, sf, maxJobHistory = 2)
+    try {
+      val j1 = c.submit("q1_agg")
+      await(c, j1.id, Set(JobControl.Succeeded, JobControl.Failed))
+      assert(c.progressOf(j1.id).sparkJobs > 0,
+        "j1 should have tracked progress before eviction")
+      val j2 = c.submit("q1_agg")
+      await(c, j2.id, Set(JobControl.Succeeded, JobControl.Failed))
+      val j3 = c.submit("q1_agg") // pushes history past the cap → evicts j1
+      assert(c.get(j1.id).isEmpty, "oldest terminal job should be evicted")
+      assert(c.progressOf(j1.id) == JobControl.Progress(0, 0, 0, 0, 0, 0),
+        "evicted job's progress entry must go in the same sweep")
+      assert(c.get(j2.id).nonEmpty && c.get(j3.id).nonEmpty)
+      await(c, j3.id, Set(JobControl.Succeeded, JobControl.Failed))
+    } finally c.shutdown()
+  }
+
   test("an observed CANCELLED status never resurrects to RUNNING/SUCCEEDED") {
     // cancel-while-queued race: a cancel landing before the worker thread
     // claims the job finds no job group to kill; the worker must then NOT

@@ -268,4 +268,29 @@ class PregelSpec extends GraftSuite {
     assert(Algorithms.ccLoopConfs(nCanonical).toMap
       .get("spark.sql.adaptive.skewJoin.enabled").contains("true"))
   }
+
+  test("q204/q205 synthetic graphs are at the claimed scale and shape") {
+    import org.apache.spark.sql.functions._
+    // q204: 1,032,192 hub-cycle + 256 chain + 512 trim edges — the SCC
+    // machinery (trim, ×2 encoding, 2-round settle) runs over ≥1M directed
+    // edges in the correctness gate itself
+    val e204 = Algorithms.q204Edges(spark)
+    val n204 = e204.count()
+    assert(n204 == 2L * 1023L * 512L + 256L + 512L, n204)
+    assert(n204 >= 1000000L)
+    // trim coverage is real: the 512 ids past the block range have
+    // out-edges only (no in-edges), so round 1 MUST trim them
+    val blockIds = 512L * 1024L
+    assert(e204.filter(col("dst") >= blockIds).count() == 0L)
+    assert(e204.filter(col("src") >= blockIds).count() == 512L)
+    // q205: 1,548,288 star+cross edges; every center's tally window sees
+    // exactly 126 incoming votes + its own label from round 2 on
+    val e205 = Algorithms.q205Edges(spark)
+    val n205 = e205.count()
+    assert(n205 == 3L * 63L * 8192L, n205)
+    assert(n205 >= 1000000L)
+    val centerInDeg = e205.filter(col("dst") < 8192)
+      .groupBy("dst").count().agg(min("count"), max("count")).head()
+    assert(centerInDeg.getLong(0) == 126L && centerInDeg.getLong(1) == 126L)
+  }
 }

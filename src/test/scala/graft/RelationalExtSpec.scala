@@ -37,6 +37,24 @@ class RelationalExtSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("rangePrefixSum matches a one-task running sum, signed values included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // signed values: per-slice totals must be SUM(value), not max of the
+    // running sum (a negative tail makes the running max overshoot the total)
+    val df = (1 to 500)
+      .map(k => (k.toLong, if (k % 3 == 0) -2L * k else k.toLong))
+      .toDF("k", "v")
+    val got = Windows.rangePrefixSum(df, "k", "v", "cum", buckets = 7)
+      .select("k", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var run = 0L
+    (1 to 500).foreach { k =>
+      run += (if (k % 3 == 0) -2L * k else k.toLong)
+      assert(got(k.toLong) == run, s"prefix at k=$k: got ${got(k.toLong)}, want $run")
+    }
+  }
+
   test("q9 per-group top-k emits at most 3 per segment, ranked") {
     val rows = Windows.q9WindowTopK(spark, sf).collect()
     rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>

@@ -420,11 +420,16 @@ class SimilaritySpec extends GraftSuite {
       "single-tasks") {
     val recs = Seq((1L, "aa"), (2L, "ab"), (3L, "ba"), (4L, "bb"))
       .toDF("id", "name")
-    val e = intercept[IllegalArgumentException] {
-      Similarity.sortedNeighborhoodPairs(
-        recs, "id", "name", k => substring(k, 1, 1), maxCatalogBlocks = 1)
-    }
-    assert(e.getMessage.contains("distinct"))
+    // the guard is a raise_error fused into the catalog row_number, so the
+    // plan builds lazily and the failure fires on the first ACTION — with
+    // the remediation text carried somewhere in the exception chain
+    val df = Similarity.sortedNeighborhoodPairs(
+      recs, "id", "name", k => substring(k, 1, 1), maxCatalogBlocks = 1)
+    val e = intercept[Exception] { df.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("distinct blocks")), e.toString)
   }
 
   test("marginPairs keeps standout pairs, drops neighborhood-average ones") {
