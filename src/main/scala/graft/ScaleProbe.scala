@@ -29,6 +29,67 @@ import org.apache.spark.sql.functions._
   * exponent (1.0 = linear; anything ≲ 1.2 at this size is shuffle-log
   * noise, not superlinearity). SPARK_GRAFT_ONLY filters queries.
   */
+/** Scaling-exponent probe for the ITERATIVE GRAPH families whose registry
+  * queries run on fixed-size graphs (q145 SCC on 25 nations, q94 LPA on
+  * 25 nations) — the corpus-derivation trick in [[ScaleProbe]] cannot
+  * scale those, so this probe synthesizes the q204/q205 range-built
+  * graphs (same generators, parameterized block count) at 1× and 10×
+  * and times the SAME algorithm entry points the registry queries call.
+  * VERDICT r9 item 7: q112's measured 100× exponent does not transfer to
+  * SCC's trim+FW-BW loop (different frame-growth behavior) or LPA's
+  * tally loop; measure them directly.
+  *
+  * Usage: `sbt "runMain graft.GraphScaleProbe"`. One warmup + 2 timed
+  * runs per (family, scale), min taken; per-decade exp = log10(ratio).
+  */
+object GraphScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = LocalSession.build(cpus)
+    import graft.graph.Algorithms
+
+    // 1× ≈ 130k–190k edges, 10× ≈ 1.3M–1.9M — the 10× points sit just
+    // past the q204/q205 registry scale, so the registry rows interpolate
+    case class Fam(name: String, run: Long => Unit, b1: Long, b10: Long)
+    def sccRun(blocks: Long): Unit =
+      Algorithms.stronglyConnectedComponents(
+          Algorithms.q204Vertices(spark, blocks),
+          Algorithms.q204Edges(spark, blocks))
+        .groupBy(org.apache.spark.sql.functions.col("scc_id")).count()
+        .write.format("noop").mode("overwrite").save()
+    def lpaRun(blocks: Long): Unit =
+      Algorithms.labelPropagation(
+          spark.range(blocks * (Algorithms.q205SpokesPerBlock + 1))
+            .select(org.apache.spark.sql.functions.col("id")),
+          Algorithms.q205Edges(spark, blocks), Algorithms.lpaIters)
+        .groupBy(org.apache.spark.sql.functions.col("lbl")).count()
+        .write.format("noop").mode("overwrite").save()
+    val fams = Seq(
+      Fam("scc_trim_fwbw", sccRun, 64L, 640L),
+      Fam("lpa_majority", lpaRun, 1024L, 10240L))
+
+    def timeOne(run: Long => Unit, blocks: Long): Double = {
+      def once(): Double = {
+        CacheRegistry.drainForMeasurement(spark)
+        val t0 = System.nanoTime()
+        run(blocks)
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      math.min(once(), once())
+    }
+
+    println(f"${"family"}%-16s ${"t_1x_s"}%8s ${"t_10x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
+    fams.foreach { f =>
+      val t1 = timeOne(f.run, f.b1)
+      val t10 = timeOne(f.run, f.b10)
+      val ratio = t10 / t1
+      println(f"${f.name}%-16s $t1%8.2f $t10%8.2f $ratio%7.2f ${math.log10(ratio)}%5.2f")
+    }
+    spark.stop()
+  }
+}
+
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

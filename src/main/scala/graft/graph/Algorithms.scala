@@ -1347,21 +1347,23 @@ object Algorithms {
     * consecutive run, a singleton sums itself. */
   private[graft] val q204Blocks = 512L
   private[graft] val q204BlockSize = 1024L
-  private[graft] def q204Vertices(spark: SparkSession): DataFrame =
-    spark.range(q204Blocks * q204BlockSize + q204Blocks).select(col("id"))
-  private[graft] def q204Edges(spark: SparkSession): DataFrame = {
-    val n = q204Blocks * q204BlockSize
+  private[graft] def q204Vertices(spark: SparkSession,
+                                  blocks: Long = q204Blocks): DataFrame =
+    spark.range(blocks * q204BlockSize + blocks).select(col("id"))
+  private[graft] def q204Edges(spark: SparkSession,
+                               blocks: Long = q204Blocks): DataFrame = {
+    val n = blocks * q204BlockSize
     val spokes = spark.range(n)
       .filter(pmod(col("id"), lit(q204BlockSize)) =!= 0)
       .select(col("id"), expr(s"(id div $q204BlockSize) * $q204BlockSize")
         .as("c"))
     val hubCycle = spokes.select(col("id").as("src"), col("c").as("dst"))
       .unionByName(spokes.select(col("c").as("src"), col("id").as("dst")))
-    val chain = spark.range(q204Blocks)
+    val chain = spark.range(blocks)
       .filter(pmod(col("id"), lit(2)) === 1)
       .select((col("id") * q204BlockSize).as("src"),
         ((col("id") - 1) * q204BlockSize).as("dst"))
-    val trimIn = spark.range(q204Blocks)
+    val trimIn = spark.range(blocks)
       .select((col("id") + n).as("src"), (col("id") * q204BlockSize).as("dst"))
     hubCycle.unionByName(chain).unionByName(trimIn)
   }
@@ -1412,15 +1414,16 @@ object Algorithms {
     * 8192 analytic rows. */
   private[graft] val q205Blocks = 8192L
   private[graft] val q205SpokesPerBlock = 63L
-  private[graft] def q205Edges(spark: SparkSession): DataFrame = {
-    val n = q205Blocks * (q205SpokesPerBlock + 1)
-    val spokes = spark.range(q205Blocks, n)
+  private[graft] def q205Edges(spark: SparkSession,
+                               blocks: Long = q205Blocks): DataFrame = {
+    val n = blocks * (q205SpokesPerBlock + 1)
+    val spokes = spark.range(blocks, n)
       .select(col("id"),
-        expr(s"(id - $q205Blocks) div $q205SpokesPerBlock").as("g"))
+        expr(s"(id - $blocks) div $q205SpokesPerBlock").as("g"))
     val star = spokes.select(col("id").as("src"), col("g").as("dst"))
       .unionByName(spokes.select(col("g").as("src"), col("id").as("dst")))
     val cross = spokes.select(col("id").as("src"),
-      pmod(col("g") + 1, lit(q205Blocks)).as("dst"))
+      pmod(col("g") + 1, lit(blocks)).as("dst"))
     star.unionByName(cross)
   }
 
