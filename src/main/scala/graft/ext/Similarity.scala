@@ -133,6 +133,7 @@ object Similarity {
   private def cappedBuckets(corpus: DataFrame, vec: String, pl: DataFrame,
                             maxBucket: Long, dim: Int): DataFrame = {
     val bucketed = graft.CacheRegistry.persist(
+      // cross-ok: pl is the caller's broadcast 1-row hyperplane frame
       corpus.crossJoin(pl)
         .withColumn("bkt", signLshBucketUpTo(col(vec), col("planes"), dim))
         .drop("planes"))
@@ -168,6 +169,7 @@ object Similarity {
     // bcast-ok: hyperplane frame — row count fixed by targetBucket, not data-scaled
     val pl = broadcast(planesDf(corpus, targetBucket))
     val capped = cappedBuckets(corpus, "v", pl, maxBucket, dim)
+    // cross-ok: pl is the broadcast 1-row hyperplane frame above
     val qb = queries.crossJoin(pl)
       .withColumn("qbkt", signLshBucketUpTo(col("qv"), col("planes"), dim))
       .select(col("qid"), col("qv"), col("qbkt"), probeMasks.as("probe"))
@@ -326,6 +328,7 @@ object Similarity {
     val b = graft.CacheRegistry.persist(
       cappedBuckets(corpus, "v", pl, maxBucket, dim)
         .withColumn("nrm", norm(col("v"))))
+    // cross-ok: pl is the broadcast 1-row hyperplane frame above
     val probed = b.crossJoin(pl)
       .select(col("vec_id"), col("v"), col("nrm"), col("bkt"),
         probeMasks.as("probe"))

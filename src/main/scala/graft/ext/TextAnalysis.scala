@@ -938,6 +938,7 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
+        // collect-ok: limit(1) — the BPE training argmax, one row per merge
         .limit(1).collect()
       if (best.nonEmpty) {
         val a = best(0).getAs[String]("a")

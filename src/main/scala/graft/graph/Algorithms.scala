@@ -203,6 +203,7 @@ object Algorithms {
         live += ss
         // (count, xor-of-hashes): order-independent, overflow-free under
         // ANSI; the rows are distinct so this is a set checksum
+        // collect-ok: 1-row global aggregate — the loop's convergence probe
         val chk = ss.agg(count(lit(1)),
           bit_xor(xxhash64(col("u"), col("v")))).head()
         val cur = (chk.getLong(0), if (chk.isNullAt(1)) 0L else chk.getLong(1))
@@ -578,6 +579,7 @@ object Algorithms {
     val key = col("n_nationkey")
     val chain = nat.filter(key <= 14).select(key.as("a"), (key + 1).as("b"))
     val clique = nat.filter(key.between(15, 19)).select(key.as("a"))
+      // cross-ok: 5×5 fixture clique over the fixed nation keys 15–19
       .crossJoin(nat.filter(key.between(15, 19)).select(key.as("b")))
       .filter(col("a") < col("b"))
     val pendant = nat.filter(key === 20).select(key.as("a"), lit(15).as("b"))

@@ -254,6 +254,7 @@ object Pregel {
       // vote also finishes the materialization (empty frame → vacuous halt).
       allHalt =
         if (voteToHalt)
+          // collect-ok: 1-row bool_and aggregate — the BSP halt vote
           nv.agg(coalesce(bool_and(col("halt")), lit(true)))
             .head().getBoolean(0)                       // action → barrier
         else { nv.count(); false }                      // action → barrier

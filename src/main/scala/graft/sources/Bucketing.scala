@@ -194,6 +194,7 @@ object Bucketing {
         // 2000-sketch beats paying for precision the layout can't use.
         val n = 1 << normalizeBits
         val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+        // collect-ok: 1-row aggregate of two fixed-size percentile sketches
         val row = df.agg(
           percentile_approx(x.cast("double"), probs, lit(2000)).as("bx"),
           percentile_approx(y.cast("double"), probs, lit(2000)).as("by")).head()
@@ -372,6 +373,7 @@ object Bucketing {
     val scratch = Sink.scratchPath("graft_prune", dir)
     li.repartitionByRange(8, col("l_orderkey"))
       .write.mode("overwrite").parquet(scratch)
+    // collect-ok: 1-row min/max aggregate
     val bounds = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     // truncating long division == DuckDB's floor `//` here: all positive
@@ -380,6 +382,8 @@ object Bucketing {
     val manifest = spark.read.parquet(scratch)
       .groupBy(input_file_name().as("file"))
       .agg(min(col("l_orderkey")).as("f_lo"), max(col("l_orderkey")).as("f_hi"))
+      // collect-ok: one row per written file (8 by construction) — the
+      // zone-map manifest a real lakehouse keeps in table metadata
       .collect()
     val files = manifest.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
       .map(_.getString(0))
