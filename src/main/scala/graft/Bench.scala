@@ -110,7 +110,8 @@ object Bench {
     // synthetic data generation, so a median-of-3 buys nothing. Correctness
     // coverage is unaffected (Verify runs every query regardless).
     val stressQueries: Set[String] = Set(
-      "q201_cc_atscale", "q204_scc_atscale", "q205_labelprop_atscale")
+      "q201_cc_atscale", "q204_scc_atscale", "q205_labelprop_atscale",
+      "q206_stream_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -714,6 +714,84 @@ object Streams {
     FROM events JOIN nation ON user_id % 25 = n_nationkey
     GROUP BY 1, 2"""
 
+  // --- q206_stream_atscale: the REAL streaming runtime in the gate --------
+  /** At-scale correctness coverage for [[sessionizeStream]]'s
+    * flatMapGroupsWithState runtime — the q201/q204/q205 trick applied to
+    * the one family whose registered queries run only the BATCH forms of
+    * the shared transforms (the streaming execution paths — state store,
+    * watermark advance, event-time timeouts, sid-carrying sentinels — ran
+    * only in specs, on ~10 events). This query drives 262,144 synthetic
+    * events (4096 users × 4 sessions × 16 events on a fixed minute grid)
+    * through the ACTUAL streaming query via MemoryStream, one micro-batch
+    * per session wave, then two far-future sweep batches (the first
+    * advances the watermark past every open session's timeout, the second
+    * triggers the sweep — the documented two-batch timeout cadence):
+    *
+    *  - sessions 1–3 of every user close via the IN-FUNCTION gap path
+    *    (the next wave's first event exceeds the 30-min gap);
+    *  - session 4 closes via the EVENT-TIME TIMEOUT path (watermark
+    *    sweep), so both close paths carry 4096 sessions each run;
+    *  - the sweep user's first probe event closes as its own session when
+    *    the second probe arrives (2 h > gap) — one extra analytic row;
+    *    its second session stays open and is never emitted.
+    *
+    * Output: 16,385 rows, every one closed-form (session s of user u
+    * starts at BASE + s·3600 s, holds 16 events, lasts 900 s), so any
+    * state-store mislabeling, dropped timeout, or sid-counter bug at
+    * scale breaks the hash. Driver cost: the MemoryStream feed is ~3
+    * longs × 262k rows — MemoryStream is driver-fed by design; the
+    * stateful work (sort-per-group, state ops on 4096 keys × 6 batches)
+    * runs distributed exactly as in production. */
+  private[graft] val q206Users = 4096L
+  private[graft] val q206BaseUs = 1767225600000000L // 2026-01-01 00:00 UTC
+  private val q206Seq = new java.util.concurrent.atomic.AtomicInteger
+
+  def q206StreamAtScale(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = s"graft_q206_${q206Seq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q206_ckpt").toString
+    val q = sessionizeStream(ms.toDF().toDF("user_id", "ts"),
+        gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    def tsAt(us: Long) = new java.sql.Timestamp(us / 1000L)
+    try {
+      for (s <- 0 until 4) {
+        val wave = for {
+          u <- 0L until q206Users
+          k <- 0 until 16
+        } yield (u, tsAt(q206BaseUs + s * 3600000000L + k * 60000000L))
+        ms.addData(wave)
+        q.processAllAvailable()
+      }
+      val probe1 = q206BaseUs + 172800000000L // BASE + 2 days
+      ms.addData(Seq((q206Users, tsAt(probe1))))
+      q.processAllAvailable()
+      ms.addData(Seq((q206Users, tsAt(probe1 + 7200000000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        col("n_events"), col("duration_us"))
+  }
+
+  /** Closed form: 4096 users × sessions 1..4 on the fixed grid, plus the
+    * sweep user's single-event first session. */
+  val q206StreamAtScaleSql: String = """
+    SELECT CAST(u.i AS BIGINT) AS user_id, CAST(s.i + 1 AS INT) AS session_id,
+           CAST(1767225600000000 + s.i * 3600000000 AS BIGINT)
+             AS session_start_us,
+           CAST(16 AS INT) AS n_events, CAST(900000000 AS BIGINT) AS duration_us
+    FROM unnest(range(0, 4096)) AS u(i), unnest(range(0, 4)) AS s(i)
+    UNION ALL
+    SELECT CAST(4096 AS BIGINT), CAST(1 AS INT),
+           CAST(1767225600000000 + 172800000000 AS BIGINT),
+           CAST(1 AS INT), CAST(0 AS BIGINT)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_event_window"   -> q40EventWindow _,
     "q181_stream_actives" -> q181StreamActives _,
@@ -723,6 +801,7 @@ object Streams {
     "q51_session_window" -> q51SessionWindow _,
     "q151_stream_enrich" -> q151StreamEnrich _,
     "q154_outer_interval_join" -> q154OuterIntervalJoin _,
+    "q206_stream_atscale" -> q206StreamAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -734,5 +813,6 @@ object Streams {
     "q51_session_window" -> q51SessionWindowSql,
     "q151_stream_enrich" -> q151StreamEnrichSql,
     "q154_outer_interval_join" -> q154OuterIntervalJoinSql,
+    "q206_stream_atscale" -> q206StreamAtScaleSql,
   )
 }

@@ -178,6 +178,39 @@ class AsofSessionSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("q206's timeout path is load-bearing: without the sweep probes the " +
+      "final session wave stays unclosed") {
+    // Replay q206_stream_atscale's wave structure at 64 users but STOP
+    // after the four session waves — no far-future sweep batches. Sessions
+    // 1–3 close via the in-function gap path when the next wave arrives;
+    // session 4 has no later event and no watermark sweep, so it must NOT
+    // be emitted. Together with q206's green oracle row (which includes
+    // all 4096 session-4 rows) this proves those rows are produced by the
+    // event-time timeout sweep, not the gap path.
+    implicit val sqlCtx = spark.sqlContext
+    val users = 64L
+    val base = 1767225600000000L
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = Streams.sessionizeStream(
+        ms.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_q206_pin").start()
+    try {
+      for (s <- 0 until 4) {
+        ms.addData(for {
+          u <- 0L until users
+          k <- 0 until 16
+        } yield (u, new Timestamp((base + s * 3600000000L + k * 60000000L) / 1000L)))
+        q.processAllAvailable()
+      }
+      val got = spark.table("graft_q206_pin")
+        .groupBy("session_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == Map(1 -> users, 2 -> users, 3 -> users),
+        s"expected exactly sessions 1-3 closed per user, got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first row per key across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, String)]
