@@ -111,7 +111,8 @@ object Bench {
     // coverage is unaffected (Verify runs every query regardless).
     val stressQueries: Set[String] = Set(
       "q201_cc_atscale", "q204_scc_atscale", "q205_labelprop_atscale",
-      "q206_stream_atscale")
+      "q206_stream_atscale", "q207_ann_atscale", "q208_cosine_atscale",
+      "q209_minhash_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

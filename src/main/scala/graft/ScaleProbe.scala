@@ -90,6 +90,72 @@ object GraphScaleProbe {
   }
 }
 
+/** Scaling-exponent probe for the SYNTHETIC similarity/dedup families
+  * behind the q207/q208/q209 at-scale gates — [[ScaleProbe]]'s corpus
+  * derivation scales the parquet tables, but these operators' gate rows
+  * run on range-built corpora, so the right probe axis is the generator
+  * parameter itself (cluster size for the vector families — holding
+  * cluster count fixed keeps the dimensionality and plane count honest —
+  * and doc count for MinHash). 1× vs 8× with the exponent normalized per
+  * decade: exp = log10(ratio) / log10(8).
+  *
+  * Cost control: the 1× point takes min-of-2 after a warmup (it also
+  * warms codegen for the family); the 8× point is a single timed run —
+  * these are coarse would-it-survive exponents, not benchmarks.
+  *
+  * Usage: `sbt "runMain graft.SimScaleProbe"`; results recorded in
+  * SCALE_PROBE.md.
+  */
+object SimScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = LocalSession.build(cpus)
+    import graft.ext.{Dedup, Similarity}
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    case class Fam(name: String, run: Long => Unit, s1: Long, s8: Long)
+    def annRun(size: Long): Unit =
+      noop(Similarity.annCosineTopK(
+        Similarity.q207Corpus(spark, Similarity.q207Clusters, size),
+        Similarity.q207QueryVecs(spark), k = 8,
+        targetBucket = size, maxBucket = Similarity.q207Clusters * size,
+        dim = 2 * Similarity.q207Clusters))
+    def bruteRun(size: Long): Unit =
+      noop(Similarity.cosineTopK(
+        Similarity.q207Corpus(spark, Similarity.q207Clusters, size),
+        Similarity.q207QueryVecs(spark), 8))
+    def minhashRun(docs: Long): Unit =
+      noop(Dedup.nearDupMinHash(
+        Dedup.q209Corpus(spark, docs = docs), "doc_id", "text"))
+    val fams = Seq(
+      // 1× = 2^18 vectors (quarter registry scale), 8× = 2^21
+      Fam("ann_multiprobe", annRun, 8192L, 65536L),
+      Fam("brute_cosine", bruteRun, 8192L, 65536L),
+      // 1× = 2^17 docs, 8× = 2^20 (the registry-gate scale)
+      Fam("minhash_lsh", minhashRun, 131072L, 1048576L))
+
+    def timed(run: Long => Unit, p: Long): Double = {
+      CacheRegistry.drainForMeasurement(spark)
+      val t0 = System.nanoTime()
+      run(p)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    println(f"${"family"}%-16s ${"t_1x_s"}%8s ${"t_8x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
+    fams.foreach { f =>
+      timed(f.run, f.s1) // warmup (codegen + JIT)
+      val t1 = math.min(timed(f.run, f.s1), timed(f.run, f.s1))
+      val t8 = timed(f.run, f.s8)
+      val ratio = t8 / t1
+      val exp = math.log10(ratio) / math.log10(8.0)
+      println(f"${f.name}%-16s $t1%8.2f $t8%8.2f $ratio%7.2f $exp%5.2f")
+    }
+    spark.stop()
+  }
+}
+
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -197,6 +197,7 @@ object Dedup {
     // it spills to disk, which still beats recomputation.
     val sets = CacheRegistry.persist(ranked
       .groupBy("doc_id")
+      // groupagg-ok: one document's distinct shingles — doc-sized
       .agg(sort_array(collect_list(struct(col("dfq"), col("shingle"))))
         .as("ranked"))
       .select(col("doc_id"),
@@ -294,6 +295,7 @@ object Dedup {
       sh.join(dfCounts.filter(col("dfq") <= maxPostings), Seq("tok")))
     val sets = CacheRegistry.persist(ranked
       .groupBy("doc_id")
+      // groupagg-ok: one document's hashed shingle tokens — doc-sized
       .agg(sort_array(collect_list(struct(col("dfq"), col("tok"))))
         .as("ranked"))
       .select(col("doc_id"),
@@ -415,6 +417,7 @@ object Dedup {
       .groupBy(shiftright(col("pos"), 6).as("widx"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)))")
         .as("bits"))
+      // groupagg-ok: ≤ mBits/64 filter words — fixed constant
       .agg(map_from_entries(collect_list(struct(col("widx"), col("bits")))).as("bm"))
     val probed = corpus
       .select(col(id), explode(array_distinct(shingles(col(text), n))).as("shingle"))
@@ -856,6 +859,68 @@ object Dedup {
   def q31MinHashLsh(spark: SparkSession, dir: String): DataFrame =
     nearDupMinHash(Tables.documents(spark, dir), "doc_id", "text")
 
+  // --- q209_minhash_atscale: the full LSH pipeline at ≥1M documents -------
+  /** At-scale correctness coverage for [[nearDupMinHash]] — q31 exercises
+    * shingle → signature → banding → bucket join → exact-Jaccard verify
+    * only on the few-thousand-row documents table; this replays the SAME
+    * pipeline (identical defaults: n=3, k=64, 16 bands, t=0.8) over a
+    * range-synthesized corpus of 2²⁰ documents where the answer is closed
+    * form:
+    *
+    *  - the first 16 384 ids form 4 096 planted groups of 4 EXACT
+    *    duplicates (ids 4g..4g+3 share the 7-token text "g⟨g⟩t0 … g⟨g⟩t6");
+    *    identical text ⇒ identical shingle set ⇒ identical MinHash
+    *    signature under ANY hash family ⇒ every band of every group
+    *    collides, so the planted pairs are found with probability 1 — no
+    *    probabilistic recall term in the oracle;
+    *  - the remaining ~1.03M filler docs each carry 7 globally unique
+    *    tokens ("f⟨id⟩t0 …"), so their shingle sets are pairwise disjoint
+    *    from everything: true Jaccard 0 with every other document, and the
+    *    verify stage's `jaccard ≥ 0.8` filter silences any band-hash
+    *    coincidence (a 64-bit xxhash collision could only ever add a
+    *    CANDIDATE, never an output row — the output is exactly the
+    *    4 096 × C(4,2) = 24 576 planted pairs regardless);
+    *  - every doc has 7 distinct tokens ⇒ exactly 5 distinct 3-shingles,
+    *    so inter = n_a = n_b = 5 and jaccard = 1.0 on every output row.
+    *
+    * Group band-buckets hold 4 members (≪ maxBucket), fillers are
+    * singletons — the cap path runs without dropping anything. ~5.2M
+    * shingle rows × 64 seeded hashes feed the signature aggregate and
+    * 2²⁴ band-bucket rows feed the capped self-join, all inside the
+    * correctness gate at every sf. Runs once in Bench's stress lane;
+    * DedupSpec pins the small-analog pair list and the ≥1M doc count. */
+  private[graft] val q209Groups = 4096L
+  private[graft] val q209GroupSize = 4L
+  private[graft] val q209Docs = 1048576L
+
+  private[graft] def q209Corpus(spark: SparkSession, docs: Long = q209Docs,
+                                groups: Long = q209Groups): DataFrame = {
+    val dup = groups * q209GroupSize
+    spark.range(docs)
+      .withColumn("p",
+        when(col("id") < dup,
+          concat(lit("g"), expr(s"CAST(id div $q209GroupSize AS STRING)")))
+          .otherwise(concat(lit("f"), col("id").cast("string"))))
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 7).map(t => concat(col("p"), lit(s"t$t"))): _*).as("text"))
+  }
+
+  def q209MinhashAtScale(spark: SparkSession, dir: String): DataFrame =
+    nearDupMinHash(q209Corpus(spark), "doc_id", "text")
+
+  /** Closed form: all within-group ordered pairs, 5-shingle sets, J = 1. */
+  private[graft] def q209OracleSql(groups: Long = q209Groups,
+                                   groupSize: Long = q209GroupSize): String = s"""
+    SELECT CAST(g * $groupSize + p AS BIGINT) AS id_a,
+           CAST(g * $groupSize + q AS BIGINT) AS id_b,
+           CAST(5 AS INT) AS inter, CAST(5 AS INT) AS n_a,
+           CAST(5 AS INT) AS n_b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM (SELECT CAST(u.i AS BIGINT) AS g FROM unnest(range(0, $groups)) AS u(i)),
+         (SELECT CAST(u.i AS BIGINT) AS p FROM unnest(range(0, $groupSize)) AS u(i)),
+         (SELECT CAST(u.i AS BIGINT) AS q FROM unnest(range(0, $groupSize)) AS u(i))
+    WHERE p < q"""
+
   // --- q41_simhash: SimHash-banded near-dup -------------------------------
   def q41SimHash(spark: SparkSession, dir: String): DataFrame =
     nearDupSimHash(Tables.documents(spark, dir), "doc_id", "text")
@@ -1243,6 +1308,7 @@ object Dedup {
       .join(broadcast(benchSh), Seq("shingle"))
       .select(col(id), explode(sequence(col("pos"), col("pos") + lit(n - 1)))
         .as("pos"))
+      // groupagg-ok: one document's covered token positions — doc-sized
       .groupBy(col(id)).agg(collect_set(col("pos")).as("cov"))
     val unc = toks
       .join(coveredArr, Seq(id), "left_outer")
@@ -1251,6 +1317,7 @@ object Dedup {
     unc.groupBy(col(id), col("grp"))
       .agg(min(col("pos")).as("mn"),
         count(lit(1)).cast("int").as("n_tokens"),
+        // groupagg-ok: one fragment's tokens — doc-sized
         concat_ws(" ", sort_array(collect_list(struct(col("pos"), col("tok"))))
           .getField("tok")).as("frag_text"))
       .filter(col("n_tokens") >= minTokens)
@@ -1336,6 +1403,7 @@ object Dedup {
         col("k.kid") === col(id) && col("k.ksidx") === col("sidx"))
       .groupBy(col(id))
       .agg(
+        // groupagg-ok: one document's segments — doc-sized
         concat_ws(" ", sort_array(collect_list(
           when(col("kept"), struct(col("sidx"), col("seg")))))
           .getField("seg")).as("clean_text"),
@@ -1598,9 +1666,11 @@ object Dedup {
     "q156_winnowing"    -> q156Winnowing _,
     "q165_weighted_jaccard" -> q165WeightedJaccard _,
     "q168_vocab_growth" -> q168VocabGrowth _,
+    "q209_minhash_atscale" -> q209MinhashAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
+    "q209_minhash_atscale" -> q209OracleSql(),
     "q148_containment"  -> q148ContainmentSql,
     "q27_exact_dedup"   -> q27ExactDedupSql,
     "q31_minhash_lsh"   -> ngramJaccardOracleSql,

@@ -83,6 +83,7 @@ object Importance {
       .withColumn("v", col("n").cast("double") * col("r"))
       .groupBy(col(id))
       .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        // groupagg-ok: ≤ DsirBuckets rows per doc — fixed constant
         sort_array(collect_list(struct(col("bucket"), col("v")))).as("arr"))
       .select(col(id), col("n_bigrams"),
         (aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("v")) /

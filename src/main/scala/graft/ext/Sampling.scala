@@ -100,6 +100,7 @@ object Sampling {
     require(targetFrac > 0 && targetFrac <= 1,
       s"target fraction out of (0,1]: $targetFrac")
     val rates = df.groupBy(col(stratum)).agg(count(lit(1)).as("ns"))
+      // groupagg-ok: one row per stratum — enum-bounded label (scaladoc contract)
       .agg(sort_array(collect_list(struct(col(stratum), col("ns")))).as("arr"),
         sum(col("ns")).as("n_tot")) // integer sum — order-free, exact
       .select(col("arr"), col("n_tot"),

@@ -485,6 +485,7 @@ object Similarity {
         .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
           count(lit(1))).as("x"))
         .groupBy(col("cid"))
+        // groupagg-ok: dim rows per centroid — vector dimensionality, a constant
         .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("ps"))
         // per-row HOF over k tiny rows — interpreted is fine here
         .select(col("cid"), transform(col("ps"), p => p("x")).as("c"))
@@ -1729,7 +1730,102 @@ object Similarity {
            s AS q_scale
     FROM c"""
 
+  // --- q207/q208: the similarity family's two pillars at ≥1M vectors ------
+  /** At-scale correctness coverage for [[annCosineTopK]] (q207) and
+    * [[cosineTopK]] (q208) — the q201/q204 trick applied to the similarity
+    * family, whose gate coverage otherwise runs only on the 1 000-vector
+    * embeddings table. A range-synthesized corpus of 2²⁰ vectors in 32
+    * clusters of 32 768, built so every stage of both operators is
+    * load-bearing AND the top-k answer is closed-form:
+    *
+    *  - cluster c occupies the orthogonal coordinate plane (2c, 2c+1):
+    *    member j is x·e₂c + y·e₂c₊₁ with y = 32768 and x = 32769+j > y.
+    *    Because x > y > 0, sign(⟨v, h⟩) = sign(h₂c·x + h₂c₊₁·y) =
+    *    sign(h₂c) for ANY ±1-component hyperplane h — every member of a
+    *    cluster lands in the same sign-LSH bucket as the cluster's pure-
+    *    axis query e₂c (whose sign is also sign(h₂c)) under EVERY possible
+    *    hyperplane draw. Bucket routing is therefore provably stable by
+    *    construction, not by luck of the seeded planes, and `maxBucket` is
+    *    set to the corpus size so no analytic recall term is needed;
+    *  - cross-cluster cosine is exactly 0 (disjoint support), within-
+    *    cluster cosine x/√(x²+y²) is strictly increasing in j with ≈10⁻⁵
+    *    separation between neighbors (safe at ROUND(·,6)), so the exact
+    *    AND the ANN top-k are the identical closed form: ranks 1..8 are
+    *    the 8 largest j, and co-bucketed foreign clusters or multiprobe
+    *    spill-ins can never reach the top-k (their cosine is 0 while
+    *    k = 8 ≪ 32 768 own-cluster candidates with cosine > 0);
+    *  - the arithmetic is bit-exact cross-engine: x ≤ 65 536 so x², y²,
+    *    and the dot product (a single nonzero product) are exact doubles;
+    *    ‖q‖ = 1 exactly; IEEE sqrt and divide are correctly rounded in
+    *    both engines, so `ROUND(x/√(x²+y²), 6)` hash-matches DuckDB.
+    *
+    * q207 drives the full ANN machinery — in-plan plane derivation
+    * ([[planesDf]] resolves p = 5 from n = 2²⁰ / targetBucket = 32 768),
+    * bucket sizing + cap semi-join, hamming-1 multiprobe, candidate dedup,
+    * salted two-phase top-k — over ~6M candidate pairs. q208 drives the
+    * brute-force path's guarded query broadcast and corpus-scan shape over
+    * the full 2²⁵ pair cross product. Both run once in Bench's stress
+    * lane; SimilaritySpec pins the small-analog equivalence (ANN ≡ brute ≡
+    * closed form) and the full-scale row count / derived plane count. */
+  private[graft] val q207Clusters = 32
+  private[graft] val q207ClusterSize = 32768L
+
+  private[graft] def q207Corpus(spark: SparkSession,
+                                clusters: Int = q207Clusters,
+                                clusterSize: Long = q207ClusterSize): DataFrame = {
+    val d = 2 * clusters
+    spark.range(clusters * clusterSize)
+      .select(col("id").as("vec_id"),
+        expr(s"CAST(id div $clusterSize AS INT)").as("c"),
+        (col("id") % clusterSize + clusterSize + 1).cast("double").as("x"))
+      .select(col("vec_id"),
+        concat(
+          array_repeat(lit(0.0), col("c") * 2),
+          array(col("x"), lit(clusterSize.toDouble)),
+          array_repeat(lit(0.0), lit(d - 2) - col("c") * 2)).as("v"))
+  }
+
+  private[graft] def q207QueryVecs(spark: SparkSession,
+                                   clusters: Int = q207Clusters): DataFrame = {
+    val d = 2 * clusters
+    spark.range(clusters)
+      .select((col("id") + lit(1000000000L)).as("qid"),
+        concat(
+          array_repeat(lit(0.0), (col("id") * 2).cast("int")),
+          array(lit(1.0)),
+          array_repeat(lit(0.0), lit(d - 1) - (col("id") * 2).cast("int")))
+          .as("qv"))
+  }
+
+  def q207AnnAtScale(spark: SparkSession, dir: String): DataFrame =
+    annCosineTopK(q207Corpus(spark), q207QueryVecs(spark), k = 8,
+      targetBucket = q207ClusterSize,
+      maxBucket = q207Clusters * q207ClusterSize,
+      dim = 2 * q207Clusters)
+
+  def q208CosineAtScale(spark: SparkSession, dir: String): DataFrame =
+    cosineTopK(q207Corpus(spark), q207QueryVecs(spark), 8)
+
+  /** Closed form: rank r of query c is member j = 32768−r of cluster c,
+    * i.e. vec_id = c·32768 + 32768 − r with x = 65537 − r. */
+  private[graft] def q207OracleSql(clusters: Int = q207Clusters,
+                                   clusterSize: Long = q207ClusterSize,
+                                   k: Int = 8): String = {
+    val xTop = 2 * clusterSize + 1
+    val y2 = clusterSize * clusterSize
+    s"""
+    SELECT CAST(1000000000 + c AS BIGINT) AS qid,
+           CAST(c * $clusterSize + $clusterSize - r AS BIGINT) AS vec_id,
+           ROUND(($xTop.0 - r) /
+                 sqrt(($xTop.0 - r) * ($xTop.0 - r) + $y2.0), 6) AS cos,
+           CAST(r AS INT) AS rank
+    FROM (SELECT CAST(u.i AS BIGINT) AS c FROM unnest(range(0, $clusters)) AS u(i)),
+         (SELECT CAST(u.i AS BIGINT) AS r FROM unnest(range(1, ${k + 1})) AS u(i))"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_ann_atscale" -> q207AnnAtScale _,
+    "q208_cosine_atscale" -> q208CosineAtScale _,
     "q203_int8_quant" -> q203Int8Quant _,
     "q179_margin_mining" -> q179MarginMining _,
     "q189_jl_projection" -> q189JlProjection _,
@@ -1755,6 +1851,8 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q207_ann_atscale" -> q207OracleSql(),
+    "q208_cosine_atscale" -> q207OracleSql(),
     "q203_int8_quant" -> q203Int8QuantSql,
     "q179_margin_mining" -> q179MarginMiningSql,
     "q189_jl_projection" -> q189JlProjectionSql,

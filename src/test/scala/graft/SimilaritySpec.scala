@@ -464,4 +464,46 @@ class SimilaritySpec extends GraftSuite {
     assert(got(2L) == got(1L).map(_ * 2), s"${got(1L)} vs ${got(2L)}")
     assert(got(1L).exists(_ != 0.0), "degenerate all-zero projection")
   }
+
+  /** q207/q208 pin, small analog (4 clusters × 64): the ANN path and the
+    * brute-force path must BOTH produce the closed form — on this corpus
+    * family ANN ≡ exact because every query provably co-buckets with its
+    * own cluster under any hyperplane draw (see q207Corpus scaladoc), so
+    * any divergence is a routing/capping/ranking bug, not recall loss. */
+  test("q207/q208 small analog: ANN and brute force both match closed form") {
+    val clusters = 4
+    val size = 64L
+    val corpus = Similarity.q207Corpus(spark, clusters, size)
+    val queries = Similarity.q207QueryVecs(spark, clusters)
+    val expected = (for {
+      c <- 0 until clusters
+      r <- 1 to 8
+    } yield {
+      val x = (2 * size + 1 - r).toDouble
+      val cos = BigDecimal(x / math.sqrt(x * x + (size * size).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (1000000000L + c, c * size + size - r, cos, r)
+    }).toSet
+    def tuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    val ann = tuples(Similarity.annCosineTopK(corpus, queries, 8,
+      targetBucket = size, maxBucket = clusters * size, dim = 2 * clusters))
+    val brute = tuples(Similarity.cosineTopK(corpus, queries, 8))
+    assert(ann == expected, s"ann diff: ${(ann -- expected).take(3)} / ${(expected -- ann).take(3)}")
+    assert(brute == expected, s"brute diff: ${(brute -- expected).take(3)} / ${(expected -- brute).take(3)}")
+  }
+
+  /** Full-scale pin for the q207/q208 gate rows: the synthesized corpus is
+    * over the 1M mark (so the gate genuinely runs the operators at scale)
+    * and planesDf resolves exactly 5 hyperplanes from it in-plan — the
+    * value the closed-form oracle's bucket-stability argument was sized
+    * against. Count is cheap: Catalyst prunes the vector construction. */
+  test("q207 full corpus: 2^20 vectors, 5 hyperplanes derived in-plan") {
+    assert(Similarity.q207Corpus(spark).count() == 1048576L)
+    val p = Similarity.planesDf(
+      Similarity.q207Corpus(spark), Similarity.q207ClusterSize)
+      .head().getInt(0)
+    assert(p == 5, s"derived planes $p")
+  }
 }
