@@ -334,7 +334,119 @@ object Joins {
            ELSE CAST(0.0 AS DOUBLE) END AS w_mid6
     FROM g"""
 
+  // --- q211/q212: the join family's custom operators at ≥1M rows ----------
+  /** At-scale correctness coverage for [[asOfJoin]] (q211) — q44/q108 run
+    * it over the ~60k-row events table where ns-grained timestamps mean
+    * the equal-ts inclusive ordering (rights before lefts at the same ts)
+    * is never exercised. This replays the SAME entry point over a
+    * range-synthesized 2²⁰-event left side (1024 users × 1024 events at
+    * ts = id, so user u's events sit at u, u+1024, u+2048, …) against
+    * 64 512 quotes (user u's quote j ∈ [1, 63] at ts = u + 16384·j, worth
+    * its own range id u + 1024·j), deliberately placing every 16th event
+    * EXACTLY on a quote timestamp — 64 512 equal-ts hits that are matches
+    * only under the inclusive rule — and leaving each user's first 16
+    * events before any quote, so the left-outer NULL path carries 16 384
+    * rows through the same sort. One shuffle + one per-key sort over
+    * ~1.1M union rows, the q44 plan shape at 17× its data. Output is
+    * user-rolled (1024 rows; per-user sums differ because the quote id
+    * embeds u) and integer-exact; the oracle is DuckDB's NATIVE ASOF LEFT
+    * JOIN over the same generated frames — an independent engine's
+    * implementation of the semantics, including its inclusive `>=`. */
+  private[graft] val q211Users = 1024L
+  private[graft] val q211Events = 1L << 20
+
+  private[graft] def q211Left(spark: SparkSession, users: Long = q211Users,
+                              events: Long = q211Events): DataFrame =
+    spark.range(events).select(
+      col("id").as("event_id"), (col("id") % users).as("user_id"),
+      col("id").as("ts"))
+
+  private[graft] def q211Right(spark: SparkSession,
+                               users: Long = q211Users): DataFrame =
+    spark.range(users, 64L * users).select(
+      col("id").as("event_id"), (col("id") % users).as("user_id"),
+      (col("id") % users + expr(s"id div $users") * lit(16L * users)).as("ts"),
+      col("id").as("quote"))
+
+  private[graft] def q211Rollup(joined: DataFrame): DataFrame =
+    joined.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("asof_quote")).as("n_matched"),
+        sum(col("asof_quote")).as("sum_quote"),
+        sum(col("asof_ts")).as("sum_asof_ts"))
+
+  def q211AsofAtScale(spark: SparkSession, dir: String): DataFrame =
+    q211Rollup(asOfJoin(q211Left(spark), q211Right(spark),
+      key = "user_id", ts = "ts", tieBreak = "event_id",
+      rightPayload = Seq("ts", "quote")))
+
+  private[graft] def q211OracleSql(users: Long = q211Users,
+                                   events: Long = q211Events): String = s"""
+    WITH l AS (SELECT CAST(u.i AS BIGINT) AS event_id,
+                      CAST(u.i % $users AS BIGINT) AS user_id,
+                      CAST(u.i AS BIGINT) AS ts
+               FROM unnest(range(0, $events)) AS u(i)),
+    r AS (SELECT CAST(u.i % $users AS BIGINT) AS user_id,
+                 CAST(u.i % $users + (u.i // $users) * ${16 * users} AS BIGINT) AS ts,
+                 CAST(u.i AS BIGINT) AS quote
+          FROM unnest(range($users, ${64 * users})) AS u(i))
+    SELECT l.user_id, COUNT(*) AS n_events,
+           COUNT(r.quote) AS n_matched,
+           CAST(SUM(r.quote) AS BIGINT) AS sum_quote,
+           CAST(SUM(r.ts) AS BIGINT) AS sum_asof_ts
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    GROUP BY l.user_id"""
+
+  /** At-scale correctness coverage for [[saltedJoin]] (q212) — the
+    * guaranteed-spread skew join is property-tested against the plain join
+    * on ~100-row frames but had no registry row, so nothing gated it at a
+    * size where the 16-way spread actually matters. A range-synthesized
+    * 2²⁰-row probe side gives key 0 to every even id — ONE key holding
+    * 524 288 rows, the celebrity shape AQE's runtime split exists for and
+    * this operator must handle by construction — and scatters odd ids over
+    * keys 1‥1023 (~512 rows each); the build side is 1024 keys with the
+    * payload 7k+1. The salted join must equal the plain equi-join exactly:
+    * output is key-rolled (1024 rows of row count, id checksum, payload
+    * sum — integer-exact), and the oracle is DuckDB's plain join + rollup
+    * over the same generated frames. */
+  private[graft] val q212Rows = 1L << 20
+  private[graft] val q212Keys = 1024L
+
+  private[graft] def q212Probe(spark: SparkSession, rows: Long = q212Rows,
+                               keys: Long = q212Keys): DataFrame =
+    spark.range(rows).select(col("id"),
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(expr(s"id div 2") % lit(keys - 1) + lit(1L)).as("k"))
+
+  private[graft] def q212Build(spark: SparkSession,
+                               keys: Long = q212Keys): DataFrame =
+    spark.range(keys).select(col("id").as("k"),
+      (col("id") * 7 + 1).as("payload"))
+
+  def q212SaltedJoinAtScale(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(q212Probe(spark), q212Build(spark),
+        key = "k", saltSrc = col("id"), salts = 16)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(col("payload")).as("sum_payload"))
+
+  private[graft] def q212OracleSql(rows: Long = q212Rows,
+                                   keys: Long = q212Keys): String = s"""
+    WITH p AS (SELECT CAST(u.i AS BIGINT) AS id,
+                      CAST(CASE WHEN u.i % 2 = 0 THEN 0
+                           ELSE (u.i // 2) % ${keys - 1} + 1 END AS BIGINT) AS k
+               FROM unnest(range(0, $rows)) AS u(i)),
+    b AS (SELECT CAST(u.i AS BIGINT) AS k,
+                 CAST(u.i * 7 + 1 AS BIGINT) AS payload
+          FROM unnest(range(0, $keys)) AS u(i))
+    SELECT k, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(payload) AS BIGINT) AS sum_payload
+    FROM p JOIN b USING (k)
+    GROUP BY k"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_asof_atscale" -> q211AsofAtScale _,
+    "q212_saltedjoin_atscale" -> q212SaltedJoinAtScale _,
     "q183_position_attribution" -> q183PositionAttribution _,
     "q6_semi_join"  -> q6SemiJoin _,
     "q7_anti_join"  -> q7AntiJoin _,
@@ -346,6 +458,8 @@ object Joins {
   )
 
   def oracles: Map[String, String] = Map(
+    "q211_asof_atscale" -> q211OracleSql(),
+    "q212_saltedjoin_atscale" -> q212OracleSql(),
     "q6_semi_join"  -> q6SemiJoinSql,
     "q7_anti_join"  -> q7AntiJoinSql,
     "q8_outer_join" -> q8OuterJoinSql,

@@ -875,7 +875,87 @@ object Windows {
            ${graft.ops.Relational.ratio6Sql("n", "tot")} AS p6
     FROM s JOIN t USING (from_state)"""
 
+  // --- q210/q213: the window family's two scale-safe plans at ≥1M rows ----
+  /** At-scale correctness coverage for [[perGroupTopK]] (q210) — q9 runs
+    * the salted two-phase plan over the 15k-row customer table, where the
+    * salting is real code but trivial load. This replays the SAME entry
+    * point over a range-synthesized 2²¹-row frame with 8 groups of 262 144
+    * rows each — exactly the low-cardinality-group shape the two-phase plan
+    * exists for (a naive `Window.partitionBy(g)` would sort 262k rows in
+    * ONE task; phase 1's 64 salts cap every task's sort at ~4k rows).
+    *
+    * The order column is an LCG permutation `v = (id·1103515245 + 12345)
+    * mod 2³¹` — an odd multiplier makes it injective over the id range (no
+    * ties anywhere, so the tiebreak never decides) and scatters the top-k
+    * uniformly across the frame, so every salted partition genuinely
+    * contends in phase 1 rather than one tail slice holding all winners.
+    * All arithmetic stays below 2⁵² so BIGINT products are exact in both
+    * engines; the oracle is DuckDB's own naive one-window plan over the
+    * same generated frame — an independent implementation of the total
+    * order the two-phase plan must reproduce exactly. */
+  private[graft] val q210Rows = 1L << 21
+  private[graft] val q210Groups = 8L
+
+  private[graft] def q210Frame(spark: SparkSession, rows: Long = q210Rows,
+                               groups: Long = q210Groups): DataFrame =
+    spark.range(rows).select(col("id"), (col("id") % groups).as("g"),
+      ((col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)).as("v"))
+
+  def q210TopkAtScale(spark: SparkSession, dir: String): DataFrame =
+    perGroupTopK(q210Frame(spark),
+      group = Seq(col("g")), order = Seq(col("v").desc, col("id")),
+      saltSrc = col("id"), k = 5)
+      .select(col("g"), col("id"), col("v"), col("rn"))
+
+  private[graft] def q210OracleSql(rows: Long = q210Rows,
+                                   groups: Long = q210Groups): String = s"""
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS id,
+                      CAST(u.i % $groups AS BIGINT) AS g,
+                      (CAST(u.i AS BIGINT) * 1103515245 + 12345) % 2147483648 AS v
+               FROM unnest(range(0, $rows)) AS u(i))
+    SELECT g, id, v, rn FROM (
+      SELECT g, id, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) AS INT) AS rn
+      FROM t) x
+    WHERE rn <= 5"""
+
+  /** At-scale correctness coverage for [[rangePrefixSum]] (q213) — all six
+    * production call sites feed post-groupBy value dictionaries (small),
+    * and the round's signed-value fix (per-slice offsets from `sum`, not
+    * `max` of the running sum) is property-tested but never gated at a
+    * size where the 256-way range partitioning actually splits. This runs
+    * the entry point over 2²⁰ distinct keys with the SIGNED value
+    * `v = id − 2¹⁹` — every slice below the midpoint has a negative total,
+    * so an offset computed as max-of-running-sum would be wrong in half
+    * the slices, and the global cumsum descends for 2¹⁹ keys before
+    * rising. Output is bucket-rolled (1024 rows of `sum(cum)`) to keep the
+    * gate light; all values are integer-exact. The oracle is DuckDB's
+    * naive one-task `SUM() OVER (ORDER BY id)` — the single-partition plan
+    * the range-partitioned one must equal bit-for-bit. */
+  private[graft] val q213Keys = 1L << 20
+
+  def q213PrefixSumAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val keys = q213Keys
+    val frame = spark.range(keys)
+      .select(col("id"), (col("id") - lit(keys / 2)).as("v"))
+    rangePrefixSum(frame, "id", "v", "cum")
+      .groupBy(expr("id div 1024").as("b"))
+      .agg(sum(col("cum")).as("sum_cum"), count(lit(1)).as("n"))
+  }
+
+  private[graft] def q213OracleSql(keys: Long = q213Keys): String = s"""
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS id,
+                      CAST(u.i AS BIGINT) - ${keys / 2} AS v
+               FROM unnest(range(0, $keys)) AS u(i)),
+    c AS (SELECT id, SUM(v) OVER (ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+    SELECT id // 1024 AS b, CAST(SUM(cum) AS BIGINT) AS sum_cum,
+           COUNT(*) AS n
+    FROM c GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_topk_atscale" -> q210TopkAtScale _,
+    "q213_prefixsum_atscale" -> q213PrefixSumAtScale _,
     "q9_window_topk"    -> q9WindowTopK _,
     "q10_window_running" -> q10WindowRunning _,
     "q11_window_rank"   -> q11WindowRank _,
@@ -894,6 +974,8 @@ object Windows {
   )
 
   def oracles: Map[String, String] = Map(
+    "q210_topk_atscale" -> q210OracleSql(),
+    "q213_prefixsum_atscale" -> q213OracleSql(),
     "q9_window_topk"    -> q9WindowTopKSql,
     "q10_window_running" -> q10WindowRunningSql,
     "q11_window_rank"   -> q11WindowRankSql,
