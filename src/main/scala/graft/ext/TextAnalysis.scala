@@ -1386,6 +1386,83 @@ object TextAnalysis {
     FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
+  // --- q215_bm25_atscale: the text family's retrieval stack at 2²⁰ docs ---
+  /** At-scale correctness coverage for [[bm25TopK]] — q136 runs it over
+    * the few-thousand-row documents table; this replays the SAME entry
+    * point (identical integer-exact arithmetic, identical top-k plan)
+    * over a range-synthesized corpus of 2²⁰ documents (~4.8M tokens
+    * through tokenize/explode, a 2²⁰-group per-doc-length aggregate, and
+    * a global TakeOrdered top-k):
+    *
+    *  - doc d's text is the query-class token `q⟨d mod 16⟩` repeated
+    *    (d mod 3)+1 times plus the filler `u⟨d⟩` repeated (d mod 5)+1
+    *    times, so tf ∈ {1,2,3} and dl ∈ {2..8} vary INDEPENDENTLY (tf and
+    *    length normalization are exercised as separate axes, not
+    *    confounded), document frequency is exactly 65 536 for each query
+    *    term, and every per-row quantity is known by construction;
+    *  - the score stays bit-identical cross-engine for the q136 reasons
+    *    (exact-BIGINT numerator/denominator, one correctly-rounded double
+    *    division, sorted-order fold) — headroom check at this scale:
+    *    22·L·tf·2N ≈ 22·4.8M·3·2²¹ ≈ 6.7e14 < 2⁵³, still exact;
+    *  - massive score ties (each (tf, dl) class holds ~10⁴ docs) make the
+    *    doc_id tiebreak load-bearing at the top-k boundary — the
+    *    flake-mode the corpus table is too small and too irregular to
+    *    produce.
+    *
+    * The oracle replays the same pipeline in DuckDB over its own
+    * generated corpus (same CTE chain as q136's, FROM a range CTE).
+    * Runs once in Bench's stress lane. */
+  private[graft] val q215Docs = 1L << 20
+
+  private[graft] def q215Corpus(spark: SparkSession,
+                                docs: Long = q215Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      concat(
+        expr("repeat(concat('q', CAST(id % 16 AS STRING), ' '), CAST(id % 3 AS INT) + 1)"),
+        expr("repeat(concat('u', CAST(id AS STRING), ' '), CAST(id % 5 AS INT) + 1)"))
+        .as("text"))
+
+  private[graft] val q215QueryTerms: Seq[String] = Seq("q3", "q7")
+
+  def q215Bm25AtScale(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(q215Corpus(spark), "doc_id", "text", q215QueryTerms)
+
+  private[graft] def q215OracleSql(docs: Long = q215Docs): String = {
+    val inList = q215QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH docs AS (
+      SELECT CAST(u.i AS BIGINT) AS doc_id,
+             repeat('q' || CAST(u.i % 16 AS VARCHAR) || ' ',
+                    CAST(u.i % 3 AS INT) + 1) ||
+             repeat('u' || CAST(u.i AS VARCHAR) || ' ',
+                    CAST(u.i % 5 AS INT) + 1) AS text
+      FROM unnest(range(0, $docs)) AS u(i)),
+    t AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM docs) x
+      WHERE w <> ''),
+    nn AS (SELECT COUNT(*) AS N FROM docs),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    tl AS (SELECT COUNT(*) AS L FROM t),
+    qtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t
+            WHERE w IN ($inList) GROUP BY doc_id, w),
+    dfq AS (SELECT w, COUNT(*) AS df FROM qtf GROUP BY w),
+    v AS (SELECT q.doc_id, q.w,
+                 CAST(22 * L * tf * (2*N - 2*df + 1) AS DOUBLE) /
+                 CAST((10*L*tf + 3*L + 9*dl.dl*N) * (2*df + 1) AS DOUBLE)
+                   AS v
+          FROM qtf q JOIN dfq USING (w) JOIN dl ON dl.doc_id = q.doc_id,
+               nn, tl),
+    sc AS (SELECT doc_id, COUNT(*) AS n_terms,
+                  list_reduce(list_prepend(0.0, list(v ORDER BY w)),
+                              (a, b) -> a + b) AS score
+           FROM v GROUP BY doc_id)
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+  }
+
   // --- q140_lm_score: add-one bigram language-model quality score ---------
   /** CCNet-style statistical-LM quality filter: fit an add-one-smoothed
     * bigram model on the corpus itself, then score every document by its
@@ -1497,6 +1574,7 @@ object TextAnalysis {
     "q122_vocab_coverage" -> q122VocabCoverage _,
     "q133_rarity_bucket" -> q133RarityBucket _,
     "q136_bm25"         -> q136Bm25 _,
+    "q215_bm25_atscale" -> q215Bm25AtScale _,
     "q140_lm_score"     -> q140LmScore _,
   )
 
@@ -1522,6 +1600,7 @@ object TextAnalysis {
     "q122_vocab_coverage" -> q122VocabCoverageSql,
     "q133_rarity_bucket" -> q133RarityBucketSql,
     "q136_bm25"         -> q136Bm25Sql,
+    "q215_bm25_atscale" -> q215OracleSql(),
     "q140_lm_score"     -> q140LmScoreSql,
   )
 }

@@ -792,7 +792,112 @@ object Streams {
            CAST(1767225600000000 + 172800000000 AS BIGINT),
            CAST(1 AS INT), CAST(0 AS BIGINT)"""
 
+  // --- q214_streamjoin_atscale: the stream-stream join runtime in the gate
+  /** At-scale correctness coverage for [[outerIntervalJoin]]'s STREAMING
+    * execution — the dual state store, the watermark-derived eviction
+    * bound, and the null-padded left-outer emission that only the
+    * micro-batch engine performs (q154 registers the batch form; the
+    * streaming path ran only in SinkStreamSpec on 4 events). Mirrors
+    * q206's design: 4096 users × 16 hourly waves through the ACTUAL
+    * streaming query via two MemoryStreams, one micro-batch per wave.
+    * Per wave at t0, every user clicks once and, by user id mod 4:
+    *
+    *  - u ≡ 0: a purchase at EXACTLY t0 — the lower bound `r.ts >= l.ts`
+    *    is inclusive, so this matches (ns-grained corpus data never puts
+    *    a row exactly on the boundary);
+    *  - u ≡ 2: a purchase at EXACTLY t0 + 10 min — the upper bound is
+    *    inclusive too, the other boundary the gate otherwise never sees;
+    *  - u ≡ 1: a purchase at t0 + 20 min — INSIDE the state store but
+    *    outside the window (a row the join must hold, test, and reject,
+    *    not merely never see), so the click emits null-padded when the
+    *    watermark passes its window end during a later wave's batch;
+    *  - u ≡ 3: no purchase at all — null-padded via the empty path.
+    *
+    * A final far-future batch on BOTH streams (sentinel users 4096/4097,
+    * who can never join) advances the global min-watermark past the last
+    * wave's window ends, flushing the remaining unmatched clicks; the
+    * left sentinel itself stays in state (the watermark never passes its
+    * own window) and emits nothing, so the output is exactly the 65,536
+    * closed-form rows. ~115k events, 5 micro-batches (4 waves per batch —
+    * see [[q214StreamJoinAtScale]]), 4096 join keys live in both state
+    * stores every batch. */
+  private[graft] val q214Users = 4096L
+  private[graft] val q214Waves = 16
+  private val q214Seq = new java.util.concurrent.atomic.AtomicInteger
+
+  private[graft] def q214Run(spark: SparkSession, users: Long, waves: Int,
+                             sweep: Boolean, wavesPerBatch: Int = 1): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ml = MemoryStream[(Long, java.sql.Timestamp)]
+    val mr = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = s"graft_q214_${q214Seq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q214_ckpt").toString
+    val q = outerIntervalJoin(
+        ml.toDF().toDF("user_id", "ts"), mr.toDF().toDF("user_id", "ts"),
+        key = "user_id")
+      .select(col("l.user_id").as("user_id"),
+        unix_micros(col("l.ts")).as("click_us"),
+        unix_micros(col("r.ts")).as("buy_us"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    def tsAt(us: Long) = new java.sql.Timestamp(us / 1000L)
+    try {
+      for (b <- 0 until waves by wavesPerBatch) {
+        val ws = b until math.min(b + wavesPerBatch, waves)
+        ml.addData(for {
+          w <- ws; u <- 0L until users
+        } yield (u, tsAt(q206BaseUs + w * 3600000000L)))
+        mr.addData(ws.flatMap { w =>
+          val t0 = q206BaseUs + w * 3600000000L
+          (0L until users).flatMap { u =>
+            (u % 4) match {
+              case 0 => Seq((u, tsAt(t0)))
+              case 1 => Seq((u, tsAt(t0 + 1200000000L)))
+              case 2 => Seq((u, tsAt(t0 + 600000000L)))
+              case _ => Nil
+            }
+          }
+        })
+        q.processAllAvailable()
+      }
+      if (sweep) {
+        val sweepUs = q206BaseUs + 172800000000L // BASE + 2 days
+        ml.addData(Seq((users, tsAt(sweepUs))))
+        mr.addData(Seq((users + 1, tsAt(sweepUs))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  def q214StreamJoinAtScale(spark: SparkSession, dir: String): DataFrame =
+    // 4 waves per micro-batch: the SET of emitted rows is batching-
+    // invariant (matches emit when both sides arrive; unmatched lefts
+    // when the watermark passes their window end — still across batch
+    // boundaries for every group but the last), and 5 batches instead of
+    // 17 cuts the dominant cost, per-batch state-store commits
+    // (32 partitions × 4 join state stores each), ~4×. The spec's small
+    // analog keeps wavesPerBatch = 1 to pin the strictly-incremental
+    // per-wave eviction cadence.
+    q214Run(spark, q214Users, q214Waves, sweep = true, wavesPerBatch = 4)
+
+  /** Closed form: per (user, wave), u≡0 matches at t0, u≡2 at t0+600s,
+    * u≡1/u≡3 emit null-padded. */
+  val q214StreamJoinAtScaleSql: String = """
+    SELECT CAST(u.i AS BIGINT) AS user_id,
+           CAST(1767225600000000 + w.i * 3600000000 AS BIGINT) AS click_us,
+           CAST(CASE WHEN u.i % 4 = 0
+                       THEN 1767225600000000 + w.i * 3600000000
+                     WHEN u.i % 4 = 2
+                       THEN 1767225600000000 + w.i * 3600000000 + 600000000
+                     ELSE NULL END AS BIGINT) AS buy_us
+    FROM unnest(range(0, 4096)) AS u(i), unnest(range(0, 16)) AS w(i)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_streamjoin_atscale" -> q214StreamJoinAtScale _,
     "q40_event_window"   -> q40EventWindow _,
     "q181_stream_actives" -> q181StreamActives _,
     "q185_session_outcomes" -> q185SessionOutcomes _,
@@ -805,6 +910,7 @@ object Streams {
   )
 
   def oracles: Map[String, String] = Map(
+    "q214_streamjoin_atscale" -> q214StreamJoinAtScaleSql,
     "q40_event_window"   -> q40EventWindowSql,
     "q181_stream_actives" -> q181StreamActivesSql,
     "q185_session_outcomes" -> q185SessionOutcomesSql,

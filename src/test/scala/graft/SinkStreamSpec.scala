@@ -285,6 +285,47 @@ class SinkStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  /** q214 pin, small analog (8 users × 3 waves): the streaming left-outer
+    * interval join must produce the closed form — u≡0 matches at exactly
+    * t0 (inclusive lower bound), u≡2 at exactly t0+10min (inclusive upper
+    * bound), u≡1 (purchase in-state but outside the window) and u≡3 (no
+    * purchase) emit null-padded. The no-sweep replay proves the WATERMARK
+    * EVICTION produces the last wave's null rows: without the far-future
+    * batch the final wave's unmatched clicks are still held in state
+    * (their join windows end exactly AT the watermark, not before it),
+    * so exactly those rows are absent — the q206-style proof chain that
+    * the sweep path, not some earlier batch, emits them. */
+  test("q214 small analog: stream-stream outer join closed form; no-sweep replay holds back the last wave") {
+    val users = 8L
+    val waves = 3
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long]("buy_us")).map(_.toLong))).toSet
+    val base = 1767225600000000L
+    val expected = (for {
+      u <- 0L until users
+      w <- 0 until waves
+    } yield {
+      val t0 = base + w * 3600000000L
+      val buy = (u % 4) match {
+        case 0 => Some(t0)
+        case 2 => Some(t0 + 600000000L)
+        case _ => None
+      }
+      (u, t0, buy)
+    }).toSet
+    val full = rows(Streams.q214Run(spark, users, waves, sweep = true))
+    assert(full == expected,
+      s"diff: ${(full -- expected).take(3)} / ${(expected -- full).take(3)}")
+    val noSweep = rows(Streams.q214Run(spark, users, waves, sweep = false))
+    val lastT0 = base + (waves - 1) * 3600000000L
+    val heldBack = expected.filter { case (u, t0, buy) =>
+      t0 == lastT0 && buy.isEmpty }
+    assert(noSweep == expected -- heldBack,
+      s"no-sweep replay: diff ${(noSweep -- (expected -- heldBack)).take(3)} / " +
+        s"${((expected -- heldBack) -- noSweep).take(3)}")
+  }
+
   test("mergeSchema read unions drifted parquet schemas by NAME, not position") {
     val out = Files.createTempDirectory("graft_merge").toString
     // wave 1 and wave 2 share only `id`; column ORDER deliberately differs

@@ -337,4 +337,37 @@ class TextAnalysisSpec extends GraftSuite {
     assert((got(4L)._1 & 8) == 8, got.toString) // stopword-heavy
     assert((got(5L)._1 & 16) == 16, got.toString) // short tokens
   }
+
+  /** q215 pin, small analog (256 docs): bm25TopK over the synthesized
+    * corpus must equal a driver-side replay of the integer-exact formula —
+    * same Long products, same single double division, so the comparison is
+    * exact equality, not a tolerance. The generator's heavy score ties
+    * make the doc_id tiebreak at the top-k boundary load-bearing. */
+  test("q215 small analog: bm25 over the synthetic corpus equals the driver replay") {
+    val docs = 256L
+    val got = graft.ext.TextAnalysis.bm25TopK(
+        graft.ext.TextAnalysis.q215Corpus(spark, docs),
+        "doc_id", "text", graft.ext.TextAnalysis.q215QueryTerms)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("score"))).toSeq
+    // driver replay from the generator's closed form
+    def tf(d: Long) = d % 3 + 1
+    def dl(d: Long) = (d % 3 + 1) + (d % 5 + 1)
+    val n = docs
+    val bigL = (0L until docs).map(dl).sum
+    val matching = (0L until docs).filter(d => d % 16 == 3 || d % 16 == 7)
+    val df = matching.size / 2 // 16 docs per query term at 256
+    val replay = matching.map { d =>
+      val num = 22L * bigL * tf(d) * (2 * n - 2 * df + 1)
+      val den = (10L * bigL * tf(d) + 3 * bigL + 9 * dl(d) * n) * (2 * df + 1)
+      (d, 1L, num.toDouble / den.toDouble)
+    }.sortBy { case (d, _, s) => (-s, d) }.take(20)
+    assert(got == replay,
+      s"first diff: ${got.zip(replay).find { case (a, b) => a != b }}")
+  }
+
+  test("q215 full corpus is 2^20 documents") {
+    assert(graft.ext.TextAnalysis.q215Corpus(spark).count() == (1L << 20))
+  }
 }
