@@ -114,7 +114,8 @@ object Bench {
       "q206_stream_atscale", "q207_ann_atscale", "q208_cosine_atscale",
       "q209_minhash_atscale", "q210_topk_atscale", "q211_asof_atscale",
       "q212_saltedjoin_atscale", "q213_prefixsum_atscale",
-      "q214_streamjoin_atscale", "q215_bm25_atscale")
+      "q214_streamjoin_atscale", "q215_bm25_atscale", "q216_cms_atscale",
+      "q217_ticket_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -650,6 +650,58 @@ object Profiling {
     FROM est"""
   }
 
+  // --- q216_cms_atscale: the sketch audit under collision pressure at 2²⁰
+  /** At-scale correctness coverage for [[countMinSketch]]/[[cmsAudit]] —
+    * q141 audits the sketch over the few-thousand-row documents table
+    * (31 distinct tokens); this replays the SAME audit over a
+    * range-synthesized corpus of 2²⁰ documents carrying a 1024-token
+    * vocabulary into a width-64 sketch, so the pigeonhole forces ≥16-way
+    * bucket sharing in every hash row while ~4.2M tokens flow through the
+    * wordcount shuffle and all 4 md5 rows hash the (vocabulary-sized)
+    * distinct-token frame. Token k = d mod 1024 appears (d mod 7)+1
+    * times per doc, so exact counts VARY across colliding tokens and an
+    * estimate that read the wrong bucket (or dropped a colliding term's
+    * mass) breaks the hash; the emitted `no_undercount` booleans pin the
+    * one-sided guarantee under real pressure at gate scale. The oracle
+    * replays the sketch bit-for-bit in DuckDB over its own generated
+    * corpus (q141's CTE chain, FROM a range CTE, width 64). */
+  private[graft] val q216Docs = 1L << 20
+
+  private[graft] def q216Corpus(spark: SparkSession,
+                                docs: Long = q216Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      expr("repeat(concat('t', CAST(id % 1024 AS STRING), ' '), " +
+        "CAST(id % 7 AS INT) + 1)").as("text"))
+
+  def q216CmsAtScale(spark: SparkSession, dir: String): DataFrame =
+    cmsAudit(q216Corpus(spark), "text", width = 64, depth = 4, k = 50)
+
+  private[graft] def q216OracleSql(docs: Long = q216Docs): String = {
+    val nib = graft.ext.Sampling.nibbleSumSql("h8")
+    raw"""
+    WITH docs AS (
+      SELECT repeat('t' || CAST(u.i % 1024 AS VARCHAR) || ' ',
+                    CAST(u.i % 7 AS INT) + 1) AS text
+      FROM unnest(range(0, $docs)) AS u(i)),
+    tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM docs),
+    cnt AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+    h AS (SELECT w, cnt, j,
+                 substring(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8) AS h8
+          FROM cnt, unnest([0, 1, 2, 3]) AS u(j)),
+    hb AS (SELECT w, cnt, j, $nib % 64 AS bucket FROM h),
+    sk AS (SELECT j, bucket, SUM(cnt) AS c FROM hb GROUP BY j, bucket),
+    pr AS (SELECT w FROM cnt ORDER BY cnt DESC, w LIMIT 50),
+    est AS (SELECT hb.w, MAX(hb.cnt) AS exact_cnt, MIN(sk.c) AS est
+            FROM pr JOIN hb USING (w)
+            JOIN sk ON sk.j = hb.j AND sk.bucket = hb.bucket
+            GROUP BY hb.w)
+    SELECT w, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est AS BIGINT) AS est, est >= exact_cnt AS no_undercount
+    FROM est"""
+  }
+
   // --- q161_join_size: CM-sketch join-cardinality estimation --------------
   /** Join-size estimation from two count-min sketches — the AQP/planner
     * primitive: `|A ⨝ B|` on a key is the inner product Σ_k cA(k)·cB(k),
@@ -1567,6 +1619,7 @@ object Profiling {
     "q121_ecdf"         -> q121Ecdf _,
     "q138_chi2"         -> q138Chi2 _,
     "q141_count_min"    -> q141CountMin _,
+    "q216_cms_atscale"  -> q216CmsAtScale _,
     "q142_diversity"    -> q142Diversity _,
     "q144_ks_drift"     -> q144KsDrift _,
     "q159_mannwhitney"  -> q159MannWhitney _,
@@ -1592,6 +1645,7 @@ object Profiling {
     "q121_ecdf"         -> q121EcdfSql,
     "q138_chi2"         -> q138Chi2Sql,
     "q141_count_min"    -> q141CountMinSql,
+    "q216_cms_atscale"  -> q216OracleSql(),
     "q142_diversity"    -> q142DiversitySql,
     "q144_ks_drift"     -> q144KsDriftSql,
     "q159_mannwhitney"  -> q159MannWhitneySql,

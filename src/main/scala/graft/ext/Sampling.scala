@@ -335,6 +335,45 @@ object Sampling {
     SELECT doc_id, n_tickets, CAST(priority AS BIGINT) AS priority
     FROM pri ORDER BY priority, doc_id LIMIT 100"""
 
+  // --- q217_ticket_atscale: weighted sampling's ticket lottery at 2²⁰ ----
+  /** At-scale correctness coverage for [[ticketSample]] — q120 runs the
+    * lottery over the few-thousand-row documents table; this replays the
+    * SAME entry point over a range-synthesized 2²⁰-row frame with weights
+    * 1..4 (w = 1 + id mod 4), driving ~2.6M exploded tickets through the
+    * md5 priority draw, the map-side per-id min-collapse, and the
+    * TakeOrdered top-k. At this scale the winning priorities crowd the
+    * extreme low tail of the hash distribution — a biased nibble sum, a
+    * dropped ticket, or an off-by-one in the explode bound (`sequence(1,
+    * w)` vs `range(1, w+1)`) shifts the boundary of the top-100 and
+    * breaks the hash in a way a small corpus rarely exposes. The oracle
+    * replays the draw bit-for-bit in DuckDB over its own generated
+    * frame. */
+  private[graft] val q217Rows = 1L << 20
+
+  private[graft] def q217Frame(spark: SparkSession,
+                               rows: Long = q217Rows): DataFrame =
+    spark.range(rows).select(col("id").as("doc_id"),
+      (lit(1) + (col("id") % 4)).cast("int").as("w"))
+
+  def q217TicketAtScale(spark: SparkSession, dir: String): DataFrame =
+    ticketSample(q217Frame(spark), "doc_id", col("w"), k = 100)
+
+  private[graft] def q217OracleSql(rows: Long = q217Rows): String = s"""
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS doc_id,
+                      CAST(1 + (u.i % 4) AS INT) AS w
+               FROM unnest(range(0, $rows)) AS u(i)),
+    tk AS (
+      SELECT doc_id, w,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                           CAST(r AS VARCHAR)), 1, 8) AS h
+      FROM t, unnest(range(1, w + 1)) AS u(r)),
+    pri AS (
+      SELECT doc_id, CAST(MAX(w) AS INT) AS n_tickets,
+             MIN(${nibbleSumSql("h")}) AS priority
+      FROM tk GROUP BY doc_id)
+    SELECT doc_id, n_tickets, CAST(priority AS BIGINT) AS priority
+    FROM pri ORDER BY priority, doc_id LIMIT 100"""
+
   // --- q127_group_sample: exactly-k-per-stratum deterministic sample ------
   /** Fixed-SIZE per-stratum sampling — min(k, |stratum|) rows per group,
     * where [[stratifiedSample]] fixes the RATE: the shape an eval set or
@@ -625,6 +664,7 @@ object Sampling {
     "q77_temperature_mix"   -> q77TemperatureMix _,
     "q102_budget_alloc"     -> q102BudgetAlloc _,
     "q120_ticket_sample"    -> q120TicketSample _,
+    "q217_ticket_atscale"   -> q217TicketAtScale _,
     "q127_group_sample"     -> q127GroupSample _,
     "q146_rendezvous"       -> q146Rendezvous _,
     "q171_hash_ring"        -> q171HashRing _,
@@ -638,6 +678,7 @@ object Sampling {
     "q77_temperature_mix"   -> q77TemperatureMixSql,
     "q102_budget_alloc"     -> q102BudgetAllocSql,
     "q120_ticket_sample"    -> q120TicketSampleSql,
+    "q217_ticket_atscale"   -> q217OracleSql(),
     "q127_group_sample"     -> q127GroupSampleSql,
     "q146_rendezvous"       -> q146RendezvousSql,
     "q171_hash_ring"        -> q171HashRingSql,

@@ -367,4 +367,24 @@ class ProfilingSpec extends GraftSuite {
       2 -> ((1L, 0.2)),  // 25000
       9 -> ((1L, 0.2))), got.toString)
   }
+
+  /** q216 pins: the gate corpus really is 2²⁰ documents (count prunes the
+    * text construction — milliseconds), and a small-width audit over a
+    * 256-doc analog of the SAME generator keeps the one-sided guarantee
+    * under forced collisions (semantics are q141's, already
+    * property-tested; this pins the generator wiring). */
+  test("q216: corpus is 2^20 docs; small analog keeps no_undercount under collisions") {
+    assert(Profiling.q216Corpus(spark).count() == (1L << 20))
+    val rows = Profiling.cmsAudit(
+        Profiling.q216Corpus(spark, docs = 256L), "text",
+        width = 4, depth = 4, k = 20)
+      .collect()
+    assert(rows.length == 20, s"expected top-20 of 256 tokens, got ${rows.length}")
+    assert(rows.forall(_.getAs[Boolean]("no_undercount")),
+      rows.filterNot(_.getAs[Boolean]("no_undercount")).mkString(", "))
+    // width 4 over 256 tokens: the pigeonhole guarantees real collisions,
+    // so at least one estimate must strictly overshoot its exact count
+    assert(rows.exists(r => r.getAs[Long]("est") > r.getAs[Long]("exact_cnt")),
+      "no collision overshoot — the under-provisioned width is not biting")
+  }
 }

@@ -277,4 +277,25 @@ class SamplingSpec extends GraftSuite {
       .groupBy("key").count().collect().map(_.getLong(1)).toSet
     assert(cnt == Set(3L), cnt.toString)
   }
+
+  /** q217 pins: the gate frame is 2²⁰ rows, and on a 64-row analog of the
+    * SAME generator the lottery favors weight monotonically — a higher-
+    * weight row holds more tickets, so the min priority over a superset
+    * of tickets can only be ≤ (pinned per-id: adding tickets to the same
+    * id never worsens its priority). Semantics vs the oracle are q120's;
+    * this pins the generator wiring and the explode bound. */
+  test("q217: frame is 2^20 rows; more tickets never worsen an id's priority") {
+    assert(Sampling.q217Frame(spark).count() == (1L << 20))
+    val small = Sampling.q217Frame(spark, rows = 64L)
+    val k = 64
+    val p4 = Sampling.ticketSample(small, "doc_id", col("w"), k)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("priority")).toMap
+    val p1 = Sampling.ticketSample(small, "doc_id", lit(1), k)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("priority")).toMap
+    // every id's weighted priority (min over w >= 1 tickets, ticket 1
+    // included) is <= its single-ticket priority
+    assert(p1.forall { case (id, p) => p4(id) <= p },
+      p1.filter { case (id, p) => p4(id) > p }.take(3).toString)
+    assert(p4.values.toSet.size > 1, "degenerate priorities")
+  }
 }
