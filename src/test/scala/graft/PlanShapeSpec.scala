@@ -453,4 +453,69 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Window"), "value-keyed window in diff-explain plan")
     assert(!p.contains("CartesianProduct"))
   }
+
+  // --- the q210–q217 at-scale gates: plan properties behind the scale claims
+
+  test("q210 two-phase top-k: rank-limit pushdown both phases, never a one-task window") {
+    val p = plan("q210_topk_atscale")
+    // Spark 4 inserts WindowGroupLimit (Partial before the exchange,
+    // Final after) for each rn<=k window — 4 nodes total. Losing them
+    // means every task sorts its full input instead of keeping k rows.
+    assert(count(p, "WindowGroupLimit") == 4, p.take(800))
+    // one exchange per phase, keyed (g, salt) then (g) — and no global
+    // single-partition collapse anywhere
+    assert(count(p, "Exchange hashpartitioning") == 2, p.take(800))
+    assert(!p.contains("Exchange SinglePartition"), "global window leaked in")
+    assert(count(p, "+- Window ") == 2)
+  }
+
+  test("q211 as-of at scale keeps the q44 contract: one shuffle + one sort feed the fill") {
+    val p = plan("q211_asof_atscale")
+    // one hash exchange for the union sort + one for the user rollup;
+    // exactly one sort (the per-key union order) and one window (the
+    // forward fill) — a range-join rewrite or resort would break 100 TB
+    assert(count(p, "Exchange hashpartitioning") == 2, p.take(800))
+    assert(count(p, "+- Sort ") == 1, p.take(800))
+    assert(count(p, "+- Window ") == 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q212 salted join: the spread keys reach the join; probe side never pre-shuffles") {
+    val p = plan("q212_saltedjoin_atscale")
+    // the join must be keyed (k, __salt) — that pair appearing in the
+    // join/exchange keys IS the guaranteed celebrity-key spread; the
+    // replicated build side stays small enough that the planner
+    // broadcasts it, so the 2^20-row probe pays no join shuffle at all
+    assert(count(p, "__salt") >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // only the rollup shuffles the probe side
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+  }
+
+  test("q213 prefix sum: range slices + one bounded offsets window + broadcast-back") {
+    val p = plan("q213_prefixsum_atscale")
+    // the 256-way range partition is the scale mechanism; exactly ONE
+    // single-partition exchange exists (the <=256-row per-slice offsets
+    // window — bounded by construction), and the offsets return to the
+    // data as a broadcast join, never a shuffle
+    assert(p.contains("Exchange rangepartitioning"), p.take(800))
+    assert(count(p, "Exchange SinglePartition") == 1, p.take(800))
+    assert(count(p, "BroadcastHashJoin") == 1, p.take(800))
+  }
+
+  test("q215 bm25 at scale: query-term filter precedes any shuffle; top-k is TakeOrdered") {
+    val p = plan("q215_bm25_atscale")
+    // tokens not in the query must die at the explode, before the tf
+    // shuffle — at 100 TB this filter is the difference between shuffling
+    // 2 matched terms per doc and the whole token stream
+    assert(p.contains("IN (q3,q7)"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "global sort replaced the top-k")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q217 ticket lottery: top-k is TakeOrdered, no global sort anywhere") {
+    val p = plan("q217_ticket_atscale")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("+- Sort "), "a full sort crept into the lottery")
+  }
 }
