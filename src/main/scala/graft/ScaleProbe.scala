@@ -156,6 +156,71 @@ object SimScaleProbe {
   }
 }
 
+/** Scaling-exponent probe for the q210–q213 at-scale gate shapes
+  * (salted two-phase top-k, as-of union-sort, salted equi-join, range
+  * prefix sum) — same 1×-vs-8× protocol as [[SimScaleProbe]], scaling
+  * the row count while holding group/key/user cardinality fixed so the
+  * per-task volume (the thing the plans exist to bound) is what grows.
+  * All four are single-pass shuffle shapes, so the honest expectation is
+  * exp ≈ 1.0 (scan/shuffle-bound); the probe exists to catch a
+  * SUPERLINEAR term (a resort, a blowup join) appearing at size, not to
+  * claim sublinearity. `sbt "runMain graft.RelScaleProbe"`; results in
+  * SCALE_PROBE.md. */
+object RelScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = LocalSession.build(cpus)
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Joins, Windows}
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def topkRun(rows: Long): Unit =
+      noop(Windows.perGroupTopK(Windows.q210Frame(spark, rows),
+        group = Seq(col("g")), order = Seq(col("v").desc, col("id")),
+        saltSrc = col("id"), k = 5))
+    def asofRun(events: Long): Unit =
+      noop(Joins.q211Rollup(Joins.asOfJoin(
+        Joins.q211Left(spark, events = events), Joins.q211Right(spark),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        rightPayload = Seq("ts", "quote"))))
+    def saltedRun(rows: Long): Unit =
+      noop(Joins.saltedJoin(Joins.q212Probe(spark, rows),
+          Joins.q212Build(spark), key = "k", saltSrc = col("id"), salts = 16)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("id")).as("s")))
+    def prefixRun(keys: Long): Unit =
+      noop(Windows.rangePrefixSum(
+        spark.range(keys).select(col("id"), (col("id") - keys / 2).as("v")),
+        "id", "v", "cum"))
+
+    case class Fam(name: String, run: Long => Unit, s1: Long, s8: Long)
+    val fams = Seq(
+      Fam("topk_two_phase", topkRun, 1L << 21, 1L << 24),
+      Fam("asof_union_sort", asofRun, 1L << 20, 1L << 23),
+      Fam("salted_join", saltedRun, 1L << 20, 1L << 23),
+      Fam("range_prefix_sum", prefixRun, 1L << 20, 1L << 23))
+
+    def timed(run: Long => Unit, p: Long): Double = {
+      CacheRegistry.drainForMeasurement(spark)
+      val t0 = System.nanoTime()
+      run(p)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    println(f"${"family"}%-18s ${"t_1x_s"}%8s ${"t_8x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
+    fams.foreach { f =>
+      timed(f.run, f.s1) // warmup (codegen + JIT)
+      val t1 = math.min(timed(f.run, f.s1), timed(f.run, f.s1))
+      val t8 = timed(f.run, f.s8)
+      val ratio = t8 / t1
+      val exp = math.log10(ratio) / math.log10(8.0)
+      println(f"${f.name}%-18s $t1%8.2f $t8%8.2f $ratio%7.2f $exp%5.2f")
+    }
+    spark.stop()
+  }
+}
+
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
