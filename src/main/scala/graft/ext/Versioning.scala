@@ -247,6 +247,68 @@ object Versioning {
            lead(ts_us) OVER w IS NULL AS is_current
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
 
+  // --- q218_scd2_atscale: slowly-changing-dimension tracking at 2²⁰ rows --
+  /** At-scale correctness coverage for [[scd2]] — q96 runs the change
+    * detection over the ~60k-row events table; this replays the SAME
+    * entry point over a range-synthesized history of 2²⁰ observations:
+    * 2048 entities × 512 timestamped readings each, where entity u's
+    * state cycles through 4 values changing every (u mod 7)+2
+    * observations — per-entity run lengths from 2 to 8, so the
+    * lag-based change filter, the lead-based interval close, and the
+    * version numbering all work against runs of varying width inside
+    * 512-row key partitions (the per-key sort volume a small corpus
+    * never reaches). Output is entity-rolled (2048 rows: version count,
+    * exactly-one-current check, integer-exact validity-window sums; a
+    * dropped change row, a mis-closed interval, or a version gap breaks
+    * the hash). The oracle replays the lag/lead/window chain
+    * independently in DuckDB over its own generated history. */
+  private[graft] val q218Rows = 1L << 20
+  private[graft] val q218Users = 2048L
+
+  private[graft] def q218Events(spark: SparkSession, rows: Long = q218Rows,
+                                users: Long = q218Users): DataFrame =
+    spark.range(rows).select(
+      col("id").as("event_id"),
+      (col("id") % users).as("user_id"),
+      expr(s"timestamp_micros(1767225600000000 + (id div $users) * 60000000)")
+        .as("ts"),
+      concat(lit("s"),
+        (expr(s"(id div $users) div ((id % $users) % 7 + 2)") % 4)
+          .cast("string")).as("state"))
+
+  def q218Scd2AtScale(spark: SparkSession, dir: String): DataFrame =
+    scd2(q218Events(spark), "user_id", "state", "ts", "event_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("is_current").cast("long")).as("n_current"),
+        sum(col("valid_from_us")).as("sum_from"),
+        sum(col("valid_to_us")).as("sum_to"))
+
+  private[graft] def q218OracleSql(rows: Long = q218Rows,
+                                   users: Long = q218Users): String = s"""
+    WITH e AS (
+      SELECT CAST(u.i AS BIGINT) AS event_id,
+             CAST(u.i % $users AS BIGINT) AS user_id,
+             CAST(1767225600000000 + (u.i // $users) * 60000000 AS BIGINT)
+               AS ts_us,
+             's' || CAST(((u.i // $users) // ((u.i % $users) % 7 + 2)) % 4
+                         AS VARCHAR) AS state
+      FROM unnest(range(0, $rows)) AS u(i)),
+    d AS (SELECT *, lag(state) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+    c AS (SELECT user_id, state, ts_us FROM d
+          WHERE prev IS NULL OR prev <> state),
+    v AS (SELECT user_id, ts_us AS valid_from_us,
+                 lead(ts_us) OVER w AS valid_to_us,
+                 lead(ts_us) OVER w IS NULL AS is_current
+          FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us))
+    SELECT user_id, COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           CAST(SUM(valid_from_us) AS BIGINT) AS sum_from,
+           CAST(SUM(valid_to_us) AS BIGINT) AS sum_to
+    FROM v GROUP BY user_id"""
+
   // --- q118_delta_agg: incremental view maintenance with retractions ------
   /** The summable aggregate state over a keyed corpus: one row per key
     * group carrying (n_rows, sum_val) — the mergeable sufficient
@@ -436,6 +498,7 @@ object Versioning {
     "q79_upsert"        -> q79Upsert _,
     "q80_snapshot_diff" -> q80SnapshotDiff _,
     "q96_scd2"          -> q96Scd2 _,
+    "q218_scd2_atscale" -> q218Scd2AtScale _,
     "q118_delta_agg"    -> q118DeltaAgg _,
     "q124_table_checksum" -> q124TableChecksum _,
   )
@@ -446,6 +509,7 @@ object Versioning {
     "q79_upsert"        -> q79UpsertSql,
     "q80_snapshot_diff" -> q80SnapshotDiffSql,
     "q96_scd2"          -> q96Scd2Sql,
+    "q218_scd2_atscale" -> q218OracleSql(),
     "q118_delta_agg"    -> q118DeltaAggSql,
     "q124_table_checksum" -> q124TableChecksumSql,
   )

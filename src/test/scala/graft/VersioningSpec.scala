@@ -137,4 +137,32 @@ class VersioningSpec extends GraftSuite {
       ("k1", 2) -> "live",
       ("k2", 0) -> "live"), got.toString)
   }
+
+  /** q218 pin, small analog (8 entities × 512 observations): entity u's
+    * state changes exactly every (u mod 7)+2 observations, so the SCD2
+    * version count is the closed form ceil(512 / ((u mod 7)+2)) and
+    * exactly one version per entity is current. */
+  test("q218 small analog: version counts match the closed form, one current each") {
+    val users = 8L
+    val obs = 512L
+    val got = Versioning.scd2(
+        Versioning.q218Events(spark, rows = users * obs, users = users),
+        "user_id", "state", "ts", "event_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("is_current").cast("long")).as("n_current"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_versions"),
+        r.getAs[Long]("n_current"))).toSet
+    val expected = (0L until users).map { u =>
+      val d = u % 7 + 2
+      (u, (obs + d - 1) / d, 1L)
+    }.toSet
+    assert(got == expected,
+      s"diff: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+  }
+
+  test("q218 full history is 2^20 observations") {
+    assert(Versioning.q218Events(spark).count() == (1L << 20))
+  }
 }
