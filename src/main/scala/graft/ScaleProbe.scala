@@ -90,6 +90,39 @@ object GraphScaleProbe {
   }
 }
 
+/** Shared timing harness for the generator-parameterized probes
+  * ([[SimScaleProbe]], [[RelScaleProbe]]): noop-writer sink, warmup at 1×
+  * (codegen + JIT, which also warms the family), min-of-2 at 1×, a single
+  * timed run at the big point, exponent normalized per decade as
+  * `log10(ratio) / log10(bigOverSmall)`. Coarse would-it-survive
+  * exponents, not benchmarks — the 1×-vs-8× protocol lives here once so
+  * the probes cannot drift apart. */
+private[graft] object ProbeRunner {
+  case class Fam(name: String, run: Long => Unit, s1: Long, s8: Long)
+
+  def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def runProbe(spark: SparkSession, fams: Seq[Fam],
+               bigOverSmall: Double = 8.0, nameWidth: Int = 18): Unit = {
+    def timed(run: Long => Unit, p: Long): Double = {
+      CacheRegistry.drainForMeasurement(spark)
+      val t0 = System.nanoTime()
+      run(p)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"family"}%-18s ${"t_1x_s"}%8s ${"t_8x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
+    fams.foreach { f =>
+      timed(f.run, f.s1) // warmup (codegen + JIT)
+      val t1 = math.min(timed(f.run, f.s1), timed(f.run, f.s1))
+      val t8 = timed(f.run, f.s8)
+      val ratio = t8 / t1
+      val exp = math.log10(ratio) / math.log10(bigOverSmall)
+      println(f"${f.name}%-18s $t1%8.2f $t8%8.2f $ratio%7.2f $exp%5.2f")
+    }
+  }
+}
+
 /** Scaling-exponent probe for the SYNTHETIC similarity/dedup families
   * behind the q207/q208/q209 at-scale gates — [[ScaleProbe]]'s corpus
   * derivation scales the parquet tables, but these operators' gate rows
@@ -111,11 +144,8 @@ object SimScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = LocalSession.build(cpus)
     import graft.ext.{Dedup, Similarity}
+    import ProbeRunner.{Fam, noop}
 
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
-    case class Fam(name: String, run: Long => Unit, s1: Long, s8: Long)
     def annRun(size: Long): Unit =
       noop(Similarity.annCosineTopK(
         Similarity.q207Corpus(spark, Similarity.q207Clusters, size),
@@ -136,22 +166,7 @@ object SimScaleProbe {
       // 1× = 2^17 docs, 8× = 2^20 (the registry-gate scale)
       Fam("minhash_lsh", minhashRun, 131072L, 1048576L))
 
-    def timed(run: Long => Unit, p: Long): Double = {
-      CacheRegistry.drainForMeasurement(spark)
-      val t0 = System.nanoTime()
-      run(p)
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    println(f"${"family"}%-16s ${"t_1x_s"}%8s ${"t_8x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
-    fams.foreach { f =>
-      timed(f.run, f.s1) // warmup (codegen + JIT)
-      val t1 = math.min(timed(f.run, f.s1), timed(f.run, f.s1))
-      val t8 = timed(f.run, f.s8)
-      val ratio = t8 / t1
-      val exp = math.log10(ratio) / math.log10(8.0)
-      println(f"${f.name}%-16s $t1%8.2f $t8%8.2f $ratio%7.2f $exp%5.2f")
-    }
+    ProbeRunner.runProbe(spark, fams)
     spark.stop()
   }
 }
@@ -172,9 +187,7 @@ object RelScaleProbe {
     val spark = LocalSession.build(cpus)
     import org.apache.spark.sql.functions._
     import graft.ops.{Joins, Windows}
-
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    import ProbeRunner.{Fam, noop}
 
     def topkRun(rows: Long): Unit =
       noop(Windows.perGroupTopK(Windows.q210Frame(spark, rows),
@@ -194,29 +207,13 @@ object RelScaleProbe {
         spark.range(keys).select(col("id"), (col("id") - keys / 2).as("v")),
         "id", "v", "cum"))
 
-    case class Fam(name: String, run: Long => Unit, s1: Long, s8: Long)
     val fams = Seq(
       Fam("topk_two_phase", topkRun, 1L << 21, 1L << 24),
       Fam("asof_union_sort", asofRun, 1L << 20, 1L << 23),
       Fam("salted_join", saltedRun, 1L << 20, 1L << 23),
       Fam("range_prefix_sum", prefixRun, 1L << 20, 1L << 23))
 
-    def timed(run: Long => Unit, p: Long): Double = {
-      CacheRegistry.drainForMeasurement(spark)
-      val t0 = System.nanoTime()
-      run(p)
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    println(f"${"family"}%-18s ${"t_1x_s"}%8s ${"t_8x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
-    fams.foreach { f =>
-      timed(f.run, f.s1) // warmup (codegen + JIT)
-      val t1 = math.min(timed(f.run, f.s1), timed(f.run, f.s1))
-      val t8 = timed(f.run, f.s8)
-      val ratio = t8 / t1
-      val exp = math.log10(ratio) / math.log10(8.0)
-      println(f"${f.name}%-18s $t1%8.2f $t8%8.2f $ratio%7.2f $exp%5.2f")
-    }
+    ProbeRunner.runProbe(spark, fams)
     spark.stop()
   }
 }

@@ -889,8 +889,12 @@ object Windows {
     * ties anywhere, so the tiebreak never decides) and scatters the top-k
     * uniformly across the frame, so every salted partition genuinely
     * contends in phase 1 rather than one tail slice holding all winners.
-    * All arithmetic stays below 2⁵² so BIGINT products are exact in both
-    * engines; the oracle is DuckDB's own naive one-window plan over the
+    * At the gate size (2²¹ rows) all products stay below 2⁵²; more
+    * generally the arithmetic fits exact 64-bit integers in BOTH engines
+    * (RelScaleProbe drives this generator to 2²⁴ rows, where products
+    * pass 2⁵² but remain exact BIGINT — only a DOUBLE round-trip would
+    * lose bits, and neither engine takes one); the oracle is DuckDB's
+    * own naive one-window plan over the
     * same generated frame — an independent implementation of the total
     * order the two-phase plan must reproduce exactly. */
   private[graft] val q210Rows = 1L << 21

@@ -746,6 +746,32 @@ object Streams {
   private[graft] val q206BaseUs = 1767225600000000L // 2026-01-01 00:00 UTC
   private val q206Seq = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Drain a FINISHED memory-sink streaming query eagerly: materialize
+    * the sink's rows, drop its temp view, delete its checkpoint
+    * directory, and return the rows as a local DataFrame. The at-scale
+    * stream gates (q206/q214) run once per gate pass plus three times in
+    * specs — without eager cleanup each invocation leaks a grow-only
+    * in-memory sink table and a checkpoint temp dir for the JVM's
+    * lifetime. Both gates' outputs are closed-form row sets (16,385 and
+    * 65,536 rows of a few longs), so the materialization is bounded by
+    * construction. */
+  private def drainMemorySink(spark: SparkSession, name: String,
+                              ckpt: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val sink = spark.table(name)
+    // collect-ok: the memory sink holds the gate's closed-form output
+    // (≤ 65,536 rows × ≤5 numeric cols — already driver-resident inside
+    // the MemorySink); materialized so the backing view can be dropped
+    val rows = sink.collect().toSeq
+    val schema = sink.schema
+    spark.catalog.dropTempView(name)
+    scala.util.Using(java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))) {
+      s => s.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   def q206StreamAtScale(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -774,7 +800,7 @@ object Streams {
       ms.addData(Seq((q206Users, tsAt(probe1 + 7200000000L))))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
+    drainMemorySink(spark, name, ckpt)
       .select(col("user_id"), col("session_id"), col("session_start_us"),
         col("n_events"), col("duration_us"))
   }
@@ -870,7 +896,7 @@ object Streams {
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.table(name)
+    drainMemorySink(spark, name, ckpt)
   }
 
   def q214StreamJoinAtScale(spark: SparkSession, dir: String): DataFrame =

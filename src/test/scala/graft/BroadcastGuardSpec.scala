@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source-lint guard closing the forced-broadcast-of-data-scaled-frames
@@ -23,27 +21,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BroadcastGuardSpec extends AnyFunSuite {
 
-  private val mainRoot = Paths.get("src/main/scala")
-
-  private def scalaFiles(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq
-
   test("every broadcast() hint in src/main carries a bcast-ok size rationale") {
-    val violations = scalaFiles(mainRoot).flatMap { p =>
-      val lines = Files.readAllLines(p).asScala.toVector
-      lines.zipWithIndex.collect {
-        case (line, i)
-            if line.contains("broadcast(") &&
-              !line.trim.startsWith("import ") &&
-              !line.trim.startsWith("//") &&
-              !line.trim.startsWith("*") &&
-              !(i - 3 to i).exists(j =>
-                j >= 0 && lines(j).contains("bcast-ok:")) =>
-          s"$p:${i + 1}: ${line.trim}"
-      }
-    }
+    val violations =
+      GuardLint.violations(_.contains("broadcast("), "bcast-ok:")
     assert(violations.isEmpty,
       "broadcast() without a bcast-ok annotation (state why the frame " +
         "cannot scale with the data, or drop the hint and let AQE " +
@@ -51,9 +31,7 @@ class BroadcastGuardSpec extends AnyFunSuite {
   }
 
   test("the guard itself sees the existing annotated sites (not vacuous)") {
-    val n = scalaFiles(mainRoot).map { p =>
-      Files.readAllLines(p).asScala.count(_.contains("bcast-ok:"))
-    }.sum
+    val n = GuardLint.annotationCount("bcast-ok:")
     assert(n >= 60, s"expected the audited annotation corpus, found $n")
   }
 }

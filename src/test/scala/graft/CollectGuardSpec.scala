@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source-lint guard closing the driver-side-materialization bug class,
@@ -22,30 +20,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CollectGuardSpec extends AnyFunSuite {
 
-  private val mainRoot = Paths.get("src/main/scala")
-
-  private def scalaFiles(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq
-
   private val action = Seq(".collect()", ".head()", ".first()")
 
   test("every driver-side action in src/main carries a collect-ok " +
       "driver-sized rationale") {
-    val violations = scalaFiles(mainRoot).flatMap { p =>
-      val lines = Files.readAllLines(p).asScala.toVector
-      lines.zipWithIndex.collect {
-        case (line, i)
-            if action.exists(line.contains) &&
-              !line.trim.startsWith("import ") &&
-              !line.trim.startsWith("//") &&
-              !line.trim.startsWith("*") &&
-              !(i - 3 to i).exists(j =>
-                j >= 0 && lines(j).contains("collect-ok:")) =>
-          s"$p:${i + 1}: ${line.trim}"
-      }
-    }
+    val violations = GuardLint.violations(
+      l => action.exists(l.contains), "collect-ok:")
     assert(violations.isEmpty,
       "driver-side action without a collect-ok annotation (state why " +
         "the frame is driver-sized — 1-row aggregate, limit(k), bounded " +
@@ -54,9 +34,7 @@ class CollectGuardSpec extends AnyFunSuite {
   }
 
   test("the guard itself sees the existing annotated sites (not vacuous)") {
-    val n = scalaFiles(mainRoot).map { p =>
-      Files.readAllLines(p).asScala.count(_.contains("collect-ok:"))
-    }.sum
+    val n = GuardLint.annotationCount("collect-ok:")
     assert(n >= 6, s"expected the audited annotation corpus, found $n")
   }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source-lint guard closing the cartesian-product bug class, fourth
@@ -21,29 +19,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CrossJoinGuardSpec extends AnyFunSuite {
 
-  private val mainRoot = Paths.get("src/main/scala")
-
-  private def scalaFiles(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq
-
   test("every crossJoin in src/main is broadcast-scalar or carries a " +
       "cross-ok boundedness rationale") {
-    val violations = scalaFiles(mainRoot).flatMap { p =>
-      val lines = Files.readAllLines(p).asScala.toVector
-      lines.zipWithIndex.collect {
-        case (line, i)
-            if line.contains("crossJoin(") &&
-              !line.contains("crossJoin(broadcast(") &&
-              !line.trim.startsWith("import ") &&
-              !line.trim.startsWith("//") &&
-              !line.trim.startsWith("*") &&
-              !(i - 3 to i).exists(j =>
-                j >= 0 && lines(j).contains("cross-ok:")) =>
-          s"$p:${i + 1}: ${line.trim}"
-      }
-    }
+    val violations = GuardLint.violations(
+      l => l.contains("crossJoin(") && !l.contains("crossJoin(broadcast("),
+      "cross-ok:")
     assert(violations.isEmpty,
       "crossJoin that is neither crossJoin(broadcast(...)) nor " +
         "cross-ok-annotated (state why a side is bounded, or use an " +
@@ -51,9 +31,7 @@ class CrossJoinGuardSpec extends AnyFunSuite {
   }
 
   test("the guard itself sees the existing annotated sites (not vacuous)") {
-    val n = scalaFiles(mainRoot).map { p =>
-      Files.readAllLines(p).asScala.count(_.contains("cross-ok:"))
-    }.sum
+    val n = GuardLint.annotationCount("cross-ok:")
     assert(n >= 4, s"expected the audited annotation corpus, found $n")
   }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source-lint guard closing the unbounded-group-materialization bug
@@ -25,30 +23,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GroupAggGuardSpec extends AnyFunSuite {
 
-  private val mainRoot = Paths.get("src/main/scala")
-
-  private def scalaFiles(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq
-
   private val calls = Seq("collect_list(", "collect_set(")
 
   test("every collect_list/collect_set in src/main carries a groupagg-ok " +
       "bounded-group rationale") {
-    val violations = scalaFiles(mainRoot).flatMap { p =>
-      val lines = Files.readAllLines(p).asScala.toVector
-      lines.zipWithIndex.collect {
-        case (line, i)
-            if calls.exists(line.contains) &&
-              !line.trim.startsWith("import ") &&
-              !line.trim.startsWith("//") &&
-              !line.trim.startsWith("*") &&
-              !(i - 3 to i).exists(j =>
-                j >= 0 && lines(j).contains("groupagg-ok:")) =>
-          s"$p:${i + 1}: ${line.trim}"
-      }
-    }
+    val violations = GuardLint.violations(
+      l => calls.exists(l.contains), "groupagg-ok:")
     assert(violations.isEmpty,
       "group-materializing aggregate without a groupagg-ok annotation " +
         "(state why the key group is bounded — doc-sized key, fixed " +
@@ -57,9 +37,7 @@ class GroupAggGuardSpec extends AnyFunSuite {
   }
 
   test("the lint is not vacuous: it sees the known annotated sites") {
-    val annotated = scalaFiles(mainRoot).map { p =>
-      Files.readAllLines(p).asScala.count(_.contains("groupagg-ok:"))
-    }.sum
+    val annotated = GuardLint.annotationCount("groupagg-ok:")
     assert(annotated >= 17,
       s"expected >= 17 groupagg-ok annotations in src/main, found " +
         s"$annotated — if sites were legitimately removed, update this " +

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source-lint guard closing the unpartitioned-global-window bug class,
@@ -24,29 +22,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class WindowGuardSpec extends AnyFunSuite {
 
-  private val mainRoot = Paths.get("src/main/scala")
-
-  private def scalaFiles(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq
-
   test("every unpartitioned Window.orderBy in src/main carries a " +
       "window-ok boundedness rationale") {
-    val violations = scalaFiles(mainRoot).flatMap { p =>
-      val lines = Files.readAllLines(p).asScala.toVector
-      lines.zipWithIndex.collect {
-        case (line, i)
-            if line.contains("Window.orderBy(") &&
-              !line.contains("partitionBy") &&
-              !line.trim.startsWith("import ") &&
-              !line.trim.startsWith("//") &&
-              !line.trim.startsWith("*") &&
-              !(i - 3 to i).exists(j =>
-                j >= 0 && lines(j).contains("window-ok:")) =>
-          s"$p:${i + 1}: ${line.trim}"
-      }
-    }
+    val violations = GuardLint.violations(
+      l => l.contains("Window.orderBy(") && !l.contains("partitionBy"),
+      "window-ok:")
     assert(violations.isEmpty,
       "Window.orderBy without partitionBy and without a window-ok " +
         "annotation (state why the frame is bounded, or partition the " +
@@ -54,9 +34,7 @@ class WindowGuardSpec extends AnyFunSuite {
   }
 
   test("the guard itself sees the existing annotated sites (not vacuous)") {
-    val n = scalaFiles(mainRoot).map { p =>
-      Files.readAllLines(p).asScala.count(_.contains("window-ok:"))
-    }.sum
+    val n = GuardLint.annotationCount("window-ok:")
     assert(n >= 3, s"expected the audited annotation corpus, found $n")
   }
 }
