@@ -115,7 +115,9 @@ object Bench {
       "q209_minhash_atscale", "q210_topk_atscale", "q211_asof_atscale",
       "q212_saltedjoin_atscale", "q213_prefixsum_atscale",
       "q214_streamjoin_atscale", "q215_bm25_atscale", "q216_cms_atscale",
-      "q217_ticket_atscale", "q218_scd2_atscale")
+      "q217_ticket_atscale", "q218_scd2_atscale", "q219_pagerank_atscale",
+      "q220_sssp_atscale", "q221_triangles_atscale", "q222_kcore_atscale",
+      "q223_media_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

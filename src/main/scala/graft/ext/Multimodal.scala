@@ -391,7 +391,82 @@ object Multimodal {
            CAST(SUM(b) AS BIGINT) AS total_bytes
     FROM s GROUP BY mime"""
 
+  // --- q223_media_atscale: the batched typed decode path at 2^20 payloads -
+  /** At-scale correctness coverage for [[extractFeatures]] — the typed
+    * `mapPartitions` batch plumbing (encoder round-trip, `grouped(64)`
+    * batching, per-payload ImageIO sniff, byte statistics) runs in the
+    * registry only over the corpus-sized media table; this replays the
+    * SAME entry point over 2²⁰ range-synthesized 80-byte payloads where
+    * byte j of payload `id` is `(id + j) mod 256` — so every byte of
+    * every payload is closed-form and the oracle replays the byte sums
+    * per residue class (a 256-row precomputed run table) without ever
+    * building a blob. No consecutive-value run matches a JDK codec
+    * signature (PNG 89 50, JPEG FF D8, GIF 47 49, BMP 42 4D all need
+    * non-consecutive byte pairs), so the ImageIO sniff deterministically
+    * falls back to the stub on all 2²⁰ payloads — `n_stub` pins that the
+    * decode ATTEMPT ran everywhere, `sum/min/max` of `byte_sum` pin the
+    * per-byte arithmetic (ids in a bucket share `id mod 256`, so
+    * min=max certifies per-residue uniformity), and `sum_width` pins the
+    * metadata passthrough. [[sampleFrames]] needs no twin gate: it is
+    * pure codegen'd explode+substring (scan-shaped) with a byte-exact
+    * corpus oracle (q89).
+    *
+    * Generation note: the payload is built as a hex string via a
+    * `transform` lambda (interpreted per element, 80×2²⁰ evals) — fine
+    * for a gate generator, never on a corpus path. */
+  private[graft] val q223Docs = 1L << 20
+  private[graft] val q223PayloadLen = 80
+
+  private[graft] def q223Media(spark: SparkSession,
+                               docs: Long = q223Docs): Dataset[MediaRow] = {
+    import spark.implicits._
+    val hexStr = array_join(
+      transform(sequence(lit(0), lit(q223PayloadLen - 1)),
+        j => lpad(hex(pmod(col("id") + j, lit(256L))), 2, "0")), "")
+    spark.range(docs).select(
+      col("id").as("doc_id"),
+      unhex(hexStr).as("payload"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("mime"),
+      (lit(16) + pmod(col("id") * 7, lit(1008))).cast("int").as("width"),
+      (lit(16) + pmod(col("id") * 13, lit(752))).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  def q223MediaAtScale(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(q223Media(spark)).toDF()
+      .groupBy(pmod(col("doc_id"), lit(1024L)).as("gb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("decoder") === "stub-v1", 1L).otherwise(0L)).as("n_stub"),
+        sum(col("byte_sum")).as("sum_bytes"),
+        min(col("byte_sum")).as("min_bytes"),
+        max(col("byte_sum")).as("max_bytes"),
+        sum(col("n_bytes").cast("long")).as("sum_len"),
+        sum(col("width").cast("long")).as("sum_width"))
+
+  /** Closed form: byte_sum(id) = Σ_{j<80} (id+j) mod 256 depends only on
+    * id mod 256; 1024 | 256·k so every bucket is one residue class. */
+  val q223MediaAtScaleSql: String = s"""
+    WITH s80 AS (
+      SELECT r.r0 AS r0, SUM((r.r0 + k.i) % 256) AS s
+      FROM unnest(range(0, 256)) r(r0),
+           unnest(range(0, $q223PayloadLen)) k(i)
+      GROUP BY 1),
+    ids AS (SELECT CAST(u.i AS BIGINT) AS id
+            FROM unnest(range(0, $q223Docs)) u(i)),
+    f AS (SELECT id, id % 1024 AS gb, s80.s AS bs,
+                 16 + (id * 7) % 1008 AS w
+          FROM ids JOIN s80 ON s80.r0 = id % 256)
+    SELECT CAST(gb AS BIGINT) AS gb, COUNT(*) AS n, COUNT(*) AS n_stub,
+           CAST(SUM(bs) AS BIGINT) AS sum_bytes,
+           CAST(MIN(bs) AS BIGINT) AS min_bytes,
+           CAST(MAX(bs) AS BIGINT) AS max_bytes,
+           CAST(COUNT(*) * $q223PayloadLen AS BIGINT) AS sum_len,
+           CAST(SUM(w) AS BIGINT) AS sum_width
+    FROM f GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_media_atscale"  -> q223MediaAtScale _,
     "q198_media_conformance" -> q198MediaConformance _,
     "q34_multimodal_meta" -> q34MultimodalMeta _,
     "q89_frame_sample"    -> q89FrameSample _,
@@ -399,6 +474,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "q223_media_atscale"  -> q223MediaAtScaleSql,
     "q198_media_conformance" -> q198MediaConformanceSql,
     "q34_multimodal_meta" -> q34MultimodalMetaSql,
     "q89_frame_sample"    -> q89FrameSampleSql,

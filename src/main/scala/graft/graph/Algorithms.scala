@@ -1445,7 +1445,240 @@ object Algorithms {
            CAST(3970 * g + 518049 AS BIGINT) AS sum_ids
     FROM (SELECT CAST(u.i AS BIGINT) AS g FROM unnest(range(0, 8192)) AS u(i))"""
 
+  // --- q219_pagerank_atscale: float-valued Pregel at ≥1M edges ------------
+  /** At-scale correctness coverage for [[pageRank]] — q32 runs the damping
+    * arithmetic on 25 nations; this replays the SAME entry point over a
+    * range-synthesized 2²⁰-vertex graph (1024 blocks × 1024) whose
+    * PageRank iterates have a CLOSED FORM the oracle replays bit-for-bit,
+    * which for a float-valued program needs the graph to make every
+    * message sum order-invariant:
+    *
+    *  - every vertex p has a ring edge p → p+1 (mod 1024, within block);
+    *  - every EVEN p also has a skip edge p → p+2 — so out-degree is 2
+    *    for even positions, 1 for odd, and IN-degree is 2 for even
+    *    (from p−1 odd and p−2 even), 1 for odd (from p−1 even only).
+    *
+    * Every vertex of a parity class is isomorphic, so values collapse to
+    * a two-variable recurrence: aₜ (odd) and bₜ (even) with
+    * aₜ₊₁ = c + 0.85·(bₜ/2), bₜ₊₁ = c + 0.85·(aₜ + bₜ/2), c = 0.15/N.
+    * Both messages into an even vertex are single IEEE doubles and
+    * 2-term double addition is commutative, so the distributed `sum`
+    * merge cannot reorder anything — the fixed-iteration run is exactly
+    * the recurrence, and the oracle unrolls it as scalar CTEs with the
+    * q32 literal discipline (`(1.0−0.85)/N`, `val/outdeg`, `c+0.85·msg`
+    * — identical expression trees in both engines). The output is the
+    * per-parity rollup with min=max pinning CLASS-UNIFORMITY: a single
+    * misrouted edge, dropped message, or wrong out-degree anywhere in
+    * 2²⁰ vertices breaks uniformity or the closed-form value. Scaled by
+    * N (an exact power of two, so the multiply is a lossless exponent
+    * shift) before ROUND(6) so the rounding operates at ~1, not ~1e−6. */
+  private[graft] val q219Blocks = 1024L
+  private[graft] val q219BlockSize = 1024L // must stay even: parity classes
+  private[graft] val q219Iters = 8
+
+  private[graft] def q219Edges(spark: SparkSession,
+                               blocks: Long = q219Blocks): DataFrame = {
+    val m = q219BlockSize
+    val all = spark.range(blocks * m).select(col("id"),
+      expr(s"(id div $m) * $m").as("base"), pmod(col("id"), lit(m)).as("p"))
+    val ring = all.select(col("id").as("src"),
+      (col("base") + pmod(col("p") + 1, lit(m))).as("dst"))
+    val skip = all.filter(pmod(col("p"), lit(2)) === 0)
+      .select(col("id").as("src"),
+        (col("base") + pmod(col("p") + 2, lit(m))).as("dst"))
+    ring.unionByName(skip)
+  }
+
+  def q219PageRankAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val n = q219Blocks * q219BlockSize
+    pageRank(spark.range(n).select(col("id")), q219Edges(spark), q219Iters)
+      .groupBy(pmod(col("id"), lit(2L)).as("parity"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(round(col("pagerank") * n, 6)).as("min_prn"),
+        max(round(col("pagerank") * n, 6)).as("max_prn"))
+  }
+
+  /** The two-variable recurrence unrolled as scalar CTEs (the q32
+    * pattern: generated, so the iteration count is pinned in one place
+    * and the literal expression trees match the Spark side's). */
+  val q219PageRankAtScaleSql: String = {
+    val n = q219Blocks * q219BlockSize
+    val c = s"(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / $n"
+    val prelude = s"""
+      WITH r0 AS (SELECT CAST(1.0 AS DOUBLE) / $n AS a,
+                         CAST(1.0 AS DOUBLE) / $n AS b)"""
+    val steps = (1 to q219Iters).map { i =>
+      s""", r$i AS (
+        SELECT $c + CAST(0.85 AS DOUBLE) * (b / 2) AS a,
+               $c + CAST(0.85 AS DOUBLE) * (a + b / 2) AS b
+        FROM r${i - 1})"""
+    }.mkString
+    s"""$prelude$steps
+    SELECT CAST(1 AS BIGINT) AS parity, CAST(${n / 2} AS BIGINT) AS n_vertices,
+           ROUND(a * $n, 6) AS min_prn, ROUND(a * $n, 6) AS max_prn
+    FROM r$q219Iters
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(${n / 2} AS BIGINT),
+           ROUND(b * $n, 6), ROUND(b * $n, 6)
+    FROM r$q219Iters"""
+  }
+
+  // --- q220_sssp_atscale: edge-weighted relaxation at ≥1M edges -----------
+  /** At-scale correctness coverage for [[shortestPaths]] — q92 relaxes 50
+    * weighted edges; this replays the entry point over a 2²⁰-edge
+    * weighted tree (one global source feeding 2¹⁷ chains of length 8),
+    * where every distance is the UNIQUE path sum, so the oracle is pure
+    * closed-form integer arithmetic — no relaxation replay, no float:
+    * dist(8g+j) = (g mod 97 + 1) + j + Σᵢ₍<ⱼ₎ (g+i) mod 7. Root weights
+    * sweep 97 values and chain weights 7, so bucket sums are sensitive
+    * to every weight read (the G2 edge-attribute surface at real volume:
+    * ~1M `dist + w` messages per superstep once the frontier fills).
+    * Depth 9 forces ≥9 genuine supersteps of frontier advance; an
+    * unreached vertex NULLs its bucket's sum, a single wrong weight
+    * shifts it. Output: 512 bucket rollups (2048 chains each). */
+  private[graft] val q220Blocks = 131072L // 2^17
+  private[graft] val q220ChainLen = 8L
+
+  private[graft] def q220Edges(spark: SparkSession,
+                               blocks: Long = q220Blocks): DataFrame = {
+    val L = q220ChainLen
+    val roots = spark.range(blocks).select(
+      lit(blocks * L).as("src"), (col("id") * L).as("dst"),
+      (pmod(col("id"), lit(97L)) + 1).as("w"))
+    val chain = spark.range(blocks * L)
+      .filter(pmod(col("id"), lit(L)) =!= (L - 1))
+      .select(col("id").as("src"), (col("id") + 1).as("dst"),
+        (pmod(expr(s"id div $L") + pmod(col("id"), lit(L)), lit(7L)) + 1)
+          .as("w"))
+    roots.unionByName(chain)
+  }
+
+  def q220SsspAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val n = q220Blocks * q220ChainLen
+    shortestPaths(spark.range(n + 1).select(col("id")),
+        q220Edges(spark), sourceId = n, maxIter = 12)
+      .filter(col("id") < n)
+      .groupBy(pmod(expr(s"id div $q220ChainLen"), lit(512L)).as("gb"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("dist")).as("sum_dist"))
+  }
+
+  val q220SsspAtScaleSql: String = {
+    val n = q220Blocks * q220ChainLen
+    s"""
+    WITH off AS (
+      SELECT m.m AS m, j.j AS j,
+             SUM(CASE WHEN i.i < j.j THEN (m.m + i.i) % 7 ELSE 0 END) AS o
+      FROM unnest(range(0, 7)) m(m), unnest(range(0, $q220ChainLen)) j(j),
+           unnest(range(0, $q220ChainLen)) i(i)
+      GROUP BY 1, 2),
+    ids AS (SELECT CAST(u.i AS BIGINT) AS id
+            FROM unnest(range(0, $n)) u(i)),
+    d AS (SELECT id, id // $q220ChainLen AS g, id % $q220ChainLen AS j
+          FROM ids)
+    SELECT CAST(d.g % 512 AS BIGINT) AS gb, COUNT(*) AS n_vertices,
+           CAST(SUM((d.g % 97 + 1) + d.j + o.o) AS BIGINT) AS sum_dist
+    FROM d JOIN off o ON o.m = d.g % 7 AND o.j = d.j
+    GROUP BY 1"""
+  }
+
+  // --- q221_triangles_atscale: the wedge join at ≥1M edges ----------------
+  /** At-scale correctness coverage for [[triangleCounts]] — q82 counts on
+    * ~15k customer keys; this replays the degree-oriented wedge join over
+    * 1.5M planted-clique edges (32768 K₉ blocks + 32768 K₅ blocks at a
+    * disjoint id offset), where every count is combinatorially known:
+    * each K₉ vertex closes C(8,2)=28 triangles, each K₅ vertex C(4,2)=6.
+    * Cliques are the wedge join's WORST density (every oriented 2-path
+    * closes — 2.75M + 0.33M wedges, zero wasted candidates), so the
+    * orientation, the (deg,id)-struct ranking, and the closing semi-join
+    * all run at real volume; the two clique sizes make the per-vertex
+    * counts DISTINGUISH the classes, so cross-block contamination or a
+    * miscounted wedge anywhere moves a row out of its class and breaks
+    * the two-row rollup (counts + id-sums) the oracle states in closed
+    * form. */
+  private[graft] val q221CliqueBlocks = 32768L
+  private[graft] val q221K5Base = 524288L
+
+  private[graft] def q221Edges(spark: SparkSession,
+                               blocks: Long = q221CliqueBlocks): DataFrame = {
+    def cliqueEdges(k: Int, stride: Long, base: Long) = {
+      val pairs = for { i <- 0 until k; j <- i + 1 until k }
+        yield struct(lit(i).as("i"), lit(j).as("j"))
+      spark.range(blocks)
+        .select(col("id").as("g"), explode(array(pairs: _*)).as("p"))
+        .select((lit(base) + col("g") * stride + col("p.i")).as("src"),
+          (lit(base) + col("g") * stride + col("p.j")).as("dst"))
+    }
+    cliqueEdges(9, 9L, 0L).unionByName(cliqueEdges(5, 5L, q221K5Base))
+  }
+
+  def q221TrianglesAtScale(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(q221Edges(spark))
+      .groupBy(col("n_tri"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("id")).as("sum_ids"))
+
+  /** Closed form: K₉ ids are [0, 294912), K₅ ids [524288, 688128). */
+  val q221TrianglesAtScaleSql: String = {
+    val n9 = q221CliqueBlocks * 9 // 294912
+    val n5 = q221CliqueBlocks * 5 // 163840
+    s"""
+    SELECT CAST(28 AS BIGINT) AS n_tri, CAST($n9 AS BIGINT) AS n_vertices,
+           (SELECT CAST(SUM(CAST(u.i AS BIGINT)) AS BIGINT)
+            FROM unnest(range(0, $n9)) u(i)) AS sum_ids
+    UNION ALL
+    SELECT CAST(6 AS BIGINT), CAST($n5 AS BIGINT),
+           (SELECT CAST(SUM(CAST($q221K5Base + u.i AS BIGINT)) AS BIGINT)
+            FROM unnest(range(0, $n5)) u(i))"""
+  }
+
+  // --- q222_kcore_atscale: iterative peeling at ≥1M edges -----------------
+  /** At-scale correctness coverage for [[kCore]] — q60 peels 25 nation
+    * keys; this replays the G7 edge-DELETION machinery (blockSize 1,
+    * `updateEdges` dropping dead vertices' rows every superstep) over
+    * 1.18M directed edges: 49152 blocks of a K₄ clique with a 6-vertex
+    * pendant chain. At k=2 the chain peels exactly ONE vertex per round
+    * (the free end's degree hits 1 only after its successor died), so
+    * six genuine rounds of mid-run topology deletion run at ~1M-edge
+    * volume before the clique stabilizes as the 2-core; a premature
+    * halt, a stale edge set, or one peel order bug flips `in_core`
+    * somewhere in 491520 vertices and moves a vertex between the two
+    * closed-form rollup rows. */
+  private[graft] val q222Blocks = 49152L
+
+  private[graft] def q222Edges(spark: SparkSession,
+                               blocks: Long = q222Blocks): DataFrame = {
+    // block of 10: K4 over {0,1,2,3}, attach (3,4), chain 4-5-…-9
+    val pairs = (for { i <- 0 until 4; j <- i + 1 until 4 } yield (i, j)) ++
+      Seq((3, 4)) ++ (4 until 9).map(j => (j, j + 1))
+    val pairCol = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    val und = spark.range(blocks)
+      .select(col("id").as("g"), explode(pairCol).as("p"))
+      .select((col("g") * 10 + col("p.a")).as("a"),
+        (col("g") * 10 + col("p.b")).as("b"))
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  def q222KcoreAtScale(spark: SparkSession, dir: String): DataFrame =
+    kCore(spark.range(q222Blocks * 10).select(col("id")),
+        q222Edges(spark), k = 2, maxIter = 10)
+      .groupBy(col("in_core"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("id")).as("sum_ids"))
+
+  /** Closed form: the 2-core is exactly the clique positions (id mod 10
+    * ≤ 3); the chain (positions 4–9) peels away entirely. */
+  val q222KcoreAtScaleSql: String = s"""
+    SELECT (id % 10) <= 3 AS in_core, COUNT(*) AS n_vertices,
+           CAST(SUM(id) AS BIGINT) AS sum_ids
+    FROM (SELECT CAST(u.i AS BIGINT) AS id
+          FROM unnest(range(0, ${q222Blocks * 10})) u(i))
+    GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_pagerank_atscale" -> q219PageRankAtScale _,
+    "q220_sssp_atscale"   -> q220SsspAtScale _,
+    "q221_triangles_atscale" -> q221TrianglesAtScale _,
+    "q222_kcore_atscale"  -> q222KcoreAtScale _,
     "q32_pagerank"        -> q32PageRank _,
     "q117_trustrank"      -> q117TrustRank _,
     "q158_hits"           -> q158Hits _,
@@ -1465,6 +1698,10 @@ object Algorithms {
   )
 
   def oracles: Map[String, String] = Map(
+    "q219_pagerank_atscale" -> q219PageRankAtScaleSql,
+    "q220_sssp_atscale"   -> q220SsspAtScaleSql,
+    "q221_triangles_atscale" -> q221TrianglesAtScaleSql,
+    "q222_kcore_atscale"  -> q222KcoreAtScaleSql,
     "q32_pagerank"        -> q32PageRankSql,
     "q117_trustrank"      -> q117TrustRankSql,
     "q158_hits"           -> q158HitsSql,

@@ -148,4 +148,33 @@ class MultimodalSpec extends GraftSuite {
     assert(got == Map("image/png" -> ((2L, 1L)), "audio/wav" -> ((1L, 1L)),
       "video/mp4" -> ((1L, 1L))), got.toString)
   }
+
+  test("q223 small analog: generated payload bytes, stub decode, and " +
+      "byte sums match the closed form") {
+    val docs = 512L
+    val media = Multimodal.q223Media(spark, docs).collect()
+    assert(media.length == docs)
+    // payload byte j of doc id is (id + j) mod 256 — the contract the
+    // at-scale oracle's residue-class run table replays
+    media.take(8).foreach { m =>
+      assert(m.payload.length == Multimodal.q223PayloadLen)
+      m.payload.zipWithIndex.foreach { case (byte, j) =>
+        assert((byte & 0xFF) == ((m.doc_id + j) % 256).toInt,
+          s"doc ${m.doc_id} byte $j")
+      }
+    }
+    val feats = Multimodal.extractFeatures(
+      Multimodal.q223Media(spark, docs)).collect()
+    assert(feats.length == docs)
+    feats.foreach { f =>
+      // no consecutive-byte run is a JDK image signature → stub always
+      assert(f.decoder == "stub-v1", s"doc ${f.doc_id}: ${f.decoder}")
+      assert(f.n_bytes == Multimodal.q223PayloadLen)
+      val exp = (0 until Multimodal.q223PayloadLen)
+        .map(j => (f.doc_id + j) % 256).sum
+      assert(f.byte_sum == exp, s"doc ${f.doc_id}")
+      // metadata passthrough on the stub path
+      assert(f.width == 16 + (f.doc_id * 7 % 1008).toInt)
+    }
+  }
 }

@@ -293,4 +293,96 @@ class PregelSpec extends GraftSuite {
       .groupBy("dst").count().agg(min("count"), max("count")).head()
     assert(centerInDeg.getLong(0) == 126L && centerInDeg.getLong(1) == 126L)
   }
+
+  test("q219/q220/q221/q222 synthetic graphs are at the claimed scale") {
+    // q219: ring (1024·1024) + even-position skip (512·1024) edges
+    assert(Algorithms.q219Edges(spark).count() == 1572864L)
+    // q220: one root edge per chain + 7 chain edges per chain = 2^20
+    assert(Algorithms.q220Edges(spark).count() == 1048576L)
+    // q221: 32768 K9 blocks (36 pairs) + 32768 K5 blocks (10 pairs)
+    assert(Algorithms.q221Edges(spark).count() == 1507328L)
+    // q222: 12 undirected pairs per block, both directions
+    assert(Algorithms.q222Edges(spark).count() == 1179648L)
+  }
+
+  test("q219 small analog: pageRank iterates equal the two-variable " +
+      "recurrence exactly (bit-for-bit, no rounding)") {
+    // 4 blocks × 1024 — same generator, same parity structure; expected
+    // values computed in plain Scala with the IDENTICAL double ops the
+    // operator's expression tree performs, compared with == on doubles:
+    // the class-uniformity + order-invariance argument says the
+    // distributed run cannot produce anything else
+    val blocks = 4L
+    val n = blocks * Algorithms.q219BlockSize
+    val c = (1.0 - 0.85) / n
+    var a = 1.0 / n
+    var b = 1.0 / n
+    for (_ <- 1 to Algorithms.q219Iters) {
+      val a2 = c + 0.85 * (b / 2)
+      val b2 = c + 0.85 * (a + b / 2)
+      a = a2; b = b2
+    }
+    val got = Algorithms.pageRank(
+        spark.range(n).select(col("id")),
+        Algorithms.q219Edges(spark, blocks), Algorithms.q219Iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == n)
+    got.foreach { case (id, pr) =>
+      assert(pr == (if (id % 2 == 1) a else b),
+        s"vertex $id: got $pr, expected ${if (id % 2 == 1) a else b}")
+    }
+  }
+
+  test("q220 small analog: SSSP distances equal the unique path sums") {
+    val blocks = 8L
+    val L = Algorithms.q220ChainLen
+    val n = blocks * L
+    val got = Algorithms.shortestPaths(
+        spark.range(n + 1).select(col("id")),
+        Algorithms.q220Edges(spark, blocks), sourceId = n, maxIter = 12)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(n).contains(0L)) // the source itself
+    for (g <- 0L until blocks; j <- 0L until L) {
+      val exp = (g % 97 + 1) + (0L until j).map(i => (g + i) % 7 + 1).sum
+      assert(got(g * L + j).contains(exp), s"vertex ${g * L + j}")
+    }
+  }
+
+  test("q221 small analog: planted-clique triangle counts are exact") {
+    val got = Algorithms.triangleCounts(Algorithms.q221Edges(spark, 2L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 K9 blocks: ids 0..17 with C(8,2)=28; 2 K5 blocks at the offset
+    // base with C(4,2)=6
+    assert(got.size == 28)
+    (0L until 18L).foreach(id => assert(got(id) == 28L, s"K9 vertex $id"))
+    (0L until 10L).foreach { i =>
+      val id = Algorithms.q221K5Base + i
+      assert(got(id) == 6L, s"K5 vertex $id")
+    }
+  }
+
+  test("q222 small analog: the 2-core is exactly the cliques and the " +
+      "chain peels one vertex per round") {
+    val blocks = 3L
+    val got = Algorithms.kCore(
+        spark.range(blocks * 10).select(col("id")),
+        Algorithms.q222Edges(spark, blocks), k = 2, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size == blocks * 10)
+    got.foreach { case (id, inCore) =>
+      assert(inCore == (id % 10 <= 3), s"vertex $id")
+    }
+    // peel-cadence guard: at maxIter = 3 the 6-vertex chain CANNOT have
+    // finished peeling (one death per round), so the run must disagree
+    // with the fixed point somewhere — proving the gate's 10 rounds are
+    // genuinely iterative, not a single-step filter
+    val early = Algorithms.kCore(
+        spark.range(blocks * 10).select(col("id")),
+        Algorithms.q222Edges(spark, blocks), k = 2, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(early.exists { case (id, inCore) => inCore != (id % 10 <= 3) },
+      "3 peel rounds already reached the fixed point — the chain should " +
+        "need 6")
+  }
 }
