@@ -39,8 +39,12 @@ import org.apache.spark.sql.functions._
   * SCC's trim+FW-BW loop (different frame-growth behavior) or LPA's
   * tally loop; measure them directly.
   *
-  * Usage: `sbt "runMain graft.GraphScaleProbe"`. One warmup + 2 timed
-  * runs per (family, scale), min taken; per-decade exp = log10(ratio).
+  * Round 11 adds the q219–q222 gate families (pageRank, SSSP, triangle
+  * wedge join, k-core peel) on their own generator parameter.
+  *
+  * Usage: `sbt "runMain graft.GraphScaleProbe"`. [[ProbeRunner]]
+  * protocol (warmup + min-of-2 at 1×, single timed big run); per-decade
+  * exp = log10(ratio) / log10(scale ratio).
   */
 object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -50,7 +54,6 @@ object GraphScaleProbe {
 
     // 1× ≈ 130k–190k edges, 10× ≈ 1.3M–1.9M — the 10× points sit just
     // past the q204/q205 registry scale, so the registry rows interpolate
-    case class Fam(name: String, run: Long => Unit, b1: Long, b10: Long)
     def sccRun(blocks: Long): Unit =
       Algorithms.stronglyConnectedComponents(
           Algorithms.q204Vertices(spark, blocks),
@@ -65,27 +68,43 @@ object GraphScaleProbe {
         .groupBy(org.apache.spark.sql.functions.col("lbl")).count()
         .write.format("noop").mode("overwrite").save()
     val fams = Seq(
-      Fam("scc_trim_fwbw", sccRun, 64L, 640L),
-      Fam("lpa_majority", lpaRun, 1024L, 10240L))
+      ProbeRunner.Fam("scc_trim_fwbw", sccRun, 64L, 640L),
+      ProbeRunner.Fam("lpa_majority", lpaRun, 1024L, 10240L))
 
-    def timeOne(run: Long => Unit, blocks: Long): Double = {
-      def once(): Double = {
-        CacheRegistry.drainForMeasurement(spark)
-        val t0 = System.nanoTime()
-        run(blocks)
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warmup
-      math.min(once(), once())
+    // round-11 extension: the q219-q222 gate families, scaled on their
+    // own generator parameter (block count — vertex/edge volume grows,
+    // per-block structure and iteration/peel depth stay fixed, so the
+    // probe isolates volume, not diameter)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def prRun(blocks: Long): Unit =
+      ProbeRunner.noop(Algorithms.pageRank(
+        spark.range(blocks * Algorithms.q219BlockSize).select(col("id")),
+        Algorithms.q219Edges(spark, blocks), Algorithms.q219Iters)
+        .groupBy(pmod(col("id"), lit(2L))).count())
+    def ssspRun(blocks: Long): Unit = {
+      val n = blocks * Algorithms.q220ChainLen
+      ProbeRunner.noop(Algorithms.shortestPaths(
+        spark.range(n + 1).select(col("id")),
+        Algorithms.q220Edges(spark, blocks), sourceId = n, maxIter = 12)
+        .groupBy(pmod(col("id"), lit(512L))).count())
     }
+    def triRun(blocks: Long): Unit =
+      ProbeRunner.noop(Algorithms.triangleCounts(
+        Algorithms.q221Edges(spark, blocks))
+        .groupBy(col("n_tri")).count())
+    def kcoreRun(blocks: Long): Unit =
+      ProbeRunner.noop(Algorithms.kCore(
+        spark.range(blocks * 10).select(col("id")),
+        Algorithms.q222Edges(spark, blocks), k = 2, maxIter = 10)
+        .groupBy(col("in_core")).count())
+    val fams8 = Seq(
+      ProbeRunner.Fam("pagerank_parity", prRun, 128L, 1024L),
+      ProbeRunner.Fam("sssp_chains", ssspRun, 16384L, 131072L),
+      ProbeRunner.Fam("triangles_clique", triRun, 4096L, 32768L),
+      ProbeRunner.Fam("kcore_peel", kcoreRun, 6144L, 49152L))
 
-    println(f"${"family"}%-16s ${"t_1x_s"}%8s ${"t_10x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
-    fams.foreach { f =>
-      val t1 = timeOne(f.run, f.b1)
-      val t10 = timeOne(f.run, f.b10)
-      val ratio = t10 / t1
-      println(f"${f.name}%-16s $t1%8.2f $t10%8.2f $ratio%7.2f ${math.log10(ratio)}%5.2f")
-    }
+    ProbeRunner.runProbe(spark, fams, bigOverSmall = 10.0)
+    ProbeRunner.runProbe(spark, fams8, bigOverSmall = 8.0)
     spark.stop()
   }
 }
