@@ -518,4 +518,34 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
     assert(!p.contains("+- Sort "), "a full sort crept into the lottery")
   }
+
+  // q219/q220/q222 are iterative (Pregel drives actions inside the query
+  // body, so there is no single static plan to pin) — their scale
+  // properties are pinned structurally in PregelSpec instead, the
+  // q201/q204/q205 precedent. The two non-iterative round-11 gates get
+  // plan pins here:
+
+  test("q221 triangles at scale: every join stays equi-keyed — no cartesian, " +
+      "no nested loop") {
+    val p = plan("q221_triangles_atscale")
+    // the wedge self-join keys on the center u and the closing join is a
+    // semi on (y,z); a range/nested-loop fallback would be the deg²
+    // blowup the orientation exists to prevent
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("LeftSemi"), "closing join lost its semi shape")
+    assert(!p.contains("Window"), "no window belongs in the wedge pipeline")
+  }
+
+  test("q223 media at scale: one rollup shuffle after the typed decode, " +
+      "partial aggregation map-side") {
+    val p = plan("q223_media_atscale")
+    // the typed mapPartitions stage (object serde boundary) must feed a
+    // partially-aggregated rollup: exactly one hash exchange, no window,
+    // no join — anything else means the decode path gained a shuffle
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(p.contains("MapPartitions"), "typed decode stage vanished")
+    assert(count(p, "HashAggregate") == 2, "partial agg lost map-side half")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
 }
