@@ -899,6 +899,83 @@ object Streams {
     drainMemorySink(spark, name, ckpt)
   }
 
+  // --- q224_streamdedup_atscale: the dedup state store in the gate --------
+  /** At-scale correctness coverage for [[dedupStream]]'s STREAMING
+    * execution — the third stateful-runtime class after q206
+    * (flatMapGroupsWithState) and q214 (stream-stream join): the
+    * `dropDuplicatesWithinWatermark` state store, its batch-start late
+    * filter, and its watermark eviction ran only through q181's BATCH
+    * form in the registry. Mirrors the q206/q214 design: 4096 users × 16
+    * hourly waves through the ACTUAL streaming query via MemoryStream,
+    * one micro-batch per wave, 30-minute horizon. Batch w carries, per
+    * user:
+    *
+    *  - TWO identical events at t0(w) — the in-batch dedup path
+    *    (exactly one may survive);
+    *  - for w ≥ 1, a replay of t0(w−1) — ABOVE the batch-start watermark
+    *    (t0(w−1) − 30 min), so its state entry is still live and the
+    *    replay must die as a STATE-STORE HIT, not a late drop;
+    *  - for w ≥ 2, a replay of t0(w−2) — BELOW the batch-start
+    *    watermark, so the operator's late filter must drop it before
+    *    dedup even looks (its state entry was evicted after batch w−1;
+    *    re-admitting it would emit a 65,537th row and break the hash).
+    *
+    * Output: exactly the 65,536 first occurrences, closed-form. State
+    * eviction itself is output-invisible (an unbounded-state dedup
+    * produces the same rows), so the eviction claim is pinned separately
+    * in SinkStreamSpec via the progress API: `numRowsTotal` must equal
+    * ONE wave's key count after every batch, not the running total.
+    * ~262k events, 16 micro-batches, 4096 live keys per batch. */
+  private[graft] val q224Users = 4096L
+  private[graft] val q224Waves = 16
+  private val q224Seq = new java.util.concurrent.atomic.AtomicInteger
+
+  private[graft] def q224Run(spark: SparkSession, users: Long, waves: Int)
+      : (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = s"graft_q224_${q224Seq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q224_ckpt").toString
+    val q = dedupStream(ms.toDF().toDF("user_id", "ts"),
+        keys = Seq("user_id", "ts"), horizon = "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("event_us"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    def tsAt(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      for (w <- 0 until waves) {
+        val t0 = q206BaseUs + w * 3600000000L
+        val dup = (0L until users).flatMap { u =>
+          Seq((u, tsAt(t0)), (u, tsAt(t0)))
+        }
+        val replay1 = if (w >= 1) (0L until users)
+          .map(u => (u, tsAt(t0 - 3600000000L))) else Nil
+        val replay2 = if (w >= 2) (0L until users)
+          .map(u => (u, tsAt(t0 - 7200000000L))) else Nil
+        ms.addData(dup ++ replay1 ++ replay2)
+        q.processAllAvailable()
+        stateRows += Option(q.lastProgress)
+          .flatMap(p => p.stateOperators.headOption)
+          .map(_.numRowsTotal).getOrElse(-1L)
+      }
+    } finally q.stop()
+    (drainMemorySink(spark, name, ckpt), stateRows.toSeq)
+  }
+
+  def q224StreamDedupAtScale(spark: SparkSession, dir: String): DataFrame =
+    q224Run(spark, q224Users, q224Waves)._1
+
+  /** Closed form: one surviving row per (user, wave). */
+  val q224StreamDedupAtScaleSql: String = s"""
+    SELECT CAST(u.i AS BIGINT) AS user_id,
+           CAST($q206BaseUs + w.i * 3600000000 AS BIGINT) AS event_us
+    FROM unnest(range(0, $q224Users)) AS u(i),
+         unnest(range(0, $q224Waves)) AS w(i)"""
+
   def q214StreamJoinAtScale(spark: SparkSession, dir: String): DataFrame =
     // 4 waves per micro-batch: the SET of emitted rows is batching-
     // invariant (matches emit when both sides arrive; unmatched lefts
@@ -933,9 +1010,11 @@ object Streams {
     "q151_stream_enrich" -> q151StreamEnrich _,
     "q154_outer_interval_join" -> q154OuterIntervalJoin _,
     "q206_stream_atscale" -> q206StreamAtScale _,
+    "q224_streamdedup_atscale" -> q224StreamDedupAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
+    "q224_streamdedup_atscale" -> q224StreamDedupAtScaleSql,
     "q214_streamjoin_atscale" -> q214StreamJoinAtScaleSql,
     "q40_event_window"   -> q40EventWindowSql,
     "q181_stream_actives" -> q181StreamActivesSql,

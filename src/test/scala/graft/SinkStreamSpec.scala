@@ -326,6 +326,34 @@ class SinkStreamSpec extends GraftSuite {
         s"${((expected -- heldBack) -- noSweep).take(3)}")
   }
 
+  /** q224's two output-invisible claims, pinned observably: (a) the
+    * closed form — one surviving row per (user, wave) through in-batch
+    * dedup, state-hit replays, and the late filter; (b) EVICTION — the
+    * dedup state store must hold exactly one wave's keys after every
+    * batch (an unbounded-state dedup returns the same ROWS, so only the
+    * progress API can distinguish it — `numRowsTotal` would read w·users
+    * instead of users). */
+  test("q224 small analog: streaming dedup closed form + state store " +
+      "holds exactly one wave's keys after every batch") {
+    val users = 8L
+    val waves = 4
+    val base = 1767225600000000L
+    val (df, stateRows) = Streams.q224Run(spark, users, waves)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      u <- 0L until users
+      w <- 0 until waves
+    } yield (u, base + w * 3600000000L)).toSet
+    assert(got == expected,
+      s"diff: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+    assert(stateRows.length == waves)
+    stateRows.zipWithIndex.foreach { case (n, w) =>
+      assert(n == users,
+        s"after batch $w the dedup state holds $n rows, expected $users " +
+          "(eviction regressed — state is accumulating across waves)")
+    }
+  }
+
   test("mergeSchema read unions drifted parquet schemas by NAME, not position") {
     val out = Files.createTempDirectory("graft_merge").toString
     // wave 1 and wave 2 share only `id`; column ORDER deliberately differs
