@@ -1674,7 +1674,96 @@ object Algorithms {
           FROM unnest(range(0, ${q222Blocks * 10})) u(i))
     GROUP BY 1"""
 
+  // --- q225/q226: the other two relaxation lattices at ≥1M edges ----------
+  /** The q220 tree plus a UNIT-WEIGHT mid-chain shortcut per block
+    * (source → 8g+4, w=1) — a decoy second path whose job is to make the
+    * merge direction load-bearing for the max-side lattices: on the pure
+    * tree every vertex has one path, so max-MIN and max-PLUS would be
+    * indistinguishable from min-PLUS (q220). With the shortcut, vertices
+    * j ≥ 4 carry two genuine paths and the WRONG merge produces visibly
+    * different values (widest: 1 instead of the chain bottleneck;
+    * critical: the strictly-smaller shortcut sum). Still a DAG. */
+  private[graft] def q225Edges(spark: SparkSession,
+                               blocks: Long = q220Blocks): DataFrame =
+    q220Edges(spark, blocks).unionByName(
+      spark.range(blocks).select(
+        lit(blocks * q220ChainLen).as("src"),
+        (col("id") * q220ChainLen + 4).as("dst"), lit(1L).as("w")))
+
+  /** At-scale correctness coverage for [[widestPath]] (max-MIN lattice)
+    * — q199 runs it on 25 nations; this replays the entry point over
+    * 1.18M weighted edges where every width is closed-form:
+    * width(8g+j) = min(g mod 97 + 1, min over the chain prefix), and the
+    * decoy's width-1 path must LOSE the max-merge at every j ≥ 4 where
+    * the chain bottleneck exceeds 1 (~86% of vertices — a min-merge bug
+    * floors them all to 1 and breaks the hash). */
+  def q225WidestAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val n = q220Blocks * q220ChainLen
+    widestPath(spark.range(n + 1).select(col("id")), q225Edges(spark),
+        sourceId = n, maxIter = 12)
+      .filter(col("id") < n)
+      .groupBy(pmod(expr(s"id div $q220ChainLen"), lit(512L)).as("gb"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("width")).as("sum_width"))
+  }
+
+  val q225WidestAtScaleSql: String = {
+    val n = q220Blocks * q220ChainLen
+    s"""
+    WITH mn AS (
+      SELECT m.m AS m, j.j AS j,
+             MIN(CASE WHEN i.i < j.j THEN (m.m + i.i) % 7 + 1 END) AS r
+      FROM unnest(range(0, 7)) m(m), unnest(range(0, $q220ChainLen)) j(j),
+           unnest(range(0, $q220ChainLen)) i(i)
+      GROUP BY 1, 2),
+    ids AS (SELECT CAST(u.i AS BIGINT) AS id
+            FROM unnest(range(0, $n)) u(i)),
+    d AS (SELECT id, id // $q220ChainLen AS g, id % $q220ChainLen AS j
+          FROM ids)
+    SELECT CAST(d.g % 512 AS BIGINT) AS gb, COUNT(*) AS n_vertices,
+           CAST(SUM(LEAST(d.g % 97 + 1, COALESCE(mn.r, 1000000)))
+             AS BIGINT) AS sum_width
+    FROM d JOIN mn ON mn.m = d.g % 7 AND mn.j = d.j
+    GROUP BY 1"""
+  }
+
+  /** At-scale correctness coverage for [[longestPathDag]] (max-PLUS
+    * lattice) — q167 runs it on 25 nations; same 1.18M-edge DAG. The
+    * heaviest path ending at 8g+j is the full source→chain path (its sum
+    * strictly dominates the decoy's 1 + suffix because every skipped
+    * weight is ≥ 1), so the closed form is exactly q220's path sum — and
+    * a min-side bug would surface the decoy's strictly-smaller sum at
+    * every j ≥ 4. */
+  def q226CriticalAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val n = q220Blocks * q220ChainLen
+    longestPathDag(spark.range(n + 1).select(col("id")), q225Edges(spark),
+        maxIter = 12)
+      .filter(col("id") < n)
+      .groupBy(pmod(expr(s"id div $q220ChainLen"), lit(512L)).as("gb"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("dist")).as("sum_dist"))
+  }
+
+  val q226CriticalAtScaleSql: String = {
+    val n = q220Blocks * q220ChainLen
+    s"""
+    WITH off AS (
+      SELECT m.m AS m, j.j AS j,
+             SUM(CASE WHEN i.i < j.j THEN (m.m + i.i) % 7 ELSE 0 END) AS o
+      FROM unnest(range(0, 7)) m(m), unnest(range(0, $q220ChainLen)) j(j),
+           unnest(range(0, $q220ChainLen)) i(i)
+      GROUP BY 1, 2),
+    ids AS (SELECT CAST(u.i AS BIGINT) AS id
+            FROM unnest(range(0, $n)) u(i)),
+    d AS (SELECT id, id // $q220ChainLen AS g, id % $q220ChainLen AS j
+          FROM ids)
+    SELECT CAST(d.g % 512 AS BIGINT) AS gb, COUNT(*) AS n_vertices,
+           CAST(SUM((d.g % 97 + 1) + d.j + o.o) AS BIGINT) AS sum_dist
+    FROM d JOIN off o ON o.m = d.g % 7 AND o.j = d.j
+    GROUP BY 1"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_widest_atscale" -> q225WidestAtScale _,
+    "q226_critical_atscale" -> q226CriticalAtScale _,
     "q219_pagerank_atscale" -> q219PageRankAtScale _,
     "q220_sssp_atscale"   -> q220SsspAtScale _,
     "q221_triangles_atscale" -> q221TrianglesAtScale _,
@@ -1698,6 +1787,8 @@ object Algorithms {
   )
 
   def oracles: Map[String, String] = Map(
+    "q225_widest_atscale" -> q225WidestAtScaleSql,
+    "q226_critical_atscale" -> q226CriticalAtScaleSql,
     "q219_pagerank_atscale" -> q219PageRankAtScaleSql,
     "q220_sssp_atscale"   -> q220SsspAtScaleSql,
     "q221_triangles_atscale" -> q221TrianglesAtScaleSql,

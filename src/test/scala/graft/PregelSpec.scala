@@ -303,6 +303,39 @@ class PregelSpec extends GraftSuite {
     assert(Algorithms.q221Edges(spark).count() == 1507328L)
     // q222: 12 undirected pairs per block, both directions
     assert(Algorithms.q222Edges(spark).count() == 1179648L)
+    // q225/q226: the q220 tree + one decoy shortcut per block
+    assert(Algorithms.q225Edges(spark).count() == 1048576L + 131072L)
+  }
+
+  test("q225/q226 small analogs: widest takes the chain bottleneck over " +
+      "the decoy; critical takes the full path sum") {
+    val blocks = 8L
+    val L = Algorithms.q220ChainLen
+    val n = blocks * L
+    def chainMin(g: Long, j: Long): Long =
+      ((g % 97 + 1) +: (0L until j).map(i => (g + i) % 7 + 1)).min
+    def pathSum(g: Long, j: Long): Long =
+      (g % 97 + 1) + (0L until j).map(i => (g + i) % 7 + 1).sum
+    val wide = Algorithms.widestPath(
+        spark.range(n + 1).select(col("id")),
+        Algorithms.q225Edges(spark, blocks), sourceId = n, maxIter = 12)
+      .filter(col("id") < n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val crit = Algorithms.longestPathDag(
+        spark.range(n + 1).select(col("id")),
+        Algorithms.q225Edges(spark, blocks), maxIter = 12)
+      .filter(col("id") < n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var decoyRejected = 0
+    for (g <- 0L until blocks; j <- 0L until L) {
+      assert(wide(g * L + j) == chainMin(g, j), s"widest at ${g * L + j}")
+      assert(crit(g * L + j) == pathSum(g, j), s"critical at ${g * L + j}")
+      // the decoy path (width 1 / the smaller sum) reaches every j ≥ 4;
+      // count the vertices where the max-merge had a REAL choice to get
+      // wrong, so this analog can't pass vacuously
+      if (j >= 4 && chainMin(g, j) > 1) decoyRejected += 1
+    }
+    assert(decoyRejected > 0, "no vertex ever contested the decoy path")
   }
 
   test("q219 small analog: pageRank iterates equal the two-variable " +
