@@ -118,7 +118,8 @@ object Bench {
       "q217_ticket_atscale", "q218_scd2_atscale", "q219_pagerank_atscale",
       "q220_sssp_atscale", "q221_triangles_atscale", "q222_kcore_atscale",
       "q223_media_atscale", "q224_streamdedup_atscale",
-      "q225_widest_atscale", "q226_critical_atscale")
+      "q225_widest_atscale", "q226_critical_atscale",
+      "q227_incremental_cc_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -1761,7 +1761,67 @@ object Algorithms {
     GROUP BY 1"""
   }
 
+  // --- q227_incremental_cc_atscale: G7 edge ADDITION at ≥1M edges ---------
+  /** At-scale correctness coverage for [[incrementalComponents]] — the G7
+    * dynamic-topology ADDITION path (q222 gates the deletion path; q88
+    * runs the wave machinery only over corpus-sized docs). 4096
+    * 128-vertex hub blocks whose edges arrive in three waves:
+    *
+    *  - wave 0: spokes 1–63 ↔ hub — the starting topology;
+    *  - wave 1: spokes 64–127 ↔ hub — half of every block joins MID-RUN
+    *    (vertices that held their own id as label until their first
+    *    edge exists);
+    *  - wave 2: a bridge between each EVEN block's hub and the next
+    *    block's hub — two already-converged 128-vertex components must
+    *    MERGE after the last wave (the re-awakening the halt-vote gate
+    *    `step ≥ lastWave` exists for: a vertex may not halt while waves
+    *    are still arriving).
+    *
+    * ~1.04M directed edges (pinned in PregelSpec). Blocks are contiguous
+    * id ranges and pairs are contiguous too, so the final fixed point is
+    * closed-form: component(id) = (id div 256)·256. A wave delivered one
+    * superstep late, a premature halt, or a missed merge leaves some
+    * block un-merged (128-sized components) or mislabeled and breaks the
+    * 2048-row rollup hash. */
+  private[graft] val q227Blocks = 4096L
+  private[graft] val q227BlockSize = 128L
+
+  private[graft] def q227Edges(spark: SparkSession,
+                               blocks: Long = q227Blocks): DataFrame = {
+    val m = q227BlockSize
+    val spokes = spark.range(blocks * m)
+      .filter(pmod(col("id"), lit(m)) =!= 0)
+      .select(col("id"), expr(s"(id div $m) * $m").as("hub"),
+        when(pmod(col("id"), lit(m)) < m / 2, 0).otherwise(1).as("wave"))
+    val star = spokes.select(col("id").as("src"), col("hub").as("dst"),
+        col("wave"))
+      .unionByName(spokes.select(col("hub").as("src"), col("id").as("dst"),
+        col("wave")))
+    val bridge = spark.range(blocks / 2).select(
+      (col("id") * 2 * m).as("src"), ((col("id") * 2 + 1) * m).as("dst"),
+      lit(2).as("wave"))
+    star.unionByName(bridge)
+      .unionByName(bridge.select(col("dst").as("src"), col("src").as("dst"),
+        col("wave")))
+  }
+
+  def q227IncrementalCcAtScale(spark: SparkSession, dir: String): DataFrame =
+    incrementalComponents(
+        spark.range(q227Blocks * q227BlockSize).select(col("id")),
+        q227Edges(spark), "wave", lastWave = 2, maxIter = 8)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
+
+  /** Closed form: block pairs are contiguous 256-id ranges. */
+  val q227IncrementalCcAtScaleSql: String = s"""
+    SELECT CAST((id // 256) * 256 AS BIGINT) AS component,
+           COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS sum_ids
+    FROM (SELECT CAST(u.i AS BIGINT) AS id
+          FROM unnest(range(0, ${q227Blocks * q227BlockSize})) u(i))
+    GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_incremental_cc_atscale" -> q227IncrementalCcAtScale _,
     "q225_widest_atscale" -> q225WidestAtScale _,
     "q226_critical_atscale" -> q226CriticalAtScale _,
     "q219_pagerank_atscale" -> q219PageRankAtScale _,
@@ -1787,6 +1847,7 @@ object Algorithms {
   )
 
   def oracles: Map[String, String] = Map(
+    "q227_incremental_cc_atscale" -> q227IncrementalCcAtScaleSql,
     "q225_widest_atscale" -> q225WidestAtScaleSql,
     "q226_critical_atscale" -> q226CriticalAtScaleSql,
     "q219_pagerank_atscale" -> q219PageRankAtScaleSql,

@@ -305,6 +305,35 @@ class PregelSpec extends GraftSuite {
     assert(Algorithms.q222Edges(spark).count() == 1179648L)
     // q225/q226: the q220 tree + one decoy shortcut per block
     assert(Algorithms.q225Edges(spark).count() == 1048576L + 131072L)
+    // q227: 63·2 wave-0 + 64·2 wave-1 spokes per block + paired bridges
+    assert(Algorithms.q227Edges(spark).count() ==
+      4096L * (63 * 2 + 64 * 2) + 4096L)
+  }
+
+  test("q227 small analog: waves arrive on schedule and the last-wave " +
+      "bridge merges converged blocks") {
+    val blocks = 4L
+    val m = Algorithms.q227BlockSize
+    val got = Algorithms.incrementalComponents(
+        spark.range(blocks * m).select(col("id")),
+        Algorithms.q227Edges(spark, blocks), "wave", lastWave = 2,
+        maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == blocks * m)
+    got.foreach { case (id, comp) =>
+      assert(comp == (id / 256) * 256, s"vertex $id -> $comp")
+    }
+    // the merge is genuinely the bridge's doing: without wave 2 the
+    // fixed point is per-BLOCK (128-sized), so the 256-range labels
+    // above can only come from a bridge applied after convergence
+    val noBridge = Algorithms.incrementalComponents(
+        spark.range(blocks * m).select(col("id")),
+        Algorithms.q227Edges(spark, blocks).filter(col("wave") < 2),
+        "wave", lastWave = 1, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    noBridge.foreach { case (id, comp) =>
+      assert(comp == (id / m) * m, s"no-bridge vertex $id -> $comp")
+    }
   }
 
   test("q225/q226 small analogs: widest takes the chain bottleneck over " +
