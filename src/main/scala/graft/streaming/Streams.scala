@@ -765,9 +765,20 @@ object Streams {
     val rows = sink.collect().toSeq
     val schema = sink.schema
     spark.catalog.dropTempView(name)
-    scala.util.Using(java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))) {
-      s => s.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    // two passes, per-file tolerance: the state-store maintenance thread
+    // can drop a file between the walk listing and a parent delete, and
+    // a single DirectoryNotEmptyException must not abort the remaining
+    // deletes (observed as a whole checkpoint tree surviving ~1 in 40
+    // invocations under the bench's rapid stop/start cadence)
+    val root = java.nio.file.Paths.get(ckpt)
+    (1 to 2).foreach { _ =>
+      if (java.nio.file.Files.exists(root))
+        scala.util.Using(java.nio.file.Files.walk(root)) { s =>
+          s.iterator().asScala.toSeq.reverse.foreach { p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+          }
+        }
     }
     spark.createDataFrame(rows.asJava, schema)
   }
