@@ -119,7 +119,7 @@ object Bench {
       "q220_sssp_atscale", "q221_triangles_atscale", "q222_kcore_atscale",
       "q223_media_atscale", "q224_streamdedup_atscale",
       "q225_widest_atscale", "q226_critical_atscale",
-      "q227_incremental_cc_atscale")
+      "q227_incremental_cc_atscale", "q228_landmark_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -1820,7 +1820,63 @@ object Algorithms {
           FROM unnest(range(0, ${q227Blocks * q227BlockSize})) u(i))
     GROUP BY 1"""
 
+  // --- q228_landmark_atscale: vector-valued vertex state at ≥1M edges -----
+  /** At-scale correctness coverage for [[landmarkBfs]] — the one Pregel
+    * program whose vertex state is a VECTOR (per-landmark distance array
+    * with component-wise min merge and a struct-of-mins message
+    * aggregate); every other gated program carries scalar state. 2¹⁷
+    * unweighted 8-chains; four landmarks form their own hop-chain
+    * L₀→L₁→L₂→L₃ and landmark L_k feeds the roots of blocks g ≡ k
+    * (mod 4), so slot a of vertex (g, j) is closed-form
+    * `(g%4 − a) + 1 + j` when g%4 ≥ a and NULL (unreachable) otherwise —
+    * every vertex carries reached AND unreached slots simultaneously,
+    * which is exactly the mixed-state vector the component-wise merge
+    * must keep independent (cross-slot bleed, a wrong struct field, or a
+    * MaxValue overflow in the +1 hop breaks either a value or a NULL).
+    * ~1.05M edges; 2048 rollup rows per landmark×bucket with
+    * all-or-nothing reachability per bucket (512 | block count keeps
+    * g%4 constant within a bucket). */
+  private[graft] val q228Blocks = 131072L
+
+  private[graft] def q228Edges(spark: SparkSession,
+                               blocks: Long = q228Blocks): DataFrame = {
+    val L = 8L
+    val n = blocks * L
+    val lmChain = spark.range(3).select(
+      (lit(n) + col("id")).as("src"), (lit(n) + col("id") + 1).as("dst"))
+    val roots = spark.range(blocks).select(
+      (lit(n) + pmod(col("id"), lit(4L))).as("src"), (col("id") * L).as("dst"))
+    val chain = spark.range(n).filter(pmod(col("id"), lit(L)) =!= L - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    lmChain.unionByName(roots).unionByName(chain)
+  }
+
+  def q228LandmarkAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val n = q228Blocks * 8L
+    landmarkBfs(spark.range(n + 4).select(col("id")), q228Edges(spark),
+        landmarks = Seq(n, n + 1, n + 2, n + 3), maxIter = 14)
+      .filter(col("id") < n)
+      .groupBy(col("landmark"), pmod(expr("id div 8"), lit(512L)).as("gb"))
+      .agg(count(col("dist")).as("n_reached"), sum(col("dist")).as("sum_dist"))
+  }
+
+  val q228LandmarkAtScaleSql: String = {
+    val n = q228Blocks * 8L
+    s"""
+    WITH grid AS (
+      SELECT a.a AS a, CAST(g.i AS BIGINT) AS g, j.j AS j
+      FROM unnest(range(0, 4)) a(a), unnest(range(0, $q228Blocks)) g(i),
+           unnest(range(0, 8)) j(j)),
+    d AS (SELECT a, g, j,
+                 CASE WHEN g % 4 >= a THEN (g % 4 - a) + 1 + j END AS dist
+          FROM grid)
+    SELECT CAST($n + a AS BIGINT) AS landmark, CAST(g % 512 AS BIGINT) AS gb,
+           COUNT(dist) AS n_reached, CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM d GROUP BY 1, 2"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_landmark_atscale" -> q228LandmarkAtScale _,
     "q227_incremental_cc_atscale" -> q227IncrementalCcAtScale _,
     "q225_widest_atscale" -> q225WidestAtScale _,
     "q226_critical_atscale" -> q226CriticalAtScale _,
@@ -1847,6 +1903,7 @@ object Algorithms {
   )
 
   def oracles: Map[String, String] = Map(
+    "q228_landmark_atscale" -> q228LandmarkAtScaleSql,
     "q227_incremental_cc_atscale" -> q227IncrementalCcAtScaleSql,
     "q225_widest_atscale" -> q225WidestAtScaleSql,
     "q226_critical_atscale" -> q226CriticalAtScaleSql,

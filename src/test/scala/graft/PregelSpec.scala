@@ -308,6 +308,28 @@ class PregelSpec extends GraftSuite {
     // q227: 63·2 wave-0 + 64·2 wave-1 spokes per block + paired bridges
     assert(Algorithms.q227Edges(spark).count() ==
       4096L * (63 * 2 + 64 * 2) + 4096L)
+    // q228: landmark chain (3) + one root edge per block + 7-chains
+    assert(Algorithms.q228Edges(spark).count() == 1048579L)
+  }
+
+  test("q228 small analog: per-landmark slots stay independent — reached " +
+      "values exact, unreached slots null") {
+    val blocks = 8L
+    val n = blocks * 8L
+    val got = Algorithms.landmarkBfs(
+        spark.range(n + 4).select(col("id")),
+        Algorithms.q228Edges(spark, blocks),
+        landmarks = Seq(n, n + 1, n + 2, n + 3), maxIter = 14)
+      .filter(col("id") < n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.size == n * 4)
+    for (g <- 0L until blocks; j <- 0L until 8L; a <- 0L until 4L) {
+      val k = g % 4
+      val exp = if (k >= a) Some((k - a) + 1 + j) else None
+      assert(got((g * 8 + j, n + a)) == exp, s"vertex ${g * 8 + j} slot $a")
+    }
   }
 
   test("q227 small analog: waves arrive on schedule and the last-wave " +
