@@ -130,7 +130,13 @@ private[graft] object ProbeRunner {
       run(p)
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"${"family"}%-18s ${"t_1x_s"}%8s ${"t_8x_s"}%8s ${"ratio"}%7s ${"exp"}%5s")
+    // header derives from bigOverSmall — the graph families probe at 10×,
+    // so a hardcoded "t_8x_s" would mislabel their big point
+    val bigLabel =
+      if (bigOverSmall == bigOverSmall.toLong.toDouble)
+        s"t_${bigOverSmall.toLong}x_s"
+      else f"t_${bigOverSmall}%.1fx_s"
+    println(f"${"family"}%-18s ${"t_1x_s"}%8s $bigLabel%8s ${"ratio"}%7s ${"exp"}%5s")
     fams.foreach { f =>
       timed(f.run, f.s1) // warmup (codegen + JIT)
       val t1 = math.min(timed(f.run, f.s1), timed(f.run, f.s1))

@@ -780,6 +780,13 @@ object Streams {
           }
         }
     }
+    // if BOTH passes failed (e.g. the maintenance-thread race hit the root
+    // listing itself, not a leaf delete), the surviving checkpoint tree
+    // must be observable — a silent survival is exactly the leak this
+    // helper exists to close
+    if (java.nio.file.Files.exists(root))
+      System.err.println(
+        s"[graft] WARNING: stream checkpoint survived two delete passes: $ckpt")
     spark.createDataFrame(rows.asJava, schema)
   }
 
