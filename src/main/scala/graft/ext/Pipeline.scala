@@ -243,12 +243,62 @@ object Pipeline {
            array_to_string(ts[k * 32 + 1 : k * 32 + 64], ' ') AS chunk_text
     FROM c"""
 
+  // --- q232_seqpack_atscale: the packing window at ≥1M documents ----------
+  /** At-scale correctness coverage for [[packSequences]] — q84 runs the
+    * shard-derivation + per-shard running-total window over ≤5k documents
+    * (sf0.1: 79 shards × ~64 docs); this replays the SAME entry point over
+    * 2²⁰ range-synthesized documents, where the in-plan ceiling division
+    * actually derives 256 shards and every shard's window carries 4,096
+    * rows of genuinely mixed lengths. Token counts cycle 64/128/192 by
+    * `(id div 256) % 3`, so within a shard (ids ≡ s mod 256, walked in id
+    * order) the k-th document has length `64·(1 + k % 3)` — every shard
+    * sees the identical length sequence and the packing arithmetic
+    * (seq_idx/seq_offset off a 2048-token budget that mixed cycles
+    * straddle unevenly) is integer-exact. The oracle replays the window
+    * over the same range generator in DuckDB — one partitioned cumulative
+    * sum, bit-for-bit. Output is the per-shard rollup (256 rows) whose
+    * sums pin every document's packing coordinates. */
+  private[graft] val q232Docs = 1L << 20
+  private[graft] val q232PerShard = 4096L
+
+  def q232SeqpackAtScale(spark: SparkSession, dir: String): DataFrame =
+    packSequences(
+      spark.range(q232Docs).select(col("id").as("doc_id"),
+        (lit(64L) * (expr("(id div 256) % 3") + 1)).as("t")),
+      "doc_id", col("t"), budget = 2048, docsPerShard = q232PerShard)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        max(col("seq_idx")).as("max_seq"), sum(col("seq_idx")).as("sum_seq"),
+        sum(col("seq_offset")).as("sum_off"))
+
+  private[graft] def q232OracleSql(docs: Long = q232Docs): String = s"""
+    WITH n AS (
+      SELECT GREATEST(1, (COUNT(*) + ${q232PerShard - 1}) // $q232PerShard)
+               AS shards
+      FROM range(0, $docs)),
+    d AS (
+      SELECT u.i AS doc_id, u.i % n.shards AS shard,
+             64 * (1 + (u.i // 256) % 3) AS n_tok
+      FROM range(0, $docs) AS u(i), n),
+    c AS (SELECT doc_id, shard, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+          FROM d)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(MAX((end_tok - n_tok) // 2048) AS BIGINT) AS max_seq,
+           CAST(SUM((end_tok - n_tok) // 2048) AS BIGINT) AS sum_seq,
+           CAST(SUM((end_tok - n_tok) % 2048) AS BIGINT) AS sum_off
+    FROM c GROUP BY shard"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_train_pipeline" -> q50TrainPipeline _,
     "q63_full_pipeline"  -> q63FullPipeline _,
     "q64_source_cap"     -> q64SourceCap _,
     "q84_sequence_pack"  -> q84SequencePack _,
     "q91_chunk_overlap"  -> q91ChunkOverlap _,
+    "q232_seqpack_atscale" -> q232SeqpackAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -257,5 +307,6 @@ object Pipeline {
     "q64_source_cap"     -> q64SourceCapSql,
     "q84_sequence_pack"  -> q84SequencePackSql,
     "q91_chunk_overlap"  -> q91ChunkOverlapSql,
+    "q232_seqpack_atscale" -> q232OracleSql(),
   )
 }

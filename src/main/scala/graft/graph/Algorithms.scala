@@ -1875,7 +1875,88 @@ object Algorithms {
     FROM d GROUP BY 1, 2"""
   }
 
+  // --- q229_hits_atscale: max-normalized HITS at ≥1.5M edges --------------
+  /** At-scale correctness coverage for [[hits]] — q158 runs the hub/auth
+    * fixed point on 25 nations; this replays the SAME entry point over
+    * q219's 2²⁰-vertex ring+skip parity graph with TYPE-keyed weights
+    * (ring w=1, skip w=3), which is exactly the float-safety envelope the
+    * q219 gate established: every per-vertex message sum has ≤2 IEEE
+    * double terms (2-term addition is commutative — no order to get
+    * wrong), every w·score product is one exact multiply, and the
+    * normalizer is a global MAX (order-invariant, unlike the L2 norm —
+    * the reason [[hits]] max-normalizes in the first place). Every vertex
+    * of a parity class is isomorphic, so the 2²⁰-vertex fixed point
+    * collapses to a four-variable recurrence
+    *
+    *   ar_e = 1·h_o + 3·h_e   ar_o = 1·h_e   a = ar / max(ar_e, ar_o)
+    *   hr_e = 1·a_o + 3·a_e   hr_o = 1·a_e   h = hr / max(hr_e, hr_o)
+    *
+    * that the oracle unrolls as scalar CTEs with the q219 literal
+    * discipline (identical expression trees both sides). The per-parity
+    * rollup's min=max pins CLASS-UNIFORMITY: one misrouted edge, wrong
+    * weight, or dropped message anywhere in 1.57M edges breaks it.
+    * 4 iterations — the recurrence is still visibly moving (h_o walks
+    * 0.3077 → 0.3023 → …), so the iterate count is load-bearing. */
+  private[graft] val q229Iters = 4
+
+  private[graft] def q229Edges(spark: SparkSession): DataFrame = {
+    val m = q219BlockSize
+    val all = spark.range(q219Blocks * m).select(col("id"),
+      expr(s"(id div $m) * $m").as("base"), pmod(col("id"), lit(m)).as("p"))
+    val ring = all.select(col("id").as("src"),
+      (col("base") + pmod(col("p") + 1, lit(m))).as("dst"),
+      lit(1.0).as("w"))
+    val skip = all.filter(pmod(col("p"), lit(2)) === 0)
+      .select(col("id").as("src"),
+        (col("base") + pmod(col("p") + 2, lit(m))).as("dst"),
+        lit(3.0).as("w"))
+    ring.unionByName(skip)
+  }
+
+  def q229HitsAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val n = q219Blocks * q219BlockSize
+    hits(spark.range(n).select(col("id")), q229Edges(spark), q229Iters)
+      .groupBy(pmod(col("id"), lit(2L)).as("parity"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(round(col("hub"), 6)).as("min_hub"),
+        max(round(col("hub"), 6)).as("max_hub"),
+        min(round(col("auth"), 6)).as("min_auth"),
+        max(round(col("auth"), 6)).as("max_auth"))
+  }
+
+  /** The four-variable recurrence unrolled as scalar CTEs. [[hits]] seeds
+    * BOTH score vectors at 1.0 and its normalize guard (`raw/max` only
+    * when max > 0) never fires on this all-positive graph, so plain
+    * division mirrors the Spark expression tree exactly. */
+  val q229HitsAtScaleSql: String = {
+    val n = q219Blocks * q219BlockSize
+    val prelude = """
+      WITH r0 AS (SELECT CAST(1.0 AS DOUBLE) AS he, CAST(1.0 AS DOUBLE) AS ho)"""
+    val steps = (1 to q229Iters).map { i =>
+      s""", ar$i AS (
+        SELECT 1 * ho + 3 * he AS are, 1 * he AS aro, he, ho FROM r${i - 1}),
+      a$i AS (
+        SELECT are / GREATEST(are, aro) AS ae, aro / GREATEST(are, aro) AS ao,
+               he, ho FROM ar$i),
+      hr$i AS (
+        SELECT 1 * ao + 3 * ae AS hre, 1 * ae AS hro, ae, ao FROM a$i),
+      r$i AS (
+        SELECT hre / GREATEST(hre, hro) AS he, hro / GREATEST(hre, hro) AS ho,
+               ae, ao FROM hr$i)"""
+    }.mkString
+    s"""$prelude$steps
+    SELECT CAST(0 AS BIGINT) AS parity, CAST(${n / 2} AS BIGINT) AS n_vertices,
+           ROUND(he, 6) AS min_hub, ROUND(he, 6) AS max_hub,
+           ROUND(ae, 6) AS min_auth, ROUND(ae, 6) AS max_auth
+    FROM r$q229Iters
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(${n / 2} AS BIGINT),
+           ROUND(ho, 6), ROUND(ho, 6), ROUND(ao, 6), ROUND(ao, 6)
+    FROM r$q229Iters"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_hits_atscale" -> q229HitsAtScale _,
     "q228_landmark_atscale" -> q228LandmarkAtScale _,
     "q227_incremental_cc_atscale" -> q227IncrementalCcAtScale _,
     "q225_widest_atscale" -> q225WidestAtScale _,
@@ -1903,6 +1984,7 @@ object Algorithms {
   )
 
   def oracles: Map[String, String] = Map(
+    "q229_hits_atscale" -> q229HitsAtScaleSql,
     "q228_landmark_atscale" -> q228LandmarkAtScaleSql,
     "q227_incremental_cc_atscale" -> q227IncrementalCcAtScaleSql,
     "q225_widest_atscale" -> q225WidestAtScaleSql,

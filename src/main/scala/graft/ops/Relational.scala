@@ -671,6 +671,64 @@ object Relational {
         AND o.p_retailprice <= p.p_retailprice AND o.p_size >= p.p_size
         AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))"""
 
+  // --- q231_skyline_atscale: the staircase frontier at ≥3M rows ------------
+  /** At-scale correctness coverage for [[skyline2d]] — q135's NOT-EXISTS
+    * oracle is O(n²) per group and can never follow the operator to size,
+    * so this gate plants a corpus whose skyline is known BY CONSTRUCTION
+    * (the oracle emits the analytic frontier, no dominance computation at
+    * all — two independent formulations, one hash). Per group g ∈ [0,64),
+    * i ∈ [0,16384), three planted classes:
+    *
+    *  - frontier `(x=2i, y=i+1)`: y strictly increases with x, so no
+    *    point dominates another — all 2²⁰ rows are skyline;
+    *  - same-x filler `(x=2i, y=i)`: dominated by the frontier point at
+    *    its exact x (equal x, strictly greater y) — exercises the
+    *    `y = best_y(x)` branch of the staircase;
+    *  - odd-x decoy `(x=2i+1, y=i+1)`: dominated by `(2i, i+1)` (strictly
+    *    smaller x, equal y) — at its own x it IS the best y, so only the
+    *    strictly-greater-than-running-max branch can reject it; a `>=`
+    *    regression admits all 2²⁰ decoys and breaks the hash.
+    *
+    * Output is the per-group rollup (64 rows) of count and the exact
+    * integer x/y sums; the oracle derives the same sums from the
+    * construction (`Σ2i`, `Σ(i+1)` over the frontier index range) — pure
+    * range SQL, no skyline logic. Scale shape is the operator's own: one
+    * map-side-partial agg on (g, x), a per-group window over the
+    * DISTINCT-x frame (16,384 rows per group, never the corpus), and an
+    * equi-join back. */
+  private[graft] val q231Groups = 64L
+  private[graft] val q231PerGroup = 16384L
+
+  private[graft] def q231Frame(spark: SparkSession,
+                               perGroup: Long = q231PerGroup): DataFrame = {
+    val base = spark.range(q231Groups * perGroup).select(
+      expr(s"id div $perGroup").as("g"), pmod(col("id"), lit(perGroup)).as("i"))
+    val frontier = base.select(col("g"), (col("i") * 2).as("x"),
+      (col("i") + 1).as("y"))
+    val filler = base.select(col("g"), (col("i") * 2).as("x"),
+      col("i").as("y"))
+    val decoy = base.select(col("g"), (col("i") * 2 + 1).as("x"),
+      (col("i") + 1).as("y"))
+    frontier.unionByName(filler).unionByName(decoy)
+  }
+
+  def q231SkylineAtScale(spark: SparkSession, dir: String): DataFrame =
+    skyline2d(q231Frame(spark), "g", "x", "y")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_skyline"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        max(col("x")).as("max_x"), max(col("y")).as("max_y"))
+
+  private[graft] def q231OracleSql(perGroup: Long = q231PerGroup): String = s"""
+    WITH f AS (SELECT CAST(SUM(2 * u.i) AS BIGINT) AS sum_x,
+                      CAST(SUM(u.i + 1) AS BIGINT) AS sum_y
+               FROM unnest(range(0, $perGroup)) AS u(i))
+    SELECT CAST(g.i AS BIGINT) AS g, CAST($perGroup AS BIGINT) AS n_skyline,
+           f.sum_x, f.sum_y,
+           CAST(${2 * (perGroup - 1)} AS BIGINT) AS max_x,
+           CAST($perGroup AS BIGINT) AS max_y
+    FROM unnest(range(0, $q231Groups)) AS g(i), f"""
+
   /** Query registry (grows in later commits). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"        -> q1Agg _,
@@ -692,6 +750,7 @@ object Relational {
     "q111_multiway_join" -> q111MultiwayJoin _,
     "q119_grouping_sets" -> q119GroupingSets _,
     "q135_skyline"  -> q135Skyline _,
+    "q231_skyline_atscale" -> q231SkylineAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -714,5 +773,6 @@ object Relational {
     "q111_multiway_join" -> q111MultiwayJoinSql,
     "q119_grouping_sets" -> q119GroupingSetsSql,
     "q135_skyline"  -> q135SkylineSql,
+    "q231_skyline_atscale" -> q231OracleSql(),
   )
 }
