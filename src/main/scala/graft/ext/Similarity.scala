@@ -1823,7 +1823,57 @@ object Similarity {
          (SELECT CAST(u.i AS BIGINT) AS r FROM unnest(range(1, ${k + 1})) AS u(i))"""
   }
 
+  // --- q230_kmeans_atscale: the Lloyd loop at ≥1M vectors ------------------
+  /** At-scale correctness coverage for [[kMeans]] — q73 trains on ≤500
+    * embeddings; this replays the SAME entry point (seed-by-lowest-id,
+    * broadcast-centroid argmin assignment, decimal-exact centroid means)
+    * over 2²⁰ range-synthesized 4-dim vectors in 8 planted clusters
+    * 1000 apart per dimension with integer jitter ≤ ±3. Every coordinate
+    * is an integer-valued double, so the per-cluster DECIMAL(28,12) sums
+    * are exact at 131,072 rows (the whole reason [[kMeans]] aggregates in
+    * fixed point — gated here at a size where a naive double sum WOULD
+    * drift by partitioning), and the seeds (ids 0..7, one per cluster by
+    * construction) make Lloyd deterministic with no boundary ties. The
+    * oracle replays the identical unrolled [[kMeansCtes]] chain over the
+    * same range generator — the q73 bit-identity contract at 2,000× the
+    * rows. Output: per-cluster rollup (8 rows) of membership count, the
+    * exact id sum, and the d2 envelope. */
+  private[ext] val q230Vecs = 1L << 20
+
+  private[ext] def q230VecExprs: Seq[String] = Seq(
+    "CAST(id % 8 * 1000 + (id div 8) % 5 - 2 AS DOUBLE)",
+    "CAST((7 - id % 8) * 1000 + (id div 8) % 3 - 1 AS DOUBLE)",
+    "CAST(id % 8 * 250 + 100 + (id div 8) % 7 - 3 AS DOUBLE)",
+    "CAST(id % 8 * 125 + (id div 8) % 2 AS DOUBLE)")
+
+  private[ext] def q230Frame(spark: SparkSession,
+                             vecs: Long = q230Vecs): DataFrame =
+    spark.range(vecs).select(col("id").as("vec_id"),
+      array(q230VecExprs.map(expr): _*).as("embedding"))
+
+  def q230KmeansAtScale(spark: SparkSession, dir: String): DataFrame =
+    kMeans(q230Frame(spark), "vec_id", "embedding", kMeansK, kMeansIters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"),
+        min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
+
+  private[ext] def q230OracleSql(vecs: Long = q230Vecs): String = {
+    val dims = q230VecExprs
+      .map(_.replace("id %", "u.i %").replace("(id div 8)", "(u.i // 8)"))
+      .mkString(",\n             ")
+    s"""
+    WITH ${kMeansCtes(
+      s"""SELECT u.i AS vec_id,
+           [$dims] AS v
+         FROM range(0, $vecs) AS u(i)""", kMeansK, kMeansIters)}
+    SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           MIN(ROUND(d2, 6)) AS min_d2, MAX(ROUND(d2, 6)) AS max_d2
+    FROM af GROUP BY cid"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_kmeans_atscale" -> q230KmeansAtScale _,
     "q207_ann_atscale" -> q207AnnAtScale _,
     "q208_cosine_atscale" -> q208CosineAtScale _,
     "q203_int8_quant" -> q203Int8Quant _,
@@ -1851,6 +1901,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q230_kmeans_atscale" -> q230OracleSql(),
     "q207_ann_atscale" -> q207OracleSql(),
     "q208_cosine_atscale" -> q207OracleSql(),
     "q203_int8_quant" -> q203Int8QuantSql,

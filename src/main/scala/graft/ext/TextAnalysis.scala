@@ -895,6 +895,52 @@ object TextAnalysis {
     FROM big JOIN q ON a = qa AND b = qb
     GROUP BY doc_id"""
 
+  // --- q234_phrase_atscale: the positional index + argmax at 2^20 docs ----
+  /** At-scale correctness coverage for [[phraseSearch]] — q153 probes ~500
+    * documents; this replays the SAME entry point (positional self-join,
+    * global bigram argmax, 1-row broadcast probe) over 2²⁰ range-built
+    * documents of 10 tokens each: ~10.5M positional tokens and ~9.4M
+    * bigram rows through the (doc, pos+1) equi-join. The two doc classes
+    * alternate the same four tokens in opposite phase —
+    *
+    *   class 0: `aa bb aa bb cc dd cc dd aa bb` → (aa,bb)×3 at pos 0,
+    *            (cc,dd)×2
+    *   class 1: `cc dd cc dd aa bb aa bb cc dd` → (cc,dd)×3, (aa,bb)×2
+    *            at pos 4
+    *
+    * so the two top bigrams TIE globally at exactly 5·2¹⁹ occurrences and
+    * only the argmax's full ordering (count desc, THEN lexicographic a, b)
+    * picks `aa bb` — the tie-break discipline is load-bearing at 2²⁰-doc
+    * volume, not just on the 500-doc corpus. Per-class hit counts and
+    * first positions are closed-form; the rollup's min=max pins them
+    * uniformly across every document. */
+  private[graft] val q234Docs = 1L << 20
+
+  private[graft] def q234Frame(spark: SparkSession,
+                               docs: Long = q234Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2L)) === 0,
+        lit("aa bb aa bb cc dd cc dd aa bb"))
+        .otherwise(lit("cc dd cc dd aa bb aa bb cc dd")).as("text"))
+
+  def q234PhraseAtScale(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(q234Frame(spark), "doc_id", "text")
+      .groupBy(pmod(col("doc_id"), lit(2L)).as("cls"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_hits")).as("min_hits"), max(col("n_hits")).as("max_hits"),
+        min(col("first_pos")).as("min_fp"), max(col("first_pos")).as("max_fp"),
+        min(col("phrase")).as("min_phrase"), max(col("phrase")).as("max_phrase"))
+
+  private[graft] def q234OracleSql(docs: Long = q234Docs): String = s"""
+    SELECT CAST(0 AS BIGINT) AS cls, CAST(${docs / 2} AS BIGINT) AS n_docs,
+           CAST(3 AS BIGINT) AS min_hits, CAST(3 AS BIGINT) AS max_hits,
+           CAST(0 AS BIGINT) AS min_fp, CAST(0 AS BIGINT) AS max_fp,
+           'aa bb' AS min_phrase, 'aa bb' AS max_phrase
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(${docs / 2} AS BIGINT),
+           CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+           CAST(4 AS BIGINT), CAST(4 AS BIGINT), 'aa bb', 'aa bb'"""
+
   // --- q152_bpe_encode: BPE training + greedy merge application ----------
   /** The other half of byte-pair encoding: [[bpePairCounts]] is one
     * trainer ITERATION's statistics; this runs the full trainer for
@@ -1575,6 +1621,7 @@ object TextAnalysis {
     "q133_rarity_bucket" -> q133RarityBucket _,
     "q136_bm25"         -> q136Bm25 _,
     "q215_bm25_atscale" -> q215Bm25AtScale _,
+    "q234_phrase_atscale" -> q234PhraseAtScale _,
     "q140_lm_score"     -> q140LmScore _,
   )
 
@@ -1601,6 +1648,7 @@ object TextAnalysis {
     "q133_rarity_bucket" -> q133RarityBucketSql,
     "q136_bm25"         -> q136Bm25Sql,
     "q215_bm25_atscale" -> q215OracleSql(),
+    "q234_phrase_atscale" -> q234OracleSql(),
     "q140_lm_score"     -> q140LmScoreSql,
   )
 }
