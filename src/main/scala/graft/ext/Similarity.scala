@@ -1063,6 +1063,13 @@ object Similarity {
       when(pmod(col("key"), lit(3)) === 0,
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")))
         .otherwise(col("name")).as("dname"))
+    linkRecords(clean, dirty)
+  }
+
+  /** The linkage kernel behind [[q128RecordLinkage]], parameterized by its
+    * `(key, name)` master and `(d_id, dname)` feed so the q235 gate can
+    * run the identical plan over a range-synthesized corpus. */
+  private[ext] def linkRecords(clean: DataFrame, dirty: DataFrame): DataFrame = {
     val exact = dirty.join(clean, col("dname") === col("name"))
       .groupBy(col("d_id"), col("dname"))
       .agg(min(col("key")).as("matched_key"))
@@ -1115,6 +1122,81 @@ object Similarity {
     FROM dirty d
     LEFT JOIN ex e ON e.d_id = d.d_id
     LEFT JOIN fz f ON f.d_id = d.d_id"""
+
+  // --- q235_linkage_atscale: exact-first record linkage at 2^20 entities --
+  /** At-scale correctness coverage for [[linkRecords]] — q128 links ~1.5k
+    * customers; this replays the SAME kernel over 2²⁰ synthesized
+    * entities (`name = 'c' || lpad(key, 7, '0')`), sized so each stage
+    * carries its production shape: the EXACT stage is a 2²⁰-row string
+    * equi-join resolving all but every 256th record, and only the 4,096
+    * corrupted names (2nd character dropped — length 7 vs 8, so they can
+    * never exact-match) reach the fuzzy stage, whose last-3-digit
+    * blocking (the dropped character never touches the suffix) yields
+    * ~1,049 candidates per residual — a ~4.3M-pair bounded Levenshtein
+    * join, exactly the exact-first design's point: the quadratic stage
+    * sees 0.4% of the feed. The original always sits at distance 1, but
+    * same-block decoys at distance ≤2 exist (ids differing in one early
+    * digit), so the (dist, key) tie-break is load-bearing; the oracle
+    * replays the identical two-stage plan over the same range generator
+    * (min-struct vs ROW_NUMBER — the two formulations q128 already
+    * proved equivalent). Rolled up per method (2 rows): counts and the
+    * exact matched-key / distance sums pin every row's resolution. */
+  private[ext] val q235Keys = 1L << 20
+
+  private[ext] def q235Clean(spark: SparkSession,
+                             keys: Long = q235Keys): DataFrame =
+    spark.range(keys).select(col("id").as("key"),
+      concat(lit("c"), lpad(col("id").cast("string"), 7, "0")).as("name"))
+
+  def q235LinkageAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val clean = q235Clean(spark)
+    val dirty = clean.select((col("key") + 10000000L).as("d_id"),
+      when(pmod(col("key"), lit(256L)) === 0,
+        concat(substring(col("name"), 1, 1), expr("substring(name, 3)")))
+        .otherwise(col("name")).as("dname"))
+    linkRecords(clean, dirty)
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n"), sum(col("matched_key")).as("sum_keys"),
+        sum(col("dist")).as("sum_dist"))
+  }
+
+  private[ext] def q235OracleSql(keys: Long = q235Keys): String = s"""
+    WITH clean AS (
+      SELECT u.i AS key, 'c' || lpad(CAST(u.i AS VARCHAR), 7, '0') AS name
+      FROM range(0, $keys) AS u(i)),
+    dirty AS (
+      SELECT key + 10000000 AS d_id,
+             CASE WHEN key % 256 = 0
+                  THEN substring(name, 1, 1) || substring(name, 3)
+                  ELSE name END AS dname
+      FROM clean),
+    ex AS (
+      SELECT d.d_id, MIN(c.key) AS matched_key
+      FROM dirty d JOIN clean c ON d.dname = c.name GROUP BY 1),
+    fz AS (
+      SELECT d_id, matched_key, dist FROM (
+        SELECT d.d_id, c.key AS matched_key,
+               CAST(levenshtein(d.dname, c.name) AS INT) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY d.d_id
+                 ORDER BY levenshtein(d.dname, c.name), c.key) AS rn
+        FROM dirty d JOIN clean c
+          ON right(d.dname, 3) = right(c.name, 3)
+         AND levenshtein(d.dname, c.name) <= 2
+        WHERE d.d_id NOT IN (SELECT d_id FROM ex)) t
+      WHERE rn = 1),
+    assembled AS (
+      SELECT CASE WHEN e.d_id IS NOT NULL THEN 'exact'
+                  WHEN f.d_id IS NOT NULL THEN 'fuzzy' END AS method,
+             COALESCE(e.matched_key, f.matched_key) AS matched_key,
+             CASE WHEN e.d_id IS NOT NULL THEN 0
+                  WHEN f.d_id IS NOT NULL THEN f.dist END AS dist
+      FROM dirty d
+      LEFT JOIN ex e ON e.d_id = d.d_id
+      LEFT JOIN fz f ON f.d_id = d.d_id)
+    SELECT method, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(matched_key) AS BIGINT) AS sum_keys,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM assembled GROUP BY method"""
 
   // --- q134_link_pred: neighborhood-overlap link prediction ---------------
   /** Link prediction by neighborhood overlap on a bipartite relation:
@@ -1895,6 +1977,7 @@ object Similarity {
     "q116_fuzzy_nn"       -> q116FuzzyNn _,
     "q126_fuzzy_pairs"    -> q126FuzzyPairs _,
     "q128_record_linkage" -> q128RecordLinkage _,
+    "q235_linkage_atscale" -> q235LinkageAtScale _,
     "q134_link_pred"      -> q134LinkPred _,
     "q139_feature_norm"   -> q139FeatureNorm _,
     "q143_rrf"            -> q143Rrf _,
@@ -1924,6 +2007,7 @@ object Similarity {
     "q116_fuzzy_nn"       -> q116FuzzyNnSql,
     "q126_fuzzy_pairs"    -> q126FuzzyPairsSql,
     "q128_record_linkage" -> q128RecordLinkageSql,
+    "q235_linkage_atscale" -> q235OracleSql(),
     "q134_link_pred"      -> q134LinkPredSql,
     "q139_feature_norm"   -> q139FeatureNormSql,
     "q143_rrf"            -> q143RrfSql,

@@ -994,6 +994,115 @@ object Streams {
     FROM unnest(range(0, $q224Users)) AS u(i),
          unnest(range(0, $q224Waves)) AS w(i)"""
 
+  // --- q233_sessionwindow_atscale: the session-window state store ---------
+  /** STREAMING form of q51's built-in session primitive — watermark +
+    * `session_window` groupBy in append mode, the declarative counterpart
+    * of [[sessionizeStream]]'s hand-rolled fMGWS sessionizer. Exposed as
+    * its own operator so the gate (and any user) runs the REAL
+    * session-window state manager: per-key session merge across
+    * micro-batches, batch-start late filtering, and emit-on-watermark
+    * eviction — a FOURTH stateful-runtime class after q206 (fMGWS), q214
+    * (stream-stream join), and q224 (dedup state). */
+  def sessionWindowStream(events: DataFrame, gapMinutes: Int,
+                          delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+        count(lit(1)).cast("int").as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .select("user_id", "session_start_us", "n_events", "duration_us")
+
+  /** At-scale correctness coverage for [[sessionWindowStream]] — q206's
+    * feed design pointed at the session-window state manager instead of
+    * flatMapGroupsWithState: 4096 users × 4 hourly session waves × 16
+    * minute-grid events (~262k), with every wave split across TWO
+    * micro-batches (events 0–7, then 8–15, each half fed in REVERSED
+    * event order) so the state store must MERGE a live session with
+    * later out-of-order arrivals rather than build each session in one
+    * batch — the merge path is the class's load-bearing state operation.
+    * Wave w's sessions evict when wave w+1's first half-batch advances
+    * the watermark past their gap-extended end (45 min after wave start
+    * vs a watermark 57 min in); the last wave needs the far-future probe.
+    * Three probe batches then pin the remaining paths:
+    *
+    *  - probe 1 (sweep user, BASE+2 days) closes wave 3's sessions;
+    *  - a BELOW-WATERMARK event (user 4097 at BASE) must be dropped by
+    *    the batch-start late filter — the watermark is already past its
+    *    session end, so a wrongly-admitted row would emit immediately
+    *    and break the hash (late-dropping is output-VISIBLE here);
+    *  - probe 2 (sweep user, +2 h > gap) closes the sweep user's
+    *    single-event first session; its second stays open, never emitted.
+    *
+    * Output: 16,385 closed-form rows. State-row cadence and a no-probe
+    * replay (wave 4 provably unemitted without the sweep) are pinned on
+    * a small analog in SinkStreamSpec via the progress API. */
+  private[graft] val q233Users = 4096L
+  private[graft] val q233Waves = 4
+  private val q233Seq = new java.util.concurrent.atomic.AtomicInteger
+
+  private[graft] def q233Run(spark: SparkSession, users: Long, waves: Int,
+                             sweep: Boolean = true): (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = s"graft_q233_${q233Seq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q233_ckpt").toString
+    val q = sessionWindowStream(ms.toDF().toDF("user_id", "ts"),
+        gapMinutes = 30, delay = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    def tsAt(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    def recordState(): Unit = stateRows += Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(-1L)
+    try {
+      for (w <- 0 until waves; half <- 0 to 1) {
+        val t0 = q206BaseUs + w * 3600000000L
+        ms.addData(for {
+          u <- 0L until users
+          k <- (half * 8 + 7) to (half * 8) by -1 // out-of-order within batch
+        } yield (u, tsAt(t0 + k * 60000000L)))
+        q.processAllAvailable()
+        recordState()
+      }
+      if (sweep) {
+        val p1 = q206BaseUs + 172800000000L // BASE + 2 days
+        ms.addData(Seq((users, tsAt(p1))))
+        q.processAllAvailable()
+        recordState()
+        // below-watermark: its session end is already behind the
+        // watermark, so admission (a late-filter bug) emits a visible row
+        ms.addData(Seq((users + 1, tsAt(q206BaseUs))))
+        q.processAllAvailable()
+        recordState()
+        ms.addData(Seq((users, tsAt(p1 + 7200000000L))))
+        q.processAllAvailable()
+        recordState()
+      }
+    } finally q.stop()
+    (drainMemorySink(spark, name, ckpt), stateRows.toSeq)
+  }
+
+  def q233SessionWindowAtScale(spark: SparkSession, dir: String): DataFrame =
+    q233Run(spark, q233Users, q233Waves)._1
+
+  /** Closed form: 4 sessions per user on the hourly grid, plus the sweep
+    * user's single-event first session. */
+  val q233SessionWindowAtScaleSql: String = s"""
+    SELECT CAST(u.i AS BIGINT) AS user_id,
+           CAST($q206BaseUs + s.i * 3600000000 AS BIGINT) AS session_start_us,
+           CAST(16 AS INT) AS n_events, CAST(900000000 AS BIGINT) AS duration_us
+    FROM unnest(range(0, $q233Users)) AS u(i),
+         unnest(range(0, $q233Waves)) AS s(i)
+    UNION ALL
+    SELECT CAST($q233Users AS BIGINT),
+           CAST($q206BaseUs + 172800000000 AS BIGINT),
+           CAST(1 AS INT), CAST(0 AS BIGINT)"""
+
   def q214StreamJoinAtScale(spark: SparkSession, dir: String): DataFrame =
     // 4 waves per micro-batch: the SET of emitted rows is batching-
     // invariant (matches emit when both sides arrive; unmatched lefts
@@ -1029,6 +1138,7 @@ object Streams {
     "q154_outer_interval_join" -> q154OuterIntervalJoin _,
     "q206_stream_atscale" -> q206StreamAtScale _,
     "q224_streamdedup_atscale" -> q224StreamDedupAtScale _,
+    "q233_sessionwindow_atscale" -> q233SessionWindowAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1043,5 +1153,6 @@ object Streams {
     "q151_stream_enrich" -> q151StreamEnrichSql,
     "q154_outer_interval_join" -> q154OuterIntervalJoinSql,
     "q206_stream_atscale" -> q206StreamAtScaleSql,
+    "q233_sessionwindow_atscale" -> q233SessionWindowAtScaleSql,
   )
 }
