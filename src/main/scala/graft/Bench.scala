@@ -119,7 +119,10 @@ object Bench {
       "q220_sssp_atscale", "q221_triangles_atscale", "q222_kcore_atscale",
       "q223_media_atscale", "q224_streamdedup_atscale",
       "q225_widest_atscale", "q226_critical_atscale",
-      "q227_incremental_cc_atscale", "q228_landmark_atscale")
+      "q227_incremental_cc_atscale", "q228_landmark_atscale",
+      "q229_hits_atscale", "q230_kmeans_atscale", "q231_skyline_atscale",
+      "q232_seqpack_atscale", "q233_sessionwindow_atscale",
+      "q234_phrase_atscale", "q235_linkage_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -1069,7 +1069,7 @@ object Similarity {
   /** The linkage kernel behind [[q128RecordLinkage]], parameterized by its
     * `(key, name)` master and `(d_id, dname)` feed so the q235 gate can
     * run the identical plan over a range-synthesized corpus. */
-  private[ext] def linkRecords(clean: DataFrame, dirty: DataFrame): DataFrame = {
+  private[graft] def linkRecords(clean: DataFrame, dirty: DataFrame): DataFrame = {
     val exact = dirty.join(clean, col("dname") === col("name"))
       .groupBy(col("d_id"), col("dname"))
       .agg(min(col("key")).as("matched_key"))
@@ -1141,26 +1141,28 @@ object Similarity {
     * (min-struct vs ROW_NUMBER — the two formulations q128 already
     * proved equivalent). Rolled up per method (2 rows): counts and the
     * exact matched-key / distance sums pin every row's resolution. */
-  private[ext] val q235Keys = 1L << 20
+  private[graft] val q235Keys = 1L << 20
 
-  private[ext] def q235Clean(spark: SparkSession,
+  private[graft] def q235Clean(spark: SparkSession,
                              keys: Long = q235Keys): DataFrame =
     spark.range(keys).select(col("id").as("key"),
       concat(lit("c"), lpad(col("id").cast("string"), 7, "0")).as("name"))
 
-  def q235LinkageAtScale(spark: SparkSession, dir: String): DataFrame = {
-    val clean = q235Clean(spark)
-    val dirty = clean.select((col("key") + 10000000L).as("d_id"),
+  private[graft] def q235Dirty(clean: DataFrame): DataFrame =
+    clean.select((col("key") + 10000000L).as("d_id"),
       when(pmod(col("key"), lit(256L)) === 0,
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")))
         .otherwise(col("name")).as("dname"))
-    linkRecords(clean, dirty)
+
+  def q235LinkageAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val clean = q235Clean(spark)
+    linkRecords(clean, q235Dirty(clean))
       .groupBy(col("method"))
       .agg(count(lit(1)).as("n"), sum(col("matched_key")).as("sum_keys"),
         sum(col("dist")).as("sum_dist"))
   }
 
-  private[ext] def q235OracleSql(keys: Long = q235Keys): String = s"""
+  private[graft] def q235OracleSql(keys: Long = q235Keys): String = s"""
     WITH clean AS (
       SELECT u.i AS key, 'c' || lpad(CAST(u.i AS VARCHAR), 7, '0') AS name
       FROM range(0, $keys) AS u(i)),
@@ -1920,15 +1922,15 @@ object Similarity {
     * same range generator — the q73 bit-identity contract at 2,000× the
     * rows. Output: per-cluster rollup (8 rows) of membership count, the
     * exact id sum, and the d2 envelope. */
-  private[ext] val q230Vecs = 1L << 20
+  private[graft] val q230Vecs = 1L << 20
 
-  private[ext] def q230VecExprs: Seq[String] = Seq(
+  private[graft] def q230VecExprs: Seq[String] = Seq(
     "CAST(id % 8 * 1000 + (id div 8) % 5 - 2 AS DOUBLE)",
     "CAST((7 - id % 8) * 1000 + (id div 8) % 3 - 1 AS DOUBLE)",
     "CAST(id % 8 * 250 + 100 + (id div 8) % 7 - 3 AS DOUBLE)",
     "CAST(id % 8 * 125 + (id div 8) % 2 AS DOUBLE)")
 
-  private[ext] def q230Frame(spark: SparkSession,
+  private[graft] def q230Frame(spark: SparkSession,
                              vecs: Long = q230Vecs): DataFrame =
     spark.range(vecs).select(col("id").as("vec_id"),
       array(q230VecExprs.map(expr): _*).as("embedding"))
@@ -1939,7 +1941,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"),
         min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
 
-  private[ext] def q230OracleSql(vecs: Long = q230Vecs): String = {
+  private[graft] def q230OracleSql(vecs: Long = q230Vecs): String = {
     val dims = q230VecExprs
       .map(_.replace("id %", "u.i %").replace("(id div 8)", "(u.i // 8)"))
       .mkString(",\n             ")

@@ -1899,9 +1899,10 @@ object Algorithms {
     * 0.3077 → 0.3023 → …), so the iterate count is load-bearing. */
   private[graft] val q229Iters = 4
 
-  private[graft] def q229Edges(spark: SparkSession): DataFrame = {
+  private[graft] def q229Edges(spark: SparkSession,
+                               blocks: Long = q219Blocks): DataFrame = {
     val m = q219BlockSize
-    val all = spark.range(q219Blocks * m).select(col("id"),
+    val all = spark.range(blocks * m).select(col("id"),
       expr(s"(id div $m) * $m").as("base"), pmod(col("id"), lit(m)).as("p"))
     val ring = all.select(col("id").as("src"),
       (col("base") + pmod(col("p") + 1, lit(m))).as("dst"),

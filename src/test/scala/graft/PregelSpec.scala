@@ -310,6 +310,8 @@ class PregelSpec extends GraftSuite {
       4096L * (63 * 2 + 64 * 2) + 4096L)
     // q228: landmark chain (3) + one root edge per block + 7-chains
     assert(Algorithms.q228Edges(spark).count() == 1048579L)
+    // q229: q219's ring+skip volume, now weight-typed
+    assert(Algorithms.q229Edges(spark).count() == 1572864L)
   }
 
   test("q228 small analog: per-landmark slots stay independent — reached " +
@@ -414,6 +416,34 @@ class PregelSpec extends GraftSuite {
     got.foreach { case (id, pr) =>
       assert(pr == (if (id % 2 == 1) a else b),
         s"vertex $id: got $pr, expected ${if (id % 2 == 1) a else b}")
+    }
+  }
+
+  test("q229 small analog: HITS iterates equal the four-variable " +
+      "recurrence exactly (bit-for-bit, no rounding)") {
+    // 4 blocks × 1024 — q219's parity structure with type-keyed weights
+    // (ring 1, skip 3); expected values computed in plain Scala with the
+    // identical double ops (≤2-term sums, exact 1·x / 3·x multiplies,
+    // order-invariant max normalizer), compared with == on doubles
+    val blocks = 4L
+    val n = blocks * Algorithms.q219BlockSize
+    var he = 1.0; var ho = 1.0; var ae = 0.0; var ao = 0.0
+    for (_ <- 1 to Algorithms.q229Iters) {
+      val are = 1.0 * ho + 3.0 * he; val aro = 1.0 * he
+      val ma = math.max(are, aro); ae = are / ma; ao = aro / ma
+      val hre = 1.0 * ao + 3.0 * ae; val hro = 1.0 * ae
+      val mh = math.max(hre, hro); he = hre / mh; ho = hro / mh
+    }
+    val got = Algorithms.hits(
+        spark.range(n).select(col("id")),
+        Algorithms.q229Edges(spark, blocks), Algorithms.q229Iters)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got.size == n)
+    got.foreach { case (id, (hub, auth)) =>
+      val (eh, ea) = if (id % 2 == 0) (he, ae) else (ho, ao)
+      assert(hub == eh && auth == ea,
+        s"vertex $id: got ($hub, $auth), expected ($eh, $ea)")
     }
   }
 

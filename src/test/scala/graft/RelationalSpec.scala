@@ -125,4 +125,23 @@ class RelationalSpec extends GraftSuite {
     assert(got == expected)
     assert(got.nonEmpty, "vacuous: empty frontier")
   }
+
+  test("q231 small analog: the skyline is exactly the planted frontier — " +
+      "same-x fillers and odd-x decoys all rejected") {
+    import org.apache.spark.sql.functions.col
+    val per = 64L
+    val got = Relational.skyline2d(Relational.q231Frame(spark, per),
+        "g", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      g <- 0L until Relational.q231Groups
+      i <- 0L until per
+    } yield (g, 2 * i, i + 1)).toSet
+    assert(got == expected,
+      s"diff: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+  }
+
+  test("q231 synthetic corpus is at the claimed scale") {
+    assert(Relational.q231Frame(spark).count() == 3145728L)
+  }
 }

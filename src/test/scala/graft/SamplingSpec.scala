@@ -97,6 +97,32 @@ class SamplingSpec extends GraftSuite {
     assert(out(1L) == ((1L, 100L, 0L, 0L))) // its own shard starts fresh
   }
 
+  test("q232 small analog: the gate's cycling lengths pack exactly as the " +
+      "driver-side simulation of the same window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // 4096 docs / docsPerShard 256 → 16 derived shards; same 64/128/192
+    // cycle as the gate (period 3 over id div 256, walked in id order
+    // within each shard)
+    val docs = spark.range(4096).select(col("id").as("doc_id"),
+      (lit(64L) * (expr("(id div 256) % 3") + 1)).as("t"))
+    val got = ext.Pipeline.packSequences(docs, "doc_id", col("t"),
+        budget = 2048, docsPerShard = 256)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 4096)
+    for (s <- 0L until 16L) {
+      var startTok = 0L
+      for (k <- 0L until 256L) {
+        val id = s + 16L * k
+        val tok = 64L * (1 + (id / 256) % 3)
+        val exp = (s, tok, startTok / 2048, startTok % 2048)
+        assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+        startTok += tok
+      }
+    }
+  }
+
   test("chunk overlap: hand-checked starts, tail shortening, overlap") {
     import spark.implicits._
     // 5 tokens, window 3, stride 2 → starts 0/2/4; the last chunk is the

@@ -506,4 +506,45 @@ class SimilaritySpec extends GraftSuite {
       .head().getInt(0)
     assert(p == 5, s"derived planes $p")
   }
+
+  test("q230 small analog: Lloyd recovers the planted clusters with the " +
+      "seeds' own ids as labels") {
+    // 4096 vectors, 8 planted clusters 1000 apart with jitter ≤ ±3; seeds
+    // are ids 0..7 = one per cluster, so cluster label ≡ planted id % 8
+    val got = Similarity.kMeans(Similarity.q230Frame(spark, 4096L),
+        "vec_id", "embedding", Similarity.kMeansK, Similarity.kMeansIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 4096)
+    got.foreach { case (id, cluster) =>
+      assert(cluster == id % 8, s"vec $id landed in $cluster")
+    }
+  }
+
+  test("q230/q235 synthetic corpora are at the claimed scale") {
+    assert(Similarity.q230Frame(spark).count() == 1048576L)
+    assert(Similarity.q235Clean(spark).count() == 1048576L)
+  }
+
+  test("q235 small analog: exact stage resolves originals; corrupted " +
+      "names resolve at distance 1 through the blocked fuzzy stage") {
+    val clean = Similarity.q235Clean(spark, 4096L)
+    val rows = Similarity.linkRecords(clean, Similarity.q235Dirty(clean))
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    assert(rows.length == 4096)
+    val (fuzzy, exact) = rows.partition(_._2 == "fuzzy")
+    // every 256th key is corrupted (length 7 vs 8 — can never exact-match)
+    assert(fuzzy.length == 16 && exact.length == 4080)
+    exact.foreach { case (dId, _, matched, dist) =>
+      assert(matched == dId - 10000000L && dist == 0, s"exact row $dId")
+    }
+    fuzzy.foreach { case (dId, _, matched, dist) =>
+      // the original is always a distance-1 candidate; same-block decoys
+      // are possible but can never beat distance 1, so dist is pinned
+      // even where the (dist, key) tie-break picks a smaller-key decoy
+      assert(dist == 1, s"fuzzy row $dId resolved at distance $dist")
+      assert(matched % 1000 == dId % 1000,
+        s"fuzzy row $dId matched outside its last-3-digit block: $matched")
+    }
+  }
 }

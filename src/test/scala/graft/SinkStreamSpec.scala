@@ -354,6 +354,45 @@ class SinkStreamSpec extends GraftSuite {
     }
   }
 
+  test("q233 small analog: session-window streaming closed form; the " +
+      "no-sweep replay leaves the last wave unemitted") {
+    val users = 8L
+    val waves = 4
+    val base = 1767225600000000L
+    val (df, stateRows) = Streams.q233Run(spark, users, waves)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val waveRows = (for {
+      u <- 0L until users
+      w <- 0 until waves
+    } yield (u, base + w * 3600000000L, 16, 900000000L)).toSet
+    val expected = waveRows + ((users, base + 172800000000L, 1, 0L))
+    assert(got == expected,
+      s"diff: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+    // Eviction cadence, pinned via the progress API (output-invisible
+    // otherwise): after every wave half-batch the store holds exactly one
+    // OPEN session per user (the previous wave's evicted as it emitted);
+    // after each probe batch exactly the sweep user's open session — the
+    // "1" after the late batch also proves the below-watermark event
+    // created no state row on its way to being dropped.
+    assert(stateRows ==
+      List.fill(2 * waves)(users) ++ List(1L, 1L, 1L),
+      s"state cadence regressed: $stateRows")
+    // without the sweep, waves 0..2 close on the next wave's watermark but
+    // wave 3's sessions are still open state — eviction is the probes' doing
+    val (df2, _) = Streams.q233Run(spark, users, waves, sweep = false)
+    val got2 = df2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val expected2 = (for {
+      u <- 0L until users
+      w <- 0 until waves - 1
+    } yield (u, base + w * 3600000000L, 16, 900000000L)).toSet
+    assert(got2 == expected2,
+      s"diff: ${(got2 -- expected2).take(3)} / ${(expected2 -- got2).take(3)}")
+  }
+
   test("mergeSchema read unions drifted parquet schemas by NAME, not position") {
     val out = Files.createTempDirectory("graft_merge").toString
     // wave 1 and wave 2 share only `id`; column ORDER deliberately differs

@@ -269,6 +269,25 @@ class TextAnalysisSpec extends GraftSuite {
       3L -> ((1L, 1L, "x y"))))
   }
 
+  test("q234 small analog: opposite-phase classes, exact global tie, " +
+      "lexicographic tie-break picks 'aa bb'") {
+    // 64 docs → (aa,bb) and (cc,dd) both count 5·32 = 160 exactly; only
+    // the (count desc, a, b) ordering separates them
+    val got = TextAnalysis.phraseSearch(
+        TextAnalysis.q234Frame(spark, 64L), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.size == 64)
+    got.foreach { case (id, row) =>
+      val exp = if (id % 2 == 0) ((3L, 0L, "aa bb")) else ((2L, 4L, "aa bb"))
+      assert(row == exp, s"doc $id: got $row, expected $exp")
+    }
+  }
+
+  test("q234 synthetic corpus is at the claimed scale") {
+    assert(TextAnalysis.q234Frame(spark).count() == 1048576L)
+  }
+
   test("gateReport: pass rate and dominant failure reason per source") {
     val clean = (1 to 30).map(i => s"word$i").mkString(" ")
     val short = "too short"
