@@ -122,7 +122,9 @@ object Bench {
       "q227_incremental_cc_atscale", "q228_landmark_atscale",
       "q229_hits_atscale", "q230_kmeans_atscale", "q231_skyline_atscale",
       "q232_seqpack_atscale", "q233_sessionwindow_atscale",
-      "q234_phrase_atscale", "q235_linkage_atscale")
+      "q234_phrase_atscale", "q235_linkage_atscale",
+      "q236_trustrank_atscale", "q237_equidepth_atscale",
+      "q238_hilbert_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -97,11 +97,19 @@ object GraphScaleProbe {
         spark.range(blocks * 10).select(col("id")),
         Algorithms.q222Edges(spark, blocks), k = 2, maxIter = 10)
         .groupBy(col("in_core")).count())
+    // round-12 extension: the q229 HITS family — same volume axis as
+    // pagerank_parity (block count; iteration depth fixed at the gate's 4)
+    def hitsRun(blocks: Long): Unit =
+      ProbeRunner.noop(Algorithms.hits(
+        spark.range(blocks * Algorithms.q219BlockSize).select(col("id")),
+        Algorithms.q229Edges(spark, blocks), Algorithms.q229Iters)
+        .groupBy(pmod(col("id"), lit(2L))).count())
     val fams8 = Seq(
       ProbeRunner.Fam("pagerank_parity", prRun, 128L, 1024L),
       ProbeRunner.Fam("sssp_chains", ssspRun, 16384L, 131072L),
       ProbeRunner.Fam("triangles_clique", triRun, 4096L, 32768L),
-      ProbeRunner.Fam("kcore_peel", kcoreRun, 6144L, 49152L))
+      ProbeRunner.Fam("kcore_peel", kcoreRun, 6144L, 49152L),
+      ProbeRunner.Fam("hits_maxnorm", hitsRun, 128L, 1024L))
 
     ProbeRunner.runProbe(spark, fams, bigOverSmall = 10.0)
     ProbeRunner.runProbe(spark, fams8, bigOverSmall = 8.0)
@@ -184,12 +192,25 @@ object SimScaleProbe {
     def minhashRun(docs: Long): Unit =
       noop(Dedup.nearDupMinHash(
         Dedup.q209Corpus(spark, docs = docs), "doc_id", "text"))
+    // round-12 extension: the q230/q235 gate families
+    def kmeansRun(vecs: Long): Unit =
+      noop(Similarity.kMeans(Similarity.q230Frame(spark, vecs), "vec_id",
+          "embedding", Similarity.kMeansK, Similarity.kMeansIters)
+        .groupBy(org.apache.spark.sql.functions.col("cluster")).count())
+    def linkageRun(keys: Long): Unit = {
+      val clean = Similarity.q235Clean(spark, keys)
+      noop(Similarity.linkRecords(clean, Similarity.q235Dirty(clean))
+        .groupBy(org.apache.spark.sql.functions.col("method")).count())
+    }
     val fams = Seq(
       // 1× = 2^18 vectors (quarter registry scale), 8× = 2^21
       Fam("ann_multiprobe", annRun, 8192L, 65536L),
       Fam("brute_cosine", bruteRun, 8192L, 65536L),
       // 1× = 2^17 docs, 8× = 2^20 (the registry-gate scale)
-      Fam("minhash_lsh", minhashRun, 131072L, 1048576L))
+      Fam("minhash_lsh", minhashRun, 131072L, 1048576L),
+      // 1× = 2^17, 8× = 2^20 (the registry-gate scale)
+      Fam("kmeans_lloyd", kmeansRun, 1L << 17, 1L << 20),
+      Fam("record_linkage", linkageRun, 1L << 17, 1L << 20))
 
     ProbeRunner.runProbe(spark, fams)
     spark.stop()
@@ -232,11 +253,34 @@ object RelScaleProbe {
         spark.range(keys).select(col("id"), (col("id") - keys / 2).as("v")),
         "id", "v", "cum"))
 
+    // round-12 extension: the q231/q232/q234 gate shapes
+    import graft.ops.Relational
+    import graft.ext.{Pipeline, TextAnalysis}
+    def skylineRun(perGroup: Long): Unit =
+      noop(Relational.skyline2d(Relational.q231Frame(spark, perGroup),
+          "g", "x", "y")
+        .groupBy(col("g")).count())
+    def seqpackRun(docs: Long): Unit =
+      noop(Pipeline.packSequences(
+          spark.range(docs).select(col("id").as("doc_id"),
+            (lit(64L) * (expr("(id div 256) % 3") + 1)).as("t")),
+          "doc_id", col("t"), budget = 2048, docsPerShard = 4096L)
+        .groupBy(col("shard")).count())
+    def phraseRun(docs: Long): Unit =
+      noop(TextAnalysis.phraseSearch(TextAnalysis.q234Frame(spark, docs),
+          "doc_id", "text")
+        .groupBy(pmod(col("doc_id"), lit(2L))).count())
+
     val fams = Seq(
       Fam("topk_two_phase", topkRun, 1L << 21, 1L << 24),
       Fam("asof_union_sort", asofRun, 1L << 20, 1L << 23),
       Fam("salted_join", saltedRun, 1L << 20, 1L << 23),
-      Fam("range_prefix_sum", prefixRun, 1L << 20, 1L << 23))
+      Fam("range_prefix_sum", prefixRun, 1L << 20, 1L << 23),
+      // 1× = 2048/group (768k rows), 8× = the 3.1M-row gate shape
+      Fam("skyline_staircase", skylineRun, 2048L, 16384L),
+      // 1× = 2^17 docs, 8× = 2^20 (the registry-gate scale)
+      Fam("seqpack_window", seqpackRun, 1L << 17, 1L << 20),
+      Fam("phrase_posjoin", phraseRun, 1L << 17, 1L << 20))
 
     ProbeRunner.runProbe(spark, fams)
     spark.stop()

@@ -1956,7 +1956,61 @@ object Algorithms {
     FROM r$q229Iters"""
   }
 
+  // --- q236_trustrank_atscale: seed-personalized teleport at ≥1.5M edges --
+  /** At-scale correctness coverage for [[trustRank]] — q117 runs the
+    * seeded teleport on 25 nations; this replays the SAME entry point
+    * over q219's parity graph with seeds = THE EVEN CLASS (2¹⁹ seeds, so
+    * `1/nS` is an exact power-of-two double and the seed count the
+    * operator derives via `seeds.count()` is load-bearing at volume).
+    * The teleport term now differs BY CLASS — exactly what
+    * distinguishes trustRank from pageRank — and the iterates collapse
+    * to a two-variable recurrence with q219's float-safety envelope
+    * (≤2 message doubles per vertex, exact `/1` and `/2` divisions):
+    *
+    *   v_e' = 0.15·(1/2¹⁹) + 0.85·(v_o + v_e/2)     v_o' = 0 + 0.85·(v_e/2)
+    *
+    * Scaled by N before ROUND(6) (exact exponent shift), per-parity
+    * min=max pins class uniformity. A pageRank-regression (uniform
+    * teleport) shifts every odd value off the closed form. */
+  private[graft] def q236Seeds(spark: SparkSession): DataFrame =
+    spark.range(q219Blocks * q219BlockSize)
+      .select(col("id")).filter(pmod(col("id"), lit(2L)) === 0)
+
+  def q236TrustRankAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val n = q219Blocks * q219BlockSize
+    trustRank(spark.range(n).select(col("id")), q219Edges(spark),
+        q236Seeds(spark), q219Iters)
+      .groupBy(pmod(col("id"), lit(2L)).as("parity"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(round(col("trust") * n, 6)).as("min_tr"),
+        max(round(col("trust") * n, 6)).as("max_tr"))
+  }
+
+  val q236TrustRankAtScaleSql: String = {
+    val n = q219Blocks * q219BlockSize
+    val nS = n / 2
+    val one = "CAST(1.0 AS DOUBLE)"
+    val d = "CAST(0.85 AS DOUBLE)"
+    val prelude = s"""
+      WITH r0 AS (SELECT $one / $nS AS ve, CAST(0.0 AS DOUBLE) AS vo)"""
+    val steps = (1 to q219Iters).map { i =>
+      s""", r$i AS (
+        SELECT ($one - $d) * ($one / $nS) + $d * (vo + ve / 2) AS ve,
+               ($one - $d) * CAST(0.0 AS DOUBLE) + $d * (ve / 2) AS vo
+        FROM r${i - 1})"""
+    }.mkString
+    s"""$prelude$steps
+    SELECT CAST(0 AS BIGINT) AS parity, CAST($nS AS BIGINT) AS n_vertices,
+           ROUND(ve * $n, 6) AS min_tr, ROUND(ve * $n, 6) AS max_tr
+    FROM r$q219Iters
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST($nS AS BIGINT),
+           ROUND(vo * $n, 6), ROUND(vo * $n, 6)
+    FROM r$q219Iters"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_trustrank_atscale" -> q236TrustRankAtScale _,
     "q229_hits_atscale" -> q229HitsAtScale _,
     "q228_landmark_atscale" -> q228LandmarkAtScale _,
     "q227_incremental_cc_atscale" -> q227IncrementalCcAtScale _,
@@ -1985,6 +2039,7 @@ object Algorithms {
   )
 
   def oracles: Map[String, String] = Map(
+    "q236_trustrank_atscale" -> q236TrustRankAtScaleSql,
     "q229_hits_atscale" -> q229HitsAtScaleSql,
     "q228_landmark_atscale" -> q228LandmarkAtScaleSql,
     "q227_incremental_cc_atscale" -> q227IncrementalCcAtScaleSql,

@@ -671,6 +671,58 @@ object Relational {
         AND o.p_retailprice <= p.p_retailprice AND o.p_size >= p.p_size
         AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))"""
 
+  // --- q237_equidepth_atscale: exact percentile boundaries at 2^20 rows ----
+  /** At-scale correctness coverage for [[q106EquidepthHist]]'s shape — the
+    * exact `percentile` aggregate + broadcast-bounds binning ran only on
+    * ~60k lineitem rows; this replays the same two-pass plan over 2²⁰
+    * range-synthesized rows in 16 groups of 65,536, where every value is
+    * the integer `7·rank + group` (a disjoint arithmetic progression per
+    * group, so quartile INTERPOLATION lands between known lattice points:
+    * (n−1)·0.25 = 16383.75 exercises the fractional path in both
+    * engines). The oracle replays quantile_cont + the same binning over
+    * the same generator — the q106 cross-engine contract at 17× the rows
+    * and 2¹⁶ values per exact-percentile buffer. Output: 64 bins whose
+    * counts are exactly n/4 per bin (equidepth BY CONSTRUCTION — a
+    * boundary off by one value breaks a count) plus integer lo/hi. */
+  private[graft] val q237Rows = 1L << 20
+  private[graft] val q237Groups = 16L
+
+  def q237EquidepthAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.range(q237Rows).select(
+      pmod(col("id"), lit(q237Groups)).as("g"),
+      (expr(s"id div $q237Groups") * 7 + pmod(col("id"), lit(q237Groups)))
+        .cast("double").as("v"))
+    val bounds = src.groupBy(col("g"))
+      .agg(expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("bs"))
+      .select(col("g"), round(col("bs")(0), 4).as("b1"),
+        round(col("bs")(1), 4).as("b2"), round(col("bs")(2), 4).as("b3"))
+    // bcast-ok: bounds is one row per group — 16 rows
+    src.join(broadcast(bounds), "g")
+      .withColumn("bin",
+        when(col("v") > col("b3"), 3).when(col("v") > col("b2"), 2)
+          .when(col("v") > col("b1"), 1).otherwise(0).cast("int"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+  }
+
+  private[graft] def q237OracleSql(rows: Long = q237Rows): String = s"""
+    WITH src AS (
+      SELECT u.i % $q237Groups AS g,
+             CAST((u.i // $q237Groups) * 7 + u.i % $q237Groups AS DOUBLE) AS v
+      FROM range(0, $rows) AS u(i)),
+    b AS (
+      SELECT g, ROUND(quantile_cont(v, 0.25), 4) AS b1,
+             ROUND(quantile_cont(v, 0.5), 4) AS b2,
+             ROUND(quantile_cont(v, 0.75), 4) AS b3
+      FROM src GROUP BY g)
+    SELECT CAST(src.g AS BIGINT) AS g,
+           CAST(CASE WHEN v > b3 THEN 3 WHEN v > b2 THEN 2
+                     WHEN v > b1 THEN 1 ELSE 0 END AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+    FROM src JOIN b ON b.g = src.g
+    GROUP BY 1, 2"""
+
   // --- q231_skyline_atscale: the staircase frontier at ≥3M rows ------------
   /** At-scale correctness coverage for [[skyline2d]] — q135's NOT-EXISTS
     * oracle is O(n²) per group and can never follow the operator to size,
@@ -751,6 +803,7 @@ object Relational {
     "q119_grouping_sets" -> q119GroupingSets _,
     "q135_skyline"  -> q135Skyline _,
     "q231_skyline_atscale" -> q231SkylineAtScale _,
+    "q237_equidepth_atscale" -> q237EquidepthAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -774,5 +827,6 @@ object Relational {
     "q119_grouping_sets" -> q119GroupingSetsSql,
     "q135_skyline"  -> q135SkylineSql,
     "q231_skyline_atscale" -> q231OracleSql(),
+    "q237_equidepth_atscale" -> q237OracleSql(),
   )
 }

@@ -137,7 +137,7 @@ object Bucketing {
              CASE WHEN $ry = 0 THEN
                (CASE WHEN $rx = 1 THEN ${n - 1} - hx ELSE hx END)
              ELSE hy END AS hy,
-             hd + ${s * s} * xor(3 * $rx, $ry) AS hd
+             hd + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS hd
       FROM h${k + 1})"""
     }
     (init +: steps).mkString(",\n    ")
@@ -407,17 +407,55 @@ object Bucketing {
       AND l_orderkey <= mn + (4 * (mx - mn)) // 10
     GROUP BY 1"""
 
+  // --- q238_hilbert_atscale: the 16-step curve fold at 2^20 points ---------
+  /** At-scale correctness coverage for [[withHilbert]] — q132 folds ~30k
+    * events; this replays the full 16-step reflect/swap fold over 2²⁰
+    * range-synthesized points spread across the whole 65,536² grid
+    * (`x = 37·i mod 2¹⁶`, `y = 101·i mod 2¹⁶` — coprime strides, so both
+    * coordinates sweep every residue and all 32 rx/ry branches fire at
+    * volume). Every step is integer bit arithmetic, so the DuckDB oracle
+    * replays the identical generated per-step CTE chain over the same
+    * range generator — bit-for-bit, no rounding anywhere. Output: 1024
+    * curve-bucket rollups (hd ≫ 22) whose exact id sums pin every
+    * point's full 32-bit curve position. */
+  private[graft] val q238Points = 1L << 20
+
+  private[graft] def q238Frame(spark: SparkSession,
+                               points: Long = q238Points): DataFrame =
+    spark.range(points).select(col("id").as("pid"),
+      pmod(col("id") * 37, lit(65536L)).as("x"),
+      pmod(col("id") * 101, lit(65536L)).as("y"))
+
+  def q238HilbertAtScale(spark: SparkSession, dir: String): DataFrame =
+    withHilbert(q238Frame(spark), col("x"), col("y"), "hv")
+      .groupBy(shiftright(col("hv"), 22).as("hbucket"))
+      .agg(count(lit(1)).as("n_points"), sum(col("pid")).as("sum_pids"),
+        min(col("hv")).as("min_hv"), max(col("hv")).as("max_hv"))
+
+  private[graft] def q238OracleSql(points: Long = q238Points): String = s"""
+    WITH ${hilbertSqlCtes(
+      s"""(SELECT u.i AS pid, (u.i * 37) % 65536 AS x,
+                 (u.i * 101) % 65536 AS y
+          FROM range(0, $points) AS u(i)) src""",
+      Seq("pid"), "x", "y")}
+    SELECT (hd >> 22) AS hbucket, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(pid) AS BIGINT) AS sum_pids,
+           MIN(hd) AS min_hv, MAX(hd) AS max_hv
+    FROM h0 GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q71_bucketed_join" -> q71BucketedJoin _,
         "q76_zorder" -> q76Zorder _,
         "q132_hilbert" -> q132Hilbert _,
         "q98_zonemap" -> q98Zonemap _,
-        "q110_pruned_read" -> q110PrunedRead _)
+        "q110_pruned_read" -> q110PrunedRead _,
+        "q238_hilbert_atscale" -> q238HilbertAtScale _)
 
   def oracles: Map[String, String] =
     Map("q71_bucketed_join" -> q71BucketedJoinSql,
         "q76_zorder" -> q76ZorderSql,
         "q132_hilbert" -> q132HilbertSql,
         "q98_zonemap" -> q98ZonemapSql,
-        "q110_pruned_read" -> q110PrunedReadSql)
+        "q110_pruned_read" -> q110PrunedReadSql,
+        "q238_hilbert_atscale" -> q238OracleSql())
 }

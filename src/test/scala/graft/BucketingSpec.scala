@@ -137,4 +137,16 @@ class BucketingSpec extends GraftSuite {
     }
     assert(mJumps.max > 1, "morton should jump — else this test proves nothing")
   }
+
+  test("q238 corpus is at the claimed scale and sweeps every curve bucket") {
+    import org.apache.spark.sql.functions._
+    assert(Bucketing.q238Frame(spark).count() == 1048576L)
+    // coprime strides spread 2^20 points across the full 65,536² grid, so
+    // all 1024 hd≫22 buckets are populated — the rollup covers the whole
+    // curve, not a corner of it (the q132 corpus only reaches 4 buckets)
+    val buckets = Bucketing.withHilbert(
+        Bucketing.q238Frame(spark, 1L << 17), col("x"), col("y"), "hv")
+      .select(shiftright(col("hv"), 22).as("b")).distinct().count()
+    assert(buckets == 1024L, s"only $buckets curve buckets touched")
+  }
 }

@@ -447,6 +447,33 @@ class PregelSpec extends GraftSuite {
     }
   }
 
+  test("q236 small analog: trustRank iterates equal the two-variable " +
+      "recurrence exactly — the teleport stays on the seed class") {
+    // 4 blocks × 1024, seeds = the even class (nS = n/2, so 1/nS is an
+    // exact power-of-two double); same float-safety envelope as q219
+    val blocks = 4L
+    val n = blocks * Algorithms.q219BlockSize
+    val nS = n / 2
+    var ve = 1.0 / nS
+    var vo = 0.0
+    for (_ <- 1 to Algorithms.q219Iters) {
+      val ve2 = (1.0 - 0.85) * (1.0 / nS) + 0.85 * (vo + ve / 2)
+      val vo2 = (1.0 - 0.85) * 0.0 + 0.85 * (ve / 2)
+      ve = ve2; vo = vo2
+    }
+    val seeds = spark.range(n).select(col("id"))
+      .filter(pmod(col("id"), lit(2L)) === 0)
+    val got = Algorithms.trustRank(
+        spark.range(n).select(col("id")),
+        Algorithms.q219Edges(spark, blocks), seeds, Algorithms.q219Iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == n)
+    got.foreach { case (id, tr) =>
+      assert(tr == (if (id % 2 == 0) ve else vo),
+        s"vertex $id: got $tr, expected ${if (id % 2 == 0) ve else vo}")
+    }
+  }
+
   test("q220 small analog: SSSP distances equal the unique path sums") {
     val blocks = 8L
     val L = Algorithms.q220ChainLen

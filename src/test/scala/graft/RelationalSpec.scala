@@ -144,4 +144,24 @@ class RelationalSpec extends GraftSuite {
   test("q231 synthetic corpus is at the claimed scale") {
     assert(Relational.q231Frame(spark).count() == 3145728L)
   }
+
+  test("q237 bins are exactly equidepth and contiguous — the construction " +
+      "proof, independent of the replay oracle") {
+    val rows = Relational.q237EquidepthAtScale(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.size == 64)
+    val per = Relational.q237Rows / Relational.q237Groups / 4
+    for (g <- 0L until Relational.q237Groups) {
+      for (b <- 0 to 3) {
+        val (n, _, _) = rows((g, b))
+        assert(n == per, s"group $g bin $b holds $n rows, expected $per")
+      }
+      // bins tile the group's value range with no gap-crossing rows
+      for (b <- 0 to 2) {
+        assert(rows((g, b))._3 < rows((g, b + 1))._2,
+          s"group $g: bin $b hi overlaps bin ${b + 1} lo")
+      }
+    }
+  }
 }
