@@ -1162,29 +1162,36 @@ object Similarity {
         sum(col("dist")).as("sum_dist"))
   }
 
+  /** MATERIALIZED CTEs + a pre-materialized NOT-EXISTS residue instead of
+    * q128's `NOT IN` inside the fuzzy join's WHERE: at 2²⁰ entities DuckDB
+    * evaluated that NOT IN per candidate pair (~400 s measured); filtering
+    * the residue FIRST is the same rows in 2.4 s. Semantically identical —
+    * d_id is never null, so NOT IN ≡ NOT EXISTS here. */
   private[graft] def q235OracleSql(keys: Long = q235Keys): String = s"""
-    WITH clean AS (
+    WITH clean AS MATERIALIZED (
       SELECT u.i AS key, 'c' || lpad(CAST(u.i AS VARCHAR), 7, '0') AS name
       FROM range(0, $keys) AS u(i)),
-    dirty AS (
+    dirty AS MATERIALIZED (
       SELECT key + 10000000 AS d_id,
              CASE WHEN key % 256 = 0
                   THEN substring(name, 1, 1) || substring(name, 3)
                   ELSE name END AS dname
       FROM clean),
-    ex AS (
+    ex AS MATERIALIZED (
       SELECT d.d_id, MIN(c.key) AS matched_key
       FROM dirty d JOIN clean c ON d.dname = c.name GROUP BY 1),
+    rest AS MATERIALIZED (
+      SELECT d.d_id, d.dname FROM dirty d
+      WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.d_id = d.d_id)),
     fz AS (
       SELECT d_id, matched_key, dist FROM (
         SELECT d.d_id, c.key AS matched_key,
                CAST(levenshtein(d.dname, c.name) AS INT) AS dist,
                ROW_NUMBER() OVER (PARTITION BY d.d_id
                  ORDER BY levenshtein(d.dname, c.name), c.key) AS rn
-        FROM dirty d JOIN clean c
+        FROM rest d JOIN clean c
           ON right(d.dname, 3) = right(c.name, 3)
-         AND levenshtein(d.dname, c.name) <= 2
-        WHERE d.d_id NOT IN (SELECT d_id FROM ex)) t
+         AND levenshtein(d.dname, c.name) <= 2) t
       WHERE rn = 1),
     assembled AS (
       SELECT CASE WHEN e.d_id IS NOT NULL THEN 'exact'

@@ -548,4 +548,56 @@ class PlanShapeSpec extends GraftSuite {
     assert(count(p, "HashAggregate") == 2, "partial agg lost map-side half")
     assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
   }
+
+  // Round-12 gates: q229/q236 are Pregel-iterative (pinned in PregelSpec),
+  // q233 is a streaming query (pinned in SinkStreamSpec via the progress
+  // API), q230's Lloyd loop builds its plan through eager persists. The
+  // six static-plan gates get pins here:
+
+  test("q231 skyline at scale: one window over the distinct-x frame, " +
+      "equi-join back — never a dominance cross product") {
+    val p = plan("q231_skyline_atscale")
+    assert(count(p, "Window") == 1, "staircase lost its single window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q232 seqpack at scale: one packing window, the shard count joins " +
+      "as a single 1-row broadcast") {
+    val p = plan("q232_seqpack_atscale")
+    assert(count(p, "Window") == 1, "packing window count changed")
+    // the derived shard count is crossJoin(broadcast(1-row)) — exactly one
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q234 phrase at scale: the argmax probes back as a broadcast — " +
+      "the corpus never reshuffles to learn the phrase") {
+    val p = plan("q234_phrase_atscale")
+    assert(p.contains("BroadcastHashJoin"), "1-row phrase probe lost broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "argmax lost its top-1 form")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q235 linkage at scale: both stages stay equi-keyed — the " +
+      "Levenshtein never degrades to a nested loop") {
+    val p = plan("q235_linkage_atscale")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q237 equidepth at scale: the 16-row bounds frame broadcasts; the " +
+      "corpus never sort-merges") {
+    val p = plan("q237_equidepth_atscale")
+    assert(p.contains("BroadcastHashJoin"), "bounds join lost broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q238 hilbert at scale: the 16-step fold is shuffle-free — exactly " +
+      "the rollup's one exchange, no join, no window") {
+    val p = plan("q238_hilbert_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
 }
