@@ -124,7 +124,7 @@ object Bench {
       "q232_seqpack_atscale", "q233_sessionwindow_atscale",
       "q234_phrase_atscale", "q235_linkage_atscale",
       "q236_trustrank_atscale", "q237_equidepth_atscale",
-      "q238_hilbert_atscale")
+      "q238_hilbert_atscale", "q239_zorder_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

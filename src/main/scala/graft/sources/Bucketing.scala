@@ -443,13 +443,40 @@ object Bucketing {
            MIN(hd) AS min_hv, MAX(hd) AS max_hv
     FROM h0 GROUP BY 1"""
 
+  // --- q239_zorder_atscale: the Morton interleave at 2^20 points ----------
+  /** q238's discipline pointed at [[zValue16]] — the OTHER curve: the
+    * 5-step spread-shift-mask interleave over the same full-grid corpus
+    * (coprime strides, every 16-bit residue in both coordinates, so all
+    * mask boundaries fire at volume where q76's corpus stays in the low
+    * corner). Pure integer bit arithmetic; the oracle replays the same
+    * generated spread expression over the same range generator. Output:
+    * 1024 z-bucket rollups whose exact id sums pin every point's full
+    * 32-bit Morton position. */
+  def q239ZorderAtScale(spark: SparkSession, dir: String): DataFrame =
+    q238Frame(spark)
+      .withColumn("zv", zValue16(col("x"), col("y")))
+      .groupBy(shiftright(col("zv"), 22).as("zbucket"))
+      .agg(count(lit(1)).as("n_points"), sum(col("pid")).as("sum_pids"),
+        min(col("zv")).as("min_zv"), max(col("zv")).as("max_zv"))
+
+  private[graft] def q239OracleSql(points: Long = q238Points): String = s"""
+    WITH src AS (
+      SELECT u.i AS pid, (u.i * 37) % 65536 AS x, (u.i * 101) % 65536 AS y
+      FROM range(0, $points) AS u(i)),
+    z AS (SELECT pid, ${zValue16Sql("x", "y")} AS zv FROM src)
+    SELECT (zv >> 22) AS zbucket, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(pid) AS BIGINT) AS sum_pids,
+           MIN(zv) AS min_zv, MAX(zv) AS max_zv
+    FROM z GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q71_bucketed_join" -> q71BucketedJoin _,
         "q76_zorder" -> q76Zorder _,
         "q132_hilbert" -> q132Hilbert _,
         "q98_zonemap" -> q98Zonemap _,
         "q110_pruned_read" -> q110PrunedRead _,
-        "q238_hilbert_atscale" -> q238HilbertAtScale _)
+        "q238_hilbert_atscale" -> q238HilbertAtScale _,
+        "q239_zorder_atscale" -> q239ZorderAtScale _)
 
   def oracles: Map[String, String] =
     Map("q71_bucketed_join" -> q71BucketedJoinSql,
@@ -457,5 +484,6 @@ object Bucketing {
         "q132_hilbert" -> q132HilbertSql,
         "q98_zonemap" -> q98ZonemapSql,
         "q110_pruned_read" -> q110PrunedReadSql,
-        "q238_hilbert_atscale" -> q238OracleSql())
+        "q238_hilbert_atscale" -> q238OracleSql(),
+        "q239_zorder_atscale" -> q239OracleSql())
 }

@@ -600,4 +600,11 @@ class PlanShapeSpec extends GraftSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
     assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
   }
+
+  test("q239 zorder at scale: the interleave is shuffle-free — same " +
+      "contract as the hilbert fold") {
+    val p = plan("q239_zorder_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
 }
