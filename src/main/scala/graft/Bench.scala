@@ -124,7 +124,9 @@ object Bench {
       "q232_seqpack_atscale", "q233_sessionwindow_atscale",
       "q234_phrase_atscale", "q235_linkage_atscale",
       "q236_trustrank_atscale", "q237_equidepth_atscale",
-      "q238_hilbert_atscale", "q239_zorder_atscale")
+      "q238_hilbert_atscale", "q239_zorder_atscale",
+      "q240_boilerplate_atscale", "q241_invindex_atscale",
+      "q242_upsert_atscale", "q243_profile_atscale", "q244_bpe_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false
@@ -156,10 +158,22 @@ object Bench {
           // from sc.persistentRdds, so a post-clear read would report
           // "nothing pinned" for exactly the CacheRegistry-heavy queries
           // whose allocation debt the gc+drain exists to retire.
+          // Stress rows ALWAYS take the gc+drain path (r13): they run
+          // exactly once, so one inflated execution IS the recorded
+          // number — the r12 driver sweep showed run-once rows absorbing
+          // the predecessor's allocation debt (q209 33.9→67.9 s on
+          // unchanged code; isolated reruns reproduced r11 exactly —
+          // SKEW_AUDIT_r13.md). Debt is not always pin-visible
+          // (humongous-object fragmentation, queued ContextCleaner work),
+          // so the hadPins gate alone cannot protect them. Corpus rows
+          // keep the pin-gated fast path: a full GC on the large driver
+          // heap costs seconds, and 146 queries × 4 executions of it is
+          // most of a 35-minute bench wall (the r6 lesson) — their
+          // medians-of-3 absorb noise the way a run-once row cannot.
           val hadPins = spark.sparkContext.getPersistentRDDs.nonEmpty
           CacheRegistry.unpersistAll(blocking = true)
           spark.catalog.clearCache()
-          if (hadPins) {
+          if (hadPins || isStress) {
             // sweep the survivors CacheRegistry/clearCache cannot see
             // (localCheckpoint'ed Pregel results), then collect the debt
             spark.sparkContext.getPersistentRDDs.values

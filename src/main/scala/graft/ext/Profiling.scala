@@ -78,7 +78,7 @@ object Profiling {
   /** SQL fragment computing one column's profile row — mirrors
     * [[profileNumeric]]'s arithmetic exactly (same [[graft.ops.Relational
     * .dsumSql]] sums); UNION ALL per column. */
-  private def profileSql(table: String, c: String): String = {
+  private[graft] def profileSql(table: String, c: String): String = {
     import graft.ops.Relational.{decRatio6Sql, dsumSql}
     val mean = s"${dsumSql(c)} / COUNT($c)"
     s"""
@@ -103,6 +103,67 @@ object Profiling {
 
   val q85ProfileSql: String =
     q85Cols.map(profileSql("lineitem", _)).mkString("\nUNION ALL\n")
+
+  // --- q243_profile_atscale: the one-scan admission gate at 2^20 × 8 ------
+  /** At-scale correctness coverage for [[profileNumeric]] — q85 profiles 4
+    * lineitem columns at sf size; this replays the SAME entry point over
+    * 2²⁰ range-synthesized rows × 8 columns (41 aggregates in the single
+    * pass), with each column planting a distinct arithmetic hazard so the
+    * one-scan claim and the exactness claims are both load-bearing at
+    * volume:
+    *
+    *  - p1 = id (full-range: Σ ≈ 5.5e11, Σsq ≈ 3.8e17 — deep into the
+    *    territory where only the DECIMAL(28,6) sum is partition-order
+    *    exact), p2 = id % 997, p6 = id² % 10007 (modular ramps);
+    *  - p3: every 7th value NULL — n vs n_null bookkeeping at volume;
+    *  - p4 = id · 0.25 — fractional but binary-exact doubles, so the
+    *    decimal quantization of value and square is identical in both
+    *    engines;
+    *  - p5 = 500000 − id — sign flip mid-column: the signed
+    *    [[graft.ops.Relational.decRatio6]] mean path (negative exact sum)
+    *    at scale;
+    *  - p7 = 42 — zero variance: the greatest(variance, 0) guard must
+    *    yield exactly 0.0, not a float residue;
+    *  - p8 — ALL NULL: n = 0 lane (NULL mean/stddev/min/max, never a
+    *    fabricated 0) riding the same scan as 2²⁰-row columns.
+    *
+    * The oracle replays [[profileSql]]'s per-column fragments over the
+    * identical range generator. ProfileAtScalePlanSpec pins the plan to
+    * ONE Range source — the whole point of the operator is that adding
+    * columns must not add scans. */
+  private[graft] val q243Rows = 1L << 20
+  private[graft] val q243Cols: Seq[String] =
+    Seq("p1", "p2", "p3", "p4", "p5", "p6", "p7", "p8")
+
+  private[graft] def q243Frame(spark: SparkSession,
+                               rows: Long = q243Rows): DataFrame =
+    spark.range(rows).select(
+      col("id").as("p1"),
+      pmod(col("id"), lit(997L)).as("p2"),
+      when(pmod(col("id"), lit(7L)) === 0, lit(null).cast("long"))
+        .otherwise(pmod(col("id"), lit(1000L))).as("p3"),
+      (col("id").cast("double") * 0.25).as("p4"),
+      (lit(500000L) - col("id")).as("p5"),
+      pmod(col("id") * col("id"), lit(10007L)).as("p6"),
+      lit(42L).as("p7"),
+      lit(null).cast("long").as("p8"))
+
+  def q243ProfileAtScale(spark: SparkSession, dir: String): DataFrame =
+    profileNumeric(q243Frame(spark), q243Cols)
+
+  private[graft] def q243OracleSql(rows: Long = q243Rows): String = {
+    val gen = s"""WITH src AS (
+      SELECT u.i AS p1, u.i % 997 AS p2,
+             CASE WHEN u.i % 7 = 0 THEN NULL ELSE u.i % 1000 END AS p3,
+             CAST(u.i AS DOUBLE) * 0.25 AS p4,
+             500000 - u.i AS p5,
+             (u.i * u.i) % 10007 AS p6,
+             CAST(42 AS BIGINT) AS p7,
+             CAST(NULL AS BIGINT) AS p8
+      FROM range(0, $rows) AS u(i))
+    """
+    gen + q243Cols.map(profileSql("src", _)).mkString("\nUNION ALL\n")
+  }
 
   // ------------------------------------------------------------ constraints
 
@@ -1614,6 +1675,7 @@ object Profiling {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile"      -> q85Profile _,
+    "q243_profile_atscale" -> q243ProfileAtScale _,
     "q86_constraints"  -> q86Constraints _,
     "q115_correlations" -> q115Correlations _,
     "q121_ecdf"         -> q121Ecdf _,
@@ -1640,6 +1702,7 @@ object Profiling {
 
   def oracles: Map[String, String] = Map(
     "q85_profile"      -> q85ProfileSql,
+    "q243_profile_atscale" -> q243OracleSql(),
     "q86_constraints"  -> q86ConstraintsSql,
     "q115_correlations" -> q115CorrelationsSql,
     "q121_ecdf"         -> q121EcdfSql,

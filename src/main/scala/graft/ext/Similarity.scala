@@ -1921,9 +1921,12 @@ object Similarity {
     * over 2²⁰ range-synthesized 4-dim vectors in 8 planted clusters
     * 1000 apart per dimension with integer jitter ≤ ±3. Every coordinate
     * is an integer-valued double, so the per-cluster DECIMAL(28,12) sums
-    * are exact at 131,072 rows (the whole reason [[kMeans]] aggregates in
-    * fixed point — gated here at a size where a naive double sum WOULD
-    * drift by partitioning), and the seeds (ids 0..7, one per cluster by
+    * are exact at 131,072 rows. (With integer coordinates a double sum is
+    * also exact at this magnitude — per-cluster totals ≈ 9.2e8 ≪ 2⁵³ —
+    * so this gate exercises the fixed-point aggregation path AT VOLUME
+    * rather than proving its necessity; the fractional corpora upstream
+    * (q73/q99) are where decimal-vs-double is load-bearing.) The seeds
+    * (ids 0..7, one per cluster by
     * construction) make Lloyd deterministic with no boundary ties. The
     * oracle replays the identical unrolled [[kMeansCtes]] chain over the
     * same range generator — the q73 bit-identity contract at 2,000× the

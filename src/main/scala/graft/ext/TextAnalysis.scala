@@ -808,6 +808,66 @@ object TextAnalysis {
              AS n_removed
     FROM l GROUP BY doc"""
 
+  // --- q240_boilerplate_atscale: the line-frequency scrub at 2^20 docs ----
+  /** At-scale correctness coverage for [[removeBoilerplate]] — q78 scrubs
+    * an 8-page fixture; this replays the SAME entry point over 2²⁰
+    * range-built documents of four lines each (~4.2M exploded line rows),
+    * with every line class planted at a KNOWN document frequency so the
+    * survivor set is closed-form and the oracle needs no line logic at
+    * all:
+    *
+    *  - `sitewide cookie banner` — in ALL 2²⁰ docs: the crawl-scale hot
+    *    line (df = 2²⁰ ≫ minDocs, removed). This is the skew key the
+    *    operator's no-window design exists for: its doc-frequency comes
+    *    from a (doc,line)-distinct + map-side-partial groupBy, so the
+    *    2²⁰ copies spread across tasks instead of landing on one;
+    *  - `u<d>` — unique per document (df = 1, survives);
+    *  - `g15 <d div 15>` — shared by exactly 15 docs (df = 15 = minDocs−1,
+    *    survives; the final partial group has df = 1, also below);
+    *  - `g16 <d div 16>` — shared by exactly 16 docs (df = 16 = minDocs,
+    *    removed). 2²⁰ is divisible by 16, so EVERY g16 group sits exactly
+    *    ON the threshold: a `>` -for- `>=` regression flips all 2²⁰ g16
+    *    lines into survivors and breaks every rollup column.
+    *
+    * Expected per-doc output is therefore `u<d>\ng15 <d div 15>` with
+    * n_lines = 4, n_removed = 2 — the oracle EMITS that construction from
+    * the same range generator (closed form, no frequency computation) and
+    * rolls both sides up to 64 buckets of counts, exact sums, and
+    * lexicographic cleaned-text extrema. */
+  private[graft] val q240Docs = 1L << 20
+
+  private[graft] def q240Frame(spark: SparkSession,
+                               docs: Long = q240Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      concat_ws("\n",
+        lit("sitewide cookie banner"),
+        concat(lit("u"), col("id")),
+        concat(lit("g15 "), expr("id div 15")),
+        concat(lit("g16 "), expr("id div 16"))).as("text"))
+
+  def q240BoilerplateAtScale(spark: SparkSession, dir: String): DataFrame =
+    removeBoilerplate(q240Frame(spark), "doc_id", "text", minDocs = 16)
+      .groupBy(pmod(col("doc_id"), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines")).as("sum_lines"),
+        sum(col("n_removed")).as("sum_removed"),
+        sum(length(col("cleaned")).cast("long")).as("sum_len"),
+        min(col("cleaned")).as("min_cleaned"),
+        max(col("cleaned")).as("max_cleaned"))
+
+  private[graft] def q240OracleSql(docs: Long = q240Docs): String = s"""
+    WITH c AS (
+      SELECT u.i AS doc_id,
+             'u' || u.i || chr(10) || 'g15 ' || (u.i // 15) AS cleaned
+      FROM range(0, $docs) AS u(i))
+    SELECT CAST(doc_id % 64 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * 4 AS BIGINT) AS sum_lines,
+           CAST(COUNT(*) * 2 AS BIGINT) AS sum_removed,
+           CAST(SUM(length(cleaned)) AS BIGINT) AS sum_len,
+           MIN(cleaned) AS min_cleaned, MAX(cleaned) AS max_cleaned
+    FROM c GROUP BY 1"""
+
   // --- q90_bpe_pairs: one BPE-trainer iteration's pair statistics ---------
   /** Adjacent-symbol pair counts weighted by word frequency — the inner
     * loop of byte-pair-encoding vocabulary training, distributed. Scale
@@ -835,6 +895,64 @@ object TextAnalysis {
 
   def q90BpePairs(spark: SparkSession, dir: String): DataFrame =
     bpePairCounts(Tables.documents(spark, dir), "text", 30)
+
+  // --- q244_bpe_atscale: corpus→vocab collapse + pair stats at 2^22 tokens -
+  /** At-scale correctness coverage for [[bpePairCounts]] — q90 trains on
+    * the ~500-doc sf corpus; this replays the SAME entry point over 2²⁰
+    * range-built documents of four tokens each (2²² corpus tokens), with
+    * a harmonically-skewed planted vocabulary so the operator's central
+    * scale claim — "the corpus collapses to (word, count) FIRST; the
+    * shuffle carries the vocabulary, not the corpus" — is exercised at a
+    * 1000:1 corpus-to-vocab ratio:
+    *
+    *  - token t ∈ [0, 2²²) has rank r(t) = 2²² div (t+1) — a harmonic
+    *    frequency curve (≈ 2²²/r² occurrences of rank r) over ~4,095
+    *    distinct ranks, topped by rank 1 at 2²¹ occurrences (HALF the
+    *    corpus is one word — the skew extreme the map-side partial agg
+    *    must absorb);
+    *  - the word for rank r is its decimal spelling under a digit→letter
+    *    map (`translate` to a–j), so every adjacent character pair is a
+    *    pure function of r's digits and the DuckDB oracle can replay the
+    *    identical collapse → pair-explode → weighted count → full
+    *    (n desc, pair) argsort bit-for-bit from the same generator;
+    *  - ranks 1–9 spell one-character words — including that heaviest
+    *    hitter — which the `length ≥ 2` guard must exclude from pair
+    *    statistics AFTER they flowed through the vocabulary collapse
+    *    (a guard regression injects the 2²¹-weight word's phantom pairs
+    *    and reorders the entire top-k).
+    *
+    * Output: the same top-30 (pair, n) frame as q90, cut by the
+    * deterministic (n desc, pair) total order. */
+  private[graft] val q244Docs = 1L << 20
+  private[graft] val q244Tokens = 4L << 20
+
+  private[graft] def q244Frame(spark: SparkSession,
+                               docs: Long = q244Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      expr(s"""array_join(transform(sequence(0, 3),
+                 j -> translate(cast(${4 * docs} div (id * 4 + j + 1)
+                                     as string),
+                                '0123456789', 'abcdefghij')), ' ')""")
+        .as("text"))
+
+  def q244BpeAtScale(spark: SparkSession, dir: String): DataFrame =
+    bpePairCounts(q244Frame(spark), "text", 30)
+
+  private[graft] def q244OracleSql(tokens: Long = q244Tokens): String = s"""
+    WITH t AS (
+      SELECT $tokens // (u.i + 1) AS r FROM range(0, $tokens) AS u(i)),
+    w AS (
+      SELECT translate(CAST(r AS VARCHAR), '0123456789', 'abcdefghij')
+               AS word,
+             COUNT(*) AS wc
+      FROM t GROUP BY 1),
+    p AS (
+      SELECT wc, substring(word, CAST(u.i AS INT), 1) || ' ' ||
+                 substring(word, CAST(u.i AS INT) + 1, 1) AS pair
+      FROM w, unnest(range(1, length(word))) AS u(i)
+      WHERE length(word) >= 2)
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30"""
 
   // --- q153_phrase_search: positional adjacency phrase query --------------
   /** Phrase retrieval over a positional index: find every document
@@ -1195,6 +1313,51 @@ object TextAnalysis {
     JOIN uni ua ON ua.w = pr.a
     JOIN uni ub ON ub.w = pr.b
     ORDER BY pr.n DESC, pr.a, pr.b LIMIT 40"""
+
+  // --- q241_invindex_atscale: Zipf postings + hapax trim at 2^20 docs -----
+  /** At-scale correctness coverage for [[invertedIndex]] — q97 indexes the
+    * ~500-doc sf corpus; this replays the SAME entry point over 2²⁰
+    * range-built documents carrying a Zipf-shaped planted vocabulary with
+    * closed-form postings, so the two claims the operator's scaladoc
+    * makes are both load-bearing at volume:
+    *
+    *  - **df-bounded posting lists**: document d contains word `w<r>` for
+    *    every r ∈ [16, 272) dividing d, so df(w_r) = ⌊(2²⁰−1)/r⌋ + 1 — a
+    *    1/r (Zipf) frequency curve from 65,536 postings (r = 16) down to
+    *    ~3,869 (r = 271). The hottest term's per-group collect_list is
+    *    65,536 doc ids — the "bounded by document frequency" shape at its
+    *    gate-sized extreme, through ~4.1M exploded token rows;
+    *  - **minDf hapax trim**: every document also carries a unique
+    *    `h<d>` token — 2²⁰ hapax vocabulary entries (one FULL corpus of
+    *    them) that the df ≥ 2 filter must drop AFTER the distinct+groupBy
+    *    counted them. A broken trim emits 2²⁰ extra rows; a trim applied
+    *    before counting cannot happen by construction (the filter reads
+    *    the aggregated df).
+    *
+    * Because each word's postings are the arithmetic progression
+    * {0, r, 2r, …}, the delta encoding is `'0'` followed by df−1 copies
+    * of `,r` — the oracle EMITS that closed form per rank (range SQL +
+    * `repeat`, no index logic), making the gap arithmetic itself the
+    * thing under test. Output: 256 (word, df, postings) rows. */
+  private[graft] val q241Docs = 1L << 20
+
+  private[graft] def q241Frame(spark: SparkSession,
+                               docs: Long = q241Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      expr("""concat('h', id,
+                array_join(transform(filter(sequence(16, 271),
+                                            r -> id % r = 0),
+                                     r -> concat(' w', r)), ''))""")
+        .as("text"))
+
+  def q241InvindexAtScale(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(q241Frame(spark), "text", minDf = 2L)
+
+  private[graft] def q241OracleSql(docs: Long = q241Docs): String = s"""
+    SELECT 'w' || u.i AS word,
+           CAST((${docs - 1} // u.i) + 1 AS BIGINT) AS df,
+           '0' || repeat(',' || u.i, ${docs - 1} // u.i) AS postings
+    FROM range(16, 272) AS u(i)"""
 
   // --- q122_vocab_coverage: OOV rate against a fitted top-V vocabulary ----
   /** Tokenizer-fit check: fit a vocabulary (the top-V unigrams by corpus
@@ -1622,6 +1785,9 @@ object TextAnalysis {
     "q136_bm25"         -> q136Bm25 _,
     "q215_bm25_atscale" -> q215Bm25AtScale _,
     "q234_phrase_atscale" -> q234PhraseAtScale _,
+    "q240_boilerplate_atscale" -> q240BoilerplateAtScale _,
+    "q241_invindex_atscale" -> q241InvindexAtScale _,
+    "q244_bpe_atscale"  -> q244BpeAtScale _,
     "q140_lm_score"     -> q140LmScore _,
   )
 
@@ -1649,6 +1815,9 @@ object TextAnalysis {
     "q136_bm25"         -> q136Bm25Sql,
     "q215_bm25_atscale" -> q215OracleSql(),
     "q234_phrase_atscale" -> q234OracleSql(),
+    "q240_boilerplate_atscale" -> q240OracleSql(),
+    "q241_invindex_atscale" -> q241OracleSql(),
+    "q244_bpe_atscale"  -> q244OracleSql(),
     "q140_lm_score"     -> q140LmScoreSql,
   )
 }

@@ -492,8 +492,71 @@ object Versioning {
            CAST(n_chars AS BIGINT) AS n_chars
     FROM l"""
 
+  // --- q242_upsert_atscale: the MERGE anti-join at 2^20 current rows ------
+  /** At-scale correctness coverage for [[upsert]] — q79 merges a ~70-row
+    * refresh into the ~500-doc sf corpus; this replays the SAME entry
+    * point merging a 2¹⁶-row update wave into a 2²⁰-row base, with the
+    * wave STRADDLING the base's key range so both MERGE outcomes carry
+    * closed-form counts:
+    *
+    *  - base: k ∈ [0, 2²⁰), v = 3k, src = 'base';
+    *  - updates: k = 17m for m ∈ [0, 2¹⁶), v = 5k+1, src = 'upd' —
+    *    61,681 keys land inside the base (replaced: the anti-join must
+    *    drop exactly those base rows) and 3,855 beyond it (appended).
+    *
+    * Every surviving row's provenance is visible in src and its value in
+    * v, so the 64-bucket rollup (counts, replaced-count, exact Σv and Σk)
+    * breaks if the anti-join drops too much (lost base rows), too little
+    * (duplicate keys double Σv), or the union reorders columns. The
+    * scale claim under test is the operator's own: ONE anti-join in
+    * which the 2¹⁶-row wave broadcasts, so the 2²⁰-row corpus is scanned
+    * in place and never shuffled — UpsertAtScalePlanSpec pins the
+    * BroadcastHashJoin LeftAnti and that the only Exchange in the plan
+    * is the rollup's own 64-bucket aggregate. The oracle replays the
+    * anti-join + union + rollup over the same generators in DuckDB. */
+  private[graft] val q242Base = 1L << 20
+  private[graft] val q242Wave = 1L << 16
+
+  private[graft] def q242Merged(spark: SparkSession,
+                                base: Long = q242Base,
+                                wave: Long = q242Wave): DataFrame = {
+    val current = spark.range(base).select(col("id").as("k"),
+      (col("id") * 3).as("v"), lit("base").as("src"))
+    val updates = spark.range(wave).select((col("id") * 17).as("k"),
+      (col("id") * 17 * 5 + 1).as("v"), lit("upd").as("src"))
+    upsert(current, updates, Seq("k"))
+  }
+
+  def q242UpsertAtScale(spark: SparkSession, dir: String): DataFrame =
+    q242Merged(spark)
+      .groupBy(pmod(col("k"), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("src") === "upd", 1)).as("n_upd"),
+        sum(col("v")).as("sum_v"),
+        sum(col("k")).as("sum_k"))
+
+  private[graft] def q242OracleSql(base: Long = q242Base,
+                                   wave: Long = q242Wave): String = s"""
+    WITH cur AS (
+      SELECT u.i AS k, u.i * 3 AS v, 'base' AS src
+      FROM range(0, $base) AS u(i)),
+    upd AS (
+      SELECT u.i * 17 AS k, u.i * 17 * 5 + 1 AS v, 'upd' AS src
+      FROM range(0, $wave) AS u(i)),
+    merged AS (
+      SELECT * FROM cur WHERE k NOT IN (SELECT k FROM upd)
+      UNION ALL
+      SELECT * FROM upd)
+    SELECT CAST(k % 64 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE src = 'upd') AS BIGINT) AS n_upd,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM merged GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_vacuum"       -> q177Vacuum _,
+    "q242_upsert_atscale" -> q242UpsertAtScale _,
     "q195_diff_explain" -> q195DiffExplain _,
     "q79_upsert"        -> q79Upsert _,
     "q80_snapshot_diff" -> q80SnapshotDiff _,
@@ -505,6 +568,7 @@ object Versioning {
 
   def oracles: Map[String, String] = Map(
     "q177_vacuum"       -> q177VacuumSql,
+    "q242_upsert_atscale" -> q242OracleSql(),
     "q195_diff_explain" -> q195DiffExplainSql,
     "q79_upsert"        -> q79UpsertSql,
     "q80_snapshot_diff" -> q80SnapshotDiffSql,

@@ -607,4 +607,52 @@ class PlanShapeSpec extends GraftSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
     assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
   }
+
+  test("q240 boilerplate at scale: line frequency is aggregate-shaped — " +
+      "never a value-keyed window over line text, never a nested loop") {
+    val p = plan("q240_boilerplate_atscale")
+    assert(!p.contains("Window"), "line df acquired a window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q241 invindex at scale: the (word, doc) dedup and the posting " +
+      "build share ONE word-keyed exchange; no window, no join") {
+    // hashpartitioning(word) satisfies the dedup aggregate's
+    // ClusteredDistribution(word, doc_id) — same word ⇒ same partition ⇒
+    // same (word, doc_id) co-located — so Catalyst plans the distinct and
+    // the collect_list around a single shuffle. Two exchanges here means
+    // that sharing regressed; the dedup's SEMANTICS are pinned by the
+    // repeated-word unit test in TextAnalysisSpec.
+    val p = plan("q241_invindex_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(800))
+  }
+
+  test("q242 upsert at scale: the wave broadcasts into the anti-join — " +
+      "the corpus never shuffles for the merge; only the rollup exchanges") {
+    val p = plan("q242_upsert_atscale")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "merge lost its broadcast anti-join: " + p.take(800))
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q243 profile at scale: ONE source scan feeds all 41 aggregates — " +
+      "adding columns must never add scans or shuffles") {
+    val p = plan("q243_profile_atscale")
+    assert(count(p, "Range (") == 1, "profile no longer single-scan: " +
+      p.take(800))
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
+
+  test("q244 bpe at scale: vocab collapse + pair stats are the only " +
+      "shuffles; the cut is a TakeOrdered, never a global sort") {
+    val p = plan("q244_bpe_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 2, p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost its " +
+      "TakeOrdered form: " + p.take(800))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(800))
+  }
 }

@@ -387,4 +387,38 @@ class ProfilingSpec extends GraftSuite {
     assert(rows.exists(r => r.getAs[Long]("est") > r.getAs[Long]("exact_cnt")),
       "no collision overshoot — the under-provisioned width is not biting")
   }
+
+  test("q243 small analog: every planted hazard lane profiles exactly — " +
+      "nulls counted, zero variance is 0.0, the all-NULL column stays NULL") {
+    val got = Profiling.profileNumeric(
+        Profiling.q243Frame(spark, 64L), Profiling.q243Cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 8)
+    val p1 = got("p1")
+    assert(p1.getLong(1) == 64L && p1.getLong(2) == 0L)
+    assert(p1.getDouble(3) == 0.0 && p1.getDouble(4) == 63.0)
+    assert(p1.getDouble(5) == 31.5) // 2016/64, decimal-exact half-up
+    // population variance of 0..63 uniform = (64^2 - 1)/12 = 341.25
+    val expStd = BigDecimal(math.sqrt(341.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p1.getDouble(6) == expStd, s"p1 stddev ${p1.getDouble(6)}")
+    val p3 = got("p3") // ids 0,7,...,63 are NULL: 10 of 64
+    assert(p3.getLong(1) == 54L && p3.getLong(2) == 10L)
+    val p7 = got("p7") // constant column: exactly zero dispersion
+    assert(p7.getDouble(5) == 42.0 && p7.getDouble(6) == 0.0)
+    val p8 = got("p8") // all-NULL column: no fabricated statistics
+    assert(p8.getLong(1) == 0L && p8.getLong(2) == 64L)
+    assert(p8.isNullAt(3) && p8.isNullAt(4) && p8.isNullAt(5) &&
+      p8.isNullAt(6))
+    val p4 = got("p4") // 0.25-step doubles: binary-exact min/max/mean
+    assert(p4.getDouble(3) == 0.0 && p4.getDouble(4) == 15.75)
+    assert(p4.getDouble(5) == 7.875)
+  }
+
+  test("q243 synthetic frame is at the claimed scale and p5 crosses zero") {
+    val f = Profiling.q243Frame(spark)
+    assert(f.count() == (1L << 20))
+    // the signed decRatio6 lane is only load-bearing if p5 goes negative
+    assert(f.agg(min(col("p5"))).head.getLong(0) == 500000L - 1048575L)
+  }
 }

@@ -164,7 +164,10 @@ class TextAnalysisSpec extends GraftSuite {
   }
 
   test("invertedIndex delta-encodes sorted postings and trims below minDf") {
-    val docs = Seq((10L, "x y"), (25L, "y z"), (31L, "y"), (32L, "z w"))
+    // doc 31 repeats y: the (word, doc) dedup must keep one posting —
+    // load-bearing because the planner serves that dedup and the posting
+    // build from ONE word-partitioned exchange (PlanShapeSpec q241)
+    val docs = Seq((10L, "x y"), (25L, "y z"), (31L, "y y y"), (32L, "z w"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.invertedIndex(docs, "text", minDf = 2L)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
@@ -388,5 +391,73 @@ class TextAnalysisSpec extends GraftSuite {
 
   test("q215 full corpus is 2^20 documents") {
     assert(graft.ext.TextAnalysis.q215Corpus(spark).count() == (1L << 20))
+  }
+
+  test("q240 small analog: df-15 lines survive, df-16 and sitewide lines " +
+      "are scrubbed, per-doc in original order") {
+    // 160 docs: 'g16' groups are exactly 10 × 16 docs (all removed at
+    // minDocs=16); 'g15' groups are 10 × 15 + one 10-doc remainder (all
+    // below threshold, all survive); the sitewide banner is in all 160
+    val got = TextAnalysis.removeBoilerplate(
+        TextAnalysis.q240Frame(spark, 160L), "doc_id", "text", minDocs = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 160)
+    got.foreach { case (d, row) =>
+      assert(row == ((s"u$d\ng15 ${d / 15}", 4L, 2L)),
+        s"doc $d: got $row")
+    }
+  }
+
+  test("q240 synthetic corpus is at the claimed scale") {
+    assert(TextAnalysis.q240Frame(spark).count() == 1048576L)
+  }
+
+  test("q241 small analog: Zipf postings are the closed-form delta runs, " +
+      "hapax words trimmed") {
+    // 1024 docs: df(w_r) = 1023/r + 1; postings '0' + (df-1)×(',r'); the
+    // 1024 unique h<d> tokens must all fall to minDf=2
+    val got = TextAnalysis.invertedIndex(
+        TextAnalysis.q241Frame(spark, 1024L), "text", minDf = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 256, s"expected 256 vocabulary rows, got ${got.size}")
+    assert(!got.keys.exists(_.startsWith("h")), "hapax words survived minDf")
+    for (r <- 16 to 271) {
+      val df = 1023L / r + 1
+      val postings = "0" + s",$r" * (df - 1).toInt
+      assert(got(s"w$r") == ((df, postings)), s"w$r: got ${got(s"w$r")}")
+    }
+  }
+
+  test("q241 synthetic corpus is at the claimed scale") {
+    assert(TextAnalysis.q241Frame(spark).count() == 1048576L)
+  }
+
+  test("q244 small analog: harmonic vocab collapse + weighted pair counts " +
+      "match a local replay, 1-char heavy hitters excluded") {
+    // 64 docs → 256 tokens, rank r(t) = 256 div (t+1); replay the whole
+    // collapse → pair-explode → weighted count → (n desc, pair) cut in
+    // plain Scala and compare ordered rows
+    val spell = (r: Long) => r.toString.map(c => ('a' + (c - '0')).toChar)
+    val wc = (0L until 256L).map(t => spell(256L / (t + 1)))
+      .groupBy(identity).map { case (w, ts) => w -> ts.size.toLong }
+    val expected = wc.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (w, n) => w.sliding(2).map(p =>
+        s"${p(0)} ${p(1)}" -> n) }
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(30)
+    val got = TextAnalysis.bpePairCounts(
+        TextAnalysis.q244Frame(spark, 64L), "text", 30)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find { case (a, b) => a != b }}")
+  }
+
+  test("q244 synthetic corpus is 2^20 documents / 2^22 tokens") {
+    val f = TextAnalysis.q244Frame(spark)
+    assert(f.count() == 1048576L)
+    assert(f.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+      == (4L << 20))
   }
 }

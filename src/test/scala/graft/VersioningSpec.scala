@@ -165,4 +165,26 @@ class VersioningSpec extends GraftSuite {
   test("q218 full history is 2^20 observations") {
     assert(Versioning.q218Events(spark).count() == (1L << 20))
   }
+
+  test("q242 small analog: update wave straddles the base — replaced keys " +
+      "carry the new value, appended keys arrive, untouched keys survive") {
+    // base 128 rows, wave k = 17m for m < 16: m ≤ 7 lands inside the base
+    // (replace), m ≥ 8 beyond it (append) → 128 + 8 rows
+    val got = Versioning.q242Merged(spark, base = 128L, wave = 16L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 136, s"expected 136 rows, got ${got.size}")
+    (0L until 128L).foreach { k =>
+      val exp = if (k % 17 == 0) ((5 * k + 1, "upd")) else ((3 * k, "base"))
+      assert(got(k) == exp, s"k=$k: got ${got(k)}, expected $exp")
+    }
+    (8L until 16L).foreach { m =>
+      val k = 17 * m
+      assert(got(k) == ((5 * k + 1, "upd")), s"appended k=$k: got ${got(k)}")
+    }
+  }
+
+  test("q242 full merge is 2^20 base + 3855 appended keys") {
+    assert(Versioning.q242Merged(spark).count() == (1L << 20) + 3855L)
+  }
 }
