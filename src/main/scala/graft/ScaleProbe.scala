@@ -397,3 +397,85 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** State-store growth probe for the four stateful streaming runtimes the
+  * q206/q214/q224/q233 gates exercise (VERDICT r12 item 8): the gates pin
+  * CORRECTNESS (output + numRowsTotal cadence) but only wall-clock was
+  * ever measured — this probe puts a number on state growth the way
+  * [[ScaleProbe]] did for batch, by re-running each runtime at 1× and 4×
+  * key volume and reading `stateOperators.{numRowsTotal,memoryUsedBytes}`
+  * from the progress events.
+  *
+  * Method: a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+  * records (Σ numRowsTotal, Σ memoryUsedBytes) per micro-batch (summed
+  * across operators — the stream-stream join reports both sides under one
+  * operator entry). The listener bus is async, so each measurement waits
+  * for the event stream to go quiescent before reading. Reported per run:
+  * the peak-memory batch's rows/bytes and the derived bytes-per-state-row
+  * — if state is per-key bounded (the scaladoc claims), bytes-per-row
+  * must be ~flat from 1× to 4× and peak rows must scale ~4×; superlinear
+  * bytes-per-row growth would mean per-key state accumulating history.
+  *
+  * Scales are chosen to keep every memory-sink drain within its
+  * documented ≤65,536-row bound: 1× = 2,048 users, 4× = 8,192
+  * (q214/q224 run 8 waves → ≤65,536 output rows at 4×).
+  *
+  * Usage: `sbt "runMain graft.StreamStateProbe"`. Run-once measurement
+  * harness — NOT part of the bench or the oracle registry (wall-clock of
+  * streaming gates is commit cadence, not volume; see SCALE_PROBE.md).
+  */
+object StreamStateProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = LocalSession.build(cpus)
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent,
+      QueryStartedEvent, QueryTerminatedEvent}
+
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) buf.synchronized {
+          buf += ((ops.map(_.numRowsTotal).sum,
+            ops.map(_.memoryUsedBytes).sum))
+        }
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    println(f"${"runtime"}%-18s ${"scale"}%5s ${"users"}%6s ${"batches"}%7s " +
+      f"${"peak_rows"}%10s ${"peak_mem_b"}%12s ${"b_per_row"}%9s")
+    def measure(name: String, tag: String, users: Long)(run: => Unit): Unit = {
+      buf.synchronized(buf.clear())
+      run
+      // listener bus is async: wait until no new progress event for 1s
+      var last = -1; var stable = 0
+      while (stable < 5) {
+        Thread.sleep(200)
+        val n = buf.synchronized(buf.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      val obs = buf.synchronized(buf.toVector)
+      val (pr, pm) = if (obs.isEmpty) (0L, 0L) else obs.maxBy(_._2)
+      val bpr = pm.toDouble / math.max(pr, 1L)
+      println(f"$name%-18s $tag%5s $users%6d ${obs.size}%7d " +
+        f"$pr%10d $pm%12d $bpr%9.1f")
+    }
+
+    import graft.streaming.Streams
+    for ((tag, u) <- Seq(("1x", 2048L), ("4x", 8192L))) {
+      measure("q206_fmgws", tag, u) { Streams.q206Run(spark, u) }
+      measure("q214_streamjoin", tag, u) {
+        Streams.q214Run(spark, u, waves = 8, sweep = true, wavesPerBatch = 4)
+      }
+      measure("q224_dedup", tag, u) { Streams.q224Run(spark, u, waves = 8) }
+      measure("q233_sessionwin", tag, u) { Streams.q233Run(spark, u, waves = 4) }
+    }
+    spark.streams.removeListener(listener)
+    spark.stop()
+  }
+}

@@ -790,7 +790,13 @@ object Streams {
     spark.createDataFrame(rows.asJava, schema)
   }
 
-  def q206StreamAtScale(spark: SparkSession, dir: String): DataFrame = {
+  def q206StreamAtScale(spark: SparkSession, dir: String): DataFrame =
+    q206Run(spark, q206Users)
+
+  /** The q206 runtime parameterized by user count — the gate pins it at
+    * [[q206Users]]; [[graft.StreamStateProbe]] re-runs it at 1×/4× to
+    * measure fMGWS state-store growth. */
+  private[graft] def q206Run(spark: SparkSession, users: Long): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -806,16 +812,16 @@ object Streams {
     try {
       for (s <- 0 until 4) {
         val wave = for {
-          u <- 0L until q206Users
+          u <- 0L until users
           k <- 0 until 16
         } yield (u, tsAt(q206BaseUs + s * 3600000000L + k * 60000000L))
         ms.addData(wave)
         q.processAllAvailable()
       }
       val probe1 = q206BaseUs + 172800000000L // BASE + 2 days
-      ms.addData(Seq((q206Users, tsAt(probe1))))
+      ms.addData(Seq((users, tsAt(probe1))))
       q.processAllAvailable()
-      ms.addData(Seq((q206Users, tsAt(probe1 + 7200000000L))))
+      ms.addData(Seq((users, tsAt(probe1 + 7200000000L))))
       q.processAllAvailable()
     } finally q.stop()
     drainMemorySink(spark, name, ckpt)
