@@ -723,6 +723,76 @@ object Relational {
     FROM src JOIN b ON b.g = src.g
     GROUP BY 1, 2"""
 
+  // --- q245_hll_atscale: the dedup-first HLL discipline at 2^20 keys ------
+  /** At-scale correctness coverage for q13's approx-distinct shape — the
+    * sf corpus gives HLL++ three groups of ≤15k orderkeys; this replays
+    * the SAME dedup-first composition (distinct → groupBy → one HLL
+    * buffer PER GROUP, never per (group, key) pair) over 2²³
+    * range-synthesized rows: 8 groups × 2¹⁷ planted distinct keys, each
+    * key repeated 8× so the pre-aggregation distinct is load-bearing
+    * (2²³ → 2²⁰ rows) and the per-group cardinality (131,072) sits far
+    * beyond any sparse/exact small-range mode — the register-merge
+    * estimator is what runs. Oracle: the closed-form exact count plus
+    * the q13 bound-as-boolean (the estimate itself is engine-specific;
+    * the hash fails iff HLL drifts past 5%). RelationalSpec additionally
+    * pins the raw relative error at this cardinality. */
+  private[graft] val q245Rows = 1L << 23
+  private[graft] val q245Groups = 8L
+  private[graft] val q245KeysPerGroup = 1L << 17
+
+  /** (g, exact_keys, approx_keys) before the bound projection — split out
+    * so RelationalSpec can pin the RAW relative error, not just the
+    * boolean the oracle hashes. */
+  private[graft] def q245Raw(spark: SparkSession): DataFrame =
+    spark.range(q245Rows).select(
+        pmod(col("id"), lit(q245Groups)).as("g"),
+        pmod(expr(s"id div $q245Groups"), lit(q245KeysPerGroup)).as("k"))
+      .distinct()
+      .groupBy(col("g"))
+      .agg(count(col("k")).as("exact_keys"),
+        approx_count_distinct(col("k"), 0.02).as("approx_keys"))
+
+  def q245HllAtScale(spark: SparkSession, dir: String): DataFrame =
+    q245Raw(spark)
+      .select(col("g"), col("exact_keys"),
+        (abs(col("approx_keys") - col("exact_keys")) <=
+          col("exact_keys") * 0.05).as("approx_ok"))
+
+  private[graft] def q245OracleSql(): String = s"""
+    SELECT CAST(u.i AS BIGINT) AS g,
+           CAST($q245KeysPerGroup AS BIGINT) AS exact_keys,
+           TRUE AS approx_ok
+    FROM range(0, $q245Groups) AS u(i)"""
+
+  // --- q246_cube_atscale: the 4-way Expand shuffle at 2^22 rows -----------
+  /** At-scale correctness coverage for q14's cube shape — the sf corpus
+    * cubes ~600k lineitem rows over two 2/3-value dims; this replays the
+    * same `cube().agg(count, exact sum)` over 2²² range rows and two
+    * 16-value dims, so the Expand operator multiplies a meaningful
+    * volume (2²² rows × 4 grouping sets = 2²⁴ shuffle rows) into ONE
+    * hash aggregate: the scale hazard of grouping sets is exactly that
+    * 4× map-side amplification, and the plan pin holds it to one Expand
+    * + one exchange (map-side partial agg collapses the 2²⁴ rows to
+    * ≤ 4·289 per task before the wire). Every id contributes its value
+    * to all four grouping sets, so each of the 289 output cells carries
+    * an exact integer sum the DuckDB CUBE replays bit-for-bit. */
+  private[graft] val q246Rows = 1L << 22
+
+  def q246CubeAtScale(spark: SparkSession, dir: String): DataFrame =
+    spark.range(q246Rows).select(
+        pmod(col("id"), lit(16L)).as("g1"),
+        pmod(expr("id div 16"), lit(16L)).as("g2"),
+        col("id").as("v"))
+      .cube(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+
+  private[graft] def q246OracleSql(rows: Long = q246Rows): String = s"""
+    SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM (SELECT u.i % 16 AS g1, (u.i // 16) % 16 AS g2, u.i AS v
+          FROM range(0, $rows) AS u(i))
+    GROUP BY CUBE (g1, g2)"""
+
   // --- q231_skyline_atscale: the staircase frontier at ≥3M rows ------------
   /** At-scale correctness coverage for [[skyline2d]] — q135's NOT-EXISTS
     * oracle is O(n²) per group and can never follow the operator to size,
@@ -804,6 +874,8 @@ object Relational {
     "q135_skyline"  -> q135Skyline _,
     "q231_skyline_atscale" -> q231SkylineAtScale _,
     "q237_equidepth_atscale" -> q237EquidepthAtScale _,
+    "q245_hll_atscale" -> q245HllAtScale _,
+    "q246_cube_atscale" -> q246CubeAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -828,5 +900,7 @@ object Relational {
     "q135_skyline"  -> q135SkylineSql,
     "q231_skyline_atscale" -> q231OracleSql(),
     "q237_equidepth_atscale" -> q237OracleSql(),
+    "q245_hll_atscale" -> q245OracleSql(),
+    "q246_cube_atscale" -> q246OracleSql(),
   )
 }

@@ -647,6 +647,29 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
   }
 
+  test("q245 hll at scale: dedup-first is exactly TWO exchanges — the " +
+      "extra distinct shuffle q13's comment buys to keep HLL buffers " +
+      "per-GROUP, never per (group, key)") {
+    // deliberately NOT the q241 single-exchange sharing: here the dedup
+    // aggregate is count-only (no collect over the dedup key), so the
+    // planner keys the distinct on (g, k) — the documented q13 tradeoff.
+    // THREE exchanges would mean a redundant shuffle crept in; ONE would
+    // mean the distinct collapsed into the HLL aggregate, i.e. a
+    // per-(group, key) partial buffer — the gigabytes-of-state shape the
+    // dedup-first discipline exists to prevent.
+    val p = plan("q245_hll_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 2, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
+
+  test("q246 cube at scale: grouping sets are ONE Expand into ONE " +
+      "exchange — map-side partials absorb the 4x amplification") {
+    val p = plan("q246_cube_atscale")
+    assert(count(p, "Expand") >= 1, "cube lost its Expand form: " + p.take(800))
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
+
   test("q244 bpe at scale: vocab collapse + pair stats are the only " +
       "shuffles; the cut is a TakeOrdered, never a global sort") {
     val p = plan("q244_bpe_atscale")

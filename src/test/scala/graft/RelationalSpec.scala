@@ -164,4 +164,28 @@ class RelationalSpec extends GraftSuite {
       }
     }
   }
+
+  test("q245 raw HLL relative error stays inside 5% at 2^17 keys/group — " +
+      "the bound the oracle hashes as a boolean, pinned numerically") {
+    val rows = Relational.q245Raw(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == Relational.q245Groups)
+    rows.foreach { case (g, exact, approx) =>
+      assert(exact == Relational.q245KeysPerGroup,
+        s"group $g: dedup lost keys — exact=$exact")
+      val rel = math.abs(approx - exact).toDouble / exact
+      assert(rel <= 0.05, s"group $g: HLL rel err $rel (approx=$approx)")
+    }
+  }
+
+  test("q246 cube emits all 289 grouping cells; the grand-total cell " +
+      "carries the exact full-range sum") {
+    val rows = Relational.q246CubeAtScale(spark, sf).collect()
+    assert(rows.length == 289, s"expected 16*16+16+16+1 cells: ${rows.length}")
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1)).head
+    val n = Relational.q246Rows
+    assert(total.getLong(2) == n)
+    assert(total.getLong(3) == n * (n - 1) / 2,
+      s"grand-total sum ${total.getLong(3)}")
+  }
 }
