@@ -271,6 +271,28 @@ object RelScaleProbe {
           "doc_id", "text")
         .groupBy(pmod(col("doc_id"), lit(2L))).count())
 
+    // round-13 extension: the q240–q246 gate shapes, each scaled on its
+    // own generator parameter (doc/row count; structure fixed)
+    import graft.ext.{Profiling, Versioning}
+    def boilerRun(docs: Long): Unit =
+      noop(TextAnalysis.removeBoilerplate(
+        TextAnalysis.q240Frame(spark, docs), "doc_id", "text", minDocs = 16))
+    def invindexRun(docs: Long): Unit =
+      noop(TextAnalysis.invertedIndex(
+        TextAnalysis.q241Frame(spark, docs), "text", minDf = 2L))
+    def bpeRun(docs: Long): Unit =
+      noop(TextAnalysis.bpePairCounts(
+        TextAnalysis.q244Frame(spark, docs), "text", 30))
+    def upsertRun(base: Long): Unit =
+      noop(Versioning.q242Merged(spark, base = base, wave = base >> 4))
+    def profileRun(rows: Long): Unit =
+      noop(Profiling.profileNumeric(
+        Profiling.q243Frame(spark, rows), Profiling.q243Cols))
+    def hllRun(rows: Long): Unit =
+      noop(Relational.q245Raw(spark, rows, keysPerGroup = rows >> 6))
+    def cubeRun(rows: Long): Unit =
+      noop(Relational.q246Run(spark, rows))
+
     val fams = Seq(
       Fam("topk_two_phase", topkRun, 1L << 21, 1L << 24),
       Fam("asof_union_sort", asofRun, 1L << 20, 1L << 23),
@@ -280,7 +302,15 @@ object RelScaleProbe {
       Fam("skyline_staircase", skylineRun, 2048L, 16384L),
       // 1× = 2^17 docs, 8× = 2^20 (the registry-gate scale)
       Fam("seqpack_window", seqpackRun, 1L << 17, 1L << 20),
-      Fam("phrase_posjoin", phraseRun, 1L << 17, 1L << 20))
+      Fam("phrase_posjoin", phraseRun, 1L << 17, 1L << 20),
+      // round-13 gate families; big point = the registry-gate scale
+      Fam("boilerplate_scrub", boilerRun, 1L << 17, 1L << 20),
+      Fam("invindex_zipf", invindexRun, 1L << 17, 1L << 20),
+      Fam("bpe_collapse", bpeRun, 1L << 17, 1L << 20),
+      Fam("upsert_merge", upsertRun, 1L << 17, 1L << 20),
+      Fam("profile_onescan", profileRun, 1L << 17, 1L << 20),
+      Fam("hll_dedup_first", hllRun, 1L << 20, 1L << 23),
+      Fam("cube_expand", cubeRun, 1L << 19, 1L << 22))
 
     ProbeRunner.runProbe(spark, fams)
     spark.stop()

@@ -743,10 +743,13 @@ object Relational {
   /** (g, exact_keys, approx_keys) before the bound projection — split out
     * so RelationalSpec can pin the RAW relative error, not just the
     * boolean the oracle hashes. */
-  private[graft] def q245Raw(spark: SparkSession): DataFrame =
-    spark.range(q245Rows).select(
+  private[graft] def q245Raw(spark: SparkSession,
+                             rows: Long = q245Rows,
+                             keysPerGroup: Long = q245KeysPerGroup)
+      : DataFrame =
+    spark.range(rows).select(
         pmod(col("id"), lit(q245Groups)).as("g"),
-        pmod(expr(s"id div $q245Groups"), lit(q245KeysPerGroup)).as("k"))
+        pmod(expr(s"id div $q245Groups"), lit(keysPerGroup)).as("k"))
       .distinct()
       .groupBy(col("g"))
       .agg(count(col("k")).as("exact_keys"),
@@ -779,7 +782,12 @@ object Relational {
   private[graft] val q246Rows = 1L << 22
 
   def q246CubeAtScale(spark: SparkSession, dir: String): DataFrame =
-    spark.range(q246Rows).select(
+    q246Run(spark, q246Rows)
+
+  /** The q246 pipeline parameterized by row count — the gate pins it at
+    * [[q246Rows]]; RelScaleProbe scales it for the Expand exponent. */
+  private[graft] def q246Run(spark: SparkSession, rows: Long): DataFrame =
+    spark.range(rows).select(
         pmod(col("id"), lit(16L)).as("g1"),
         pmod(expr("id div 16"), lit(16L)).as("g2"),
         col("id").as("v"))
