@@ -127,7 +127,8 @@ object Bench {
       "q238_hilbert_atscale", "q239_zorder_atscale",
       "q240_boilerplate_atscale", "q241_invindex_atscale",
       "q242_upsert_atscale", "q243_profile_atscale", "q244_bpe_atscale",
-      "q245_hll_atscale", "q246_cube_atscale")
+      "q245_hll_atscale", "q246_cube_atscale",
+      "q247_stratified_atscale", "q248_funnel_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -374,6 +374,64 @@ object Sampling {
     SELECT doc_id, n_tickets, CAST(priority AS BIGINT) AS priority
     FROM pri ORDER BY priority, doc_id LIMIT 100"""
 
+  // --- q247_stratified_atscale: the one-pass rate filter at 2^20 rows -----
+  /** At-scale correctness coverage for [[stratifiedSample]] — q67 samples
+    * the ~500-doc sf corpus over 4 language strata; this replays the SAME
+    * entry point over 2²⁰ range rows in 17 strata (`s0`..`s16` = id mod
+    * 17) with a rate ladder covering every quantization regime:
+    *
+    *  - `s0` at rate 0 → threshold "00" admits NO bucket — the named-but-
+    *    dropped stratum;
+    *  - `s1`..`s14` at rate i/32 → thresholds 8·i/256 exactly (no
+    *    quantization residue, so both engines compare identical hex
+    *    strings);
+    *  - `s15` at rate 1.0 → the "g0" sentinel that must admit EVERY
+    *    bucket including "ff";
+    *  - `s16` absent from the map entirely → the default-drop discipline
+    *    ("a sampling plan should name every stratum it intends to keep")
+    *    enforced at volume, not just documented.
+    *
+    * Selection stays one codegen'd md5 projection — the plan pin holds
+    * the operator itself to ZERO shuffles (the gate's rollup owns the
+    * only exchange). The oracle replays the identical md5-prefix
+    * arithmetic over the same generator; the per-stratum id-sum makes
+    * membership exact, not just counted. */
+  private[graft] val q247Rows = 1L << 20
+  private[graft] val q247Rates: Seq[(String, Double)] =
+    (0 to 14).map(i => s"s$i" -> i / 32.0) :+ ("s15" -> 1.0)
+
+  private[graft] def q247Frame(spark: SparkSession,
+                               rows: Long = q247Rows): DataFrame =
+    spark.range(rows).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(17L))).as("stratum"))
+
+  def q247StratifiedAtScale(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(q247Frame(spark), col("stratum"), col("doc_id"),
+        q247Rates.toMap)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_id"),
+        min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"))
+
+  private[graft] def q247OracleSql(rows: Long = q247Rows): String = {
+    val arms = q247Rates.map { case (s, r) =>
+      s"WHEN '$s' THEN '${rateThreshold(r)}'"
+    }.mkString("\n             ")
+    s"""
+    WITH b AS (
+      SELECT u.i AS doc_id, 's' || (u.i % 17) AS stratum,
+             substring(md5(CAST(u.i AS VARCHAR)), 1, 2) AS bucket
+      FROM range(0, $rows) AS u(i)),
+    kept AS (
+      SELECT * FROM b
+      WHERE bucket < CASE stratum
+             $arms
+             ELSE '${rateThreshold(0.0)}' END)
+    SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+    FROM kept GROUP BY stratum"""
+  }
+
   // --- q127_group_sample: exactly-k-per-stratum deterministic sample ------
   /** Fixed-SIZE per-stratum sampling — min(k, |stratum|) rows per group,
     * where [[stratifiedSample]] fixes the RATE: the shape an eval set or
@@ -665,6 +723,7 @@ object Sampling {
     "q102_budget_alloc"     -> q102BudgetAlloc _,
     "q120_ticket_sample"    -> q120TicketSample _,
     "q217_ticket_atscale"   -> q217TicketAtScale _,
+    "q247_stratified_atscale" -> q247StratifiedAtScale _,
     "q127_group_sample"     -> q127GroupSample _,
     "q146_rendezvous"       -> q146Rendezvous _,
     "q171_hash_ring"        -> q171HashRing _,
@@ -679,6 +738,7 @@ object Sampling {
     "q102_budget_alloc"     -> q102BudgetAllocSql,
     "q120_ticket_sample"    -> q120TicketSampleSql,
     "q217_ticket_atscale"   -> q217OracleSql(),
+    "q247_stratified_atscale" -> q247OracleSql(),
     "q127_group_sample"     -> q127GroupSampleSql,
     "q146_rendezvous"       -> q146RendezvousSql,
     "q171_hash_ring"        -> q171HashRingSql,

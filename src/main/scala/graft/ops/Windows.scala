@@ -569,6 +569,91 @@ object Windows {
     funnel(graft.Tables.events(spark, dir), "user_id", "event_type", "ts",
       Seq("view", "click", "purchase"))
 
+  // --- q248_funnel_atscale: the order-sensitive funnel at 2^20 users ------
+  /** At-scale correctness coverage for [[funnel]] — q103 runs over the
+    * ~10k-event sf table; this replays the SAME entry point over 2²⁰
+    * range-built users (~2.9M events) with a user class (id mod 8)
+    * planting every completion depth AND the two traps that define the
+    * operator:
+    *
+    *  - classes 0/4: view→click→purchase in order — full 3-step
+    *    completion;
+    *  - classes 1/5: view@t0, click AT EXACTLY t0, click@t0+1µs — the
+    *    equal-timestamp click must NOT count (the step predicate is
+    *    STRICTLY after), so t2 lands on the later click: the strictness
+    *    boundary is load-bearing for 2¹⁸ users, not one fixture row;
+    *  - classes 2/6: view only — depth 1;
+    *  - class 3: purchase@t0, click@t0+1µs, view@t0+2µs — the REVERSED
+    *    sequence a naive per-type min() scores as a full conversion;
+    *    order-sensitive scoring must emit depth 1 (funnel entry at the
+    *    view, nothing after it);
+    *  - class 7: click+purchase but NO view — never enters the funnel,
+    *    must be ABSENT from the output (2¹⁷ users the step-1 filter has
+    *    to drop).
+    *
+    * Per-user timestamps ride a distinct per-user base (t0 = epoch +
+    * 1000·id µs) so the rollup can pin the exact per-class step offsets
+    * via `tk_us − t0` sums, all closed form. Scale shape is the
+    * operator's own: entity-keyed groupBys and equi-joins, no windows —
+    * the plan pin holds that at 2²⁰ entities. */
+  private[graft] val q248Users = 1L << 20
+
+  private[graft] def q248Events(spark: SparkSession,
+                                users: Long = q248Users): DataFrame = {
+    val e = (t: String, off: Int) =>
+      struct(lit(t).as("event_type"),
+        (col("t0") + lit(off.toLong)).as("ts_us"))
+    spark.range(users).select(col("id").as("user_id"),
+        (lit(1700000000000000L) + col("id") * 1000L).as("t0"),
+        pmod(col("id"), lit(8L)).as("cls"))
+      .select(col("user_id"), explode(
+        when(col("cls").isin(0L, 4L),
+          array(e("view", 0), e("click", 1), e("purchase", 2)))
+        .when(col("cls").isin(1L, 5L),
+          array(e("view", 0), e("click", 0), e("click", 1)))
+        .when(col("cls").isin(2L, 6L), array(e("view", 0)))
+        .when(col("cls") === 3L,
+          array(e("purchase", 0), e("click", 1), e("view", 2)))
+        .otherwise(array(e("purchase", 0), e("click", 1)))).as("e"))
+      .select(col("user_id"), col("e.event_type").as("event_type"),
+        timestamp_micros(col("e.ts_us")).as("ts"))
+  }
+
+  def q248FunnelAtScale(spark: SparkSession, dir: String): DataFrame =
+    funnel(q248Events(spark), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .groupBy(pmod(col("user_id"), lit(8L)).as("cls"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("steps_completed")).as("min_steps"),
+        max(col("steps_completed")).as("max_steps"),
+        sum(col("t1_us") - lit(1700000000000000L)
+          - col("user_id") * 1000L).as("d1"),
+        count(col("t2_us")).as("n_t2"),
+        sum(col("t2_us") - col("t1_us")).as("d2"),
+        count(col("t3_us")).as("n_t3"),
+        sum(col("t3_us") - col("t2_us")).as("d3"))
+
+  /** Closed form per class — class 7 never enters (no row), class 3
+    * enters at the view with nothing after (d1 = 2µs/user). */
+  private[graft] def q248OracleSql(users: Long = q248Users): String = {
+    val n = users / 8
+    s"""
+    SELECT CAST(c.cls AS BIGINT) AS cls, CAST(c.n AS BIGINT) AS n_users,
+           CAST(c.mn AS INT) AS min_steps, CAST(c.mx AS INT) AS max_steps,
+           CAST(c.d1 AS BIGINT) AS d1,
+           CAST(c.n2 AS BIGINT) AS n_t2, CAST(c.d2 AS BIGINT) AS d2,
+           CAST(c.n3 AS BIGINT) AS n_t3, CAST(c.d3 AS BIGINT) AS d3
+    FROM (VALUES
+      (0, $n, 3, 3, 0,  $n, $n,   $n, $n),
+      (1, $n, 2, 2, 0,  $n, $n,   0, NULL),
+      (2, $n, 1, 1, 0,  0, NULL,  0, NULL),
+      (3, $n, 1, 1, ${2L * n}, 0, NULL, 0, NULL),
+      (4, $n, 3, 3, 0,  $n, $n,   $n, $n),
+      (5, $n, 2, 2, 0,  $n, $n,   0, NULL),
+      (6, $n, 1, 1, 0,  0, NULL,  0, NULL))
+      AS c(cls, n, mn, mx, d1, n2, d2, n3, d3)"""
+  }
+
   // --- q107_retention: cohort retention matrix ----------------------------
   /** Day-granular cohort retention: a user's cohort is their first active
     * day; cell (cohort_day, day_offset) counts how many of that cohort's
@@ -972,6 +1057,7 @@ object Windows {
     "q187_funnel_latency" -> q187FunnelLatency _,
     "q196_interarrival" -> q196Interarrival _,
     "q103_funnel"       -> q103Funnel _,
+    "q248_funnel_atscale" -> q248FunnelAtScale _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
     "q137_transitions"  -> q137Transitions _,
@@ -992,6 +1078,7 @@ object Windows {
     "q187_funnel_latency" -> q187FunnelLatencySql,
     "q196_interarrival" -> q196InterarrivalSql,
     "q103_funnel"       -> q103FunnelSql,
+    "q248_funnel_atscale" -> q248OracleSql(),
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,
     "q137_transitions"  -> q137TransitionsSql,

@@ -391,6 +391,36 @@ class AsofSessionSpec extends GraftSuite {
       2L -> ((10 * us, -1L, -1L, 1))))
   }
 
+  test("q248 small analog: every planted class funnels to its closed-form " +
+      "depth; the reversed-order class scores 1, the viewless class is absent") {
+    val base = 1700000000000000L
+    val got = graft.ops.Windows.funnel(
+        graft.ops.Windows.q248Events(spark, 64L), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))).toMap
+    assert(got.size == 56, s"expected 7 of 8 classes present: ${got.size}")
+    (0L until 64L).foreach { u =>
+      val t0 = base + u * 1000L
+      u % 8 match {
+        case 7 => assert(!got.contains(u), s"viewless user $u entered")
+        case 3 => assert(got(u) == ((t0 + 2, -1L, -1L, 1)),
+          s"reversed-order user $u: ${got(u)}")
+        case 2 | 6 => assert(got(u) == ((t0, -1L, -1L, 1)), s"user $u")
+        case 1 | 5 => // the click AT t0 must not count; the t0+1 click does
+          assert(got(u) == ((t0, t0 + 1, -1L, 2)), s"strictness user $u")
+        case _ => assert(got(u) == ((t0, t0 + 1, t0 + 2, 3)), s"user $u")
+      }
+    }
+  }
+
+  test("q248 synthetic event stream is at the claimed scale") {
+    // classes 0/4: 3 events, 1/5: 3, 2/6: 1, 3: 3, 7: 2 → 19 per 8 users
+    assert(graft.ops.Windows.q248Events(spark).count() ==
+      (1L << 20) / 8 * 19)
+  }
+
   test("retention matrix: cohorts from first-seen day, cells count distinct active users") {
     val ev = Seq(
       // user 1: cohort day 0, active days 0 and 2 (two events on day 2

@@ -670,6 +670,22 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
   }
 
+  test("q247 stratified at scale: selection is a pure codegen'd filter — " +
+      "the gate's rollup owns the ONLY exchange; no count pass, no join") {
+    val p = plan("q247_stratified_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
+
+  test("q248 funnel at scale: entity-keyed groupBys and equi-joins only — " +
+      "no window, no per-entity event collection, no nested loop") {
+    val p = plan("q248_funnel_atscale")
+    assert(!p.contains("Window"), "funnel acquired a window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("collect_list"), "funnel must never collect events")
+  }
+
   test("q244 bpe at scale: vocab collapse + pair stats are the only " +
       "shuffles; the cut is a TakeOrdered, never a global sort") {
     val p = plan("q244_bpe_atscale")

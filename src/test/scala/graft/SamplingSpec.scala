@@ -49,6 +49,36 @@ class SamplingSpec extends GraftSuite {
     }
   }
 
+  test("q247 small analog: rate-ladder selection matches an exact " +
+      "MessageDigest replay — rate 0 and the missing stratum keep nothing, " +
+      "rate 1.0 keeps everything") {
+    val n = 17L * 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(2)
+    val thr = Sampling.q247Rates.map { case (s, r) =>
+      val q = math.round(r * 256).toInt
+      s -> (if (q >= 256) "g0" else f"$q%02x")
+    }.toMap
+    val expected = (0L until n).filter { id =>
+      thr.get(s"s${id % 17}").exists(bucket(id) < _)
+    }.toSet
+    val got = Sampling.stratifiedSample(Sampling.q247Frame(spark, n),
+        col("stratum"), col("doc_id"), Sampling.q247Rates.toMap)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"diff: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+    assert(!got.exists(id => id % 17 == 0), "rate-0 stratum leaked rows")
+    assert(!got.exists(id => id % 17 == 16), "unlisted stratum leaked rows")
+    assert((0L until n).count(id => id % 17 == 15 && got(id)) == 64,
+      "rate-1.0 stratum must keep every row")
+  }
+
+  test("q247 synthetic frame is at the claimed scale") {
+    assert(Sampling.q247Frame(spark).count() == (1L << 20))
+  }
+
   test("temperature mix matches an independent driver-side replay exactly") {
     // the operator derives rates IN-PLAN; this recomputes the whole chain
     // (counts → sorted-fold Σ√n → rate → /256 threshold byte → md5 bucket)
