@@ -128,7 +128,10 @@ object Bench {
       "q240_boilerplate_atscale", "q241_invindex_atscale",
       "q242_upsert_atscale", "q243_profile_atscale", "q244_bpe_atscale",
       "q245_hll_atscale", "q246_cube_atscale",
-      "q247_stratified_atscale", "q248_funnel_atscale")
+      "q247_stratified_atscale", "q248_funnel_atscale",
+      "q249_simhash_atscale", "q250_jaccard_atscale",
+      "q251_decontaminate_atscale", "q252_diff_atscale",
+      "q253_incremental_atscale", "q254_containment_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

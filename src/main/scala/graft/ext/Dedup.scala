@@ -289,10 +289,23 @@ object Dedup {
       explode(array_distinct(shingles(col(text), n))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("tok")))
     val dfCounts = sh.groupBy("tok").agg(count(lit(1)).as("dfq"))
-    // df-cap: groupBy.count + inner join on the token key — the same
-    // no-value-keyed-window discipline as lshCandidates' bucket cap
+    // df-cap in two steps, both keyed on the token:
+    //  1. broadcast ANTI-join against the capped-token list — the list is
+    //     boilerplate vocabulary (df > maxPostings), small by Zipf, while
+    //     the capped tokens' OCCURRENCES are the corpus's hottest rows: an
+    //     inner df-attach join would shuffle a sitewide shingle's billions
+    //     of occurrences onto the one task owning its key just to drop
+    //     them there. The anti-join drops them at the map side instead —
+    //     no capped row ever crosses the wire;
+    //  2. inner join to attach dfq to the SURVIVORS — per-key occupancy is
+    //     now ≤ maxPostings by construction, so the shuffle join's worst
+    //     task is bounded (no value-keyed window anywhere, as in
+    //     lshCandidates' bucket cap).
+    // bcast-ok: tokens with df > maxPostings — boilerplate vocabulary, Zipf-small
     val ranked = CacheRegistry.persist(
-      sh.join(dfCounts.filter(col("dfq") <= maxPostings), Seq("tok")))
+      sh.join(broadcast(dfCounts.filter(col("dfq") > maxPostings)
+          .select("tok")), Seq("tok"), "left_anti")
+        .join(dfCounts, Seq("tok")))
     val sets = CacheRegistry.persist(ranked
       .groupBy("doc_id")
       // groupagg-ok: one document's hashed shingle tokens — doc-sized
@@ -541,11 +554,25 @@ object Dedup {
     * the index — the pair space is (short × short-ish), never (short ×
     * corpus). Pairs where both sides exceed the cutoff go through SimHash,
     * which has real signal there. The two emitted pair sets are disjoint
-    * (min side ≤ cutoff vs both > cutoff). */
+    * (min side ≤ cutoff vs both > cutoff).
+    *
+    * `blocks` is THE corpus-size knob: k blocks of 64/k bits guarantee
+    * candidates for hamming ≤ k−1, and expected bucket occupancy is
+    * |docs| · k / 2^(64/k). The 8×8-bit default is right for corpora up to
+    * ~10⁵ docs (buckets stay tens of rows); at 10⁶+ an 8-bit block value
+    * collides ~|docs|/256 times and the bucket pair space turns quadratic
+    * — switch to 4×16-bit blocks (maxHamming ≤ 3), where 2²⁰ docs yield
+    * ~16-row buckets. Recall drops with the guarantee radius, which is the
+    * honest trade: at crawl scale, hamming > 3 on 64 bits is not a
+    * near-dup. `maxHamming` above blocks−1 stays legal (extra recall is
+    * opportunistic, not guaranteed). */
   def nearDupSimHash(docs: DataFrame, id: String, text: String,
                      maxHamming: Int = 7, n: Int = 3,
                      threshold: Double = 0.8,
-                     shortDocTokens: Int = 24): DataFrame = {
+                     shortDocTokens: Int = 24,
+                     blocks: Int = 8): DataFrame = {
+    require(blocks >= 2 && 64 % blocks == 0,
+      s"nearDupSimHash: blocks must divide 64 (got $blocks)")
     // persisted: both strata filter this frame, and the shingle sizing is
     // the expensive part of it
     val sized = CacheRegistry.persist(docs.withColumn("__sz",
@@ -556,22 +583,24 @@ object Dedup {
           id, text, n, threshold)
         .filter(least(col("n_a"), col("n_b")) <= shortDocTokens)
     val longDocs = sized.filter(col("__sz") > shortDocTokens).drop("__sz")
-    simHashPairs(longDocs, id, text, maxHamming, n, threshold)
+    simHashPairs(longDocs, id, text, maxHamming, n, threshold, blocks)
       .union(exactShort)
   }
 
   /** The raw SimHash detector over one stratum — see [[nearDupSimHash]]. */
   private def simHashPairs(docs: DataFrame, id: String, text: String,
                            maxHamming: Int, n: Int,
-                           threshold: Double): DataFrame = {
+                           threshold: Double, nBlocks: Int): DataFrame = {
     val fp = simHash(docs, id, text)
+    val width = 64 / nBlocks
     // persisted: the block self-join references `blocks` on both sides,
     // and its lineage holds the 64-vote fingerprint aggregation
     val blocks = CacheRegistry.persist(fp.select(col(id), col("simhash"),
       explode(array(
-        (0 until 8).map(b =>
+        (0 until nBlocks).map(b =>
           struct(lit(b).as("blk"),
-            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("v"))): _*))
+            shiftright(col("simhash"), width * b)
+              .bitwiseAND(lit((1L << width) - 1)).as("v"))): _*))
         .as("bb"))
       .select(col(id), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v")))
     // Salted self-join for the pair expansion. Two hazards this layout
@@ -924,6 +953,383 @@ object Dedup {
   // --- q41_simhash: SimHash-banded near-dup -------------------------------
   def q41SimHash(spark: SparkSession, dir: String): DataFrame =
     nearDupSimHash(Tables.documents(spark, dir), "doc_id", "text")
+
+  // --- q249_simhash_atscale: both SimHash strata at ≥1M documents ---------
+  /** At-scale correctness coverage for [[nearDupSimHash]] — q41 runs the
+    * detector over the few-thousand-row documents table; this replays the
+    * SAME entry point over 2²⁰ range-built documents, exercising BOTH
+    * length strata and the 4×16-bit block layout that IS the scale
+    * configuration (see the `blocks` scaladoc: at 2²⁰ docs an 8-bit block
+    * value repeats ~4096× and the bucket join turns quadratic — 16-bit
+    * blocks keep expected occupancy at ~16 rows). The answer is closed
+    * form by the q209 construction:
+    *
+    *  - ids [0, 16 384): 4 096 planted groups of 4 EXACT duplicates with
+    *    33 tokens ("g⟨g⟩t0 … t32" → 31 distinct 3-shingles > the 30-token
+    *    exact-path partner cap, so the group rides the SIMHASH stratum);
+    *    identical text ⇒ identical token multiset ⇒ identical fingerprint
+    *    ⇒ hamming 0 ⇒ all four blocks collide — found with probability 1
+    *    under ANY block layout, no probabilistic recall term;
+    *  - ids [16 384, 32 768): 4 096 groups of 4 exact duplicates with 7
+    *    tokens ("s⟨g⟩t0 … t6" → 5 shingles ≤ shortDocTokens=24, riding the
+    *    exact inverted-index stratum — the stratification split is itself
+    *    under test at volume);
+    *  - ~1.02M fillers with 33 globally unique tokens ("f⟨id⟩t0 …"):
+    *    disjoint shingle sets, true Jaccard 0 with everything — any
+    *    fingerprint coincidence the hamming filter admits is silenced by
+    *    the exact-Jaccard verify (can add a candidate, never an output
+    *    row). Filler fingerprints are 33-vote majorities of independent
+    *    xxhash64 bits — effectively uniform, so 16-bit buckets hold ~16
+    *    rows and the salted expansion stays linear.
+    *
+    * Output: exactly 2 × 4 096 × C(4,2) = 49 152 pairs — J = 1.0 with
+    * inter = n_a = n_b = 31 (long stratum) or 5 (short stratum). Runs once
+    * in Bench's stress lane; DedupSpec pins the small-analog behavior. */
+  private[graft] val q249Docs = 1048576L
+  private[graft] val q249Groups = 4096L
+
+  private[graft] def q249Corpus(spark: SparkSession,
+                                docs: Long = q249Docs,
+                                groups: Long = q249Groups): DataFrame = {
+    val dup = groups * 4
+    val p = when(col("id") < dup,
+        concat(lit("g"), expr("CAST(id div 4 AS STRING)")))
+      .when(col("id") < 2 * dup,
+        concat(lit("s"), expr(s"CAST((id - $dup) div 4 AS STRING)")))
+      .otherwise(concat(lit("f"), col("id").cast("string")))
+    val nTok = when(col("id") >= dup && col("id") < 2 * dup, 7).otherwise(33)
+    spark.range(docs)
+      .withColumn("p", p)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 33).map(t =>
+          when(lit(t) < nTok, concat(col("p"), lit(s"t$t")))): _*).as("text"))
+  }
+
+  def q249SimhashAtScale(spark: SparkSession, dir: String): DataFrame =
+    nearDupSimHash(q249Corpus(spark), "doc_id", "text",
+      maxHamming = 3, blocks = 4)
+
+  /** Closed form: within-group ordered pairs for both strata. */
+  private[graft] def q249OracleSql(groups: Long = q249Groups): String = s"""
+    WITH g AS (SELECT CAST(u.i AS BIGINT) AS g FROM unnest(range(0, $groups)) AS u(i)),
+         p AS (SELECT CAST(u.i AS BIGINT) AS p FROM unnest(range(0, 4)) AS u(i)),
+         q AS (SELECT CAST(u.i AS BIGINT) AS q FROM unnest(range(0, 4)) AS u(i)),
+         st AS (SELECT CAST(0 AS BIGINT) AS base, 31 AS sz
+                UNION ALL SELECT ${groups * 4}, 5)
+    SELECT CAST(st.base + g * 4 + p AS BIGINT) AS id_a,
+           CAST(st.base + g * 4 + q AS BIGINT) AS id_b,
+           CAST(st.sz AS INT) AS inter, CAST(st.sz AS INT) AS n_a,
+           CAST(st.sz AS INT) AS n_b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM st, g, p, q WHERE p < q"""
+
+  // --- q250_jaccard_atscale: exact PPJoin near-dup at ≥1M documents -------
+  /** At-scale correctness coverage for [[ngramJaccardPairs]] — q35 runs the
+    * exact prefix-filtered detector over the few-thousand-row documents
+    * table; this replays the SAME entry point (n=3, t=0.8) over 2²⁰
+    * range-built documents with the decision boundary planted EXACTLY ON
+    * the threshold, so both the candidate bound and the final rounded
+    * filter are certified at volume:
+    *
+    *  - ids [0, 8 192): 4 096 TWIN pairs (2j, 2j+1 identical, 36 tokens
+    *    "t⟨j⟩c0 … c35" → 34 shingles): J = 1.0, emitted;
+    *  - ids [8 192, 16 384): 4 096 pairs sharing a 34-token common run
+    *    plus 4 per-side unique tokens ("e⟨j⟩c0…c33 e⟨j⟩a0…a3" vs
+    *    "…e⟨j⟩b0…b3"): 36 shingles each, 32 shared (the windows fully
+    *    inside the common run), J = 32/(72−32) = 0.8 EXACTLY — the ≥
+    *    boundary row, emitted. A `>`-for-`≥` regression in either the
+    *    PPJoin bound or the verify filter erases all 4 096 rows;
+    *  - ids [16 384, 24 576): 4 096 pairs with a 33-token common run and
+    *    the same 4-token sides: 35 shingles, 31 shared, J = 31/39 ≈
+    *    0.79487 — candidates (31 ≥ the relaxed minInter bound) that the
+    *    exact verify must DROP: the suppressed class certifies the filter
+    *    is doing work at volume, not rubber-stamping candidates;
+    *  - ~1.0M fillers with 36 globally unique tokens ("f⟨id⟩c0 …"):
+    *    df=1 shingles, so their prefixes hit nothing — the inverted index
+    *    carries ~7 prefix rows per doc (the 1−t fraction) and the
+    *    candidate join output stays at the planted ~12k pairs.
+    *
+    * Output: exactly 8 192 rows, closed form. Runs once in Bench's stress
+    * lane; DedupSpec pins the small analog including the suppressed class. */
+  private[graft] val q250Docs = 1048576L
+  private[graft] val q250PairsPerClass = 4096L
+
+  private[graft] def q250Corpus(spark: SparkSession,
+                                docs: Long = q250Docs,
+                                pairsPerClass: Long = q250PairsPerClass): DataFrame = {
+    val (twinEnd, exactEnd, belowEnd) =
+      (2 * pairsPerClass, 4 * pairsPerClass, 6 * pairsPerClass)
+    val j = expr("CAST(id div 2 AS STRING)")
+    val pfx = when(col("id") < twinEnd, concat(lit("t"), j))
+      .when(col("id") < exactEnd, concat(lit("e"), j))
+      .when(col("id") < belowEnd, concat(lit("b"), j))
+      .otherwise(concat(lit("f"), col("id").cast("string")))
+    val commonCnt = when(col("id") < twinEnd, 36)
+      .when(col("id") < exactEnd, 34)
+      .when(col("id") < belowEnd, 33)
+      .otherwise(36)
+    val sideCnt = when(col("id") >= twinEnd && col("id") < belowEnd, 4)
+      .otherwise(0)
+    val sideChr = when(pmod(col("id"), lit(2L)) === 0, lit("a")).otherwise(lit("b"))
+    val toks = (0 until 38).map { i =>
+      when(lit(i) < commonCnt, concat(pfx, lit("c"), lit(i)))
+        .when(lit(i) < commonCnt + sideCnt,
+          concat(pfx, sideChr, (lit(i) - commonCnt).cast("string")))
+    }
+    spark.range(docs).select(col("id").as("doc_id"),
+      concat_ws(" ", toks: _*).as("text"))
+  }
+
+  def q250JaccardAtScale(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(q250Corpus(spark), "doc_id", "text")
+
+  /** Closed form: twin pairs at J=1 and boundary pairs at J=0.8 exactly;
+    * the below-threshold class and the fillers never appear. */
+  private[graft] def q250OracleSql(pairsPerClass: Long = q250PairsPerClass): String = s"""
+    WITH j AS (SELECT CAST(u.i AS BIGINT) AS j
+               FROM unnest(range(0, $pairsPerClass)) AS u(i)),
+         cls AS (SELECT CAST(0 AS BIGINT) AS base, 34 AS inter, 34 AS sz,
+                        CAST(1.0 AS DOUBLE) AS jac
+                 UNION ALL
+                 SELECT ${2 * pairsPerClass}, 32, 36, CAST(0.8 AS DOUBLE))
+    SELECT CAST(cls.base + 2 * j AS BIGINT) AS id_a,
+           CAST(cls.base + 2 * j + 1 AS BIGINT) AS id_b,
+           CAST(cls.inter AS INT) AS inter, CAST(cls.sz AS INT) AS n_a,
+           CAST(cls.sz AS INT) AS n_b, cls.jac AS jaccard
+    FROM cls, j"""
+
+  // --- q251_decontaminate_atscale: Bloom decontamination at ≥1M docs ------
+  /** At-scale correctness coverage for [[bloomDecontaminate]] — q69 runs the
+    * Bloom scale path over the few-thousand-row documents table; this
+    * replays the SAME entry point (defaults: n=5, 2²⁰-bit filter, k=3) over
+    * 2²⁰ range-built corpus documents against a 4 096-doc benchmark
+    * (12 288 distinct 5-grams → filter fill ≈ 3.5%, the sizing contract's
+    * comfortable regime), with contamination planted closed-form:
+    *
+    *  - ids [0, 2¹⁸): ALL embed benchmark doc 0's full 7-token text inside
+    *    four unique padding tokens — ONE benchmark shingle set hit by
+    *    262 144 corpus docs, the hot-key shape the broadcast membership
+    *    design exists for (no shuffle ever keys on the shingle);
+    *  - ids [2¹⁸, 2¹⁹): embed benchmark doc (id mod 4096) — the uniform
+    *    contamination lane;
+    *  - ids [2¹⁹, 2²⁰−64): clean, 11 globally unique tokens;
+    *  - the last 64 ids: EMPTY text — no shingle rows survive the explode,
+    *    so the left-outer rejoin (not the probe scan) must keep them.
+    *
+    * Every output column is deterministic despite the probabilistic
+    * filter: `contaminated` rides the exact broadcast membership,
+    * `missed` is provably false (Bloom admits no false negatives), and
+    * `fp_ok` holds by ~350× margin (expected FP docs ≈ 150 of 524 352
+    * clean vs the 5% bound). Rolled up to 64 buckets with a
+    * contaminated-id checksum so per-row flag errors can't cancel. */
+  private[graft] val q251Docs = 1048576L
+  private[graft] val q251BenchDocs = 4096L
+
+  private[graft] def q251Benchmark(spark: SparkSession,
+                                   n: Long = q251BenchDocs): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 7).map(t =>
+        concat(lit("k"), col("id").cast("string"), lit(s"t$t"))): _*).as("text"))
+
+  private[graft] def q251Corpus(spark: SparkSession,
+                                docs: Long = q251Docs,
+                                benchDocs: Long = q251BenchDocs): DataFrame = {
+    val (hotEnd, contamEnd) = (docs / 4, docs / 2)
+    val b = when(col("id") < hotEnd, lit(0L))
+      .otherwise(pmod(col("id"), lit(benchDocs)))
+    val kPfx = concat(lit("k"), b.cast("string"))
+    val u = concat(lit("u"), col("id").cast("string"))
+    val contamText = concat_ws(" ",
+      Seq(concat(u, lit("p0")), concat(u, lit("p1"))) ++
+        (0 until 7).map(t => concat(kPfx, lit(s"t$t"))) ++
+        Seq(concat(u, lit("p2")), concat(u, lit("p3"))): _*)
+    val cleanText = concat_ws(" ",
+      (0 until 11).map(t => concat(u, lit(s"p$t"))): _*)
+    spark.range(docs).select(col("id").as("doc_id"),
+      when(col("id") < contamEnd, contamText)
+        .when(col("id") >= docs - 64, lit(""))
+        .otherwise(cleanText).as("text"))
+  }
+
+  def q251DecontaminateAtScale(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(q251Corpus(spark), q251Benchmark(spark),
+        "doc_id", "text")
+      .groupBy(pmod(col("doc_id"), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("contaminated"), col("doc_id"))).as("sum_contaminated_ids"),
+        expr("bool_and(NOT missed)").as("none_missed"),
+        expr("bool_and(fp_ok)").as("all_fp_ok"))
+
+  /** Closed form: contaminated ⇔ id < docs/2; missed never; fp_ok always. */
+  private[graft] def q251OracleSql(docs: Long = q251Docs): String = s"""
+    WITH d AS (SELECT CAST(u.i AS BIGINT) AS doc_id,
+                      u.i < ${docs / 2} AS contaminated
+               FROM range(0, $docs) AS u(i))
+    SELECT CAST(doc_id % 64 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN contaminated THEN doc_id END) AS BIGINT)
+             AS sum_contaminated_ids,
+           TRUE AS none_missed, TRUE AS all_fp_ok
+    FROM d GROUP BY 1"""
+
+  // --- q253_incremental_atscale: batch-probes-index dedup at ≥1M corpus ---
+  /** At-scale correctness coverage for [[incrementalNearDups]] — q70 probes
+    * a ~20-doc batch against the sf corpus; this replays the SAME entry
+    * point with a 2¹⁴-doc batch arriving against a 2²⁰-doc corpus, with
+    * every pair class planted closed-form (q209's 7-token construction —
+    * identical text ⇒ identical signature ⇒ found with probability 1):
+    *
+    *  - corpus ids [0, 8 192): 4 096 OLD twin pairs, entirely inside the
+    *    corpus — the class the operator must NOT emit (its contract is
+    *    pairs involving ≥1 new doc; re-pairing the corpus is exactly the
+    *    quadratic work incrementality exists to skip);
+    *  - corpus ids [8 192, 16 384): unique "targets" each copied verbatim
+    *    by one new doc → 8 192 new×old pairs (seen from the new side
+    *    only — the canonical least/greatest ordering is under test);
+    *  - new ids [2²⁰+8 192, 2²⁰+16 384): 4 096 new×new twin pairs (seen
+    *    from BOTH sides — the distinct must unify them);
+    *  - ~1.0M corpus fillers with globally unique tokens: silent.
+    *
+    * Output: exactly 12 288 pairs, J = 1.0, inter = n_a = n_b = 5. The
+    * scale shape certified: only the batch's 2¹⁸ band rows probe the
+    * combined index (join work ∝ |new|), while the corpus contributes
+    * signatures once, never pairs. Runs once in Bench's stress lane. */
+  private[graft] val q253CorpusDocs = 1048576L
+  private[graft] val q253BatchPairs = 4096L // targets-copied AND new-twin pair count scale together
+
+  private[graft] def q253Corpus(spark: SparkSession,
+                                docs: Long = q253CorpusDocs,
+                                pairs: Long = q253BatchPairs): DataFrame = {
+    val (oldTwinEnd, targetEnd) = (2 * pairs, 4 * pairs)
+    val p = when(col("id") < oldTwinEnd,
+        concat(lit("o"), expr("CAST(id div 2 AS STRING)")))
+      .when(col("id") < targetEnd,
+        concat(lit("c"), (col("id") - oldTwinEnd).cast("string")))
+      .otherwise(concat(lit("f"), col("id").cast("string")))
+    spark.range(docs).withColumn("p", p)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 7).map(t => concat(col("p"), lit(s"t$t"))): _*).as("text"))
+  }
+
+  private[graft] def q253Batch(spark: SparkSession,
+                               corpusDocs: Long = q253CorpusDocs,
+                               pairs: Long = q253BatchPairs): DataFrame = {
+    val copyEnd = 2 * pairs
+    val p = when(col("id") < copyEnd,
+        concat(lit("c"), col("id").cast("string")))
+      .otherwise(concat(lit("n"),
+        expr(s"CAST((id - $copyEnd) div 2 AS STRING)")))
+    spark.range(4 * pairs).withColumn("p", p)
+      .select((col("id") + corpusDocs).as("doc_id"),
+        concat_ws(" ",
+          (0 until 7).map(t => concat(col("p"), lit(s"t$t"))): _*).as("text"))
+  }
+
+  def q253IncrementalAtScale(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDups(q253Corpus(spark), q253Batch(spark),
+      "doc_id", "text")
+
+  /** Closed form: new×old copy pairs plus new×new twins; old×old silent. */
+  private[graft] def q253OracleSql(corpusDocs: Long = q253CorpusDocs,
+                                   pairs: Long = q253BatchPairs): String = s"""
+    WITH nw AS (
+      SELECT CAST(${2 * pairs} + u.i AS BIGINT) AS id_a,
+             CAST($corpusDocs + u.i AS BIGINT) AS id_b
+      FROM range(0, ${2 * pairs}) AS u(i)
+      UNION ALL
+      SELECT CAST($corpusDocs + ${2 * pairs} + 2 * u.i AS BIGINT),
+             CAST($corpusDocs + ${2 * pairs} + 2 * u.i + 1 AS BIGINT)
+      FROM range(0, $pairs) AS u(i))
+    SELECT id_a, id_b, CAST(5 AS INT) AS inter, CAST(5 AS INT) AS n_a,
+           CAST(5 AS INT) AS n_b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM nw"""
+
+  // --- q254_containment_atscale: directed PPJoin + df-cap at ≥1M docs -----
+  /** At-scale correctness coverage for [[containmentPairs]] — q148 runs the
+    * directed detector over the few-thousand-row documents table; this
+    * replays the SAME entry point (n=3, t=0.5, default maxPostings) over
+    * 2²⁰ range-built documents where the directed answer is closed form
+    * AND the df-cap provably does work (the gate only finishes because it
+    * does):
+    *
+    *  - every ~1.0M filler STARTS with the same three tokens "z0 z1 z2" —
+    *    one sitewide boilerplate shingle with df ≈ 10⁶ ≫ maxPostings.
+    *    Uncapped, it alone generates ~10¹² candidate pairs; capped, it is
+    *    dropped from the shingle universe by the broadcast anti-join
+    *    BEFORE its occurrences can shuffle anywhere (the hot-key shape
+    *    the two-step cap exists for), and fillers reduce to 9 unique
+    *    shingles each — silent;
+    *  - ids [0, 8 192): 4 096 excerpt⊂source pairs (A = 10-token run, B =
+    *    the same run + 10-token tail): inter = n_a = 8 → containment 1.0
+    *    A→B; the reverse direction (8/18) must NOT emit — the length
+    *    filter prunes it before the intersect;
+    *  - ids [8 192, 16 384): partial containment 4/6 → 0.666667 (emitted);
+    *  - ids [16 384, 24 576): 4/8 → 0.5, EXACTLY ON the ≥ boundary
+    *    (emitted — a `>` regression erases the class);
+    *  - ids [24 576, 32 768): 4/9 ≈ 0.444 — below threshold; the df-ranked
+    *    prefix provably excludes the shared run (shared ∈ prefix ⇔
+    *    inter ≥ minInter, which fails), so the class certifies the
+    *    PPJoin bound prunes non-qualifying pairs END-TO-END (never a
+    *    candidate, never an output row).
+    *
+    * Output: exactly 12 288 directed rows. Runs once in Bench's stress
+    * lane; DedupSpec pins the small analog including both suppressed
+    * directions. */
+  private[graft] val q254Docs = 1048576L
+  private[graft] val q254PairsPerClass = 4096L
+
+  private[graft] def q254Corpus(spark: SparkSession,
+                                docs: Long = q254Docs,
+                                pairsPerClass: Long = q254PairsPerClass): DataFrame = {
+    val (fEnd, tEnd, hEnd, xEnd) = (2 * pairsPerClass, 4 * pairsPerClass,
+      6 * pairsPerClass, 8 * pairsPerClass)
+    val j = expr("CAST(id div 2 AS STRING)")
+    val isA = pmod(col("id"), lit(2L)) === 0
+    val pfx = when(col("id") < fEnd, concat(lit("F"), j))
+      .when(col("id") < tEnd, concat(lit("T"), j))
+      .when(col("id") < hEnd, concat(lit("H"), j))
+      .when(col("id") < xEnd, concat(lit("X"), j))
+    // common-run length, contained-side unique tail, container tail
+    val runCnt = when(col("id") < fEnd, 10).otherwise(6)
+    val aTail = when(col("id") < fEnd, 0).when(col("id") < tEnd, 2)
+      .when(col("id") < hEnd, 4).otherwise(5)
+    val bTail = when(col("id") < fEnd, 10).otherwise(8)
+    val tailCnt = when(isA, aTail).otherwise(bTail)
+    val tailChr = when(isA, lit("a")).otherwise(lit("u"))
+    val planted = (0 until 20).map { i =>
+      when(lit(i) < runCnt, concat(pfx, lit("k"), lit(i)))
+        .when(lit(i) < runCnt + tailCnt,
+          concat(pfx, tailChr, (lit(i) - runCnt).cast("string")))
+    }
+    val fillerToks = Seq(lit("z0"), lit("z1"), lit("z2")) ++
+      (0 until 9).map(t =>
+        concat(lit("f"), col("id").cast("string"), lit(s"t$t")))
+    spark.range(docs).select(col("id").as("doc_id"),
+      when(col("id") < xEnd, concat_ws(" ", planted: _*))
+        .otherwise(concat_ws(" ", fillerToks: _*)).as("text"))
+  }
+
+  def q254ContainmentAtScale(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(q254Corpus(spark), "doc_id", "text")
+
+  /** Closed form: the three emitted classes, A-side contained in B-side. */
+  private[graft] def q254OracleSql(pairsPerClass: Long = q254PairsPerClass): String = s"""
+    WITH j AS (SELECT CAST(u.i AS BIGINT) AS j
+               FROM unnest(range(0, $pairsPerClass)) AS u(i)),
+         cls AS (SELECT CAST(0 AS BIGINT) AS base, 8 AS inter, 8 AS n_a,
+                        CAST(1.0 AS DOUBLE) AS c6
+                 UNION ALL SELECT ${2 * pairsPerClass}, 4, 6,
+                        CAST(0.666667 AS DOUBLE)
+                 UNION ALL SELECT ${4 * pairsPerClass}, 4, 8,
+                        CAST(0.5 AS DOUBLE))
+    SELECT CAST(cls.base + 2 * j AS BIGINT) AS id_a,
+           CAST(cls.base + 2 * j + 1 AS BIGINT) AS id_b,
+           CAST(cls.inter AS INT) AS inter, CAST(cls.n_a AS INT) AS n_a,
+           cls.c6 AS containment6
+    FROM cls, j"""
 
   /** (id_a, id_b) pairs → both-direction (src, dst) edge rows from ONE
     * pass over the pair frame: a union of two selects would plant the
@@ -1667,10 +2073,20 @@ object Dedup {
     "q165_weighted_jaccard" -> q165WeightedJaccard _,
     "q168_vocab_growth" -> q168VocabGrowth _,
     "q209_minhash_atscale" -> q209MinhashAtScale _,
+    "q249_simhash_atscale" -> q249SimhashAtScale _,
+    "q250_jaccard_atscale" -> q250JaccardAtScale _,
+    "q251_decontaminate_atscale" -> q251DecontaminateAtScale _,
+    "q253_incremental_atscale" -> q253IncrementalAtScale _,
+    "q254_containment_atscale" -> q254ContainmentAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
     "q209_minhash_atscale" -> q209OracleSql(),
+    "q249_simhash_atscale" -> q249OracleSql(),
+    "q250_jaccard_atscale" -> q250OracleSql(),
+    "q251_decontaminate_atscale" -> q251OracleSql(),
+    "q253_incremental_atscale" -> q253OracleSql(),
+    "q254_containment_atscale" -> q254OracleSql(),
     "q148_containment"  -> q148ContainmentSql,
     "q27_exact_dedup"   -> q27ExactDedupSql,
     "q31_minhash_lsh"   -> ngramJaccardOracleSql,

@@ -554,9 +554,69 @@ object Versioning {
            CAST(SUM(k) AS BIGINT) AS sum_k
     FROM merged GROUP BY 1"""
 
+  // --- q252_diff_atscale: the snapshot full-outer diff at 2^20 keys -------
+  /** At-scale correctness coverage for [[snapshotDiff]] — q80 diffs the
+    * ~500-doc sf corpus against its refresh; this replays the SAME entry
+    * point across two range-built versions of a 2²⁰-key table where every
+    * status class has a closed-form membership:
+    *
+    *  - removed:   k ≡ 1 (mod 16) — absent from next (65,536 keys);
+    *  - changed:   k ≡ 2 (mod 16) — `v` bumped, second compare column
+    *    `cat` left alone, so the class certifies the compare is an OR
+    *    over columns, not col-0 only (65,536 keys);
+    *  - changed2:  k ≡ 3 (mod 16) — `cat` changed, `v` left alone (the
+    *    mirror-image column);
+    *  - added:     k ∈ [2²⁰, 2²⁰ + 2¹⁶) — next-only keys;
+    *  - unchanged: everything else (13/16 of the base).
+    *
+    * The scale claim under test: ONE full-outer sort-merge join on the
+    * key — both versions shuffle exactly once, statuses are codegen'd
+    * null-safe compares on the joined row, no per-status passes. Rolled
+    * up to (status × 64 buckets) with an id checksum so misclassified
+    * single keys can't cancel. The oracle replays the same generators
+    * and CASE logic in DuckDB. */
+  private[graft] val q252Keys = 1L << 20
+  private[graft] val q252Added = 1L << 16
+
+  private[graft] def q252Diff(spark: SparkSession,
+                              keys: Long = q252Keys,
+                              added: Long = q252Added): DataFrame = {
+    val prev = spark.range(keys).select(col("id").as("k"),
+      (col("id") * 3).as("v"), pmod(col("id"), lit(7L)).as("cat"))
+    val next = spark.range(keys + added)
+      .filter(pmod(col("id"), lit(16L)) =!= 1 || col("id") >= keys)
+      .select(col("id").as("k"),
+        when(pmod(col("id"), lit(16L)) === 2 && col("id") < keys,
+          col("id") * 3 + 1).otherwise(col("id") * 3).as("v"),
+        when(pmod(col("id"), lit(16L)) === 3 && col("id") < keys,
+          pmod(col("id"), lit(7L)) + 10).otherwise(pmod(col("id"), lit(7L)))
+          .as("cat"))
+    snapshotDiff(prev, next, Seq("k"), Seq("v", "cat"))
+  }
+
+  def q252DiffAtScale(spark: SparkSession, dir: String): DataFrame =
+    q252Diff(spark)
+      .groupBy(col("status"), pmod(col("k"), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("k")).as("sum_k"))
+
+  private[graft] def q252OracleSql(keys: Long = q252Keys,
+                                   added: Long = q252Added): String = s"""
+    WITH d AS (
+      SELECT u.i AS k,
+             CASE WHEN u.i >= $keys THEN 'added'
+                  WHEN u.i % 16 = 1 THEN 'removed'
+                  WHEN u.i % 16 IN (2, 3) THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM range(0, ${keys + added}) AS u(i))
+    SELECT status, CAST(k % 64 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM d GROUP BY 1, 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_vacuum"       -> q177Vacuum _,
     "q242_upsert_atscale" -> q242UpsertAtScale _,
+    "q252_diff_atscale" -> q252DiffAtScale _,
     "q195_diff_explain" -> q195DiffExplain _,
     "q79_upsert"        -> q79Upsert _,
     "q80_snapshot_diff" -> q80SnapshotDiff _,
@@ -569,6 +629,7 @@ object Versioning {
   def oracles: Map[String, String] = Map(
     "q177_vacuum"       -> q177VacuumSql,
     "q242_upsert_atscale" -> q242OracleSql(),
+    "q252_diff_atscale" -> q252OracleSql(),
     "q195_diff_explain" -> q195DiffExplainSql,
     "q79_upsert"        -> q79UpsertSql,
     "q80_snapshot_diff" -> q80SnapshotDiffSql,

@@ -369,4 +369,156 @@ class DedupSpec extends GraftSuite {
   test("q209 full corpus is 2^20 documents") {
     assert(Dedup.q209Corpus(spark).count() == 1048576L)
   }
+
+  /** q249 pin, small analog (512 docs, 8 planted groups per stratum): the
+    * gate's exact call — 4×16-bit blocks, maxHamming 3 — must return the
+    * planted within-group pairs from BOTH length strata (long twins via
+    * SimHash blocks, short twins via the exact inverted-index path) and
+    * nothing else: fillers carry globally unique tokens, so the verify
+    * filter silences any fingerprint coincidence. */
+  test("q249 small analog: both strata recovered, fillers silent") {
+    val out = Dedup.nearDupSimHash(
+        Dedup.q249Corpus(spark, docs = 512L, groups = 8L), "doc_id", "text",
+        maxHamming = 3, blocks = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("inter"), r.getAs[Int]("n_a"), r.getAs[Int]("n_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val expected = (for {
+      (base, sz) <- Seq((0L, 31), (32L, 5))
+      g <- 0L until 8L
+      p <- 0L until 4L
+      q <- (p + 1) until 4L
+    } yield (base + 4 * g + p, base + 4 * g + q, sz, sz, sz, 1.0)).toSet
+    assert(out == expected,
+      s"diff: ${(out -- expected).take(3)} / ${(expected -- out).take(3)}")
+  }
+
+  /** Full-scale pins for the q249 gate row: 2²⁰ docs, and the two strata
+    * sit where the scaladoc says (33-token long docs, 7-token short). */
+  test("q249 full corpus is 2^20 documents with the planted strata") {
+    assert(Dedup.q249Corpus(spark).count() == 1048576L)
+    val rows = Dedup.q249Corpus(spark, docs = 40000L, groups = 4096L)
+      .filter(col("doc_id").isin(0L, 16384L, 32768L))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ").length)).toMap
+    assert(rows == Map(0L -> 33, 16384L -> 7, 32768L -> 33), rows.toString)
+  }
+
+  /** q250 pin, small analog (256 docs, 8 pairs per class): twins emit at
+    * J=1, the planted boundary pairs emit at J=0.8 EXACTLY (32 shared of
+    * 36+36 shingles), the just-below class (31/39 ≈ 0.795) is generated
+    * as candidates but suppressed by the exact verify, and unique-token
+    * fillers stay silent. */
+  test("q250 small analog: boundary pairs at exactly 0.8, below-class suppressed") {
+    val out = Dedup.ngramJaccardPairs(
+        Dedup.q250Corpus(spark, docs = 256L, pairsPerClass = 8L),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("inter"), r.getAs[Int]("n_a"), r.getAs[Int]("n_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val expected = (for {
+      (base, inter, sz, jac) <- Seq((0L, 34, 34, 1.0), (16L, 32, 36, 0.8))
+      j <- 0L until 8L
+    } yield (base + 2 * j, base + 2 * j + 1, inter, sz, sz, jac)).toSet
+    assert(out == expected,
+      s"diff: ${(out -- expected).take(3)} / ${(expected -- out).take(3)}")
+  }
+
+  /** The q250 below-threshold class really does reach the candidate stage
+    * (31 shared ≥ the relaxed PPJoin bound) — certified by widening the
+    * threshold to 0.7 and seeing the class appear at J=31/39. */
+  test("q250 below-class is a candidate, not prefix-pruned") {
+    val out = Dedup.ngramJaccardPairs(
+        Dedup.q250Corpus(spark, docs = 64L, pairsPerClass = 8L),
+        "doc_id", "text", threshold = 0.7)
+      .filter(col("id_a") >= 32L && col("id_a") < 48L)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Double]("jaccard"))).toSet
+    val expected = (0L until 8L).map(j =>
+      (32L + 2 * j, math.rint(31.0 / 39.0 * 1e6) / 1e6)).toSet
+    assert(out == expected, out.toString)
+  }
+
+  test("q250 full corpus is 2^20 documents") {
+    assert(Dedup.q250Corpus(spark).count() == 1048576L)
+  }
+
+  /** q251 pin, small analog (256 docs, 16-doc benchmark): per-row flags
+    * before the gate's rollup — contaminated ⇔ id < docs/2 (hot lane
+    * embedding benchmark doc 0, uniform lane embedding id mod 16), missed
+    * false everywhere, fp_ok true, and the 64 empty-text tail docs kept by
+    * the left-outer rejoin. */
+  test("q251 small analog: exact flags, no misses, empty docs retained") {
+    val out = Dedup.bloomDecontaminate(
+        Dedup.q251Corpus(spark, docs = 256L, benchDocs = 16L),
+        Dedup.q251Benchmark(spark, n = 16L), "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("contaminated"),
+        r.getAs[Boolean]("missed"), r.getAs[Boolean]("fp_ok")))
+    assert(out.length == 256)
+    assert(out.forall { case (id, c, m, f) => c == (id < 128L) && !m && f },
+      out.filterNot { case (id, c, m, f) => c == (id < 128L) && !m && f }
+        .take(3).toString)
+    // the hot lane really embeds benchmark doc 0's text verbatim
+    val hot = Dedup.q251Corpus(spark, docs = 256L, benchDocs = 16L)
+      .filter(col("doc_id") === 10L).collect()(0).getAs[String]("text")
+    assert(hot.contains("k0t0 k0t1 k0t2 k0t3 k0t4 k0t5 k0t6"), hot)
+  }
+
+  test("q251 full corpus is 2^20 documents") {
+    assert(Dedup.q251Corpus(spark).count() == 1048576L)
+  }
+
+  /** q253 pin, small analog (256-doc corpus, 8 pairs per class): new×old
+    * copy pairs and new×new twins come back, corpus-internal old twins are
+    * EXCLUDED (the incremental contract), fillers silent. */
+  test("q253 small analog: new-involving pairs only, old twins excluded") {
+    val out = Dedup.incrementalNearDups(
+        Dedup.q253Corpus(spark, docs = 256L, pairs = 8L),
+        Dedup.q253Batch(spark, corpusDocs = 256L, pairs = 8L),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("inter"), r.getAs[Double]("jaccard"))).toSet
+    val copies = (0L until 16L).map(j => (16L + j, 256L + j, 5, 1.0))
+    val twins = (0L until 8L).map(m =>
+      (256L + 16 + 2 * m, 256L + 16 + 2 * m + 1, 5, 1.0))
+    val expected = (copies ++ twins).toSet
+    assert(out == expected,
+      s"diff: ${(out -- expected).take(3)} / ${(expected -- out).take(3)}")
+  }
+
+  test("q253 full corpus is 2^20 documents, batch 2^14") {
+    assert(Dedup.q253Corpus(spark).count() == 1048576L)
+    assert(Dedup.q253Batch(spark).count() == 16384L)
+  }
+
+  /** q254 pin, small analog (256 docs, 8 pairs per class): full/partial/
+    * boundary containment emit A→B only, the below class and every
+    * reverse direction stay silent, and z-prefixed fillers (whose shared
+    * boilerplate shingle is df-capped out of the universe at full scale —
+    * here df ≈ 192 < maxPostings, so the cap is exercised via the
+    * explicit maxPostings=64 override) produce nothing. */
+  test("q254 small analog: directed classes exact, boilerplate capped") {
+    val out = Dedup.containmentPairs(
+        Dedup.q254Corpus(spark, docs = 256L, pairsPerClass = 8L),
+        "doc_id", "text", maxPostings = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("inter"), r.getAs[Int]("n_a"),
+        r.getAs[Double]("containment6"))).toSet
+    val expected = (for {
+      (base, inter, na, c6) <- Seq((0L, 8, 8, 1.0), (16L, 4, 6, 0.666667),
+        (32L, 4, 8, 0.5))
+      j <- 0L until 8L
+    } yield (base + 2 * j, base + 2 * j + 1, inter, na, c6)).toSet
+    assert(out == expected,
+      s"diff: ${(out -- expected).take(3)} / ${(expected -- out).take(3)}")
+  }
+
+  test("q254 full corpus is 2^20 documents") {
+    assert(Dedup.q254Corpus(spark).count() == 1048576L)
+  }
 }

@@ -187,4 +187,25 @@ class VersioningSpec extends GraftSuite {
   test("q242 full merge is 2^20 base + 3855 appended keys") {
     assert(Versioning.q242Merged(spark).count() == (1L << 20) + 3855L)
   }
+
+  /** q252 pin, small analog (64 keys + 16 added): every status class lands
+    * on its planted residue — including the two distinct 'changed' lanes
+    * (v-only at k≡2, cat-only at k≡3: the compare must OR over columns). */
+  test("q252 small analog: all four diff statuses on their planted residues") {
+    val got = Versioning.q252Diff(spark, keys = 64L, added = 16L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 80, s"expected 80 keys, got ${got.size}")
+    (0L until 80L).foreach { k =>
+      val exp =
+        if (k >= 64) "added"
+        else if (k % 16 == 1) "removed"
+        else if (k % 16 == 2 || k % 16 == 3) "changed"
+        else "unchanged"
+      assert(got(k) == exp, s"k=$k: got ${got(k)}, expected $exp")
+    }
+  }
+
+  test("q252 full diff covers 2^20 + 2^16 keys") {
+    assert(Versioning.q252Diff(spark).count() == (1L << 20) + (1L << 16))
+  }
 }
