@@ -694,4 +694,63 @@ class PlanShapeSpec extends GraftSuite {
       "TakeOrdered form: " + p.take(800))
     assert(!p.contains("Window") && !p.contains("Join"), p.take(800))
   }
+
+  test("q249 simhash at scale: fingerprint votes and block buckets are " +
+      "aggregate/equi-join shaped — no window, no nested loop") {
+    val p = plan("q249_simhash_atscale")
+    assert(!p.contains("Window"), "simhash acquired a window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q250 jaccard at scale: df ranking and prefix join stay " +
+      "aggregate/equi-keyed — never a value-keyed window, never a " +
+      "nested loop") {
+    val p = plan("q250_jaccard_atscale")
+    assert(!p.contains("Window"), "shingle df acquired a window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q251 decontaminate at scale: benchmark membership broadcasts — " +
+      "the corpus is never shuffled for the probe") {
+    // the 1-row bloom-map cross join is a broadcast nested loop BY DESIGN
+    // (bcast-ok: 1-row aggregate), so the pin here is the membership side:
+    // a SortMergeJoin on the shingle would mean the corpus started
+    // shuffling by shingle value — the exact anti-shape the broadcast
+    // contract forbids. The id-keyed left-outer rejoin may legitimately
+    // sort-merge; it keys on doc_id, not the shingle.
+    val p = plan("q251_decontaminate_atscale")
+    assert(p.contains("BroadcastHashJoin"), "membership join lost broadcast")
+    assert(!p.contains("SortMergeJoin [shingle"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q252 diff at scale: ONE full-outer sort-merge join on the key — " +
+      "each version shuffles exactly once, plus the rollup's exchange") {
+    val p = plan("q252_diff_atscale")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      "diff lost its full-outer sort-merge form: " + p.take(800))
+    assert(count(p, "Exchange hashpartitioning") == 3, p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("q253 incremental at scale: batch probes the index via equi-joins " +
+      "only — no window, no nested loop") {
+    val p = plan("q253_incremental_atscale")
+    assert(!p.contains("Window"), "incremental dedup acquired a window")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q254 containment at scale: the df-cap drops hot tokens via a " +
+      "broadcast ANTI-join (map-side, before any token shuffle); " +
+      "everything else stays equi-keyed") {
+    val p = plan("q254_containment_atscale")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "df-cap lost its broadcast anti-join: " + p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
