@@ -131,7 +131,8 @@ object Bench {
       "q247_stratified_atscale", "q248_funnel_atscale",
       "q249_simhash_atscale", "q250_jaccard_atscale",
       "q251_decontaminate_atscale", "q252_diff_atscale",
-      "q253_incremental_atscale", "q254_containment_atscale")
+      "q253_incremental_atscale", "q254_containment_atscale",
+      "q255_temperature_atscale", "q256_wjaccard_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

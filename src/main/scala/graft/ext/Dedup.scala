@@ -1331,6 +1331,75 @@ object Dedup {
            cls.c6 AS containment6
     FROM cls, j"""
 
+  // --- q256_wjaccard_atscale: multiset Jaccard at ≥1M documents -----------
+  /** At-scale correctness coverage for [[weightedNgramJaccardPairs]] —
+    * q165 runs the bag detector over the few-thousand-row documents table;
+    * this replays the SAME entry point (n=3, t=0.8) over 2²⁰ range-built
+    * documents where the MULTIPLICITY arithmetic itself is load-bearing:
+    *
+    *  - ids [0, 8 192): 4 096 twin pairs whose text is a 34-token template
+    *    REPEATED TWICE (68 tokens → 66 windows: the 32 interior shingles
+    *    count 2, the 2 copy-boundary shingles count 1). Both sides match
+    *    at wj = 1.0 with inter = n = 66 — an implementation that silently
+    *    dedups shingles reports n = 34 and fails the hash; this is the
+    *    repetition signal the weighted detector exists to see;
+    *  - ids [8 192, 16 384): 4 096 distinct-token pairs planted exactly ON
+    *    the boundary (34-token common run + 4 per-side uniques → inter 32
+    *    of 36+36: ratio6(32, 40) = 0.8, emitted);
+    *  - ids [16 384, 24 576): the just-below class (33+4 → 31/39 ≈ 0.795,
+    *    suppressed);
+    *  - ~1.0M fillers with 36 globally unique tokens — their shingles
+    *    join nothing, so the inverted-index self-join's output tracks the
+    *    planted pairs only.
+    *
+    * Output: exactly 8 192 rows, closed form. Runs once in Bench's stress
+    * lane; DedupSpec pins the small analog. */
+  private[graft] val q256Docs = 1048576L
+  private[graft] val q256PairsPerClass = 4096L
+
+  private[graft] def q256Corpus(spark: SparkSession,
+                                docs: Long = q256Docs,
+                                pairsPerClass: Long = q256PairsPerClass): DataFrame = {
+    val (w1End, w2End, w3End) =
+      (2 * pairsPerClass, 4 * pairsPerClass, 6 * pairsPerClass)
+    val j = expr("CAST(id div 2 AS STRING)")
+    val pfx = when(col("id") < w1End, concat(lit("r"), j))
+      .when(col("id") < w2End, concat(lit("e"), j))
+      .when(col("id") < w3End, concat(lit("b"), j))
+      .otherwise(concat(lit("f"), col("id").cast("string")))
+    val commonCnt = when(col("id") < w3End, when(col("id") < w2End, 34)
+      .otherwise(33)).otherwise(36)
+    val sideCnt = when(col("id") >= w1End && col("id") < w3End, 4)
+      .otherwise(0)
+    val sideChr = when(pmod(col("id"), lit(2L)) === 0, lit("a")).otherwise(lit("b"))
+    val toks = (0 until 68).map { i =>
+      when(col("id") < w1End, concat(pfx, lit("c"), lit(i % 34)))
+        .when(lit(i) < commonCnt, concat(pfx, lit("c"), lit(i)))
+        .when(lit(i) < commonCnt + sideCnt,
+          concat(pfx, sideChr, (lit(i) - commonCnt).cast("string")))
+    }
+    spark.range(docs).select(col("id").as("doc_id"),
+      concat_ws(" ", toks: _*).as("text"))
+  }
+
+  def q256WjaccardAtScale(spark: SparkSession, dir: String): DataFrame =
+    weightedNgramJaccardPairs(q256Corpus(spark), "doc_id", "text")
+
+  /** Closed form: repetition twins at wj=1 (bag size 66, NOT the distinct
+    * 34) and boundary pairs at wj=0.8 exactly. */
+  private[graft] def q256OracleSql(pairsPerClass: Long = q256PairsPerClass): String = s"""
+    WITH j AS (SELECT CAST(u.i AS BIGINT) AS j
+               FROM unnest(range(0, $pairsPerClass)) AS u(i)),
+         cls AS (SELECT CAST(0 AS BIGINT) AS base, 66 AS inter, 66 AS sz,
+                        CAST(1.0 AS DOUBLE) AS wj
+                 UNION ALL SELECT ${2 * pairsPerClass}, 32, 36,
+                        CAST(0.8 AS DOUBLE))
+    SELECT CAST(cls.base + 2 * j AS BIGINT) AS id_a,
+           CAST(cls.base + 2 * j + 1 AS BIGINT) AS id_b,
+           CAST(cls.inter AS BIGINT) AS inter, CAST(cls.sz AS BIGINT) AS n_a,
+           CAST(cls.sz AS BIGINT) AS n_b, cls.wj AS wjaccard6
+    FROM cls, j"""
+
   /** (id_a, id_b) pairs → both-direction (src, dst) edge rows from ONE
     * pass over the pair frame: a union of two selects would plant the
     * whole upstream pipeline twice in the plan and compute it twice when
@@ -2078,6 +2147,7 @@ object Dedup {
     "q251_decontaminate_atscale" -> q251DecontaminateAtScale _,
     "q253_incremental_atscale" -> q253IncrementalAtScale _,
     "q254_containment_atscale" -> q254ContainmentAtScale _,
+    "q256_wjaccard_atscale" -> q256WjaccardAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2087,6 +2157,7 @@ object Dedup {
     "q251_decontaminate_atscale" -> q251OracleSql(),
     "q253_incremental_atscale" -> q253OracleSql(),
     "q254_containment_atscale" -> q254OracleSql(),
+    "q256_wjaccard_atscale" -> q256OracleSql(),
     "q148_containment"  -> q148ContainmentSql,
     "q27_exact_dedup"   -> q27ExactDedupSql,
     "q31_minhash_lsh"   -> ngramJaccardOracleSql,

@@ -432,6 +432,91 @@ object Sampling {
     FROM kept GROUP BY stratum"""
   }
 
+  // --- q255_temperature_atscale: α=1/2 rebalancing at 2^20 rows -----------
+  /** At-scale correctness coverage for [[temperatureMix]] — q77 rebalances
+    * the ~500-doc sf corpus over 5 languages; this replays the SAME entry
+    * point (targetFrac=0.25) over a 2²⁰-row corpus with a planted
+    * power-of-4 size ladder, the adversarial shape for the α=1/2 rule:
+    *
+    *  - strata `t1`..`t9` have exactly 4ⁱ rows, so their √n_s are exact
+    *    powers of two and the sorted Σ√n fold's addends span 2¹..2⁹ —
+    *    any fold-order or quantization drift moves a threshold byte;
+    *  - stratum `t0` is the head: the remaining ~699k rows (67% of the
+    *    corpus — the "English" that temperature sampling exists to
+    *    suppress). Its derived keep-rate lands well under the tail's,
+    *    and the whole head passes through ONE broadcast-joined filter —
+    *    the corpus is never shuffled for the draw (plan-pinned);
+    *  - tiny strata (t1 = 4 rows) get rate 1 → the "g0" sentinel lane
+    *    rides the same derivation at volume.
+    *
+    * The oracle replays the entire derivation — counts, sorted fold,
+    * min(1, ·), floor-quantization, md5 bucket compare — over the same
+    * range generator, then both sides roll up per stratum with an id-sum
+    * so membership is exact. */
+  private[graft] val q255Rows = 1L << 20
+
+  /** The planted ladder: (stratum, size) with t1..tL at 4^i rows and the
+    * head t0 absorbing the remainder. Shared by the frame builder and the
+    * oracle so the boundaries can never drift apart. */
+  private[graft] def q255Ladder(rows: Long): Seq[(String, Long)] = {
+    val l = Iterator.iterate(4L)(_ * 4).takeWhile(_ <= rows / 4).length
+    val tail = (1 to l).map(i => s"t$i" -> (1L << (2 * i)))
+    ("t0" -> (rows - tail.map(_._2).sum)) +: tail
+  }
+
+  private[graft] def q255Frame(spark: SparkSession,
+                               rows: Long = q255Rows): DataFrame = {
+    val bounds = q255Ladder(rows).scanLeft(("", 0L)) {
+      case ((_, acc), (s, n)) => (s, acc + n)
+    }.tail // (stratum, exclusive upper bound) in ladder order — first match wins
+    val stratum = bounds.tail.foldLeft(
+      when(col("id") < bounds.head._2, bounds.head._1)) {
+      case (acc, (s, ub)) => acc.when(col("id") < ub, s)
+    }
+    spark.range(rows).select(col("id").as("doc_id"), stratum.as("stratum"))
+  }
+
+  def q255TemperatureAtScale(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(q255Frame(spark), "stratum", col("doc_id"),
+        targetFrac = 0.25)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_id"),
+        max(col("bucket")).as("max_bucket"))
+
+  private[graft] def q255OracleSql(rows: Long = q255Rows): String = {
+    val arms = q255Ladder(rows).scanLeft(("", 0L)) {
+      case ((_, acc), (s, n)) => (s, acc + n)
+    }.tail.map { case (s, ub) => s"WHEN u.i < $ub THEN '$s'" }
+      .mkString("\n               ")
+    s"""
+    WITH corpus AS (
+      SELECT u.i AS doc_id,
+             CASE $arms END AS stratum
+      FROM range(0, $rows) AS u(i)),
+    n AS (SELECT stratum, COUNT(*) AS ns FROM corpus GROUP BY stratum),
+    t AS (SELECT SUM(ns) AS n_tot FROM n),
+    d AS (SELECT list_reduce(
+                   list_transform(list(ns ORDER BY stratum), x -> sqrt(x)),
+                   (x, y) -> x + y) AS den FROM n),
+    r AS (SELECT stratum,
+                 LEAST(1.0, 0.25::DOUBLE * n_tot * (sqrt(ns) / den) / ns)
+                   AS rate
+          FROM n, t, d),
+    th AS (SELECT stratum,
+                  CASE WHEN FLOOR(rate * 256) >= 256 THEN 'g0'
+                       ELSE printf('%02x', CAST(FLOOR(rate * 256) AS INT))
+                  END AS thr
+           FROM r),
+    kept AS (SELECT c.doc_id, c.stratum,
+                    substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) AS bucket
+             FROM corpus c JOIN th ON c.stratum = th.stratum
+             WHERE substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < th.thr)
+    SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           MAX(bucket) AS max_bucket
+    FROM kept GROUP BY stratum"""
+  }
+
   // --- q127_group_sample: exactly-k-per-stratum deterministic sample ------
   /** Fixed-SIZE per-stratum sampling — min(k, |stratum|) rows per group,
     * where [[stratifiedSample]] fixes the RATE: the shape an eval set or
@@ -724,6 +809,7 @@ object Sampling {
     "q120_ticket_sample"    -> q120TicketSample _,
     "q217_ticket_atscale"   -> q217TicketAtScale _,
     "q247_stratified_atscale" -> q247StratifiedAtScale _,
+    "q255_temperature_atscale" -> q255TemperatureAtScale _,
     "q127_group_sample"     -> q127GroupSample _,
     "q146_rendezvous"       -> q146Rendezvous _,
     "q171_hash_ring"        -> q171HashRing _,
@@ -739,6 +825,7 @@ object Sampling {
     "q120_ticket_sample"    -> q120TicketSampleSql,
     "q217_ticket_atscale"   -> q217OracleSql(),
     "q247_stratified_atscale" -> q247OracleSql(),
+    "q255_temperature_atscale" -> q255OracleSql(),
     "q127_group_sample"     -> q127GroupSampleSql,
     "q146_rendezvous"       -> q146RendezvousSql,
     "q171_hash_ring"        -> q171HashRingSql,

@@ -521,4 +521,28 @@ class DedupSpec extends GraftSuite {
   test("q254 full corpus is 2^20 documents") {
     assert(Dedup.q254Corpus(spark).count() == 1048576L)
   }
+
+  /** q256 pin, small analog (256 docs, 8 pairs per class): the repeated-
+    * template twins report BAG size 66 (an implementation that dedups
+    * shingles would say 34), the boundary pairs hit wj=0.8 exactly, the
+    * below class and fillers are silent. */
+  test("q256 small analog: bag sizes honest, boundary exact, below silent") {
+    val out = Dedup.weightedNgramJaccardPairs(
+        Dedup.q256Corpus(spark, docs = 256L, pairsPerClass = 8L),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("wjaccard6"))).toSet
+    val expected = (for {
+      (base, inter, sz, wj) <- Seq((0L, 66L, 66L, 1.0), (16L, 32L, 36L, 0.8))
+      j <- 0L until 8L
+    } yield (base + 2 * j, base + 2 * j + 1, inter, sz, sz, wj)).toSet
+    assert(out == expected,
+      s"diff: ${(out -- expected).take(3)} / ${(expected -- out).take(3)}")
+  }
+
+  test("q256 full corpus is 2^20 documents") {
+    assert(Dedup.q256Corpus(spark).count() == 1048576L)
+  }
 }

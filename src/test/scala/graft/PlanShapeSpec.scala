@@ -743,6 +743,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q255 temperature at scale: the derived rate frame broadcasts — " +
+      "the corpus is never shuffled for the draw, never sort-merged") {
+    val p = plan("q255_temperature_atscale")
+    assert(p.contains("BroadcastHashJoin"), "rate join lost broadcast: " +
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("q256 weighted jaccard at scale: bag counts and the shingle " +
+      "self-join stay aggregate/equi-keyed — no window, no nested loop") {
+    val p = plan("q256_wjaccard_atscale")
+    assert(!p.contains("Window"), "bag counts acquired a window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {

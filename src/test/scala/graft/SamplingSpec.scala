@@ -79,6 +79,48 @@ class SamplingSpec extends GraftSuite {
     assert(Sampling.q247Frame(spark).count() == (1L << 20))
   }
 
+  test("q255 small analog: temperature selection over the power-of-4 " +
+      "ladder matches an exact driver-side replay; tiny strata ride the " +
+      "g0 sentinel, the head is suppressed hardest") {
+    val rows = 256L
+    val ladder = Sampling.q255Ladder(rows)
+    assert(ladder.map(_._2).sum == rows, ladder.toString)
+    val bounds = ladder.scanLeft(("", 0L)) {
+      case ((_, acc), (s, c)) => (s, acc + c) }.tail
+    def stratumOf(id: Long): String = bounds.find(id < _._2).get._1
+    val ns = ladder.toMap
+    val den = ns.keys.toSeq.sorted.foldLeft(0.0)((a, s) => a + math.sqrt(ns(s).toDouble))
+    def rate(s: String): Double =
+      math.min(1.0, 0.25 * rows * (math.sqrt(ns(s).toDouble) / den) / ns(s))
+    def thr(s: String): String = {
+      val q = math.floor(rate(s) * 256).toInt
+      if (q >= 256) "g0" else f"$q%02x"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(2)
+    val expected = (0L until rows)
+      .filter(id => bucket(id) < thr(stratumOf(id))).toSet
+    val got = Sampling.temperatureMix(Sampling.q255Frame(spark, rows),
+        "stratum", col("doc_id"), targetFrac = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"diff: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+    // the planted shape's two contract points
+    assert(thr("t1") == "g0", "smallest stratum must hit the rate-1 sentinel")
+    assert(rate("t0") < rate(ladder.last._1),
+      "head must be suppressed below the largest tail stratum")
+  }
+
+  test("q255 synthetic frame is at the claimed scale with the exact ladder") {
+    val counts = Sampling.q255Frame(spark)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Sampling.q255Ladder(1L << 20).toMap, counts.toString)
+    assert(counts.values.sum == (1L << 20))
+  }
+
   test("temperature mix matches an independent driver-side replay exactly") {
     // the operator derives rates IN-PLAN; this recomputes the whole chain
     // (counts → sorted-fold Σ√n → rate → /256 threshold byte → md5 bucket)
