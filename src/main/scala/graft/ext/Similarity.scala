@@ -1966,7 +1966,69 @@ object Similarity {
     FROM af GROUP BY cid"""
   }
 
+  // --- q257_pqadc_atscale: PQ train + ADC top-k at ≥1M vectors -------------
+  /** At-scale correctness coverage for [[productQuantize]]/[[pqAdcTopK]] —
+    * q99/q100 train on the ~500-vector sf corpus; this replays the SAME
+    * ADC entry point over 2²⁰ range-synthesized 4-dim vectors whose two
+    * PQ subspaces each carry 4 planted code clusters (`id % 4`, separated
+    * ≥250 per dimension against integer jitter ≤ ±3, so Lloyd is
+    * deterministic with no boundary ties and the seeds — ids 0..3, one
+    * per cluster by construction — label both codebooks stably). ADC
+    * distance is a pure function of the CODE PAIR, so the top-10 is the
+    * ten lowest ids inside the query's own code pair — an outcome the
+    * oracle derives by replaying the exact unrolled [[kMeansCtes]] chains
+    * plus the LUT join: the q100 bit-identity contract at ~2,000× the
+    * rows. What the gate holds closed at volume: training never shuffles
+    * the corpus (broadcast-centroid argmin per subspace), the LUT meets
+    * the codes through a k-row broadcast join, and the top-k is a
+    * TakeOrdered with an id tiebreak, never a global sort. */
+  private[graft] val q257Vecs = 1L << 20
+
+  private[graft] def q257VecExprs: Seq[String] = Seq(
+    "CAST(id % 4 * 1000 + (id div 4) % 5 - 2 AS DOUBLE)",
+    "CAST((3 - id % 4) * 1000 + (id div 4) % 3 - 1 AS DOUBLE)",
+    "CAST(id % 4 * 500 + (id div 4) % 7 - 3 AS DOUBLE)",
+    "CAST(id % 4 * 250 + 100 + (id div 4) % 2 AS DOUBLE)")
+
+  private[graft] def q257Frame(spark: SparkSession,
+                               vecs: Long = q257Vecs): DataFrame =
+    spark.range(vecs).select(col("id").as("vec_id"),
+      array(q257VecExprs.map(expr): _*).as("embedding"))
+
+  def q257PqAdcAtScale(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(q257Frame(spark), "vec_id", "embedding",
+      Seq((1, 2), (3, 2)), pqK, pqIters, pqTopK)
+
+  private[graft] def q257OracleSql(vecs: Long = q257Vecs): String = {
+    val d = q257VecExprs
+      .map(_.replace("id %", "u.i %").replace("(id div 4)", "(u.i // 4)"))
+    def gen(lo: Int, hi: Int) =
+      s"""SELECT u.i AS vec_id, [${d.slice(lo, hi).mkString(", ")}] AS v
+         FROM range(0, $vecs) AS u(i)"""
+    s"""
+    WITH ${kMeansCtes(gen(0, 2), pqK, pqIters, "p0")},
+    ${kMeansCtes(gen(2, 4), pqK, pqIters, "p1")},
+    qv0 AS (SELECT v AS q FROM p0ve ORDER BY vec_id LIMIT 1),
+    qv1 AS (SELECT v AS q FROM p1ve ORDER BY vec_id LIMIT 1),
+    l0 AS (SELECT c.cid, list_dot_product(q.q, q.q)
+                  - 2*list_dot_product(q.q, c.c)
+                  + list_dot_product(c.c, c.c) AS d
+           FROM p0c$pqIters c CROSS JOIN qv0 q),
+    l1 AS (SELECT c.cid, list_dot_product(q.q, q.q)
+                  - 2*list_dot_product(q.q, c.c)
+                  + list_dot_product(c.c, c.c) AS d
+           FROM p1c$pqIters c CROSS JOIN qv1 q),
+    j AS (SELECT a.vec_id, a.cid AS code0, b.cid AS code1,
+                 l0.d + l1.d AS adc
+          FROM p0af a JOIN p1af b USING (vec_id)
+          JOIN l0 ON l0.cid = a.cid
+          JOIN l1 ON l1.cid = b.cid)
+    SELECT vec_id, code0, code1, ROUND(adc, 6) AS adc6
+    FROM j ORDER BY adc, vec_id LIMIT $pqTopK"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_pqadc_atscale" -> q257PqAdcAtScale _,
     "q230_kmeans_atscale" -> q230KmeansAtScale _,
     "q207_ann_atscale" -> q207AnnAtScale _,
     "q208_cosine_atscale" -> q208CosineAtScale _,
@@ -1996,6 +2058,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q257_pqadc_atscale" -> q257OracleSql(),
     "q230_kmeans_atscale" -> q230OracleSql(),
     "q207_ann_atscale" -> q207OracleSql(),
     "q208_cosine_atscale" -> q207OracleSql(),

@@ -1359,6 +1359,60 @@ object TextAnalysis {
            '0' || repeat(',' || u.i, ${docs - 1} // u.i) AS postings
     FROM range(16, 272) AS u(i)"""
 
+  // --- q258_cooccur_atscale: windowed co-occurrence at 2^20 documents -----
+  /** At-scale correctness coverage for [[cooccurrence]] — q95 counts the
+    * ~500-doc sf corpus; this replays the SAME entry point (win = 2,
+    * k = 40) over 2²⁰ range-built documents with a planted bigram
+    * frequency curve whose top-40 is closed-form:
+    *
+    *  - document d opens with a per-doc unique filler pair `g<d>a g<d>b`
+    *    and then, for every r ∈ [16, 80) dividing d, a four-token block
+    *    `u<r> v<r> f<d>x<r> f<d>y<r>` — the two trailing fillers put
+    *    every cross-block planted distance at ≥3, OUTSIDE the ±2 window,
+    *    so the only repeated pair is the in-block `(u<r>, v<r>)` with
+    *    count ⌊(2²⁰−1)/r⌋+1, a strictly-decreasing 1/r curve from 65,536
+    *    (r = 16) down; the top-40 cut is exactly r ∈ [16, 56) and every
+    *    filler pair it must outrank occurs once;
+    *  - `u<r>`/`v<r>` each appear once per qualifying document, so
+    *    na = nb = n and lift6 collapses to ratio6(T, n) — but the engine
+    *    computes the FULL `n·T / (na·nb)` integer path, so a wrong
+    *    unigram join or total shows up as a lift mismatch, and T (the
+    *    corpus token total, 2·2²⁰ + 4·Σᵣ n_r ≈ 9.1M) stays inside the
+    *    scaladoc's BIGINT-headroom bound with two decades to spare.
+    *
+    * The oracle EMITS the closed form per rank (range SQL, no token
+    * logic), making the window join + unigram join + exact-lift
+    * arithmetic the things under test. What the gate holds closed at
+    * volume: the window match is one (doc_id, pos) EQUI-join over ~9.1M
+    * positions (never a per-doc range join), the pair shuffle carries
+    * win·|tokens| rows, and the cut is a global TakeOrdered. */
+  private[graft] val q258Docs = 1L << 20
+
+  private[graft] def q258Frame(spark: SparkSession,
+                               docs: Long = q258Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      expr("""concat('g', id, 'a g', id, 'b',
+                array_join(transform(filter(sequence(16, 79),
+                                            r -> id % r = 0),
+                  r -> concat(' u', r, ' v', r,
+                              ' f', id, 'x', r, ' f', id, 'y', r)), ''))""")
+        .as("text"))
+
+  def q258CooccurAtScale(spark: SparkSession, dir: String): DataFrame =
+    cooccurrence(q258Frame(spark), "text", win = 2, k = 40)
+
+  private[graft] def q258OracleSql(docs: Long = q258Docs): String = s"""
+    WITH tot AS (
+      SELECT 2 * $docs + 4 * SUM((${docs - 1} // r.i) + 1) AS t
+      FROM range(16, 80) AS r(i)),
+    ranked AS (
+      SELECT 'u' || u.i AS a, 'v' || u.i AS b,
+             CAST((${docs - 1} // u.i) + 1 AS BIGINT) AS n
+      FROM range(16, 56) AS u(i))
+    SELECT a, b, n,
+           ${graft.ops.Relational.ratio6Sql("n * t", "n * n")} AS lift6
+    FROM ranked, tot ORDER BY n DESC, a, b"""
+
   // --- q122_vocab_coverage: OOV rate against a fitted top-V vocabulary ----
   /** Tokenizer-fit check: fit a vocabulary (the top-V unigrams by corpus
     * frequency, ties broken by word so the cut is total-ordered and
@@ -1787,6 +1841,7 @@ object TextAnalysis {
     "q234_phrase_atscale" -> q234PhraseAtScale _,
     "q240_boilerplate_atscale" -> q240BoilerplateAtScale _,
     "q241_invindex_atscale" -> q241InvindexAtScale _,
+    "q258_cooccur_atscale" -> q258CooccurAtScale _,
     "q244_bpe_atscale"  -> q244BpeAtScale _,
     "q140_lm_score"     -> q140LmScore _,
   )
@@ -1817,6 +1872,7 @@ object TextAnalysis {
     "q234_phrase_atscale" -> q234OracleSql(),
     "q240_boilerplate_atscale" -> q240OracleSql(),
     "q241_invindex_atscale" -> q241OracleSql(),
+    "q258_cooccur_atscale" -> q258OracleSql(),
     "q244_bpe_atscale"  -> q244OracleSql(),
     "q140_lm_score"     -> q140LmScoreSql,
   )

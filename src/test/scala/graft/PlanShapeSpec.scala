@@ -760,6 +760,25 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q257 pq/adc at scale: the LUT meets the codes as a broadcast " +
+      "hash join and the top-k is a TakeOrdered — never a nested loop " +
+      "over the corpus") {
+    val p = plan("q257_pqadc_atscale")
+    assert(p.contains("BroadcastHashJoin"), "LUT join lost broadcast: " +
+      p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost TakeOrdered")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q258 cooccur at scale: the window match is one (doc, pos) " +
+      "equi-join — never a per-doc range join, never a window pass") {
+    val p = plan("q258_cooccur_atscale")
+    assert(p.contains("TakeOrderedAndProject"), "top-40 lost TakeOrdered")
+    assert(!p.contains("Window"), "pair match acquired a window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {

@@ -520,9 +520,27 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
-  test("q230/q235 synthetic corpora are at the claimed scale") {
+  test("q230/q235/q257 synthetic corpora are at the claimed scale") {
     assert(Similarity.q230Frame(spark).count() == 1048576L)
     assert(Similarity.q235Clean(spark).count() == 1048576L)
+    assert(Similarity.q257Frame(spark).count() == 1048576L)
+  }
+
+  test("q257 small analog: ADC top-10 is the ten lowest ids of the " +
+      "query's own code pair, codebooks labeled by their seeds") {
+    // 4096 vectors, 4 planted clusters per subspace; the query is id 0
+    // (cluster 0 in both subspaces, seeds are ids 0..3), ADC distance is
+    // a pure function of the code pair, so the top-10 must be ids
+    // 0, 4, 8, …, 36 — all coded (0, 0)
+    val rows = Similarity.pqAdcTopK(Similarity.q257Frame(spark, 4096L),
+        "vec_id", "embedding", Seq((1, 2), (3, 2)),
+        Similarity.pqK, Similarity.pqIters, Similarity.pqTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L to 36L by 4L).toSeq,
+      rows.mkString(", "))
+    rows.foreach { case (id, c0, c1) =>
+      assert(c0 == 0L && c1 == 0L, s"vec $id coded ($c0, $c1)")
+    }
   }
 
   test("q235 small analog: exact stage resolves originals; corrupted " +

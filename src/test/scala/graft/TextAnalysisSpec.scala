@@ -460,4 +460,35 @@ class TextAnalysisSpec extends GraftSuite {
     assert(f.select(sum(size(split(col("text"), " ")))).head.getLong(0)
       == (4L << 20))
   }
+
+  test("q258 small analog: planted bigram counts follow the divisor " +
+      "curve and lift collapses to ratio6(T, n)") {
+    // 4096 docs: n_r = 4095/r + 1 for r in [16, 80); the doc-unique
+    // fillers keep every other pair at count 1, so the top-40 cut is
+    // exactly r in [16, 56); T = 2·4096 + 4·Σ n_r, and with na = nb = n
+    // the lift is the half-up integer (2nT·10⁶ + n²) div 2n² over 10⁶
+    val nOf = (r: Long) => 4095L / r + 1
+    val t = 2L * 4096 + 4L * (16L until 80L).map(nOf).sum
+    val expected = (16L until 56L).map { r =>
+      val n = nOf(r)
+      val lift = ((2L * n * t * 1000000L + n * n) / (2L * n * n)).toDouble /
+        1000000L
+      (s"u$r", s"v$r", n, lift)
+    }.sortBy { case (a, b, n, _) => (-n, a, b) }
+    val got = TextAnalysis.cooccurrence(
+        TextAnalysis.q258Frame(spark, 4096L), "text", win = 2, k = 40)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      expected.map(x => (x._1, x._2, x._3)),
+      s"first diff: ${got.zip(expected).find { case (a, b) => a != b }}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, s"lift ${g._1}: ${g._4} vs ${e._4}")
+    }
+  }
+
+  test("q258 synthetic corpus is at the claimed scale") {
+    assert(TextAnalysis.q258Frame(spark).count() == 1048576L)
+  }
 }
