@@ -1413,6 +1413,89 @@ object TextAnalysis {
            ${graft.ops.Relational.ratio6Sql("n * t", "n * n")} AS lift6
     FROM ranked, tot ORDER BY n DESC, a, b"""
 
+  // --- q259_tfidf_atscale: tf-idf + per-doc top-3 at 2^20 documents -------
+  /** At-scale correctness coverage for [[tfIdf]] and q29's per-doc top-3
+    * rank — the sf corpus has ~500 docs; this replays the SAME pipeline
+    * (explode → tf agg → df agg → word-keyed join → per-doc rank window →
+    * rank ≤ 3) over 2²⁰ range-built documents with a planted df spectrum:
+    *
+    *  - `h<d>`: one per-doc unique token — df = 1, idf = ln(2²⁰), always
+    *    rank 1;
+    *  - `w<r>` for every r ∈ [16, 48) dividing d — df_r = ⌊(2²⁰−1)/r⌋+1,
+    *    a 1/r curve whose idf ≈ ln r is strictly increasing in r, so a
+    *    doc's rank-2/3 terms are its two LARGEST divisors;
+    *  - `z z`: in every doc — tf = 2 but idf = ln(1) = 0, the term a
+    *    broken df join would promote and a correct one must rank last
+    *    (docs with <2 divisors backfill their rank 2/3 with it).
+    *
+    * The output rolls the 2²⁰-doc rank table up by (first letter, rank) —
+    * member counts plus the min/max rounded tf-idf — so a wrong df, a
+    * dropped hapax, or a rank-window tie break all move some group's
+    * count or envelope. The oracle replays q29's SQL shape over the same
+    * generator. What the gate holds closed at volume: the rank window
+    * stays doc-partitioned (2²⁰ tiny partitions, never a global window)
+    * and the df side partial-aggregates before its one word-keyed
+    * exchange. */
+  private[graft] val q259Docs = 1L << 20
+
+  private[graft] def q259Frame(spark: SparkSession,
+                               docs: Long = q259Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      expr("""concat('h', id, ' z z',
+                array_join(transform(filter(sequence(16, 47),
+                                            r -> id % r = 0),
+                                     r -> concat(' w', r)), ''))""")
+        .as("text"))
+
+  def q259TfidfAtScale(spark: SparkSession, dir: String): DataFrame =
+    q259TfidfAtScale0(spark, q259Docs)
+
+  private[graft] def q259TfidfAtScale0(spark: SparkSession,
+                                       docs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    tfIdf(q259Frame(spark, docs), docs)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .groupBy(substring(col("word"), 1, 1).as("prefix"), col("rank"))
+      .agg(count(lit(1)).as("n"),
+        min(col("tfidf")).as("min_tfidf"), max(col("tfidf")).as("max_tfidf"))
+  }
+
+  private[graft] def q259OracleSql(docs: Long = q259Docs): String = raw"""
+    WITH d AS (
+      SELECT u.i AS doc_id,
+             -- COALESCE: DuckDB's array_to_string returns NULL (not '')
+             -- for an empty list, which would NULL the whole concat for
+             -- divisor-free docs
+             'h' || u.i || ' z z' ||
+             COALESCE(array_to_string(list_transform(
+               list_filter(range(16, 48), r -> u.i % r = 0),
+               r -> ' w' || r), ''), '') AS text
+      FROM range(0, $docs) AS u(i)),
+    tok AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM d) t
+      WHERE word <> ''),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfr AS (SELECT word, COUNT(DISTINCT doc_id) AS dfq FROM tok GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             ROUND(tf.tf * ln(CAST($docs AS DOUBLE) / dfr.dfq), 6) AS tfidf
+      FROM tf JOIN dfr ON tf.word = dfr.word),
+    ranked AS (
+      SELECT doc_id, word, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, word) AS INT)
+               AS rank
+      FROM scored)
+    SELECT substr(word, 1, 1) AS prefix, rank, COUNT(*) AS n,
+           MIN(tfidf) AS min_tfidf, MAX(tfidf) AS max_tfidf
+    FROM ranked WHERE rank <= 3 GROUP BY 1, 2"""
+
   // --- q122_vocab_coverage: OOV rate against a fitted top-V vocabulary ----
   /** Tokenizer-fit check: fit a vocabulary (the top-V unigrams by corpus
     * frequency, ties broken by word so the cut is total-ordered and
@@ -1842,6 +1925,7 @@ object TextAnalysis {
     "q240_boilerplate_atscale" -> q240BoilerplateAtScale _,
     "q241_invindex_atscale" -> q241InvindexAtScale _,
     "q258_cooccur_atscale" -> q258CooccurAtScale _,
+    "q259_tfidf_atscale" -> q259TfidfAtScale _,
     "q244_bpe_atscale"  -> q244BpeAtScale _,
     "q140_lm_score"     -> q140LmScore _,
   )
@@ -1873,6 +1957,7 @@ object TextAnalysis {
     "q240_boilerplate_atscale" -> q240OracleSql(),
     "q241_invindex_atscale" -> q241OracleSql(),
     "q258_cooccur_atscale" -> q258OracleSql(),
+    "q259_tfidf_atscale" -> q259OracleSql(),
     "q244_bpe_atscale"  -> q244OracleSql(),
     "q140_lm_score"     -> q140LmScoreSql,
   )

@@ -127,11 +127,97 @@ object Urls {
            CAST(SUM(n_chars) AS BIGINT) AS chars_total
     FROM k GROUP BY 1"""
 
+  // --- q260_urldedup_atscale: canonicalize → collapse at 2^20 URLs --------
+  /** At-scale correctness coverage for [[canonicalizeUrl]] + the collapse
+    * aggregate — q147 canonicalizes the ~500-doc sf corpus; this replays
+    * the SAME rule set over 2²⁰ range-synthesized dirty spellings (the
+    * q147 residue scheme driven by the range id, plus a 7-way host mix),
+    * collapsing to canonical groups keyed by (scheme, host, path,
+    * surviving params). The dirty-URL SQL fragment is shared verbatim
+    * between the Spark generator and the DuckDB oracle, and the oracle
+    * canonicalizes with its own independently-written regex chain — so
+    * the hash compare certifies the RULE SET at volume, exactly q147's
+    * contract at ~2,000× the rows. What the gate holds closed at scale:
+    * canonicalization is pure codegen'd string work (no UDF, no join,
+    * no explode), and the collapse is ONE map-side-combined exchange on
+    * the canonical key. */
+  private[graft] val q260Urls = 1L << 20
+
+  private[ext] val dirtyUrlAtScaleSql: String = """
+    (CASE doc_id % 4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+                     WHEN 2 THEN 'http' ELSE 'HTTP' END
+     || '://'
+     || CASE doc_id % 3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END
+     || 's' || CAST(doc_id % 7 AS STRING) || '.Example.COM'
+     || CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 2 THEN ':80' ELSE '' END
+     || '/docs/' || CAST(doc_id % 1024 AS STRING)
+     || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+     || CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id % 20 AS STRING)
+                  || '&b=2&a=1'
+             ELSE '?a=1&id=' || CAST(doc_id % 20 AS STRING)
+                  || '&b=2&fbclid=xyz' END
+     || CASE WHEN doc_id % 2 = 1
+             THEN '#sec' || CAST(doc_id % 5 AS STRING) ELSE '' END)"""
+
+  private[graft] def q260Frame(spark: SparkSession,
+                               urls: Long = q260Urls): DataFrame =
+    spark.range(urls).select(col("id").as("doc_id"))
+      .select(col("doc_id"), expr(dirtyUrlAtScaleSql).as("url"))
+
+  def q260UrldedupAtScale(spark: SparkSession, dir: String): DataFrame =
+    q260Frame(spark)
+      .withColumn("curl", canonicalizeUrl(col("url")))
+      .groupBy(col("curl"))
+      .agg(count(lit(1)).as("n_spellings"),
+        min(col("doc_id")).as("kept_doc"),
+        sum(length(col("url"))).as("chars_total"))
+
+  private[graft] def q260OracleSql(urls: Long = q260Urls): String = s"""
+    WITH u AS (
+      SELECT doc_id, length(url) AS n_chars, url FROM (
+        SELECT u.i AS doc_id, $dirtyUrlAtScaleSql AS url
+        FROM range(0, $urls) AS u(i)
+        ) g),
+    c AS (
+      SELECT doc_id, n_chars,
+        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+          AS scheme,
+        lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+          AS hostport,
+        regexp_replace(regexp_extract(nf,
+          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '/+$$', '')
+          AS path,
+        regexp_extract(nf, '\\?([^#]*)', 1) AS query0
+      FROM (SELECT doc_id, n_chars, regexp_replace(url, '#.*', '') AS nf
+            FROM u)),
+    k AS (
+      SELECT doc_id, n_chars, scheme, path,
+        CASE WHEN scheme = 'http'
+               THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                                   ':80$$', '')
+             WHEN scheme = 'https'
+               THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                                   ':443$$', '')
+             ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+        array_to_string(list_sort(list_filter(string_split(query0, '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[^=]*|ref|gclid|fbclid)(=|$$)'))), '&') AS kept
+      FROM c)
+    SELECT scheme || '://' || host || path ||
+             (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS curl,
+           COUNT(*) AS n_spellings,
+           MIN(doc_id) AS kept_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM k GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_url_dedup" -> q147UrlDedup _,
+    "q260_urldedup_atscale" -> q260UrldedupAtScale _,
   )
 
   def oracles: Map[String, String] = Map(
     "q147_url_dedup" -> q147UrlDedupSql,
+    "q260_urldedup_atscale" -> q260OracleSql(),
   )
 }

@@ -779,6 +779,25 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q259 tfidf at scale: one doc-partitioned rank window, the df " +
+      "side joins equi-keyed — never a global window or nested loop") {
+    val p = plan("q259_tfidf_atscale")
+    // rank ≤ 3 must keep its WindowGroupLimit halves (each task retains 3
+    // rows per doc BEFORE the window's exchange — the q210 top-k shape)
+    val wgl = count(p, "WindowGroupLimit")
+    assert(wgl == 2, s"rank lost its WindowGroupLimit pushdown ($wgl)")
+    assert(count(p, "Window") - wgl == 1, "rank lost its single window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q260 urldedup at scale: canonicalization is pure projected " +
+      "string work — the collapse is the only exchange, no join") {
+    val p = plan("q260_urldedup_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {

@@ -491,4 +491,42 @@ class TextAnalysisSpec extends GraftSuite {
   test("q258 synthetic corpus is at the claimed scale") {
     assert(TextAnalysis.q258Frame(spark).count() == 1048576L)
   }
+
+  test("q259 small analog: rank rollup matches a driver-side tf-idf " +
+      "replay over the planted df spectrum") {
+    val docs = 4096L
+    val divisors = (d: Long) => (16L until 48L).filter(r => d % r == 0)
+    val dfOf = (r: Long) => (docs - 1) / r + 1
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-doc ranked words: h<d> (idf ln N), w<r> desc by r, z (0)
+    val rows = (0L until docs).flatMap { d =>
+      val ws = Seq((s"h$d", r6(math.log(docs.toDouble)))) ++
+        (Seq((s"z", r6(2 * math.log(docs.toDouble / docs)))) ++
+          divisors(d).map(r =>
+            (s"w$r", r6(math.log(docs.toDouble / dfOf(r))))))
+          .sortBy { case (w, t) => (-t, w) }
+      ws.take(3).zipWithIndex.map { case ((w, t), i) =>
+        (w.substring(0, 1), i + 1, t)
+      }
+    }
+    val expected = rows.groupBy { case (p, r, _) => (p, r) }
+      .map { case ((p, r), xs) =>
+        ((p, r), (xs.size.toLong, xs.map(_._3).min, xs.map(_._3).max)) }
+    val got = TextAnalysis.q259TfidfAtScale0(spark, docs)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"groups: got ${got.keySet}, want ${expected.keySet}")
+    expected.foreach { case (k, (n, lo, hi)) =>
+      val (gn, glo, ghi) = got(k)
+      assert(gn == n, s"$k count $gn vs $n")
+      assert(math.abs(glo - lo) < 1e-9 && math.abs(ghi - hi) < 1e-9,
+        s"$k envelope ($glo, $ghi) vs ($lo, $hi)")
+    }
+  }
+
+  test("q259 synthetic corpus is at the claimed scale") {
+    assert(TextAnalysis.q259Frame(spark).count() == 1048576L)
+  }
 }

@@ -62,6 +62,49 @@ class UrlsSpec extends GraftSuite {
     assert(urls.forall(_.matches(".*\\?a=1&b=2&id=\\d+$")), urls.head)
   }
 
+  test("q260 small analog: the collapse matches a full driver-side " +
+      "replay of the dirty spelling and the rule set") {
+    val n = 8192L
+    def dirty(d: Long): String = {
+      val scheme = (d % 4) match {
+        case 0 => "https"; case 1 => "HTTPS"; case 2 => "http"; case _ => "HTTP"
+      }
+      val www = (d % 3) match { case 0 => "WWW."; case 1 => "www."; case _ => "" }
+      val port = (d % 4) match { case 0 => ":443"; case 2 => ":80"; case _ => "" }
+      val slash = if (d % 3 == 0) "/" else ""
+      val q = if (d % 2 == 0) s"?utm_source=feed&id=${d % 20}&b=2&a=1"
+              else s"?a=1&id=${d % 20}&b=2&fbclid=xyz"
+      val frag = if (d % 2 == 1) s"#sec${d % 5}" else ""
+      s"$scheme://${www}s${d % 7}.Example.COM$port/docs/${d % 1024}$slash$q$frag"
+    }
+    def canonical(d: Long): String = {
+      val scheme = if (d % 4 < 2) "https" else "http"
+      s"$scheme://s${d % 7}.example.com/docs/${d % 1024}?a=1&b=2&id=${d % 20}"
+    }
+    val expected = (0L until n).map(d => (canonical(d), d))
+      .groupBy(_._1).map { case (curl, xs) =>
+        curl -> ((xs.size.toLong, xs.map(_._2).min,
+          xs.map(x => dirty(x._2).length.toLong).sum)) }
+    val got = Urls.q260Frame(spark, n)
+      .withColumn("curl", Urls.canonicalizeUrl(col("url")))
+      .groupBy(col("curl"))
+      .agg(count(lit(1)).as("n_spellings"), min(col("doc_id")).as("kept_doc"),
+        sum(length(col("url"))).as("chars_total"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, {
+      val d = (got.keySet ++ expected.keySet)
+        .find(k => got.get(k) != expected.get(k))
+      s"first diff at $d: got ${d.flatMap(got.get)}, " +
+        s"want ${d.flatMap(expected.get)}"
+    })
+  }
+
+  test("q260 synthetic corpus is at the claimed scale") {
+    assert(Urls.q260Frame(spark).count() == 1048576L)
+  }
+
   test("containmentPairs finds the directed excerpt→source relation") {
     // doc 2 is an excerpt of doc 1 (its shingles are a subset); jaccard
     // stays low (1's extra shingles dilute the union) — only the directed
