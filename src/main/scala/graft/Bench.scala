@@ -134,7 +134,8 @@ object Bench {
       "q253_incremental_atscale", "q254_containment_atscale",
       "q255_temperature_atscale", "q256_wjaccard_atscale",
       "q257_pqadc_atscale", "q258_cooccur_atscale",
-      "q259_tfidf_atscale", "q260_urldedup_atscale")
+      "q259_tfidf_atscale", "q260_urldedup_atscale",
+      "q261_dsir_atscale", "q262_chunk_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -134,9 +134,98 @@ object Importance {
            s / CAST(n_bigrams AS DOUBLE) AS dsir_score
     FROM sc"""
 
+  // --- q261_dsir_atscale: importance weights at 2^20 documents ------------
+  /** At-scale correctness coverage for [[dsirWeights]] — q149 scores the
+    * ~500-doc sf corpus; this replays the SAME entry point over 2²⁰
+    * range-built documents in 64 text classes (4 tokens each, token
+    * spelling `chr(97 + x%26) || x` so the `31·len + first-char` hash
+    * actually spreads, class stride constants 7/13/29 mixing the bigram
+    * buckets), target = the 8 lowest classes. Every document in a class
+    * carries identical bigrams, so its mean-likelihood-ratio score is
+    * identical — the output rolls up by class (64 rows) with the count
+    * and the min/max score and bigram envelope, pinning both uniformity
+    * (min = max) and the exact double (the sorted-bucket fold is
+    * replayed in the same order by the oracle, the q149 bit-identity
+    * contract at ~2,000× the rows). What the gate holds closed at
+    * volume: the bigram build stays a (doc, pos+1) equi-join, bucket
+    * stats stay a 1009-row broadcast, and the only corpus-sized
+    * shuffles are the two wordcount-shaped aggregates. */
+  private[graft] val q261Docs = 1L << 20
+
+  /** Token spelling shared verbatim by the Spark generator and the
+    * DuckDB oracle; `e` is the token-index expression. */
+  private def q261Tok(e: String): String =
+    s"chr(CAST(97 + ($e) % 26 AS INTEGER)) || CAST(($e) AS STRING)"
+
+  private def q261TextSql(idCol: String): String = {
+    val c = s"($idCol % 64)"
+    Seq(q261Tok(c), q261Tok(s"($c * 7 + 3) % 64"),
+        q261Tok(s"($c * 13 + 5) % 64"), q261Tok(s"($c * 29 + 11) % 64"))
+      .mkString(" || ' ' || ")
+  }
+
+  private[graft] def q261Frame(spark: SparkSession,
+                               docs: Long = q261Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), expr(q261TextSql("doc_id")).as("text"))
+
+  def q261DsirAtScale(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(q261Frame(spark), "doc_id", "text", col("doc_id") % 64 < 8)
+      .groupBy((col("doc_id") % 64).as("cls"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_bigrams")).as("min_bigrams"),
+        max(col("n_bigrams")).as("max_bigrams"),
+        min(col("dsir_score")).as("min_score"),
+        max(col("dsir_score")).as("max_score"))
+
+  private[graft] def q261OracleSql(docs: Long = q261Docs): String = raw"""
+    WITH t AS (
+      SELECT u.i AS doc_id, (u.i % 64 < 8) AS tgt,
+             string_split_regex(lower(trim(${q261TextSql("u.i")})), '\s+')
+               AS ws
+      FROM range(0, $docs) AS u(i)),
+    tok AS MATERIALIZED (
+      SELECT doc_id, tgt, u['pos'] AS pos,
+             CAST(length(u['w']) * 31 + ascii(u['w'][1:1]) AS BIGINT) AS v
+      FROM (
+        SELECT doc_id, tgt, unnest(list_transform(range(1, len(ws) + 1),
+            i -> struct_pack(pos := i - 1, w := ws[i]))) AS u
+        FROM t) s
+      WHERE u['w'] <> ''),
+    big AS MATERIALIZED (
+      SELECT x.doc_id, x.tgt, (x.v * 1000003 + y.v) % 1009 AS bucket
+      FROM tok x JOIN tok y
+        ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+    cnt AS (SELECT bucket,
+                   SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                   SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+            FROM big GROUP BY bucket),
+    tot AS (SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS st,
+                   SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS sr FROM big),
+    r AS (SELECT bucket,
+                 CAST((ct + 1) * (sr + 1009) AS DOUBLE) /
+                 CAST((cr + 1) * (st + 1009) AS DOUBLE) AS r
+          FROM cnt, tot),
+    pd AS (SELECT doc_id, bucket, COUNT(*) AS n FROM big
+           GROUP BY doc_id, bucket),
+    sc AS (SELECT doc_id, SUM(n) AS n_bigrams,
+                  list_reduce(
+                    list_prepend(0.0, list(CAST(n AS DOUBLE) * r
+                                           ORDER BY bucket)),
+                    (x, y) -> x + y) AS s
+           FROM pd JOIN r USING (bucket) GROUP BY doc_id)
+    SELECT doc_id % 64 AS cls, COUNT(*) AS n_docs,
+           CAST(MIN(n_bigrams) AS BIGINT) AS min_bigrams,
+           CAST(MAX(n_bigrams) AS BIGINT) AS max_bigrams,
+           MIN(s / CAST(n_bigrams AS DOUBLE)) AS min_score,
+           MAX(s / CAST(n_bigrams AS DOUBLE)) AS max_score
+    FROM sc GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q149_dsir_weights" -> q149DsirWeights _)
+    "q149_dsir_weights" -> q149DsirWeights _,
+    "q261_dsir_atscale" -> q261DsirAtScale _)
 
   def oracles: Map[String, String] = Map(
-    "q149_dsir_weights" -> q149DsirWeightsSql)
+    "q149_dsir_weights" -> q149DsirWeightsSql,
+    "q261_dsir_atscale" -> q261OracleSql())
 }

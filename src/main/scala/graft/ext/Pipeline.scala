@@ -292,7 +292,65 @@ object Pipeline {
            CAST(SUM((end_tok - n_tok) % 2048) AS BIGINT) AS sum_off
     FROM c GROUP BY shard"""
 
+  // --- q262_chunk_atscale: RAG chunking at 2^20 documents ------------------
+  /** At-scale correctness coverage for [[chunkOverlap]] — q91 chunks the
+    * ~500-doc sf corpus; this replays the SAME entry point (window 64,
+    * stride 32) over 2²⁰ range-built documents whose token count walks
+    * 1..97 by `id % 97` (tokens `t0 t1 …`, so chunk CONTENT is a pure
+    * function of the class): lengths below/at/above the window and every
+    * stride remainder occur, tail chunks run short, and the corpus
+    * explodes to ~2.3M chunks over ~51M tokens. Because content is
+    * class-determined, the rollup by (class, start_tok) pins everything:
+    * the count pins the chunk-per-doc arithmetic, min = max pins
+    * uniformity of both the short-tail length and the exact chunk text,
+    * and the char sum pins the slice+join against a CLOSED-FORM oracle
+    * (range SQL emits the expected chunk strings directly — no token
+    * logic on the oracle side). Scale shape under test: chunking stays a
+    * single scan + explode (no shuffle before the verification rollup's
+    * one exchange). */
+  private[graft] val q262Docs = 1L << 20
+
+  private[graft] def q262Frame(spark: SparkSession,
+                               docs: Long = q262Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      expr("""array_join(transform(sequence(0, CAST(id % 97 AS INT)),
+                                   j -> concat('t', j)), ' ')""").as("text"))
+
+  def q262ChunkAtScale(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(q262Frame(spark), "doc_id", "text",
+      window = 64, stride = 32)
+      .groupBy((col("doc_id") % 97).as("cls"), col("start_tok"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chunk_tok")).as("min_ct"),
+        max(col("n_chunk_tok")).as("max_ct"),
+        min(col("chunk_text")).as("min_text"),
+        max(col("chunk_text")).as("max_text"),
+        sum(length(col("chunk_text"))).as("sum_chars"))
+
+  private[graft] def q262OracleSql(docs: Long = q262Docs): String = s"""
+    WITH cls AS (
+      SELECT c.i AS cls, c.i + 1 AS n,
+             ($docs - 1 - c.i) // 97 + 1 AS n_docs
+      FROM range(0, 97) AS c(i)),
+    ch AS (
+      SELECT cls, n, n_docs, CAST(r.k AS INT) AS k
+      FROM cls, unnest(range(0, ((n - 1) // 32) + 1)) AS r(k)),
+    x AS (
+      SELECT cls, n_docs, CAST(k * 32 AS INT) AS start_tok,
+             CAST(LEAST(64, n - k * 32) AS INT) AS ct,
+             array_to_string(list_transform(
+               range(k * 32, LEAST(k * 32 + 64, n)), j -> 't' || j), ' ')
+               AS txt
+      FROM ch)
+    SELECT CAST(cls AS BIGINT) AS cls, start_tok,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ct AS min_ct, ct AS max_ct,
+           txt AS min_text, txt AS max_text,
+           CAST(n_docs * length(txt) AS BIGINT) AS sum_chars
+    FROM x"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_chunk_atscale" -> q262ChunkAtScale _,
     "q50_train_pipeline" -> q50TrainPipeline _,
     "q63_full_pipeline"  -> q63FullPipeline _,
     "q64_source_cap"     -> q64SourceCap _,
@@ -302,6 +360,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "q262_chunk_atscale" -> q262OracleSql(),
     "q50_train_pipeline" -> q50TrainPipelineSql,
     "q63_full_pipeline"  -> q63FullPipelineSql,
     "q64_source_cap"     -> q64SourceCapSql,

@@ -798,6 +798,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
   }
 
+  test("q261 dsir at scale: bucket ratios broadcast onto the per-doc " +
+      "counts — the bigram build stays a (doc, pos) equi-join") {
+    val p = plan("q261_dsir_atscale")
+    assert(p.contains("BroadcastHashJoin"), "ratio join lost broadcast: " +
+      p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("q262 chunk at scale: chunking is scan + explode — the " +
+      "verification rollup's exchange is the only shuffle, no join") {
+    val p = plan("q262_chunk_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+    assert(p.contains("Generate"), "chunk explode vanished")
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {

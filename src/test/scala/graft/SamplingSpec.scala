@@ -207,6 +207,45 @@ class SamplingSpec extends GraftSuite {
       (0, 3, "a b c"), (2, 3, "c d e"), (4, 1, "e")))
   }
 
+  test("q262 small analog: (class, start) rollup matches the closed-form " +
+      "chunk table") {
+    val docs = 4096L
+    val expected = (0L until 97L).flatMap { cls =>
+      val n = cls + 1
+      val nDocs = (docs - 1 - cls) / 97 + 1
+      (0L to (n - 1) / 32).map { k =>
+        val ct = math.min(64L, n - k * 32).toInt
+        val txt = (k * 32 until math.min(k * 32 + 64, n))
+          .map(j => s"t$j").mkString(" ")
+        ((cls, (k * 32).toInt),
+          (nDocs, ct, ct, txt, txt, nDocs * txt.length))
+      }
+    }.toMap
+    val got = ext.Pipeline.chunkOverlap(
+        ext.Pipeline.q262Frame(spark, docs), "doc_id", "text",
+        window = 64, stride = 32)
+      .groupBy((col("doc_id") % 97).as("cls"), col("start_tok"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chunk_tok")).as("min_ct"),
+        max(col("n_chunk_tok")).as("max_ct"),
+        min(col("chunk_text")).as("min_text"),
+        max(col("chunk_text")).as("max_text"),
+        sum(length(col("chunk_text"))).as("sum_chars"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getInt(3), r.getInt(4), r.getString(5),
+          r.getString(6), r.getLong(7)))).toMap
+    assert(got == expected, {
+      val d = (got.keySet ++ expected.keySet)
+        .find(k => got.get(k) != expected.get(k))
+      s"first diff at $d: got ${d.flatMap(got.get)}, " +
+        s"want ${d.flatMap(expected.get)}"
+    })
+  }
+
+  test("q262 synthetic corpus is at the claimed scale") {
+    assert(ext.Pipeline.q262Frame(spark).count() == 1048576L)
+  }
+
   test("bpe pair counts weight by word frequency, deterministic top-k") {
     import spark.implicits._
     // "ab" appears twice, "ba" once; single-char "x" contributes no pair
