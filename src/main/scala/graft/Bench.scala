@@ -135,7 +135,8 @@ object Bench {
       "q255_temperature_atscale", "q256_wjaccard_atscale",
       "q257_pqadc_atscale", "q258_cooccur_atscale",
       "q259_tfidf_atscale", "q260_urldedup_atscale",
-      "q261_dsir_atscale", "q262_chunk_atscale")
+      "q261_dsir_atscale", "q262_chunk_atscale",
+      "q263_filtergate_atscale", "q264_sourcecap_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -349,8 +349,95 @@ object Pipeline {
            CAST(n_docs * length(txt) AS BIGINT) AS sum_chars
     FROM x"""
 
+  // --- q264_sourcecap_atscale: domain balancing under a hot source --------
+  /** At-scale correctness coverage for the q64 composition — docStats
+    * quality feeding the salted two-phase [[graft.ops.Windows.perGroupTopK]]
+    * — under the skew it exists for: 2²⁰ range-built documents where ONE
+    * source ('hot', every even id — 2¹⁹ documents) holds half the corpus
+    * and 8,191 long-tail sources split the rest (~64 docs each). Text
+    * cycles 16 variants of strictly increasing token count (10..25), so
+    * quality is strictly increasing in the variant and the per-source
+    * top-5 is deterministic with doc_id tiebreaks. The 32-branch text
+    * CASE is shared verbatim with the oracle, which recomputes quality
+    * from the 32 variant literals (one tiny CTE, the q37 arithmetic) and
+    * replays the rank window — so a salt-phase bug that drops a
+    * candidate from a 2¹⁹-row group, or a quality drift at volume, moves
+    * a row out of the 40,960-row result. Scale shape under test: the
+    * hot source's rows spread over 64 salt partitions BEFORE the final
+    * per-source rank — no single task ever owns the hot domain. */
+  private[graft] val q264Docs = 1L << 20
+  private[graft] val q264Sources = 8191L
+
+  private[graft] def q264TextSql: String =
+    (0 until 32).map { m =>
+      val v = m / 2
+      s"WHEN $m THEN '${(0 to 9 + v).map(j => s"w$j").mkString(" ")}'"
+    }.mkString("CASE doc_id % 32 ", " ", " END")
+
+  private[graft] def q264SourceSql: String = s"""
+    CASE WHEN doc_id % 2 = 0 THEN 'hot'
+         ELSE 's' || CAST(doc_id % $q264Sources AS STRING) END"""
+
+  private[graft] def q264Frame(spark: SparkSession,
+                               docs: Long = q264Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), expr(q264SourceSql).as("source"),
+        expr(q264TextSql).as("text"))
+
+  def q264SourcecapAtScale(spark: SparkSession, dir: String): DataFrame =
+    q264SourcecapAtScale0(spark, q264Docs)
+
+  private[graft] def q264SourcecapAtScale0(spark: SparkSession,
+                                           docs: Long): DataFrame = {
+    val stats = TextAnalysis.docStats(q264Frame(spark, docs),
+      carry = Seq("source"))
+    graft.ops.Windows.perGroupTopK(stats,
+      group = Seq(col("source")),
+      order = Seq(col("quality").desc, col("doc_id")),
+      saltSrc = col("doc_id"), k = 5)
+      .select(col("source"), col("doc_id"), col("quality"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  private[graft] def q264OracleSql(docs: Long = q264Docs): String = raw"""
+    WITH vt0 AS (
+      SELECT m.i AS m,
+             ${q264TextSql.replace("doc_id % 32", "m.i")} AS text
+      FROM range(0, 32) AS m(i)),
+    vt AS (
+      SELECT m,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '')) AS nt,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x IN ('the', 'a'))) AS ns,
+             length(text) AS lc
+      FROM vt0),
+    vq AS (
+      SELECT m,
+             CASE WHEN nt > 0 THEN
+               CAST((2 * (24 * nt * LEAST(nt, 100)
+                          + 3200 * (nt - ns)
+                          + 300 * LEAST(lc - nt + 1, 8 * nt))
+                     * 1000000 + 8000 * nt)
+                    // (2 * 8000 * nt) AS DOUBLE) / 1000000
+             END AS quality
+      FROM vt),
+    d AS (
+      SELECT u.i AS doc_id,
+             ${q264SourceSql.replace("doc_id", "u.i")} AS source,
+             u.i % 32 AS m
+      FROM range(0, $docs) AS u(i)),
+    r AS (
+      SELECT d.source, d.doc_id, vq.quality,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY vq.quality DESC, d.doc_id) AS rank
+      FROM d JOIN vq USING (m))
+    SELECT source, doc_id, quality, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_chunk_atscale" -> q262ChunkAtScale _,
+    "q264_sourcecap_atscale" -> q264SourcecapAtScale _,
     "q50_train_pipeline" -> q50TrainPipeline _,
     "q63_full_pipeline"  -> q63FullPipeline _,
     "q64_source_cap"     -> q64SourceCap _,
@@ -361,6 +448,7 @@ object Pipeline {
 
   def oracles: Map[String, String] = Map(
     "q262_chunk_atscale" -> q262OracleSql(),
+    "q264_sourcecap_atscale" -> q264OracleSql(),
     "q50_train_pipeline" -> q50TrainPipelineSql,
     "q63_full_pipeline"  -> q63FullPipelineSql,
     "q64_source_cap"     -> q64SourceCapSql,

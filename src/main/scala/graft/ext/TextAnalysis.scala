@@ -1496,6 +1496,65 @@ object TextAnalysis {
            MIN(tfidf) AS min_tfidf, MAX(tfidf) AS max_tfidf
     FROM ranked WHERE rank <= 3 GROUP BY 1, 2"""
 
+  // --- q263_filtergate_atscale: the quality gate at 2^20 documents --------
+  /** At-scale correctness coverage for [[filterGate]] — q188 gates the
+    * ~500-doc sf corpus; this replays the SAME projection (thresholds
+    * 8/24 so the planted classes stay compact) over 2²⁰ range-built
+    * documents in eight classes, one per reason combination the rule set
+    * can produce on this corpus: clean (0), too-short (1), too-long (2),
+    * low-diversity (4), long+low-diversity (6), stopword-heavy (8),
+    * gibberish (16), short+gibberish (17). Every class is engineered to
+    * trip EXACTLY its bits (diversity/stopword/token-length side
+    * conditions verified class by class in the scaladoc of the spec's
+    * replay), so the reasons rollup — count and token sum per bitmask —
+    * is closed-form: 131,072 docs per class, eight rows out. A rule
+    * whose integer threshold arithmetic drifts at volume, or a bitmask
+    * that merges, moves a count between rows. The oracle emits the
+    * closed form directly. Scale shape: the gate stays a pure
+    * projection — the verification rollup's exchange is the plan's only
+    * shuffle. */
+  private[graft] val q263Docs = 1L << 20
+
+  /** (text, expected reasons with thresholds 8/24, token count) per
+    * class — shared by the generator, the oracle, and the spec. */
+  private[graft] val q263Classes: Seq[(String, Int, Int)] = Seq(
+    ((0 to 11).map(j => s"word$j").mkString(" "), 0, 12),
+    ((0 to 3).map(j => s"word$j").mkString(" "), 1, 4),
+    ((0 to 31).map(j => s"word$j").mkString(" "), 2, 32),
+    (Seq.fill(12)("xyzw").mkString(" "), 4, 12),
+    (Seq.fill(32)("zzzz").mkString(" "), 6, 32),
+    ((Seq.fill(4)("the") ++ (0 to 7).map(j => s"word$j")).mkString(" "),
+      8, 12),
+    (((0 to 9).map(j => s"a$j") ++ Seq("b0", "b1")).mkString(" "), 16, 12),
+    ((1 to 4).map(j => s"x$j").mkString(" "), 17, 4))
+
+  private[graft] def q263TextSql: String =
+    q263Classes.zipWithIndex.map { case ((t, _, _), i) =>
+      s"WHEN $i THEN '$t'"
+    }.mkString("CASE doc_id % 8 ", " ", " END")
+
+  private[graft] def q263Frame(spark: SparkSession,
+                               docs: Long = q263Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), expr(q263TextSql).as("text"))
+
+  def q263FiltergateAtScale(spark: SparkSession, dir: String): DataFrame =
+    q263FiltergateAtScale0(spark, q263Docs)
+
+  private[graft] def q263FiltergateAtScale0(spark: SparkSession,
+                                            docs: Long): DataFrame =
+    filterGate(q263Frame(spark, docs), "doc_id", "text",
+      minTokens = 8, maxTokens = 24)
+      .groupBy(col("reasons"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+
+  private[graft] def q263OracleSql(docs: Long = q263Docs): String =
+    q263Classes.zipWithIndex.map { case ((_, reasons, nt), i) =>
+      s"""SELECT $reasons AS reasons,
+            CAST(($docs - 1 - $i) // 8 + 1 AS BIGINT) AS n_docs,
+            CAST((($docs - 1 - $i) // 8 + 1) * $nt AS BIGINT) AS sum_tokens"""
+    }.mkString("\n    UNION ALL\n    ")
+
   // --- q122_vocab_coverage: OOV rate against a fitted top-V vocabulary ----
   /** Tokenizer-fit check: fit a vocabulary (the top-V unigrams by corpus
     * frequency, ties broken by word so the cut is total-ordered and
@@ -1926,6 +1985,7 @@ object TextAnalysis {
     "q241_invindex_atscale" -> q241InvindexAtScale _,
     "q258_cooccur_atscale" -> q258CooccurAtScale _,
     "q259_tfidf_atscale" -> q259TfidfAtScale _,
+    "q263_filtergate_atscale" -> q263FiltergateAtScale _,
     "q244_bpe_atscale"  -> q244BpeAtScale _,
     "q140_lm_score"     -> q140LmScore _,
   )
@@ -1958,6 +2018,7 @@ object TextAnalysis {
     "q241_invindex_atscale" -> q241OracleSql(),
     "q258_cooccur_atscale" -> q258OracleSql(),
     "q259_tfidf_atscale" -> q259OracleSql(),
+    "q263_filtergate_atscale" -> q263OracleSql(),
     "q244_bpe_atscale"  -> q244OracleSql(),
     "q140_lm_score"     -> q140LmScoreSql,
   )

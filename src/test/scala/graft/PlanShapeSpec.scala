@@ -815,6 +815,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("Generate"), "chunk explode vanished")
   }
 
+  test("q263 filtergate at scale: the gate is a pure projection — the " +
+      "verification rollup's exchange is the plan's only shuffle") {
+    val p = plan("q263_filtergate_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
+
+  test("q264 sourcecap at scale: exactly the two salted-top-k windows — " +
+      "the hot source spreads over salts before the final rank") {
+    val p = plan("q264_sourcecap_atscale")
+    val wgl = count(p, "WindowGroupLimit")
+    assert(count(p, "Window") - wgl == 2,
+      s"salted two-phase lost a window pass (wgl=$wgl): " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {

@@ -246,6 +246,43 @@ class SamplingSpec extends GraftSuite {
     assert(ext.Pipeline.q262Frame(spark).count() == 1048576L)
   }
 
+  test("q264 small analog: per-source top-5 under the hot source matches " +
+      "a driver-side quality + rank replay") {
+    val docs = 16384L
+    def text(m: Int) = (0 to 9 + m / 2).map(j => s"w$j").mkString(" ")
+    def quality(m: Int): Double = {
+      val nt = 10L + m / 2
+      val lc = text(m).length.toLong
+      val num = 2L * (24L * nt * math.min(nt, 100L) + 3200L * nt +
+        300L * math.min(lc - nt + 1, 8 * nt)) * 1000000L + 8000L * nt
+      (num / (2L * 8000L * nt)).toDouble / 1000000L
+    }
+    val expected = (0L until docs)
+      .map { d =>
+        val src = if (d % 2 == 0) "hot" else s"s${d % 8191}"
+        (src, d, quality((d % 32).toInt))
+      }
+      .groupBy(_._1).flatMap { case (_, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex.map {
+          case ((s, d, q), i) => (s, d, q, i + 1) }
+      }.toSet
+    val got = ext.Pipeline.q264SourcecapAtScale0(spark, docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    // the hot source's winners: the five lowest even ids of variant 15
+    assert(got.filter(_._1 == "hot").map(_._2) ==
+      Set(30L, 62L, 94L, 126L, 158L))
+  }
+
+  test("q264 synthetic corpus is at the claimed scale, half of it hot") {
+    val f = ext.Pipeline.q264Frame(spark)
+    assert(f.count() == 1048576L)
+    assert(f.filter(col("source") === "hot").count() == 524288L)
+  }
+
   test("bpe pair counts weight by word frequency, deterministic top-k") {
     import spark.implicits._
     // "ab" appears twice, "ba" once; single-char "x" contributes no pair

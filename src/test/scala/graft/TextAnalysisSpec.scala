@@ -529,4 +529,22 @@ class TextAnalysisSpec extends GraftSuite {
   test("q259 synthetic corpus is at the claimed scale") {
     assert(TextAnalysis.q259Frame(spark).count() == 1048576L)
   }
+
+  test("q263 small analog: each planted class trips exactly its reason " +
+      "bits and the rollup matches the closed form") {
+    val docs = 4096L
+    val expected = TextAnalysis.q263Classes.zipWithIndex.map {
+      case ((_, reasons, nt), i) =>
+        val n = (docs - 1 - i) / 8 + 1
+        reasons -> ((n, n * nt))
+    }.toMap
+    val got = TextAnalysis.q263FiltergateAtScale0(spark, docs)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expected, s"got $got, want $expected")
+  }
+
+  test("q263 synthetic corpus is at the claimed scale") {
+    assert(TextAnalysis.q263Frame(spark).count() == 1048576L)
+  }
 }
