@@ -136,7 +136,8 @@ object Bench {
       "q257_pqadc_atscale", "q258_cooccur_atscale",
       "q259_tfidf_atscale", "q260_urldedup_atscale",
       "q261_dsir_atscale", "q262_chunk_atscale",
-      "q263_filtergate_atscale", "q264_sourcecap_atscale")
+      "q263_filtergate_atscale", "q264_sourcecap_atscale",
+      "q265_verbatim_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -2119,7 +2119,80 @@ object Dedup {
     FROM pairs p JOIN sizes za ON za.doc_id = p.id_a
     WHERE ${graft.ops.Relational.ratio6Sql("p.inter", "za.sz")} >= 0.5"""
 
+  // --- q265_verbatim_atscale: ExactSubstr windows at 2^20 documents -------
+  /** At-scale correctness coverage for [[substrDupSignals]] — q93 scans
+    * the ~500-doc sf corpus; this replays the SAME entry point (k = 16,
+    * stride = 8) over 2²⁰ range-built 48-char documents in three planted
+    * classes whose window census is closed-form:
+    *
+    *  - **reuse** (id ≡ 0 mod 4): a fixed 32-char license block + a
+    *    16-char unique tail. Of the five sampled windows, the three
+    *    inside the block are shared by every reuse doc, the
+    *    block-suffix+tail-prefix straddle is ALSO shared (the tail's
+    *    7-digit ids all lpad to the same leading zeros — deliberate, it
+    *    plants a dup window that is NOT a pure block window), and the
+    *    tail window is unique → n_dup = 4 of 5;
+    *  - **clean** (the rest): three 16-char blocks each embedding the
+    *    full zero-padded id at a distinct marker, so ALL five windows
+    *    (aligned and straddling) are globally unique → n_dup = 0 of 5;
+    *  - **short** (id ≡ 5 mod 8): text shorter than k — the length
+    *    filter must drop these docs entirely, so the rollup's doc total
+    *    coming up 2¹⁷ short IS the assertion.
+    *
+    * Output: rollup by (n_windows, n_dup_windows, dup_ratio) with count
+    * and id sum — two rows whose counts and arithmetic-progression sums
+    * the oracle emits closed-form. What the gate holds closed at volume:
+    * the ~4.6M-row window frame is explode + codegen'd substring, window
+    * multiplicity is an aggregate (never a value-keyed window), and dup
+    * windows join back with a semi join. */
+  private[graft] val q265Docs = 1L << 20
+
+  private[graft] val q265License = "licenseheaderblockredistribution"
+
+  private[graft] def q265TextSql: String = s"""
+    CASE WHEN doc_id % 4 = 0
+           THEN '$q265License' || 'd' || lpad(CAST(doc_id AS STRING), 15, '0')
+         WHEN doc_id % 8 = 5
+           THEN 'x' || CAST(doc_id AS STRING)
+         ELSE 'a' || lpad(CAST(doc_id AS STRING), 15, '0')
+           || 'b' || lpad(CAST(doc_id AS STRING), 15, '0')
+           || 'c' || lpad(CAST(doc_id AS STRING), 15, '0') END"""
+
+  private[graft] def q265Frame(spark: SparkSession,
+                               docs: Long = q265Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), expr(q265TextSql).as("text"))
+
+  def q265VerbatimAtScale(spark: SparkSession, dir: String): DataFrame =
+    q265VerbatimAtScale0(spark, q265Docs)
+
+  private[graft] def q265VerbatimAtScale0(spark: SparkSession,
+                                          docs: Long): DataFrame =
+    substrDupSignals(q265Frame(spark, docs), "doc_id", "text",
+      k = 16, stride = 8)
+      .groupBy(col("n_windows"), col("n_dup_windows"), col("dup_ratio"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+
+  private[graft] def q265OracleSql(docs: Long = q265Docs): String = {
+    val r = docs / 4                    // reuse docs: ids 0, 4, 8, …
+    val s = docs / 8                    // short docs: ids 5, 13, 21, …
+    val reuseSum = 2L * r * (r - 1)     // Σ 4j over j < r
+    val shortSum = 4L * s * (s - 1) + 5L * s
+    val total = docs * (docs - 1) / 2
+    val cleanN = docs - r - s
+    val cleanSum = total - reuseSum - shortSum
+    s"""
+    SELECT CAST(5 AS BIGINT) AS n_windows, CAST(4 AS BIGINT)
+             AS n_dup_windows,
+           CAST(0.8 AS DOUBLE) AS dup_ratio,
+           CAST($r AS BIGINT) AS n_docs, CAST($reuseSum AS BIGINT) AS sum_ids
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+           CAST($cleanN AS BIGINT), CAST($cleanSum AS BIGINT)"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_verbatim_atscale" -> q265VerbatimAtScale _,
     "q27_exact_dedup"   -> q27ExactDedup _,
     "q31_minhash_lsh"   -> q31MinHashLsh _,
     "q35_ngram_jaccard" -> q35NgramJaccard _,
@@ -2151,6 +2224,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q265_verbatim_atscale" -> q265OracleSql(),
     "q209_minhash_atscale" -> q209OracleSql(),
     "q249_simhash_atscale" -> q249OracleSql(),
     "q250_jaccard_atscale" -> q250OracleSql(),

@@ -545,4 +545,34 @@ class DedupSpec extends GraftSuite {
   test("q256 full corpus is 2^20 documents") {
     assert(Dedup.q256Corpus(spark).count() == 1048576L)
   }
+
+  test("q265 small analog: reuse docs share 4 of 5 windows, clean docs " +
+      "none, short docs are dropped by the length filter") {
+    val docs = 4096L
+    val r = docs / 4
+    val s = docs / 8
+    val got = Dedup.q265VerbatimAtScale0(spark, docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)) ->
+        ((x.getLong(3), x.getLong(4)))).toMap
+    val total = docs * (docs - 1) / 2
+    val reuseSum = 2L * r * (r - 1)
+    val shortSum = 4L * s * (s - 1) + 5L * s
+    assert(got.keySet == Set((5L, 4L, 0.8), (5L, 0L, 0.0)), got.keySet)
+    assert(got((5L, 4L, 0.8)) == ((r, reuseSum)))
+    assert(got((5L, 0L, 0.0)) ==
+      ((docs - r - s, total - reuseSum - shortSum)))
+    // per-doc spot check: one reuse doc's dup windows are the three
+    // license-aligned windows plus the zero-padded straddle
+    val win = Dedup.substrDupSignals(Dedup.q265Frame(spark, 64L),
+        "doc_id", "text", k = 16, stride = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(win(0L) == ((5L, 4L)) && win(4L) == ((5L, 4L)))
+    assert(win(1L) == ((5L, 0L)) && win(2L) == ((5L, 0L)))
+    assert(!win.contains(5L) && !win.contains(13L), "short docs leaked in")
+  }
+
+  test("q265 full corpus is 2^20 documents") {
+    assert(Dedup.q265Frame(spark).count() == 1048576L)
+  }
 }

@@ -832,6 +832,16 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q265 verbatim at scale: window multiplicity is an aggregate and " +
+      "dup windows return via a semi join — never a value-keyed window") {
+    val p = plan("q265_verbatim_atscale")
+    assert(p.contains("LeftSemi"), "dup-window filter lost its semi join: " +
+      p.take(800))
+    assert(!p.contains("Window"), "window census acquired a window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {
