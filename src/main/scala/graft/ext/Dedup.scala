@@ -2191,7 +2191,79 @@ object Dedup {
            CAST($cleanN AS BIGINT), CAST($cleanSum AS BIGINT)"""
   }
 
+  // --- q266_spanexcision_atscale: span decontamination at 2^20 docs -------
+  /** At-scale correctness coverage for [[spanExcision]] — q113 excises
+    * the ~500-doc sf corpus; this replays the SAME entry point (n = 5,
+    * minTokens = 3) over 2²⁰ range-built 16-token documents in four
+    * contamination layouts against a one-shingle benchmark
+    * (`g0 g1 g2 g3 g4`):
+    *
+    *  - clean → the whole document survives as one 16-token fragment;
+    *  - front-contaminated (positions 0–4) → one 11-token tail fragment;
+    *  - middle-contaminated (6–10) → TWO fragments (6 + 5 tokens) — the
+    *    gaps-and-islands split;
+    *  - end-contaminated (9–13) with a 2-token residue → the residue
+    *    falls to minTokens and ONLY the 9-token head survives.
+    *
+    * Texts are class-deterministic, so the five expected (class,
+    * frag_id, frag_text, n_tokens) rows are literals and the rollup
+    * counts/id-sums are arithmetic progressions the oracle emits
+    * closed-form. What the gate holds closed at volume: the benchmark
+    * side broadcasts (one shingle), the positional grams ride ONE
+    * per-doc window sort, and covered positions collapse to a doc-keyed
+    * array — the corpus is never shuffled on a value key. */
+  private[graft] val q266Docs = 1L << 20
+
+  private[graft] val q266ClassTexts: Seq[String] = Seq(
+    (0 to 15).map(j => s"a$j").mkString(" "),
+    ("g0 g1 g2 g3 g4 " + (5 to 15).map(j => s"b$j").mkString(" ")),
+    ((0 to 5).map(j => s"c$j").mkString(" ") + " g0 g1 g2 g3 g4 " +
+      (11 to 15).map(j => s"c$j").mkString(" ")),
+    ((0 to 8).map(j => s"d$j").mkString(" ") + " g0 g1 g2 g3 g4 d14 d15"))
+
+  private[graft] def q266TextSql: String =
+    q266ClassTexts.zipWithIndex.map { case (t, i) =>
+      s"WHEN $i THEN '$t'"
+    }.mkString("CASE doc_id % 4 ", " ", " END")
+
+  private[graft] def q266Frame(spark: SparkSession,
+                               docs: Long = q266Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), expr(q266TextSql).as("text"))
+
+  def q266SpanexcisionAtScale(spark: SparkSession, dir: String): DataFrame =
+    q266SpanexcisionAtScale0(spark, q266Docs)
+
+  private[graft] def q266SpanexcisionAtScale0(spark: SparkSession,
+                                              docs: Long): DataFrame = {
+    val bench = spark.range(1).select(col("id").as("doc_id"),
+      lit("g0 g1 g2 g3 g4").as("text"))
+    spanExcision(q266Frame(spark, docs), bench, "doc_id", "text", n = 5)
+      .groupBy((col("doc_id") % 4).as("cls"), col("frag_id"),
+        col("frag_text"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+  }
+
+  /** The five expected fragments per class: (cls, frag_id, text, n). */
+  private[graft] val q266Frags: Seq[(Int, Int, String, Int)] = Seq(
+    (0, 1, (0 to 15).map(j => s"a$j").mkString(" "), 16),
+    (1, 1, (5 to 15).map(j => s"b$j").mkString(" "), 11),
+    (2, 1, (0 to 5).map(j => s"c$j").mkString(" "), 6),
+    (2, 2, (11 to 15).map(j => s"c$j").mkString(" "), 5),
+    (3, 1, (0 to 8).map(j => s"d$j").mkString(" "), 9))
+
+  private[graft] def q266OracleSql(docs: Long = q266Docs): String = {
+    val m = docs / 4
+    q266Frags.map { case (cls, fid, txt, nt) =>
+      val sumIds = 2L * m * (m - 1) + cls.toLong * m
+      s"""SELECT CAST($cls AS BIGINT) AS cls, CAST($fid AS INT) AS frag_id,
+            '$txt' AS frag_text, CAST($nt AS INT) AS n_tokens,
+            CAST($m AS BIGINT) AS n_docs, CAST($sumIds AS BIGINT) AS sum_ids"""
+    }.mkString("\n    UNION ALL\n    ")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_spanexcision_atscale" -> q266SpanexcisionAtScale _,
     "q265_verbatim_atscale" -> q265VerbatimAtScale _,
     "q27_exact_dedup"   -> q27ExactDedup _,
     "q31_minhash_lsh"   -> q31MinHashLsh _,
@@ -2224,6 +2296,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q266_spanexcision_atscale" -> q266OracleSql(),
     "q265_verbatim_atscale" -> q265OracleSql(),
     "q209_minhash_atscale" -> q209OracleSql(),
     "q249_simhash_atscale" -> q249OracleSql(),

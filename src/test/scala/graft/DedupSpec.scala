@@ -575,4 +575,26 @@ class DedupSpec extends GraftSuite {
   test("q265 full corpus is 2^20 documents") {
     assert(Dedup.q265Frame(spark).count() == 1048576L)
   }
+
+  test("q266 small analog: the four contamination layouts excise to the " +
+      "expected literal fragments") {
+    val docs = 4096L
+    val m = docs / 4
+    val expected = Dedup.q266Frags.map { case (cls, fid, txt, nt) =>
+      (cls.toLong, fid, txt, nt) -> ((m, 2L * m * (m - 1) + cls * m))
+    }.toMap
+    val got = Dedup.q266SpanexcisionAtScale0(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3)) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, {
+      val d = (got.keySet ++ expected.keySet)
+        .find(k => got.get(k) != expected.get(k))
+      s"first diff at $d: got ${d.flatMap(got.get)}, " +
+        s"want ${d.flatMap(expected.get)}"
+    })
+  }
+
+  test("q266 full corpus is 2^20 documents") {
+    assert(Dedup.q266Frame(spark).count() == 1048576L)
+  }
 }

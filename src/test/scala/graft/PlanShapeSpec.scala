@@ -842,6 +842,17 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q266 spanexcision at scale: the benchmark shingles broadcast — " +
+      "the corpus is never nested-loop-joined or value-shuffled") {
+    val p = plan("q266_spanexcision_atscale")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark shingle probe lost broadcast: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-sized sort-merge appeared: " + p.take(800))
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {
