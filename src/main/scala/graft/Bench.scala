@@ -137,7 +137,8 @@ object Bench {
       "q259_tfidf_atscale", "q260_urldedup_atscale",
       "q261_dsir_atscale", "q262_chunk_atscale",
       "q263_filtergate_atscale", "q264_sourcecap_atscale",
-      "q265_verbatim_atscale", "q266_spanexcision_atscale")
+      "q265_verbatim_atscale", "q266_spanexcision_atscale",
+      "q267_retention_atscale", "q268_rarity_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

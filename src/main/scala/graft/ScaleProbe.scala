@@ -202,6 +202,20 @@ object SimScaleProbe {
       noop(Similarity.linkRecords(clean, Similarity.q235Dirty(clean))
         .groupBy(org.apache.spark.sql.functions.col("method")).count())
     }
+    // round-13 extension: SemDeDup probed along its DOCUMENTED scale axis
+    // (k ∝ n, cell size held at 256) — the pair stage is then linear
+    // (Σ|cell|² = n·256), and the probe deliberately exposes the flat
+    // broadcast-argmin assignment's n·k = n²/256 term (the stage a
+    // production deployment swaps for IVF-bucketed assignment; see the
+    // semanticDedup scaladoc)
+    def semdedupRun(vecs: Long): Unit =
+      noop(Similarity.semanticDedup(
+          Similarity.q230Frame(spark, vecs).select(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")),
+          "vec_id", "embedding", k = (vecs / 256).toInt, iters = 1,
+          threshold = 0.9)
+        .groupBy(org.apache.spark.sql.functions.col("kept")).count())
     val fams = Seq(
       // 1× = 2^18 vectors (quarter registry scale), 8× = 2^21
       Fam("ann_multiprobe", annRun, 8192L, 65536L),
@@ -210,7 +224,9 @@ object SimScaleProbe {
       Fam("minhash_lsh", minhashRun, 131072L, 1048576L),
       // 1× = 2^17, 8× = 2^20 (the registry-gate scale)
       Fam("kmeans_lloyd", kmeansRun, 1L << 17, 1L << 20),
-      Fam("record_linkage", linkageRun, 1L << 17, 1L << 20))
+      Fam("record_linkage", linkageRun, 1L << 17, 1L << 20),
+      // 1× = 2^14 (k=64 cells), 8× = 2^17 (k=512 cells)
+      Fam("semdedup_cells", semdedupRun, 1L << 14, 1L << 17))
 
     ProbeRunner.runProbe(spark, fams)
     spark.stop()
@@ -311,6 +327,71 @@ object RelScaleProbe {
       Fam("profile_onescan", profileRun, 1L << 17, 1L << 20),
       Fam("hll_dedup_first", hllRun, 1L << 20, 1L << 23),
       Fam("cube_expand", cubeRun, 1L << 19, 1L << 22))
+
+    ProbeRunner.runProbe(spark, fams)
+    spark.stop()
+  }
+}
+
+/** Scaling-exponent probe for the ten q257–q266 curation-gate families
+  * added in the back half of round 13 — same 1×-vs-8× protocol as
+  * [[SimScaleProbe]]/[[RelScaleProbe]], each family scaled on its own
+  * generator parameter with structure fixed. The scan-shaped families
+  * (filtergate, urldedup, chunking) honestly expect exp ≈ 1; the probe
+  * exists to catch a superlinear term (a resort, a blowup join, a
+  * vocabulary explosion) appearing at size.
+  * `sbt "runMain graft.CurationScaleProbe"`; results in SCALE_PROBE.md. */
+object CurationScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = LocalSession.build(cpus)
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, Importance, Pipeline, Similarity, TextAnalysis, Urls}
+    import ProbeRunner.{Fam, noop}
+
+    def pqadcRun(vecs: Long): Unit =
+      noop(Similarity.pqAdcTopK(Similarity.q257Frame(spark, vecs),
+        "vec_id", "embedding", Seq((1, 2), (3, 2)),
+        Similarity.pqK, Similarity.pqIters, Similarity.pqTopK))
+    def cooccurRun(docs: Long): Unit =
+      noop(TextAnalysis.cooccurrence(TextAnalysis.q258Frame(spark, docs),
+        "text", win = 2, k = 40))
+    def tfidfRun(docs: Long): Unit =
+      noop(TextAnalysis.q259TfidfAtScale0(spark, docs))
+    def urlRun(urls: Long): Unit =
+      noop(Urls.q260Frame(spark, urls)
+        .withColumn("curl", Urls.canonicalizeUrl(col("url")))
+        .groupBy(col("curl"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("kd"),
+          sum(length(col("url"))).as("ct")))
+    def dsirRun(docs: Long): Unit =
+      noop(Importance.dsirWeights(Importance.q261Frame(spark, docs),
+          "doc_id", "text", col("doc_id") % 64 < 8)
+        .groupBy((col("doc_id") % 64).as("cls")).count())
+    def chunkRun(docs: Long): Unit =
+      noop(Pipeline.chunkOverlap(Pipeline.q262Frame(spark, docs),
+        "doc_id", "text", window = 64, stride = 32))
+    def gateRun(docs: Long): Unit =
+      noop(TextAnalysis.q263FiltergateAtScale0(spark, docs))
+    def capRun(docs: Long): Unit =
+      noop(Pipeline.q264SourcecapAtScale0(spark, docs))
+    def verbatimRun(docs: Long): Unit =
+      noop(Dedup.q265VerbatimAtScale0(spark, docs))
+    def exciseRun(docs: Long): Unit =
+      noop(Dedup.q266SpanexcisionAtScale0(spark, docs))
+
+    // big point = the registry-gate scale (2^20) for every family
+    val fams = Seq(
+      Fam("pqadc_lut", pqadcRun, 1L << 17, 1L << 20),
+      Fam("cooccur_window", cooccurRun, 1L << 17, 1L << 20),
+      Fam("tfidf_rank", tfidfRun, 1L << 17, 1L << 20),
+      Fam("urldedup_collapse", urlRun, 1L << 17, 1L << 20),
+      Fam("dsir_buckets", dsirRun, 1L << 17, 1L << 20),
+      Fam("chunk_overlap", chunkRun, 1L << 17, 1L << 20),
+      Fam("filter_gate", gateRun, 1L << 17, 1L << 20),
+      Fam("sourcecap_salted", capRun, 1L << 17, 1L << 20),
+      Fam("verbatim_windows", verbatimRun, 1L << 17, 1L << 20),
+      Fam("span_excision", exciseRun, 1L << 17, 1L << 20))
 
     ProbeRunner.runProbe(spark, fams)
     spark.stop()

@@ -569,9 +569,17 @@ object Similarity {
     * e.g. 100k cells for 100M docs) and the within-cell join shuffles both
     * sides on `cluster`, never forming |corpus|² candidates. Training cost
     * is [[kMeans]]'s: one corpus pass per Lloyd round against broadcast
-    * centroids. The keep rule needs no global order — each cell resolves
-    * independently, and the anti-join side (`dropped`) partial-aggregates
-    * map-side via `distinct`. */
+    * centroids — and with k ∝ N that flat argmin is an honest N·k = N²/
+    * ⟨cell⟩ term (SimScaleProbe's `semdedup_cells` row measures it). At
+    * the 100M-doc/100k-cell point a production deployment swaps the
+    * assignment step for IVF-bucketed routing ([[annCosineTopK]]'s cell
+    * probe — assign against the ~√k coarse centroids, then argmin within
+    * the routed cells), which drops assignment to N·√k while leaving the
+    * pair stage, the keep rule, and this operator's plan untouched; the
+    * flat argmin stays the cheaper constant at gate scale. The keep rule
+    * needs no global order — each cell resolves independently, and the
+    * anti-join side (`dropped`) partial-aggregates map-side via
+    * `distinct`. */
   def semanticDedup(corpus0: DataFrame, id: String, vec: String,
                     k: Int, iters: Int, threshold: Double): DataFrame = {
     val ve = graft.CacheRegistry.persist(

@@ -1685,6 +1685,84 @@ object TextAnalysis {
         min(col("rarity")).as("min_rarity"), max(col("rarity")).as("max_rarity"))
   }
 
+  // --- q268_rarity_atscale: CCNet tiers at 2^20 documents -----------------
+  /** At-scale correctness coverage for [[rarityBuckets]] — q133 tiers the
+    * ~500-doc sf corpus; this replays the SAME entry point (k = 3) over
+    * 2²⁰ range-built documents in four frequency classes (`id mod 4`,
+    * text = token `w<c>` repeated c+1 times → corpus frequencies
+    * 2¹⁸·(c+1), rarities T div cnt = 10/5/3/2), chosen so the tier
+    * boundaries land INSIDE classes: N = 2²⁰ over k = 3 gives tile
+    * sizes 349 526/349 525/349 525, splitting both the rarity-2 and
+    * rarity-5 classes across adjacent tiers — the exact-k-tile rank
+    * arithmetic (distinct-score cumulative via rangePrefixSum + the
+    * closed-form NTILE formula) is what decides 2¹⁷ borderline docs,
+    * not one fixture row. Rollup by (bucket, class) with count, rarity
+    * envelope, and an id sum so a single misassigned doc moves a
+    * checksum. The oracle replays the pipeline with DuckDB's native
+    * NTILE — the q133 independent-derivation contract at ~2,000× the
+    * rows.
+    *
+    * Honest residual, priced by this corpus on purpose: the per-score
+    * `row_number` inside [[rarityBuckets]] partitions by the rarity
+    * VALUE, so when scores collapse to k_distinct ≪ parallelism (here 4
+    * × 2¹⁸-row partitions — the adversarial extreme; real perplexity
+    * scores collapse far less), each score is a single-task sort. The
+    * cumulative ACROSS scores already rides rangePrefixSum; if a
+    * production score domain ever collapses this hard, the same
+    * range-slice treatment applies WITHIN a score (order by the doc key
+    * per slice, offset by slice counts) — a mechanical extension that
+    * changes no semantics. */
+  private[graft] val q268Docs = 1L << 20
+
+  private[graft] def q268TextSql: String =
+    (0 until 4).map { c =>
+      s"WHEN $c THEN '${Seq.fill(c + 1)(s"w$c").mkString(" ")}'"
+    }.mkString("CASE doc_id % 4 ", " ", " END")
+
+  private[graft] def q268Frame(spark: SparkSession,
+                               docs: Long = q268Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), expr(q268TextSql).as("text"))
+
+  def q268RarityAtScale(spark: SparkSession, dir: String): DataFrame =
+    q268RarityAtScale0(spark, q268Docs)
+
+  private[graft] def q268RarityAtScale0(spark: SparkSession,
+                                        docs: Long): DataFrame =
+    rarityBuckets(q268Frame(spark, docs), "doc_id", "text")
+      .groupBy(col("bucket"), (col("doc_id") % 4).as("cls"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rarity")).as("min_rarity"),
+        max(col("rarity")).as("max_rarity"),
+        sum(col("doc_id")).as("sum_ids"))
+
+  private[graft] def q268OracleSql(docs: Long = q268Docs): String = s"""
+    WITH d AS (
+      SELECT u.i AS doc_id,
+             ${q268TextSql.replace("doc_id % 4", "u.i % 4")} AS text
+      FROM range(0, $docs) AS u(i)),
+    t AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM d) x
+      WHERE w <> ''),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY doc_id, w),
+    freq AS (SELECT w, SUM(tf) AS cnt FROM tf GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS T FROM freq),
+    sc AS (SELECT doc_id,
+                  SUM(tf * (T // cnt)) // SUM(tf) AS rarity
+           FROM tf JOIN freq USING (w), tot GROUP BY doc_id),
+    nt AS (SELECT doc_id, rarity,
+                  CAST(NTILE(3) OVER (ORDER BY rarity, doc_id) AS INT)
+                    AS bucket
+           FROM sc)
+    SELECT bucket, doc_id % 4 AS cls, COUNT(*) AS n_docs,
+           CAST(MIN(rarity) AS BIGINT) AS min_rarity,
+           CAST(MAX(rarity) AS BIGINT) AS max_rarity,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM nt GROUP BY 1, 2"""
+
   val q133RarityBucketSql: String = """
     WITH t AS (
       SELECT doc_id, w FROM (
@@ -1986,6 +2064,7 @@ object TextAnalysis {
     "q258_cooccur_atscale" -> q258CooccurAtScale _,
     "q259_tfidf_atscale" -> q259TfidfAtScale _,
     "q263_filtergate_atscale" -> q263FiltergateAtScale _,
+    "q268_rarity_atscale" -> q268RarityAtScale _,
     "q244_bpe_atscale"  -> q244BpeAtScale _,
     "q140_lm_score"     -> q140LmScore _,
   )
@@ -2019,6 +2098,7 @@ object TextAnalysis {
     "q258_cooccur_atscale" -> q258OracleSql(),
     "q259_tfidf_atscale" -> q259OracleSql(),
     "q263_filtergate_atscale" -> q263OracleSql(),
+    "q268_rarity_atscale" -> q268OracleSql(),
     "q244_bpe_atscale"  -> q244OracleSql(),
     "q140_lm_score"     -> q140LmScoreSql,
   )

@@ -712,6 +712,60 @@ object Windows {
              AS steps_completed
     FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
 
+  // --- q267_retention_atscale: the cohort matrix at 2^20 users ------------
+  /** At-scale correctness coverage for [[retentionMatrix]] — q107 runs
+    * over the ~250-user sf events table; this replays the SAME entry
+    * point over 2²⁰ range-built users in 8 cohorts (first day =
+    * id mod 8) × 4 activity classes (`(id div 8) mod 4` → offset sets
+    * {0}, {0,1}, {0,1,7}, {0,30}), every (user, day) emitted as THREE
+    * raw events with intra-day microsecond jitter — the duplication the
+    * distinct-first collapse exists for (~6M raw events → ~2.1M
+    * distinct (user, day) rows). Classes are independent of cohorts by
+    * construction, so every matrix cell is closed form: offset 0 counts
+    * all four classes (131,072 per cohort), offset 1 two classes,
+    * offsets 7/30 one each — 32 cells the oracle emits directly. What
+    * the gate holds closed at volume: raw events collapse BEFORE any
+    * cohort arithmetic (the distinct is the only event-sized shuffle),
+    * the cohort min rides the same (user, day) frame, and no per-user
+    * window exists anywhere. */
+  private[graft] val q267Users = 1L << 20
+
+  private[graft] def q267Events(spark: SparkSession,
+                                users: Long = q267Users): DataFrame =
+    spark.range(users).select(col("id").as("user_id"))
+      .select(col("user_id"),
+        explode(expr("""CASE CAST((user_id div 8) % 4 AS INT)
+                          WHEN 0 THEN array(0, 0, 0)
+                          WHEN 1 THEN array(0, 1, 1)
+                          WHEN 2 THEN array(0, 1, 7)
+                          ELSE array(0, 30, 30) END""")).as("off"))
+      .select(col("user_id"), col("off"),
+        explode(expr("sequence(0, 2)")).as("rep"))
+      .select(col("user_id"),
+        expr("""timestamp_micros((user_id % 8 + off) * 86400000000L
+                  + (user_id % 1000) * 1000 + rep)""").as("ts"))
+
+  def q267RetentionAtScale(spark: SparkSession, dir: String): DataFrame =
+    q267RetentionAtScale0(spark, q267Users)
+
+  private[graft] def q267RetentionAtScale0(spark: SparkSession,
+                                           users: Long): DataFrame =
+    retentionMatrix(q267Events(spark, users), "user_id", "ts")
+
+  private[graft] def q267OracleSql(users: Long = q267Users): String = {
+    val perCohort = users / 8
+    val cells = (0 until 8).flatMap { d =>
+      // offset → how many of the four classes contain it
+      Seq(0 -> 4L, 1 -> 2L, 7 -> 1L, 30 -> 1L).map { case (o, k) =>
+        (d, o, k * perCohort / 4)
+      }
+    }
+    cells.map { case (d, o, n) =>
+      s"SELECT CAST($d AS INT) AS cohort_day, CAST($o AS INT) AS day_offset, " +
+        s"CAST($n AS BIGINT) AS n_users"
+    }.mkString("\n    UNION ALL\n    ")
+  }
+
   // --- q187_funnel_latency: time-to-convert order statistics --------------
   /** How long conversion takes, not just whether it happens: exact
     * p25/p50/p75/p90 of `t_last − t_first` microseconds over entities
@@ -1058,6 +1112,7 @@ object Windows {
     "q196_interarrival" -> q196Interarrival _,
     "q103_funnel"       -> q103Funnel _,
     "q248_funnel_atscale" -> q248FunnelAtScale _,
+    "q267_retention_atscale" -> q267RetentionAtScale _,
     "q107_retention"    -> q107Retention _,
     "q129_rolling_anomaly" -> q129RollingAnomaly _,
     "q137_transitions"  -> q137Transitions _,
@@ -1079,6 +1134,7 @@ object Windows {
     "q196_interarrival" -> q196InterarrivalSql,
     "q103_funnel"       -> q103FunnelSql,
     "q248_funnel_atscale" -> q248OracleSql(),
+    "q267_retention_atscale" -> q267OracleSql(),
     "q107_retention"    -> q107RetentionSql,
     "q129_rolling_anomaly" -> q129RollingAnomalySql,
     "q137_transitions"  -> q137TransitionsSql,

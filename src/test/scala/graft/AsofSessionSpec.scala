@@ -7,6 +7,31 @@ import graft.ops.Joins
 import graft.streaming.Streams
 
 class AsofSessionSpec extends GraftSuite {
+
+  test("q267 small analog: the cohort matrix matches the closed-form " +
+      "cells and raw triplication collapses") {
+    val users = 4096L
+    val perCohort = users / 8
+    val expected = (0 until 8).flatMap { d =>
+      Seq(0 -> 4L, 1 -> 2L, 7 -> 1L, 30 -> 1L).map { case (o, k) =>
+        (d, o) -> k * perCohort / 4
+      }
+    }.toMap
+    val got = graft.ops.Windows.q267RetentionAtScale0(spark, users)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected, {
+      val d = (got.keySet ++ expected.keySet)
+        .find(k => got.get(k) != expected.get(k))
+      s"first diff at $d: got ${d.flatMap(got.get)}, " +
+        s"want ${d.flatMap(expected.get)}"
+    })
+    // the raw frame really is triplicated + class-duplicated
+    assert(graft.ops.Windows.q267Events(spark, 64L).count() == 64L * 9)
+  }
+
+  test("q267 synthetic corpus is at the claimed scale") {
+    assert(graft.ops.Windows.q267Events(spark).count() == 9437184L)
+  }
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)

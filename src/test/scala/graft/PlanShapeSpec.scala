@@ -853,6 +853,26 @@ class PlanShapeSpec extends GraftSuite {
       "a corpus-sized sort-merge appeared: " + p.take(800))
   }
 
+  test("q267 retention at scale: raw events collapse to distinct " +
+      "(user, day) first — no per-user window, no nested loop") {
+    val p = plan("q267_retention_atscale")
+    assert(!p.contains("Window"), "cohort matrix acquired a window pass")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q268 rarity at scale: the distinct-score cumulative rides " +
+      "rangePrefixSum's range slices; no cartesian anywhere") {
+    // (BroadcastNestedLoopJoin appears several times, but each is a
+    // 1-row global aggregate — T and N — re-printed wherever the shared
+    // `scored` subtree recurs in the unreused plan string; the
+    // load-bearing pins are the range repartition and no-cartesian)
+    val p = plan("q268_rarity_atscale")
+    assert(p.contains("rangepartitioning"),
+      "rangePrefixSum's range slices vanished: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {

@@ -547,4 +547,38 @@ class TextAnalysisSpec extends GraftSuite {
   test("q263 synthetic corpus is at the claimed scale") {
     assert(TextAnalysis.q263Frame(spark).count() == 1048576L)
   }
+
+  test("q268 small analog: tier assignment matches a naive driver-side " +
+      "sort + NTILE simulation, boundaries inside classes") {
+    val docs = 4096L
+    // rarity per class: T = 10m, cnt_c = (c+1)m → T div cnt = 10/(c+1)
+    val rarity = Map(0L -> 10L, 1L -> 5L, 2L -> 3L, 3L -> 2L)
+    val ordered = (0L until docs).map(d => (rarity(d % 4), d)).sorted
+    val (q, rem) = (docs / 3, docs % 3)
+    def bucketOf(rank: Long): Int = // rank is 1-based
+      (if (rank <= rem * (q + 1)) (rank + q) / (q + 1)
+       else rem + (rank - rem * (q + 1) + q - 1) / q).toInt
+    val expected = ordered.zipWithIndex
+      .map { case ((r, d), i) => (bucketOf(i + 1), d % 4, r, d) }
+      .groupBy { case (b, c, _, _) => (b, c) }
+      .map { case ((b, c), xs) =>
+        (b, c) -> ((xs.size.toLong, xs.map(_._3).min, xs.map(_._3).max,
+          xs.map(_._4).sum)) }
+    val got = TextAnalysis.q268RarityAtScale0(spark, docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, {
+      val d = (got.keySet ++ expected.keySet)
+        .find(k => got.get(k) != expected.get(k))
+      s"first diff at $d: got ${d.flatMap(got.get)}, " +
+        s"want ${d.flatMap(expected.get)}"
+    })
+    // both boundary classes really split across tiers
+    assert(got.keySet.count(_._2 == 2L) == 2, "rarity-3 class not split")
+    assert(got.keySet.count(_._2 == 1L) == 2, "rarity-5 class not split")
+  }
+
+  test("q268 synthetic corpus is at the claimed scale") {
+    assert(TextAnalysis.q268Frame(spark).count() == 1048576L)
+  }
 }
