@@ -138,7 +138,8 @@ object Bench {
       "q261_dsir_atscale", "q262_chunk_atscale",
       "q263_filtergate_atscale", "q264_sourcecap_atscale",
       "q265_verbatim_atscale", "q266_spanexcision_atscale",
-      "q267_retention_atscale", "q268_rarity_atscale")
+      "q267_retention_atscale", "q268_rarity_atscale",
+      "q269_clustersplit_atscale", "q270_correlations_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

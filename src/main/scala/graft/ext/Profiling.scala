@@ -1673,9 +1673,79 @@ object Profiling {
            ${graft.ops.Relational.ratio6Sql("dnum", "na * nb")} AS ks6
     FROM d"""
 
+  // --- q270_correlations_atscale: the co-moment triangle at 2^20 rows -----
+  /** At-scale correctness coverage for [[correlations]] — q115 runs over
+    * the ~6k-row lineitem slice; this replays the SAME entry point over
+    * 2²⁰ range-built rows in 4 groups with planted integer
+    * relationships: x = j mod 1000, y = 2x + parity jitter (near-perfect
+    * positive), z = 999 − x (EXACTLY affine-negative, so corr_x_z must
+    * come out at the double closest to −1 in both engines). Values are
+    * kept ≤ 2·10³ so every co-moment product stays far inside BIGINT
+    * (n·Σxy ≈ 7·10¹⁶ — the headroom the operator's integer-first design
+    * claims). The oracle emits the closed form: per-group sums computed
+    * exactly in the oracle generator, then the IDENTICAL
+    * double-division/sqrt op sequence, so the 12 correlation doubles are
+    * bit-for-bit. What the gate holds closed at volume: one groupBy
+    * computes all 10 co-moments map-side-partial — no second scan, no
+    * window, no join. */
+  private[graft] val q270Rows = 1L << 20
+
+  private[graft] def q270Frame(spark: SparkSession,
+                               rows: Long = q270Rows): DataFrame =
+    spark.range(rows).select(
+      pmod(col("id"), lit(4L)).as("g"),
+      expr("(id div 4) % 1000").as("x"),
+      expr("2 * ((id div 4) % 1000) + (id div 4 + id % 4) % 2").as("y"),
+      expr("999 - (id div 4) % 1000").as("z"))
+
+  def q270CorrelationsAtScale(spark: SparkSession, dir: String): DataFrame =
+    q270CorrelationsAtScale0(spark, q270Rows)
+
+  private[graft] def q270CorrelationsAtScale0(spark: SparkSession,
+                                              rows: Long): DataFrame =
+    correlations(q270Frame(spark, rows), "g", Seq(
+      "x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+
+  /** Closed-form oracle: replay the per-group sums exactly (driver-side
+    * Long arithmetic over the generator's j-walk), then the operator's
+    * own double op sequence — one division over one sqrt of a product —
+    * so the emitted literals are the bit-identical doubles. */
+  private[graft] def q270OracleSql(rows: Long = q270Rows): String = {
+    val rowsOf = (g: Long) =>
+      (0L until rows / 4).map { j =>
+        val x = j % 1000
+        (x, 2 * x + (j + g) % 2, 999 - x)
+      }
+    def corr(n: Long, sa: Long, sb: Long, saa: Long, sbb: Long,
+             sab: Long): Double = {
+      val covn = n * sab - sa * sb
+      val vx = n * saa - sa * sa
+      val vy = n * sbb - sb * sb
+      covn.toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+    }
+    (0L until 4L).map { g =>
+      val rs = rowsOf(g)
+      val n = rs.size.toLong
+      val (sx, sy, sz) = (rs.map(_._1).sum, rs.map(_._2).sum, rs.map(_._3).sum)
+      val sxx = rs.map(r => r._1 * r._1).sum
+      val syy = rs.map(r => r._2 * r._2).sum
+      val szz = rs.map(r => r._3 * r._3).sum
+      val sxy = rs.map(r => r._1 * r._2).sum
+      val sxz = rs.map(r => r._1 * r._3).sum
+      val syz = rs.map(r => r._2 * r._3).sum
+      val (cxy, cxz, cyz) = (corr(n, sx, sy, sxx, syy, sxy),
+        corr(n, sx, sz, sxx, szz, sxz), corr(n, sy, sz, syy, szz, syz))
+      s"""SELECT CAST($g AS BIGINT) AS g, CAST($n AS BIGINT) AS n,
+            CAST('${cxy}' AS DOUBLE) AS corr_x_y,
+            CAST('${cxz}' AS DOUBLE) AS corr_x_z,
+            CAST('${cyz}' AS DOUBLE) AS corr_y_z"""
+    }.mkString("\n    UNION ALL\n    ")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile"      -> q85Profile _,
     "q243_profile_atscale" -> q243ProfileAtScale _,
+    "q270_correlations_atscale" -> q270CorrelationsAtScale _,
     "q86_constraints"  -> q86Constraints _,
     "q115_correlations" -> q115Correlations _,
     "q121_ecdf"         -> q121Ecdf _,
@@ -1703,6 +1773,7 @@ object Profiling {
   def oracles: Map[String, String] = Map(
     "q85_profile"      -> q85ProfileSql,
     "q243_profile_atscale" -> q243OracleSql(),
+    "q270_correlations_atscale" -> q270OracleSql(),
     "q86_constraints"  -> q86ConstraintsSql,
     "q115_correlations" -> q115CorrelationsSql,
     "q121_ecdf"         -> q121EcdfSql,

@@ -121,6 +121,57 @@ object Sampling {
       .drop("thr")
   }
 
+  // --- q269_clustersplit_atscale: leakage-safe split at 2^20 documents ----
+  /** At-scale correctness coverage for [[clusterSplit]] — q68 splits the
+    * ~500-doc sf clustering; this replays the SAME entry point
+    * (train 0.8 / val 0.1) over 2²⁰ range-built documents in 2¹⁸
+    * four-doc clusters (`cluster = doc_id div 4`). The operator keys the
+    * hash on the CLUSTER, so the leakage-safety contract — every member
+    * of a near-dup cluster lands in the SAME split, the property that
+    * keeps a duplicated document from straddling train and test — holds
+    * for 2¹⁸ clusters, and the rollup proves it structurally:
+    * `n_docs = 4 · n_clusters` in every split row (a doc-keyed hash
+    * would break the equality with probability ≈ 1). Membership is
+    * pinned by per-split doc-id and cluster-id sums; the oracle replays
+    * the md5-threshold arithmetic over the same generator. Scale shape:
+    * the split is one codegen'd projection — the rollup owns the plan's
+    * only exchange. */
+  private[graft] val q269Docs = 1L << 20
+
+  private[graft] def q269Frame(spark: SparkSession,
+                               docs: Long = q269Docs): DataFrame =
+    spark.range(docs).select(col("id").as("doc_id"),
+      expr("id div 4").as("cluster"))
+
+  def q269ClustersplitAtScale(spark: SparkSession, dir: String): DataFrame =
+    q269ClustersplitAtScale0(spark, q269Docs)
+
+  private[graft] def q269ClustersplitAtScale0(spark: SparkSession,
+                                              docs: Long): DataFrame =
+    clusterSplit(q269Frame(spark, docs), "cluster")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("cluster")).as("sum_clusters"))
+
+  private[graft] def q269OracleSql(docs: Long = q269Docs): String = s"""
+    WITH d AS (
+      SELECT u.i AS doc_id, u.i // 4 AS cluster,
+             substr(md5(CAST(u.i // 4 AS VARCHAR)), 1, 2) AS b
+      FROM range(0, $docs) AS u(i)),
+    s AS (
+      SELECT doc_id, cluster,
+             CASE WHEN b < '${rateThreshold(0.8)}' THEN 'train'
+                  WHEN b < '${rateThreshold(0.9)}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(cluster) AS BIGINT) AS sum_clusters
+    FROM s GROUP BY 1"""
+
   // --------------------------------------------------------------- queries
 
   /** Per-language sampling plan for q67 — also the source of the oracle's
@@ -810,6 +861,7 @@ object Sampling {
     "q217_ticket_atscale"   -> q217TicketAtScale _,
     "q247_stratified_atscale" -> q247StratifiedAtScale _,
     "q255_temperature_atscale" -> q255TemperatureAtScale _,
+    "q269_clustersplit_atscale" -> q269ClustersplitAtScale _,
     "q127_group_sample"     -> q127GroupSample _,
     "q146_rendezvous"       -> q146Rendezvous _,
     "q171_hash_ring"        -> q171HashRing _,
@@ -826,6 +878,7 @@ object Sampling {
     "q217_ticket_atscale"   -> q217OracleSql(),
     "q247_stratified_atscale" -> q247OracleSql(),
     "q255_temperature_atscale" -> q255OracleSql(),
+    "q269_clustersplit_atscale" -> q269OracleSql(),
     "q127_group_sample"     -> q127GroupSampleSql,
     "q146_rendezvous"       -> q146RendezvousSql,
     "q171_hash_ring"        -> q171HashRingSql,

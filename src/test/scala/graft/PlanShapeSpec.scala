@@ -873,6 +873,21 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q269 clustersplit at scale: the split is a pure projection — " +
+      "the rollup owns the shuffles, no join, no window") {
+    val p = plan("q269_clustersplit_atscale")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q270 correlations at scale: all ten co-moments ride ONE " +
+      "map-side-partial aggregate — a single exchange, no join") {
+    val p = plan("q270_correlations_atscale")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(count(p, "HashAggregate") == 2, "partial agg lost map-side half")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
+
   test("q254 containment at scale: the df-cap drops hot tokens via a " +
       "broadcast ANTI-join (map-side, before any token shuffle); " +
       "everything else stays equi-keyed") {

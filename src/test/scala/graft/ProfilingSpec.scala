@@ -421,4 +421,43 @@ class ProfilingSpec extends GraftSuite {
     // the signed decRatio6 lane is only load-bearing if p5 goes negative
     assert(f.agg(min(col("p5"))).head.getLong(0) == 500000L - 1048575L)
   }
+
+  test("q270 small analog: the correlation triangle matches a naive " +
+      "driver-side co-moment replay bit-for-bit") {
+    val rows = 16384L
+    def naive(g: Long): (Double, Double, Double) = {
+      val rs = (0L until rows / 4).map { j =>
+        val x = j % 1000
+        (x, 2 * x + (j + g) % 2, 999 - x)
+      }
+      val n = rs.size.toLong
+      def corr(a: Seq[Long], b: Seq[Long]): Double = {
+        val (sa, sb) = (a.sum, b.sum)
+        val covn = n * a.zip(b).map { case (u, v) => u * v }.sum - sa * sb
+        val vx = n * a.map(u => u * u).sum - sa * sa
+        val vy = n * b.map(v => v * v).sum - sb * sb
+        covn.toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+      }
+      (corr(rs.map(_._1), rs.map(_._2)), corr(rs.map(_._1), rs.map(_._3)),
+        corr(rs.map(_._2), rs.map(_._3)))
+    }
+    val got = Profiling.q270CorrelationsAtScale0(spark, rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    (0L until 4L).foreach { g =>
+      val (n, cxy, cxz, cyz) = got(g)
+      val (exy, exz, eyz) = naive(g)
+      assert(n == rows / 4)
+      assert(cxy == exy && cxz == exz && cyz == eyz,
+        s"g=$g: ($cxy, $cxz, $cyz) vs ($exy, $exz, $eyz)")
+      // z = 999 - x is exactly affine-negative
+      assert(math.abs(cxz + 1.0) < 1e-12, s"corr_x_z $cxz")
+      assert(cxy > 0.999, s"corr_x_y $cxy")
+    }
+  }
+
+  test("q270 synthetic frame is at the claimed scale") {
+    assert(Profiling.q270Frame(spark).count() == (1L << 20))
+  }
 }

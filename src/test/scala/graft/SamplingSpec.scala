@@ -283,6 +283,33 @@ class SamplingSpec extends GraftSuite {
     assert(f.filter(col("source") === "hot").count() == 524288L)
   }
 
+  test("q269 small analog: every cluster lands whole in one split and " +
+      "the rollup matches a driver-side md5 replay") {
+    val docs = 4096L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(cluster: Long): String =
+      md.digest(cluster.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString
+    def splitOf(cluster: Long): String = {
+      val b = bucket(cluster)
+      if (b < "cd") "train" else if (b < "e6") "val" else "test"
+    }
+    val expected = (0L until docs).map(d => (splitOf(d / 4), d, d / 4))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> ((xs.size.toLong, xs.map(_._3).distinct.size.toLong,
+          xs.map(_._2).sum, xs.map(_._3).sum)) }
+    val got = ext.Sampling.q269ClustersplitAtScale0(spark, docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"got $got, want $expected")
+    // structural leakage-safety: docs = 4 x clusters in every split
+    got.values.foreach { case (n, nc, _, _) => assert(n == 4 * nc) }
+  }
+
+  test("q269 synthetic corpus is at the claimed scale") {
+    assert(ext.Sampling.q269Frame(spark).count() == 1048576L)
+  }
+
   test("bpe pair counts weight by word frequency, deterministic top-k") {
     import spark.implicits._
     // "ab" appears twice, "ba" once; single-char "x" contributes no pair
