@@ -177,9 +177,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // persisted: the exploded frame feeds both the df aggregation and the
-    // join back, so the expensive shingle-building subtree evaluates ONCE
+    // join back, so the expensive shingle-building subtree evaluates ONCE.
+    // Shingle payload: distinct on STRINGS first (the semantic unit), then
+    // every downstream stage carries `xxhash64(shingle)` (8 bytes) instead
+    // of the ~25+-byte 3-gram string — the verify join shuffles two full
+    // `sh` arrays per candidate row, so token width is the spill
+    // multiplier (the [[containmentPairs]] measurement: ~4× payload cut).
+    // Correctness: the prefix filter is pigeonhole-based and exact under
+    // any token encoding; sizes/intersections differ from string-level
+    // truth only if two DISTINCT shingles in one comparison collide in 64
+    // bits (≤ sz²·2⁻⁶⁴ per pair), and xxhash64 is deterministic, so the
+    // string-side oracle either always or never agrees for a corpus.
     val sh = CacheRegistry.persist(docs.select(col(id).as("doc_id"),
-      explode(array_distinct(shingles(col(text), n))).as("shingle")))
+      explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("tok")))
     // Document frequency via groupBy.count + join, NOT a value-keyed
     // window: count().over(Window.partitionBy(shingle)) puts every row of
     // a hot shingle on ONE task — a boilerplate 3-gram present in 10% of a
@@ -187,9 +198,9 @@ object Dedup {
     // runs. The aggregate partial-aggregates map-side (one row per shingle
     // per map task crosses the wire) and the join back distributes a hot
     // shingle's rows across however many tasks hold them.
-    val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("dfq"))
-    val ranked = sh.join(dfCounts, Seq("shingle"))
-    // per doc: full set sorted by (df, shingle) — rarest first — and the
+    val dfCounts = sh.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    val ranked = sh.join(dfCounts, Seq("tok"))
+    // per doc: full set sorted by (df, token) — rarest first — and the
     // prefix length from the bound above. Persisted: this subtree feeds the
     // plan FOUR times (prefix sides a+b, full-set sides fa+fb) — without
     // the persist the shingle df + aggregation runs 4× per query.
@@ -197,19 +208,19 @@ object Dedup {
     // it spills to disk, which still beats recomputation.
     val sets = CacheRegistry.persist(ranked
       .groupBy("doc_id")
-      // groupagg-ok: one document's distinct shingles — doc-sized
-      .agg(sort_array(collect_list(struct(col("dfq"), col("shingle"))))
+      // groupagg-ok: one document's hashed shingle tokens — doc-sized
+      .agg(sort_array(collect_list(struct(col("dfq"), col("tok"))))
         .as("ranked"))
       .select(col("doc_id"),
-        transform(col("ranked"), r => r("shingle")).as("sh"),
+        transform(col("ranked"), r => r("tok")).as("sh"),
         size(col("ranked")).as("sz"))
       .withColumn("plen",
         (col("sz") - minInterExpr(threshold) + 1).cast("int")))
     val prefixes = sets.select(col("doc_id"),
-      explode(slice(col("sh"), lit(1), col("plen"))).as("shingle"))
+      explode(slice(col("sh"), lit(1), col("plen"))).as("tok"))
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -2174,6 +2185,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
 
   private[graft] def q265OracleSql(docs: Long = q265Docs): String = {
+    // the closed forms below count residue classes as exact fractions of
+    // `docs` — valid only when every class is full; a caller passing an
+    // unaligned size would get a silently wrong oracle, not an error
+    require(docs % 8 == 0, s"q265 oracle needs docs % 8 == 0, got $docs")
     val r = docs / 4                    // reuse docs: ids 0, 4, 8, …
     val s = docs / 8                    // short docs: ids 5, 13, 21, …
     val reuseSum = 2L * r * (r - 1)     // Σ 4j over j < r
@@ -2253,6 +2268,8 @@ object Dedup {
     (3, 1, (0 to 8).map(j => s"d$j").mkString(" "), 9))
 
   private[graft] def q266OracleSql(docs: Long = q266Docs): String = {
+    // same residue-class-fullness assumption as q265's oracle
+    require(docs % 4 == 0, s"q266 oracle needs docs % 4 == 0, got $docs")
     val m = docs / 4
     q266Frags.map { case (cls, fid, txt, nt) =>
       val sumIds = 2L * m * (m - 1) + cls.toLong * m

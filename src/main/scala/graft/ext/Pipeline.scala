@@ -299,7 +299,7 @@ object Pipeline {
     * 1..97 by `id % 97` (tokens `t0 t1 …`, so chunk CONTENT is a pure
     * function of the class): lengths below/at/above the window and every
     * stride remainder occur, tail chunks run short, and the corpus
-    * explodes to ~2.3M chunks over ~51M tokens. Because content is
+    * explodes to ~2.1M chunks over ~51M tokens. Because content is
     * class-determined, the rollup by (class, start_tok) pins everything:
     * the count pins the chunk-per-doc arithmetic, min = max pins
     * uniformity of both the short-tail length and the exact chunk text,

@@ -753,6 +753,10 @@ object Windows {
     retentionMatrix(q267Events(spark, users), "user_id", "ts")
 
   private[graft] def q267OracleSql(users: Long = q267Users): String = {
+    // closed forms assume full cohorts (users/8) that split evenly into the
+    // four offset classes (perCohort/4); an unaligned size would produce a
+    // silently wrong oracle, so fail loudly instead
+    require(users % 32 == 0, s"q267 oracle needs users % 32 == 0, got $users")
     val perCohort = users / 8
     val cells = (0 until 8).flatMap { d =>
       // offset → how many of the four classes contain it
