@@ -139,7 +139,8 @@ object Bench {
       "q263_filtergate_atscale", "q264_sourcecap_atscale",
       "q265_verbatim_atscale", "q266_spanexcision_atscale",
       "q267_retention_atscale", "q268_rarity_atscale",
-      "q269_clustersplit_atscale", "q270_correlations_atscale")
+      "q269_clustersplit_atscale", "q270_correlations_atscale",
+      "q272_kmeansivf_atscale", "q273_semdedupivf_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       var slow = false

@@ -216,6 +216,17 @@ object SimScaleProbe {
           "vec_id", "embedding", k = (vecs / 256).toInt, iters = 1,
           threshold = 0.9)
         .groupBy(org.apache.spark.sql.functions.col("kept")).count())
+    // round-14: the shipped IVF swap, probed on the IDENTICAL corpus, k,
+    // and sizes as semdedup_cells — the exponent gap between the two rows
+    // IS the N·k → N·√k claim, measured
+    def semdedupIvfRun(vecs: Long): Unit =
+      noop(Similarity.semanticDedupIvf(
+          Similarity.q230Frame(spark, vecs).select(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")),
+          "vec_id", "embedding", k = (vecs / 256).toInt, iters = 1,
+          threshold = 0.9)
+        .groupBy(org.apache.spark.sql.functions.col("kept")).count())
     val fams = Seq(
       // 1× = 2^18 vectors (quarter registry scale), 8× = 2^21
       Fam("ann_multiprobe", annRun, 8192L, 65536L),
@@ -226,7 +237,8 @@ object SimScaleProbe {
       Fam("kmeans_lloyd", kmeansRun, 1L << 17, 1L << 20),
       Fam("record_linkage", linkageRun, 1L << 17, 1L << 20),
       // 1× = 2^14 (k=64 cells), 8× = 2^17 (k=512 cells)
-      Fam("semdedup_cells", semdedupRun, 1L << 14, 1L << 17))
+      Fam("semdedup_cells", semdedupRun, 1L << 14, 1L << 17),
+      Fam("semdedup_ivf", semdedupIvfRun, 1L << 14, 1L << 17))
 
     ProbeRunner.runProbe(spark, fams)
     spark.stop()

@@ -354,7 +354,7 @@ object Similarity {
   def q48EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDup(nearDupCorpus(spark, dir), threshold = 0.9)
 
-  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = corpus(spark, dir)
     base.unionByName(
       base.filter(col("vec_id") < 50)
@@ -549,6 +549,49 @@ object Similarity {
       kMeansK, kMeansIters)}
     SELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM af"""
 
+  /** The DuckDB replay of [[kMeansIvf]], composed from [[kMeansCtes]] (the
+    * coarse chain, prefix `${pre}g`) plus unrolled per-cell fine rounds.
+    * Ends in `${pre}faf` = (vec_id, cid, ccell, d2-unrounded); the corpus
+    * CTE is `${pre}gve`. Per-cell seeds are ROW_NUMBER ≤ kf over
+    * (ccell, vec_id) — exactly [[Windows.perGroupTopK]]'s contract — and
+    * fine assignment joins each point to its own cell's centroids only,
+    * with the same (d2, cid) tie-break as the Spark struct-min. */
+  private[ext] def kMeansIvfCtes(veSql: String, k: Int, iters: Int,
+                                 pre: String = ""): String = {
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kf = (k + kc - 1) / kc
+    def fineAssign(i: String, prev: String) = s"""
+    ${pre}fs$i AS (SELECT p.vec_id, c.cid, c.ccell,
+                   list_dot_product(p.v, p.v) - 2*list_dot_product(p.v, c.c)
+                     + list_dot_product(c.c, c.c) AS d2
+            FROM ${pre}vc p JOIN $prev c ON c.ccell = p.ccell),
+    ${pre}fa$i AS (SELECT vec_id, cid, ccell, d2 FROM (
+              SELECT vec_id, cid, ccell, d2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cid) AS rn
+              FROM ${pre}fs$i) t WHERE rn = 1)"""
+    val fineSteps = (1 to iters).map { i =>
+      s""",${fineAssign(i.toString, s"${pre}fc${i - 1}")},
+    ${pre}fm$i AS (SELECT a.ccell, a.cid, r.i AS pos,
+                   CAST(SUM(CAST(e.v[r.i] AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*) AS x
+            FROM ${pre}fa$i a JOIN ${pre}vc e ON e.vec_id = a.vec_id,
+                 unnest(range(1, len(e.v) + 1)) AS r(i)
+            GROUP BY a.ccell, a.cid, r.i),
+    ${pre}fc$i AS (SELECT ccell, cid, list(x ORDER BY pos) AS c
+            FROM ${pre}fm$i GROUP BY ccell, cid)"""
+    }.mkString
+    s"""${kMeansCtes(veSql, kc, iters, s"${pre}g")},
+    ${pre}vc AS (SELECT e.vec_id, e.v, a.cid AS ccell
+           FROM ${pre}gve e JOIN ${pre}gaf a ON a.vec_id = e.vec_id),
+    ${pre}fc0 AS (SELECT ccell, CAST(vec_id AS BIGINT) AS cid, v AS c FROM (
+              SELECT ccell, vec_id, v,
+                     ROW_NUMBER() OVER (PARTITION BY ccell
+                                        ORDER BY vec_id) AS rn
+              FROM ${pre}vc) t WHERE rn <= $kf)$fineSteps,${
+      fineAssign("f", s"${pre}fc$iters")}"""
+  }
+
   // --- q74_semantic_dedup: SemDeDup — k-means cells, then cosine prune ----
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space with [[kMeans]], detect near-duplicate pairs only
@@ -571,12 +614,11 @@ object Similarity {
     * is [[kMeans]]'s: one corpus pass per Lloyd round against broadcast
     * centroids — and with k ∝ N that flat argmin is an honest N·k = N²/
     * ⟨cell⟩ term (SimScaleProbe's `semdedup_cells` row measures it). At
-    * the 100M-doc/100k-cell point a production deployment swaps the
-    * assignment step for IVF-bucketed routing ([[annCosineTopK]]'s cell
-    * probe — assign against the ~√k coarse centroids, then argmin within
-    * the routed cells), which drops assignment to N·√k while leaving the
-    * pair stage, the keep rule, and this operator's plan untouched; the
-    * flat argmin stays the cheaper constant at gate scale. The keep rule
+    * the 100M-doc/100k-cell point use [[semanticDedupIvf]]: two-level
+    * routing (coarse Lloyd at ⌈√k⌉ centroids, then per-cell fine Lloyd)
+    * drops assignment AND training to N·√k while leaving the pair stage,
+    * the keep rule, and this operator's plan untouched; the flat argmin
+    * here stays the cheaper constant at small k. The keep rule
     * needs no global order — each cell resolves independently, and the
     * anti-join side (`dropped`) partial-aggregates map-side via
     * `distinct`. */
@@ -584,7 +626,17 @@ object Similarity {
                     k: Int, iters: Int, threshold: Double): DataFrame = {
     val ve = graft.CacheRegistry.persist(
       corpus0.select(col(id), vecAsDouble(col(vec)).as("v")))
-    val asg = kMeansOnPersisted(ve, id, k, iters)
+    pruneWithinClusters(ve, kMeansOnPersisted(ve, id, k, iters), id, threshold)
+  }
+
+  /** SemDeDup's pair + keep stage over an `(id, cluster, d2)` assignment —
+    * shared verbatim by [[semanticDedup]] (flat argmin) and
+    * [[semanticDedupIvf]] (two-level routing): the clustering strategy
+    * changes WHERE pairs are sought, never the keep rule. Cells resolve
+    * independently (no global order), and the anti-join side
+    * partial-aggregates map-side via `distinct`. */
+  private def pruneWithinClusters(ve: DataFrame, asg: DataFrame,
+                                  id: String, threshold: Double): DataFrame = {
     val m = graft.CacheRegistry.persist(
       asg.join(ve, id).withColumn("nrm", norm(col("v"))))
     val dropped = m.as("l").join(m.as("r"),
@@ -599,6 +651,100 @@ object Similarity {
     m.select(col(id), col("cluster"))
       .join(dropped, Seq(id), "left_outer")
       .select(col(id), col("cluster"), col("drp").isNull.as("kept"))
+  }
+
+  /** Two-level ("IVF") k-means — [[kMeans]]'s scale path when the cluster
+    * count grows with the corpus (the SemDeDup regime: k ≈ N/⟨cell⟩, so a
+    * flat broadcast-argmin round is an honest N·k term). Every stage here
+    * is N·√k instead:
+    *
+    *  1. COARSE router: the plain Lloyd loop at kc = ⌈√k⌉ centroids —
+    *     N·√k per round, broadcast argmin, corpus never shuffled;
+    *  2. route every point to its coarse cell (one more N·√k argmin);
+    *  3. FINE codebook per cell, all cells trained simultaneously: seeds
+    *     are each cell's ⌈k/kc⌉ lowest-id members ([[Windows.perGroupTopK]]
+    *     — salt-safe, so a hot cell never funnels one task), and each
+    *     Lloyd round assigns points against ONLY their own cell's
+    *     centroids via a broadcast equi-join on the cell id (k total
+    *     centroid rows broadcast; N·(k/kc) = N·√k distance evals), with
+    *     the same decimal-exact means as [[kMeans]];
+    *  4. final within-cell argmin — N·√k.
+    *
+    * The approximation vs flat k-means: a point's best fine centroid is
+    * sought only inside its own coarse cell (nprobe = 1), the standard
+    * IVF trade. Everything is deterministic — lowest-id seeding at both
+    * levels, (d2, cid) tie-breaks, index-ordered double sums — so the
+    * DuckDB replay chain ([[kMeansIvfCtes]]) is bit-identical, the q73/
+    * q230 contract. Output: (id, cluster, ccell, d2) — cluster is the
+    * fine centroid's seed id, ccell the coarse cell's, both stable under
+    * any id set. */
+  def kMeansIvf(vecs0: DataFrame, id: String, vec: String,
+                k: Int, iters: Int): DataFrame = {
+    val ve = graft.CacheRegistry.persist(
+      vecs0.select(col(id), vecAsDouble(col(vec)).as("v")))
+    ivfAssign(ve, id, k, iters)
+  }
+
+  /** The two-level assignment kernel over an already-persisted `(id, v)`
+    * frame — split out so [[semanticDedupIvf]] shares the cached corpus
+    * projection with its pair stage, mirroring [[kMeansOnPersisted]]. */
+  private def ivfAssign(ve: DataFrame, id: String,
+                        k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kf = (k + kc - 1) / kc
+    val coarse = trainedCentroids(ve, id, kc, iters)
+    val vc = graft.CacheRegistry.persist(
+      ve.join(assignTo(ve, coarse, id)
+        .select(col(id), col("cid").as("ccell")), id))
+    // per-cell seeds: the kf lowest-id members of each coarse cell — the
+    // per-cell analogue of trainedCentroids' orderBy(id).limit(k) seeding;
+    // the fine cid label is the seed's own id, globally unique across cells
+    val seeds = Windows.perGroupTopK(vc, Seq(col("ccell")),
+        Seq(col(id).asc), col(id), kf)
+      .select(col("ccell"), col(id).cast("long").as("cid"), col("v").as("c"))
+    // one fine Lloyd round, every cell at once: points meet ONLY their own
+    // cell's centroids, so the struct-min argmin sees ≤ kf candidates
+    def assignCell(cent: DataFrame): DataFrame =
+      // bcast-ok: fine centroid frame — k rows total across all cells
+      vc.join(broadcast(cent), Seq("ccell"))
+        .withColumn("d2", dot(col("v"), col("v")) -
+          lit(2) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
+        .groupBy(col(id))
+        .agg(min(struct(col("d2"), col("cid"), col("ccell"))).as("m"))
+        .select(col(id), col("m.cid").as("cid"),
+          col("m.ccell").as("ccell"), col("m.d2").as("d2"))
+    def updateCell(asg: DataFrame): DataFrame =
+      asg.join(vc.drop("ccell"), id)
+        .select(col("ccell"), col("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("ccell"), col("cid"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("x"))
+        .groupBy(col("ccell"), col("cid"))
+        // groupagg-ok: dim rows per centroid — vector dimensionality, a constant
+        .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("ps"))
+        // per-row HOF over k tiny rows — interpreted is fine here
+        .select(col("ccell"), col("cid"),
+          transform(col("ps"), p => p("x")).as("c"))
+    var fine = seeds
+    for (_ <- 1 to iters) fine = updateCell(assignCell(fine))
+    assignCell(fine)
+      .select(col(id), col("cid").as("cluster"), col("ccell"),
+        round(col("d2"), 6).as("d2"))
+  }
+
+  /** [[semanticDedup]] with the flat argmin swapped for [[kMeansIvf]]'s
+    * two-level routing — the production shape at the 100M-doc/100k-cell
+    * point the semanticDedup scaladoc prices: assignment (and training)
+    * drop from N·k to N·√k while the pair stage, the keep rule, and the
+    * cluster-keyed pair join are untouched. */
+  def semanticDedupIvf(corpus0: DataFrame, id: String, vec: String,
+                       k: Int, iters: Int, threshold: Double): DataFrame = {
+    val ve = graft.CacheRegistry.persist(
+      corpus0.select(col(id), vecAsDouble(col(vec)).as("v")))
+    pruneWithinClusters(ve, ivfAssign(ve, id, k, iters).drop("ccell"),
+      id, threshold)
   }
 
   /** q74 runs [[semanticDedup]] over q48's planted corpus (base embeddings
@@ -1974,6 +2120,116 @@ object Similarity {
     FROM af GROUP BY cid"""
   }
 
+  // --- q272_kmeansivf_atscale: two-level (IVF) k-means at ≥1M vectors ------
+  /** At-scale correctness coverage for [[kMeansIvf]] — the N·√k two-level
+    * path has no sf-corpus analog (k there is 8), so this gates it directly:
+    * 2²⁰ 3-dim vectors on a 128×64 direction lattice (id % 8192 picks one
+    * of 8192 (v0, v1) lattice points; id div 8192 adds a 0..4 jitter in
+    * v2, so every lattice class holds 128 near-coincident rows), with
+    * k = 1024 → kc = 32 coarse stripes and kf = 32 fine centroids per
+    * cell. Both Lloyd levels, the per-cell lowest-id seeding, the routed
+    * broadcast equi-join, and the (d2, cid) tie-break all fire at volume;
+    * the oracle replays the identical composed [[kMeansIvfCtes]] chain
+    * over the same range generator — the q230 bit-identity contract for
+    * the two-level path. Output: per-(fine, cell) rollup (≤1024 rows) of
+    * membership count, exact id sum, and the d2 envelope. */
+  private[graft] val q272Vecs = 1L << 20
+  private[graft] val q272K = 1024
+
+  private[graft] def q272VecExprs: Seq[String] = Seq(
+    "CAST(1000 + (id % 8192) div 64 AS DOUBLE)",
+    "CAST((id % 8192) % 64 * 16 AS DOUBLE)",
+    "CAST((id div 8192) % 5 AS DOUBLE)")
+
+  private[graft] def q272Frame(spark: SparkSession,
+                               vecs: Long = q272Vecs): DataFrame =
+    spark.range(vecs).select(col("id").as("vec_id"),
+      array(q272VecExprs.map(expr): _*).as("embedding"))
+
+  def q272KmeansIvfAtScale(spark: SparkSession, dir: String): DataFrame =
+    kMeansIvf(q272Frame(spark), "vec_id", "embedding", q272K, iters = 1)
+      .groupBy(col("cluster"), col("ccell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"),
+        min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
+
+  private[graft] def q272OracleSql(vecs: Long = q272Vecs): String = {
+    val dims = q272VecExprs
+      .map(_.replace("id", "u.i").replace(" div ", " // "))
+      .mkString(",\n             ")
+    s"""
+    WITH ${kMeansIvfCtes(
+      s"""SELECT u.i AS vec_id,
+           [$dims] AS v
+         FROM range(0, $vecs) AS u(i)""", q272K, 1)}
+    SELECT cid AS cluster, ccell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           MIN(ROUND(d2, 6)) AS min_d2, MAX(ROUND(d2, 6)) AS max_d2
+    FROM faf GROUP BY cid, ccell"""
+  }
+
+  // --- q273_semdedupivf_atscale: IVF-routed SemDeDup at scale --------------
+  /** At-scale correctness coverage for [[semanticDedupIvf]] — q74 gates the
+    * flat-argmin SemDeDup on the ~500-vector sf corpus; this replays the
+    * IVF-routed form over 2¹⁸ 4-dim vectors: the q272 direction lattice
+    * (4096 classes × 64 rows) plus a VARIANT axis (id div 4096 alternates
+    * a 0/1400 component in v3 — cross-variant cosine lands at ~0.58–0.73,
+    * robustly under the 0.9 threshold, while same-variant same-class pairs
+    * sit at ~1), so the within-cell pair stage must both accept and reject
+    * at volume and the farthest-first keep order is load-bearing wherever
+    * a cell holds near-ties. k = 2048 keeps fine cells at ~128 rows —
+    * pair candidates stay Σ|cell|² ≈ n·128, the linear budget the k ∝ n
+    * discipline promises. The oracle replays the whole pipeline: the
+    * composed [[kMeansIvfCtes]] chain, the same rounded cosine, the same
+    * keep rule — clustering drift, a missed pair, or a wrong keep
+    * decision all fail the hash. Output: rollup by (vec_id % 64, kept)
+    * with count and exact id sum. */
+  private[graft] val q273Vecs = 1L << 18
+  private[graft] val q273K = 2048
+
+  private[graft] def q273VecExprs: Seq[String] = Seq(
+    "CAST(1000 + (id % 4096) div 64 AS DOUBLE)",
+    "CAST((id % 4096) % 64 * 16 AS DOUBLE)",
+    "CAST((id div 4096) % 2 * 1400 AS DOUBLE)",
+    "CAST((id div 8192) % 5 AS DOUBLE)")
+
+  private[graft] def q273Frame(spark: SparkSession,
+                               vecs: Long = q273Vecs): DataFrame =
+    spark.range(vecs).select(col("id").as("vec_id"),
+      array(q273VecExprs.map(expr): _*).as("embedding"))
+
+  def q273SemdedupIvfAtScale(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupIvf(q273Frame(spark), "vec_id", "embedding", q273K,
+      iters = 1, threshold = 0.9)
+      .groupBy((col("vec_id") % 64).as("cls"), col("kept"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("vec_id")).as("sum_ids"))
+
+  private[graft] def q273OracleSql(vecs: Long = q273Vecs): String = {
+    val dims = q273VecExprs
+      .map(_.replace("id", "u.i").replace(" div ", " // "))
+      .mkString(",\n             ")
+    s"""
+    WITH ${kMeansIvfCtes(
+      s"""SELECT u.i AS vec_id,
+           [$dims] AS v
+         FROM range(0, $vecs) AS u(i)""", q273K, 1)},
+    r AS (SELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM faf),
+    mv AS (SELECT r.vec_id, r.cluster, r.d2, e.v,
+                  sqrt(list_dot_product(e.v, e.v)) AS nrm
+           FROM r JOIN gve e ON e.vec_id = r.vec_id),
+    dropped AS (
+      SELECT DISTINCT l.vec_id
+      FROM mv l JOIN mv rr
+        ON l.cluster = rr.cluster AND l.vec_id <> rr.vec_id
+       AND (rr.d2 > l.d2 OR (rr.d2 = l.d2 AND rr.vec_id < l.vec_id))
+      WHERE ROUND(list_dot_product(l.v, rr.v) / (l.nrm * rr.nrm), 6) >= 0.9)
+    SELECT CAST(mv.vec_id % 64 AS BIGINT) AS cls,
+           (d.vec_id IS NULL) AS kept,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(mv.vec_id) AS BIGINT) AS sum_ids
+    FROM mv LEFT JOIN dropped d ON d.vec_id = mv.vec_id
+    GROUP BY 1, 2"""
+  }
+
   // --- q257_pqadc_atscale: PQ train + ADC top-k at ≥1M vectors -------------
   /** At-scale correctness coverage for [[productQuantize]]/[[pqAdcTopK]] —
     * q99/q100 train on the ~500-vector sf corpus; this replays the SAME
@@ -2038,6 +2294,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q257_pqadc_atscale" -> q257PqAdcAtScale _,
     "q230_kmeans_atscale" -> q230KmeansAtScale _,
+    "q272_kmeansivf_atscale" -> q272KmeansIvfAtScale _,
+    "q273_semdedupivf_atscale" -> q273SemdedupIvfAtScale _,
     "q207_ann_atscale" -> q207AnnAtScale _,
     "q208_cosine_atscale" -> q208CosineAtScale _,
     "q203_int8_quant" -> q203Int8Quant _,
@@ -2068,6 +2326,8 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "q257_pqadc_atscale" -> q257OracleSql(),
     "q230_kmeans_atscale" -> q230OracleSql(),
+    "q272_kmeansivf_atscale" -> q272OracleSql(),
+    "q273_semdedupivf_atscale" -> q273OracleSql(),
     "q207_ann_atscale" -> q207OracleSql(),
     "q208_cosine_atscale" -> q207OracleSql(),
     "q203_int8_quant" -> q203Int8QuantSql,

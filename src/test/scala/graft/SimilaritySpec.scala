@@ -543,6 +543,97 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("kMeansIvf two-level assignment, hand-checked: coarse split, " +
+      "per-cell lowest-id seeds, per-cell Lloyd means") {
+    // two coarse groups 1000 apart on x, two fine clusters 10 apart inside
+    // each; ids laid out so the two lowest ids (coarse seeds) land one per
+    // group, and each cell's two lowest ids (fine seeds) land one per fine
+    // cluster. k=4 → kc=2, kf=2.
+    //   cell A: {0,4}→(0|0.5, 1), {2,5}→(10|10.5, 1)
+    //   cell B: {1,6}→(1000|1000.5, 1), {3,7}→(1010|1010.5, 1)
+    // After one fine round the centroids are the pair means (x±0.25), so
+    // every point's d2 is 0.25² = 0.0625.
+    val vecs = Seq(
+      (0L, Seq(0.0, 1.0)), (1L, Seq(1000.0, 1.0)),
+      (2L, Seq(10.0, 1.0)), (3L, Seq(1010.0, 1.0)),
+      (4L, Seq(0.5, 1.0)), (5L, Seq(10.5, 1.0)),
+      (6L, Seq(1000.5, 1.0)), (7L, Seq(1010.5, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kMeansIvf(vecs, "vec_id", "embedding",
+        k = 4, iters = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val exp = Map(
+      0L -> ((0L, 0L, 0.0625)), 4L -> ((0L, 0L, 0.0625)),
+      2L -> ((2L, 0L, 0.0625)), 5L -> ((2L, 0L, 0.0625)),
+      1L -> ((1L, 1L, 0.0625)), 6L -> ((1L, 1L, 0.0625)),
+      3L -> ((3L, 1L, 0.0625)), 7L -> ((3L, 1L, 0.0625)))
+    assert(got == exp, got.toSeq.sortBy(_._1).mkString(", "))
+  }
+
+  test("semanticDedupIvf prunes the q74 planted twins, keeping one " +
+      "member each — the IVF routing changes cost, not the keep rule") {
+    // same corpus + assertions as the flat-argmin q74 test: twins (+0.02
+    // elementwise, cos ≈ 0.987) are near-coincident, so both route to the
+    // same coarse cell and the same fine centroid; background pairs top
+    // out near 0.51 and can never cross the 0.9 threshold
+    val out = Similarity.semanticDedupIvf(
+        Similarity.nearDupCorpus(spark, sf).select(col("vec_id"), col("v")),
+        "vec_id", "v", Similarity.kMeansK, Similarity.kMeansIters,
+        threshold = 0.9)
+      .collect()
+    assert(out.length == 550)
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val dropped = out.filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "no twin was pruned")
+    assert(dropped.forall(id => id < 50 || id >= 100000))
+    dropped.foreach { id =>
+      val twin = if (id >= 100000) id - 100000 else id + 100000
+      assert(kept.contains(twin), s"dropped $id but twin $twin also gone")
+    }
+  }
+
+  test("kMeansIvf fine assignment meets the corpus as a broadcast " +
+      "equi-join on the cell id — never a sort-merge on ccell") {
+    // the Lloyd subtrees hide behind persists (the q230 exemption from
+    // PlanShapeSpec), but the OUTER join — corpus × fine centroids — is
+    // the N·√k contract and stays visible in the executed plan
+    val p = Similarity.kMeansIvf(Similarity.q272Frame(spark, 16384L),
+        "vec_id", "embedding", k = 64, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin [ccell"),
+      "fine assignment lost its broadcast equi-join: " + p.take(800))
+    assert(!p.contains("SortMergeJoin [ccell"), p.take(800))
+  }
+
+  test("q272/q273 synthetic corpora are at the claimed scale") {
+    assert(Similarity.q272Frame(spark).count() == 1048576L)
+    assert(Similarity.q273Frame(spark).count() == 262144L)
+  }
+
+  test("q273 variant axis: cross-variant cosine sits under 0.9, " +
+      "same-class same-variant sits at ~1 — the threshold discriminates") {
+    // the at-scale gate's accept/reject claim, verified directly on the
+    // generator: class (v0, v1) shared, v3 jitter equal → only v2 differs
+    val f = Similarity.q273Frame(spark, 16384L)
+    val cs = f.as("a").join(f.as("b"),
+        col("a.vec_id") % 4096 === col("b.vec_id") % 4096 &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        (((col("a.vec_id") / 4096).cast("long") % 2) =!=
+          ((col("b.vec_id") / 4096).cast("long") % 2)).as("cross"),
+        round(Similarity.cosine(
+          Similarity.vecAsDouble(col("a.embedding")),
+          Similarity.vecAsDouble(col("b.embedding"))), 6).as("cos"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1))
+    assert(cs.nonEmpty)
+    val (cross, same) = cs.partition(_._1)
+    assert(cross.nonEmpty && same.nonEmpty)
+    cross.foreach { case (_, c) => assert(c < 0.9, s"cross-variant cos $c") }
+    assert(same.exists(_._2 >= 0.9), "no same-variant pair above threshold")
+  }
+
   test("q235 small analog: exact stage resolves originals; corrupted " +
       "names resolve at distance 1 through the blocked fuzzy stage") {
     val clean = Similarity.q235Clean(spark, 4096L)
