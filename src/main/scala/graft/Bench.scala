@@ -140,6 +140,7 @@ object Bench {
       "q265_verbatim_atscale", "q266_spanexcision_atscale",
       "q267_retention_atscale", "q268_rarity_atscale",
       "q269_clustersplit_atscale", "q270_correlations_atscale",
+      "q271_postingscap_atscale",
       "q272_kmeansivf_atscale", "q273_semdedupivf_atscale")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>

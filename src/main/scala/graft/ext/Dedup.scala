@@ -1342,6 +1342,83 @@ object Dedup {
            cls.c6 AS containment6
     FROM cls, j"""
 
+  // --- q271_postingscap_atscale: the maxPostings boundary, verdict-flip ---
+  /** At-scale gate for [[containmentPairs]]' `maxPostings` REDUCED-UNIVERSE
+    * semantics — q254 proves the cap drops a sitewide shingle, but no
+    * corpus planted a shingle exactly AT the cap with pairs whose verdict
+    * flips across it. Here two glue shingles straddle the boundary by
+    * construction (df counted doc-exactly across pair docs + padding
+    * fillers):
+    *
+    *  - **P glue** `p0 p1 p2`, df = maxPostings EXACTLY → stays in the
+    *    universe (`dfq > maxPostings` drops only above). Each of the
+    *    `pairs` P pairs shares {glue, 2 run shingles} of A's 6 → ratio6(3,
+    *    6) = 0.5, exactly ON the ≥ threshold → emitted. An off-by-one
+    *    `>=` cap erases the whole class (without glue: 2 of 5 = 0.4);
+    *  - **Q glue** `q0 q1 q2`, df = maxPostings + 1 → dropped. The SAME
+    *    pair geometry must emit NOTHING: a cap that fails to bind (or
+    *    binds one too late) revives Q at 3/6 = 0.5;
+    *  - reverse directions are sub-threshold in both classes (3/8, 2/7),
+    *    and neither glue ever enters a prefix (it is each doc's hottest
+    *    shingle), so the cap's candidate-volume bound is exercised with
+    *    ZERO glue-driven candidates — occupancy, not luck;
+    *  - ~1.0M z-fillers carry the sitewide boilerplate shingle
+    *    (df ≈ 10⁶ ≫ cap) — as in q254, the gate only finishes because
+    *    the broadcast anti-join drops it before it can shuffle.
+    *
+    * Output: exactly `pairs` directed rows, closed form. DedupSpec's
+    * small analog flips the cap ±1 around a planted df and asserts the
+    * class appears/vanishes accordingly. */
+  private[graft] val q271Docs = 1048576L
+  private[graft] val q271Pairs = 1024L
+
+  private[graft] def q271Corpus(spark: SparkSession,
+                                docs: Long = q271Docs,
+                                pairs: Long = q271Pairs,
+                                cap: Int = defaultMaxPostings): DataFrame = {
+    require(cap >= 2 * pairs, "glue df budget must cover the pair docs")
+    val pEnd = 2 * pairs; val qEnd = 4 * pairs
+    val pFillEnd = qEnd + (cap - 2 * pairs)
+    val qFillEnd = pFillEnd + (cap + 1 - 2 * pairs)
+    require(docs > qFillEnd, "corpus must leave room for z-fillers")
+    val j = expr("CAST(id div 2 AS STRING)")
+    val isA = pmod(col("id"), lit(2L)) === 0
+    // A = [glue run][4-token common run][unique tail]: 8 tokens → 6
+    // windows = glue + 2 junctions + 2 shared + 1 tail, so sz_A = 6 with
+    // the glue, 5 without. B = [common run][3 unique][glue run]: 10 tokens
+    // → 8 windows, sharing {glue, 2 run windows} with A and nothing else.
+    def pairText(glue: String, pfx: Column) = {
+      val c = (0 until 4).map(i => concat(pfx, lit(s"c$i")))
+      val g = Seq(lit(s"${glue}0"), lit(s"${glue}1"), lit(s"${glue}2"))
+      val aSide = g ++ c ++ Seq(concat(pfx, lit("a0")))
+      val bSide = c ++ (0 until 3).map(i => concat(pfx, lit(s"w$i"))) ++ g
+      when(isA, concat_ws(" ", aSide: _*))
+        .otherwise(concat_ws(" ", bSide: _*))
+    }
+    val fillTail = Seq(concat(lit("G"), col("id").cast("string"), lit("a")),
+      concat(lit("G"), col("id").cast("string"), lit("b")))
+    def fillText(glue: String) = concat_ws(" ",
+      (Seq(lit(s"${glue}0"), lit(s"${glue}1"), lit(s"${glue}2")) ++
+        fillTail): _*)
+    spark.range(docs).select(col("id").as("doc_id"),
+      when(col("id") < pEnd, pairText("p", concat(lit("P"), j)))
+        .when(col("id") < qEnd, pairText("q", concat(lit("Q"), j)))
+        .when(col("id") < pFillEnd, fillText("p"))
+        .when(col("id") < qFillEnd, fillText("q"))
+        .otherwise(fillText("z")).as("text"))
+  }
+
+  def q271PostingscapAtScale(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(q271Corpus(spark), "doc_id", "text")
+
+  /** Closed form: the P class alone, A→B at exactly the threshold. */
+  private[graft] def q271OracleSql(pairs: Long = q271Pairs): String = s"""
+    SELECT CAST(2 * u.i AS BIGINT) AS id_a,
+           CAST(2 * u.i + 1 AS BIGINT) AS id_b,
+           CAST(3 AS INT) AS inter, CAST(6 AS INT) AS n_a,
+           CAST(0.5 AS DOUBLE) AS containment6
+    FROM unnest(range(0, $pairs)) AS u(i)"""
+
   // --- q256_wjaccard_atscale: multiset Jaccard at ≥1M documents -----------
   /** At-scale correctness coverage for [[weightedNgramJaccardPairs]] —
     * q165 runs the bag detector over the few-thousand-row documents table;
@@ -2309,6 +2386,7 @@ object Dedup {
     "q251_decontaminate_atscale" -> q251DecontaminateAtScale _,
     "q253_incremental_atscale" -> q253IncrementalAtScale _,
     "q254_containment_atscale" -> q254ContainmentAtScale _,
+    "q271_postingscap_atscale" -> q271PostingscapAtScale _,
     "q256_wjaccard_atscale" -> q256WjaccardAtScale _,
   )
 
@@ -2321,6 +2399,7 @@ object Dedup {
     "q251_decontaminate_atscale" -> q251OracleSql(),
     "q253_incremental_atscale" -> q253OracleSql(),
     "q254_containment_atscale" -> q254OracleSql(),
+    "q271_postingscap_atscale" -> q271OracleSql(),
     "q256_wjaccard_atscale" -> q256OracleSql(),
     "q148_containment"  -> q148ContainmentSql,
     "q27_exact_dedup"   -> q27ExactDedupSql,

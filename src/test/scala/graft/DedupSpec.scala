@@ -522,6 +522,34 @@ class DedupSpec extends GraftSuite {
     assert(Dedup.q254Corpus(spark).count() == 1048576L)
   }
 
+  /** q271 pin, small analog (256 docs, 4 pairs per glue class, cap 16):
+    * P glue df = 16 (AT the cap — survives), Q glue df = 17 (one over —
+    * dropped), z glue df = 223 (sitewide — dropped). The verdict flip is
+    * then checked DIRECTLY by moving the cap one step each way around the
+    * same corpus. */
+  test("q271 small analog: verdict flips exactly across the maxPostings cap") {
+    val corpus = Dedup.q271Corpus(spark, docs = 256L, pairs = 4L, cap = 16)
+    def run(cap: Int) = Dedup.containmentPairs(corpus, "doc_id", "text",
+        maxPostings = cap)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("inter"), r.getAs[Int]("n_a"),
+        r.getAs[Double]("containment6"))).toSet
+    val p = (0L until 4L).map(j => (2 * j, 2 * j + 1, 3, 6, 0.5)).toSet
+    val q = (0L until 4L).map(j => (8 + 2 * j, 9 + 2 * j, 3, 6, 0.5)).toSet
+    // at the designed cap: P emits at exactly the threshold, Q is silent
+    assert(run(16) == p, "at-cap glue must survive; over-cap must drop")
+    // one below: the P glue now exceeds the cap too — the class vanishes
+    // (without the glue the geometry is 2 of 5 = 0.4, sub-threshold)
+    assert(run(15).isEmpty, "a cap at df-1 must erase the P class")
+    // one above: the Q glue re-enters the universe — both classes emit
+    assert(run(17) == (p ++ q), "a cap at df+1 must revive the Q class")
+  }
+
+  test("q271 full corpus is 2^20 documents") {
+    assert(Dedup.q271Corpus(spark).count() == 1048576L)
+  }
+
   /** q256 pin, small analog (256 docs, 8 pairs per class): the repeated-
     * template twins report BAG size 66 (an implementation that dedups
     * shingles would say 34), the boundary pairs hit wj=0.8 exactly, the
