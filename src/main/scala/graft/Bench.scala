@@ -153,12 +153,14 @@ object Bench {
       if (!Files.exists(p)) Map.empty
       else {
         val s = Files.readString(p)
-        val qstart = s.indexOf("\"queries\":{")
-        if (qstart < 0) Map.empty
-        else {
-          val sub = s.substring(qstart + 10, s.indexOf('}', qstart) + 1)
-          "\"([^\"]+)\":([-0-9.eE+]+)".r.findAllMatchIn(sub)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // tolerate whitespace after the key (a pretty-printed baseline
+        // silently parsing to empty would disable the guard with no error)
+        "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(s) match {
+          case None => Map.empty
+          case Some(m) =>
+            val sub = s.substring(m.end - 1, s.indexOf('}', m.end) + 1)
+            "\"([^\"]+)\"\\s*:\\s*([-0-9.eE+]+)".r.findAllMatchIn(sub)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
         }
       }
     }
