@@ -192,6 +192,15 @@ object SimScaleProbe {
     def minhashRun(docs: Long): Unit =
       noop(Dedup.nearDupMinHash(
         Dedup.q209Corpus(spark, docs = docs), "doc_id", "text"))
+    // round-14: exact PPJoin jaccard after the xxhash64 payload cut —
+    // planted pair count scales with the corpus (docs/256 per class, the
+    // q250 gate's ratio), so the row measures the whole prefix-filter +
+    // verify pipeline with candidate volume growing in proportion
+    def jaccardRun(docs: Long): Unit =
+      noop(Dedup.ngramJaccardPairs(
+          Dedup.q250Corpus(spark, docs = docs, pairsPerClass = docs / 256),
+          "doc_id", "text")
+        .groupBy(org.apache.spark.sql.functions.col("jaccard")).count())
     // round-12 extension: the q230/q235 gate families
     def kmeansRun(vecs: Long): Unit =
       noop(Similarity.kMeans(Similarity.q230Frame(spark, vecs), "vec_id",
@@ -233,6 +242,7 @@ object SimScaleProbe {
       Fam("brute_cosine", bruteRun, 8192L, 65536L),
       // 1× = 2^17 docs, 8× = 2^20 (the registry-gate scale)
       Fam("minhash_lsh", minhashRun, 131072L, 1048576L),
+      Fam("jaccard_ppjoin", jaccardRun, 1L << 17, 1L << 20),
       // 1× = 2^17, 8× = 2^20 (the registry-gate scale)
       Fam("kmeans_lloyd", kmeansRun, 1L << 17, 1L << 20),
       Fam("record_linkage", linkageRun, 1L << 17, 1L << 20),
