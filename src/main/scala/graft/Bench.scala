@@ -141,34 +141,91 @@ object Bench {
       "q267_retention_atscale", "q268_rarity_atscale",
       "q269_clustersplit_atscale", "q270_correlations_atscale",
       "q271_postingscap_atscale",
-      "q272_kmeansivf_atscale", "q273_semdedupivf_atscale")
-    // Optional per-query reference medians: the committed
+      "q272_kmeansivf_atscale", "q273_semdedupivf_atscale",
+      "q274_ivfnprobe_atscale")
+    // Optional per-query reference timings: the committed
     // bench_baseline.json (same JSON shape Bench writes — the builder
-    // refreshes it from an isolated full run each round). Used ONLY to
-    // decide whether a run-once stress row's single timed run looks
-    // interference-inflated and deserves one confirmation rerun; corpus
-    // rows have medians and never consult it.
-    val baseline: Map[String, Double] = {
-      val p = Paths.get("bench_baseline.json")
-      if (!Files.exists(p)) Map.empty
-      else {
-        val s = Files.readString(p)
-        // tolerate whitespace after the key (a pretty-printed baseline
-        // silently parsing to empty would disable the guard with no error)
-        "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(s) match {
-          case None => Map.empty
-          case Some(m) =>
-            val sub = s.substring(m.end - 1, s.indexOf('}', m.end) + 1)
-            "\"([^\"]+)\"\\s*:\\s*([-0-9.eE+]+)".r.findAllMatchIn(sub)
-              .map(g => g.group(1) -> g.group(2).toDouble).toMap
-        }
+    // refreshes it from isolated full runs each round; per-query MIN).
+    // Used ONLY to decide whether a row's recorded time looks
+    // interference-inflated and deserves one confirmation rerun — both
+    // lanes consult it since r15 (four corpus rows read 3–6× baseline in
+    // the r14 driver artifact with nothing to catch it). An optional
+    // top-level "iso" object carries the ISOLATED cost for queries whose
+    // in-suite number is legitimately faster than a cold run (warm-JIT
+    // lane effects — q253 reads ~31 s behind its lane predecessors vs
+    // ~64 s isolated): the rerun trigger uses max(queries, iso) so a
+    // lane-order change can't read as a regression, while the
+    // suspicious-fast check keeps using the in-suite min.
+    def parseObj(s: String, key: String): Map[String, Double] =
+      // tolerate whitespace after the key (a pretty-printed baseline
+      // silently parsing to empty would disable the guard with no error)
+      ("\"" + key + "\"\\s*:\\s*\\{").r.findFirstMatchIn(s) match {
+        case None => Map.empty
+        case Some(m) =>
+          val sub = s.substring(m.end - 1, s.indexOf('}', m.end) + 1)
+          "\"([^\"]+)\"\\s*:\\s*([-0-9.eE+]+)".r.findAllMatchIn(sub)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
       }
-    }
-    // (first run, confirmation rerun) for every stress row the baseline
-    // check re-ran — recorded verbatim so the artifact shows its work
+    val baselineFile = Paths.get("bench_baseline.json")
+    val (baseline, baselineIso) =
+      if (!Files.exists(baselineFile)) (Map.empty[String, Double], Map.empty[String, Double])
+      else {
+        val s = Files.readString(baselineFile)
+        (parseObj(s, "queries"), parseObj(s, "iso"))
+      }
+    // The guard must not fail OPEN silently: a format drift that parses
+    // the existing file to an empty map would disable every rerun check
+    // with no signal (exactly the failure mode the tolerant parse above
+    // was added for). Warn loudly and record the state in the artifact.
+    val baselineLoaded = baseline.nonEmpty
+    if (Files.exists(baselineFile) && !baselineLoaded)
+      System.err.println(
+        "[bench] WARNING: bench_baseline.json exists but parsed to an " +
+        "empty queries map — the interference rerun guard is DISABLED. " +
+        "Check the file's format (compact {\"queries\":{...}} expected).")
+    // (first run, confirmation rerun) for every row the baseline check
+    // re-ran — recorded verbatim, per lane, so the artifact shows its work
     val stressReruns =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val corpusReruns =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // rows whose rerun did NOT land back in the baseline's accepted band —
+    // the inflated first number is kept (a real regression reproduces;
+    // substituting the min there would mask it) and the name is flagged
+    val flaggedRows = scala.collection.mutable.ArrayBuffer[String]()
+    // rows recorded suspiciously FAR BELOW their in-suite baseline min —
+    // never altered (fast is not a correctness problem) but surfaced, so
+    // a warm-context artifact or a baseline ratchet can't pass unnoticed
+    val fastRows = scala.collection.mutable.ArrayBuffer[String]()
+    // the rerun trigger/acceptance threshold: far above the worst of the
+    // committed in-suite min and (if present) the isolated cost
+    def inflatedAbove(name: String): Option[Double] =
+      baseline.get(name).map { b =>
+        val hi = math.max(b, baselineIso.getOrElse(name, b))
+        math.max(1.5 * hi, hi + 2.0)
+      }
+    // one confirmation execution behind the same GC fence the timed runs
+    // use; returns None if the rerun itself fails (keep the first number)
+    def rerunOnce(name: String): Option[Double] = {
+      CacheRegistry.unpersistAll(blocking = true)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(true))
+      System.gc()
+      System.gc()
+      Thread.sleep(100)
+      val t0 = System.nanoTime()
+      try {
+        exec(SparkEntry.queries(name)(spark, sfDir))
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // stream_state must reflect THIS invocation only: the peaks map is
+    // process-global and per-gate-cleared at gate START, so a filtered
+    // (SPARK_GRAFT_ONLY) run in a JVM that already did a full pass would
+    // otherwise print stale peaks from gates it never executed
+    streaming.Streams.lastStateMetrics.clear()
     val results = names.map { name =>
       var slow = false
       val isStress = stressQueries.contains(name)
@@ -237,45 +294,52 @@ object Bench {
           else Some(dt)
         }
       }
-      // Run-once reproducibility (r14): a stress row has no median to
-      // absorb suite interference, so one inflated execution IS the
-      // recorded number — rounds 9/10/12/13 each burned a verdict cycle
-      // re-pinning exactly this class (q209 r12, q204 r13: 2x+ moves on
-      // unchanged code that isolated reruns reproduced at baseline). If
-      // the committed baseline knows this query and the timed run landed
-      // far above it (>1.5x AND >2s absolute — sub-second jitter rows
-      // never trigger), run it ONCE more behind the same GC fence and
-      // record the MINIMUM: interference inflation is one-sided and
-      // transient, so the min is the honest estimator, while a real
-      // regression reproduces and keeps its inflated number. Both runs
-      // land in the artifact's stress_reruns field.
-      val timesAdj =
-        if (!isStress || times.isEmpty || errors.contains(name)) times
-        else baseline.get(name) match {
-          case Some(b) if times.head > math.max(1.5 * b, b + 2.0) =>
-            CacheRegistry.unpersistAll(blocking = true)
-            spark.catalog.clearCache()
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(true))
-            System.gc()
-            System.gc()
-            Thread.sleep(100)
-            val t0 = System.nanoTime()
-            try {
-              exec(SparkEntry.queries(name)(spark, sfDir))
-              val dt = (System.nanoTime() - t0) / 1e9
-              stressReruns(name) = (times.head, dt)
-              Seq(math.min(times.head, dt))
-            } catch { case _: Throwable => times } // keep run 1 on a rerun failure
-          case _ => times
-        }
       if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMES"))
         System.err.println(f"[bench] $name runs: ${
-          timesAdj.map(t => f"$t%.2f").mkString(" ")}")
-      val sorted = timesAdj.sorted
-      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+          times.map(t => f"$t%.2f").mkString(" ")}")
+      val sorted = times.sorted
+      val median0 = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
       val spread = if (sorted.isEmpty) 0.0 else sorted.last - sorted.head
-      name -> (median, spread)
+      // Interference reproducibility (r14, doctrine revised + corpus lane
+      // added r15): one inflated reading must not become the recorded
+      // number — rounds 9/10/12/13/14 each burned a verdict cycle
+      // re-pinning exactly this class (q209 r12, q204 r13, four corpus
+      // rows at 3–6× baseline r14: 2×+ moves on unchanged code that
+      // isolated reruns reproduced at baseline). If the committed
+      // baseline knows this query and the recorded time (run-once value
+      // for a stress row, median for a corpus row) landed far above it
+      // (>1.5× AND >2 s over max(baseline, iso) — sub-second jitter rows
+      // never trigger), run it ONCE more behind the same GC fence.
+      // SUBSTITUTE the rerun only when it lands back inside the
+      // baseline's accepted band (below the same trigger threshold and
+      // not suspiciously below the in-suite min) — that CONFIRMS
+      // interference. Otherwise keep the first number and flag the row:
+      // a real regression reproduces on the rerun, and the old
+      // unconditional min-of-two was one-sided — a same-JVM rerun runs
+      // plan-warm, so it could only ever lower numbers and would let
+      // baselines ratchet downward across rounds (r14 ADVICE). Both runs
+      // land verbatim in the artifact's stress_reruns / corpus_reruns.
+      val recorded = inflatedAbove(name) match {
+        case Some(hi) if median0 > hi && !errors.contains(name) &&
+            times.nonEmpty =>
+          rerunOnce(name) match {
+            case Some(r) =>
+              if (isStress) stressReruns(name) = (median0, r)
+              else corpusReruns(name) = (median0, r)
+              val fastFloor = baseline.get(name).map(_ * 0.5).getOrElse(0.0)
+              if (r <= hi && r >= fastFloor) r
+              else { flaggedRows += name; median0 }
+            case None => median0 // keep the timed number on a rerun failure
+          }
+        case _ => median0
+      }
+      // the symmetric check the r14 guard lacked: a row far BELOW its
+      // committed in-suite min is surfaced (warm-context lane effect or a
+      // pending baseline ratchet), never altered
+      baseline.get(name).foreach { b =>
+        if (recorded < 0.5 * b && b > 1.0) fastRows += name
+      }
+      name -> (recorded, spread)
     }
 
     def jq(s: String): String =
@@ -294,6 +358,10 @@ object Bench {
     val stressSecs = total - corpusSecs
     val rer = stressReruns.map { case (k, (a, b)) => s"${jq(k)}:[$a,$b]" }
       .mkString("{", ",", "}")
+    val crer = corpusReruns.map { case (k, (a, b)) => s"${jq(k)}:[$a,$b]" }
+      .mkString("{", ",", "}")
+    val flg = flaggedRows.map(jq).mkString("[", ",", "]")
+    val fst = fastRows.map(jq).mkString("[", ",", "]")
     // the four stateful gates' honest axis (peak state rows/bytes) —
     // populated by Streams.recordStatePeak during their runs
     val streamState = {
@@ -305,7 +373,7 @@ object Bench {
     }
     val filtered = only.isDefined
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","filtered":$filtered,"runs_per_query":$runs,"n_queries":${results.size},"corpus_secs":$corpusSecs,"stress_secs":$stressSecs,"stress_reruns":$rer,"stream_state":$streamState,"queries":$qs,"spread":$spreads,"errors":$errs,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","filtered":$filtered,"runs_per_query":$runs,"n_queries":${results.size},"corpus_secs":$corpusSecs,"stress_secs":$stressSecs,"baseline_loaded":$baselineLoaded,"stress_reruns":$rer,"corpus_reruns":$crer,"flagged":$flg,"fast_rows":$fst,"stream_state":$streamState,"queries":$qs,"spread":$spreads,"errors":$errs,"sf":${jq(sfDir)}}"""
     println(line)
     // bench_latest.json always means "the full suite" — a SPARK_GRAFT_ONLY
     // profiling run must not masquerade as a full-bench total

@@ -218,12 +218,14 @@ object SimScaleProbe {
     // production deployment swaps for IVF-bucketed assignment; see the
     // semanticDedup scaladoc)
     def semdedupRun(vecs: Long): Unit =
+      // routing pinned flat: this row MEASURES the flat argmin's n·k
+      // term — the auto route would swap it away above the crossover
       noop(Similarity.semanticDedup(
           Similarity.q230Frame(spark, vecs).select(
             org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.col("embedding")),
           "vec_id", "embedding", k = (vecs / 256).toInt, iters = 1,
-          threshold = 0.9)
+          threshold = 0.9, routing = "flat")
         .groupBy(org.apache.spark.sql.functions.col("kept")).count())
     // round-14: the shipped IVF swap, probed on the IDENTICAL corpus, k,
     // and sizes as semdedup_cells — the exponent gap between the two rows
@@ -251,6 +253,55 @@ object SimScaleProbe {
       Fam("semdedup_ivf", semdedupIvfRun, 1L << 14, 1L << 17))
 
     ProbeRunner.runProbe(spark, fams)
+    spark.stop()
+  }
+}
+
+/** Flat-vs-IVF crossover probe for SemDeDup's clustering stage — pins
+  * the k at/above which [[graft.ext.Similarity.semanticDedup]]'s `"auto"`
+  * routing should pick the two-level path ([[graft.ext.Similarity.
+  * semanticDedupIvfK]]). Unlike [[SimScaleProbe]]'s exponent rows (1× vs
+  * 8× of each path separately), this times BOTH paths end-to-end at the
+  * SAME sizes along the documented scale axis (k = n/256, the cell-size-
+  * 256 discipline) and reports the head-to-head seconds — the crossover
+  * is where flat's n·k assignment overtakes IVF's higher stage constant.
+  * Sizes via SPARK_GRAFT_XOVER_LOG2 (comma-separated log2 doc counts,
+  * default "20,21,22" — the r14 verdict's requested 2²²–2²⁴ bracket
+  * minus sizes whose flat run would exceed the probe budget; raise it
+  * when a bigger box warrants). One timed run per (path, size) after a
+  * shared small warmup, largest last, flat first at each size so the
+  * shared q230Frame/codegen warmth never favors the flat row.
+  * `sbt "runMain graft.IvfCrossoverProbe"`; results in SCALE_PROBE.md. */
+object IvfCrossoverProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = LocalSession.build(cpus)
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions.col
+    import ProbeRunner.noop
+    def run(flavor: String, n: Long): Double = {
+      CacheRegistry.drainForMeasurement(spark)
+      val corpus = Similarity.q230Frame(spark, n)
+        .select(col("vec_id"), col("embedding"))
+      val k = math.max(1, (n / 256).toInt)
+      val t0 = System.nanoTime()
+      noop(Similarity.semanticDedup(corpus, "vec_id", "embedding", k,
+          iters = 1, threshold = 0.9,
+          routing = if (flavor == "flat") "flat" else "ivf")
+        .groupBy(col("kept")).count())
+      (System.nanoTime() - t0) / 1e9
+    }
+    run("flat", 1L << 12) // warmup: codegen + JIT for both path families
+    run("ivf", 1L << 12)
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_XOVER_LOG2", "20,21,22")
+      .split(",").map(_.trim.toInt).sorted
+    println(f"${"n_log2"}%6s ${"k"}%8s ${"flat_s"}%8s ${"ivf_s"}%8s ${"flat/ivf"}%9s")
+    sizes.foreach { lg =>
+      val n = 1L << lg
+      val tf = run("flat", n)
+      val ti = run("ivf", n)
+      println(f"$lg%6d ${n / 256}%8d $tf%8.2f $ti%8.2f ${tf / ti}%9.2f")
+    }
     spark.stop()
   }
 }

@@ -557,14 +557,14 @@ object Similarity {
     * fine assignment joins each point to its own cell's centroids only,
     * with the same (d2, cid) tie-break as the Spark struct-min. */
   private[ext] def kMeansIvfCtes(veSql: String, k: Int, iters: Int,
-                                 pre: String = ""): String = {
+                                 pre: String = "", nprobe: Int = 1): String = {
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val kf = (k + kc - 1) / kc
-    def fineAssign(i: String, prev: String) = s"""
+    def fineAssign(i: String, prev: String, pts: String = s"${pre}vc") = s"""
     ${pre}fs$i AS (SELECT p.vec_id, c.cid, c.ccell,
                    list_dot_product(p.v, p.v) - 2*list_dot_product(p.v, c.c)
                      + list_dot_product(c.c, c.c) AS d2
-            FROM ${pre}vc p JOIN $prev c ON c.ccell = p.ccell),
+            FROM $pts p JOIN $prev c ON c.ccell = p.ccell),
     ${pre}fa$i AS (SELECT vec_id, cid, ccell, d2 FROM (
               SELECT vec_id, cid, ccell, d2,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -581,15 +581,30 @@ object Similarity {
     ${pre}fc$i AS (SELECT ccell, cid, list(x ORDER BY pos) AS c
             FROM ${pre}fm$i GROUP BY ccell, cid)"""
     }.mkString
+    // nprobe > 1: the FINAL assignment reads per-point candidates from the
+    // `nprobe` nearest coarse cells (the coarse chain's final score CTE
+    // `${pre}gsf` already holds every point×coarse-centroid distance);
+    // training CTEs keep the primary-cell `${pre}vc` — exactly the Spark
+    // side's contract (fine codebooks partition their primary cells).
+    val probedCte =
+      if (nprobe <= 1) ""
+      else s""",
+    ${pre}vcn AS (SELECT e.vec_id, e.v, t.cid AS ccell FROM (
+              SELECT vec_id, cid, d2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cid) AS rn
+              FROM ${pre}gsf) t JOIN ${pre}gve e ON e.vec_id = t.vec_id
+            WHERE t.rn <= $nprobe)"""
+    val finalPts = if (nprobe <= 1) s"${pre}vc" else s"${pre}vcn"
     s"""${kMeansCtes(veSql, kc, iters, s"${pre}g")},
     ${pre}vc AS (SELECT e.vec_id, e.v, a.cid AS ccell
-           FROM ${pre}gve e JOIN ${pre}gaf a ON a.vec_id = e.vec_id),
+           FROM ${pre}gve e JOIN ${pre}gaf a ON a.vec_id = e.vec_id)$probedCte,
     ${pre}fc0 AS (SELECT ccell, CAST(vec_id AS BIGINT) AS cid, v AS c FROM (
               SELECT ccell, vec_id, v,
                      ROW_NUMBER() OVER (PARTITION BY ccell
                                         ORDER BY vec_id) AS rn
               FROM ${pre}vc) t WHERE rn <= $kf)$fineSteps,${
-      fineAssign("f", s"${pre}fc$iters")}"""
+      fineAssign("f", s"${pre}fc$iters", finalPts)}"""
   }
 
   // --- q74_semantic_dedup: SemDeDup — k-means cells, then cosine prune ----
@@ -618,15 +633,37 @@ object Similarity {
     * routing (coarse Lloyd at ⌈√k⌉ centroids, then per-cell fine Lloyd)
     * drops assignment AND training to N·√k while leaving the pair stage,
     * the keep rule, and this operator's plan untouched; the flat argmin
-    * here stays the cheaper constant at small k. The keep rule
+    * here stays the cheaper constant at small k. The default
+    * `routing = "auto"` makes that switch itself at k ≥
+    * [[semanticDedupIvfK]] (the probe-measured crossover); `"flat"` and
+    * `"ivf"` pin a path for callers whose oracle or probe must stay
+    * path-pure. The keep rule
     * needs no global order — each cell resolves independently, and the
     * anti-join side (`dropped`) partial-aggregates map-side via
     * `distinct`. */
+  /** k at/above which [[semanticDedup]]'s `"auto"` routing swaps the flat
+    * broadcast argmin for [[kMeansIvf]]'s two-level N·√k assignment. Set
+    * from the round-15 IvfCrossoverProbe measurement (SCALE_PROBE.md):
+    * flat and IVF SemDeDup timed end-to-end on the identical corpus and
+    * k = n/256 schedule at n = 2²⁰–2²², where the flat argmin's N·k term
+    * overtakes the IVF path's higher stage constant. Callers pin a path
+    * with `routing = "flat"` / `"ivf"` (the probes do, so the measured
+    * exponents stay path-pure). */
+  val semanticDedupIvfK: Int = 8192
+
   def semanticDedup(corpus0: DataFrame, id: String, vec: String,
-                    k: Int, iters: Int, threshold: Double): DataFrame = {
+                    k: Int, iters: Int, threshold: Double,
+                    routing: String = "auto"): DataFrame = {
+    require(Set("auto", "flat", "ivf")(routing),
+      s"routing must be auto|flat|ivf, got $routing")
+    val useIvf =
+      routing == "ivf" || (routing == "auto" && k >= semanticDedupIvfK)
     val ve = graft.CacheRegistry.persist(
       corpus0.select(col(id), vecAsDouble(col(vec)).as("v")))
-    pruneWithinClusters(ve, kMeansOnPersisted(ve, id, k, iters), id, threshold)
+    val asg =
+      if (useIvf) ivfAssign(ve, id, k, iters).drop("ccell")
+      else kMeansOnPersisted(ve, id, k, iters)
+    pruneWithinClusters(ve, asg, id, threshold)
   }
 
   /** SemDeDup's pair + keep stage over an `(id, cluster, d2)` assignment —
@@ -671,25 +708,31 @@ object Similarity {
     *  4. final within-cell argmin — N·√k.
     *
     * The approximation vs flat k-means: a point's best fine centroid is
-    * sought only inside its own coarse cell (nprobe = 1), the standard
-    * IVF trade. Everything is deterministic — lowest-id seeding at both
+    * sought only inside its `nprobe` nearest coarse cells (default 1),
+    * the standard IVF trade — `nprobe = 2` halves the boundary error
+    * (a point just across a coarse boundary recovers the fine centroid
+    * flat k-means would give it) for 2× FINAL-assignment cost, still
+    * N·√k·nprobe; training is identical at any nprobe, so codebooks
+    * stay a partition of their primary cells and assignments at higher
+    * nprobe are pointwise-no-worse in d2 (SimilaritySpec asserts it).
+    * Everything is deterministic — lowest-id seeding at both
     * levels, (d2, cid) tie-breaks, index-ordered double sums — so the
     * DuckDB replay chain ([[kMeansIvfCtes]]) is bit-identical, the q73/
     * q230 contract. Output: (id, cluster, ccell, d2) — cluster is the
     * fine centroid's seed id, ccell the coarse cell's, both stable under
     * any id set. */
   def kMeansIvf(vecs0: DataFrame, id: String, vec: String,
-                k: Int, iters: Int): DataFrame = {
+                k: Int, iters: Int, nprobe: Int = 1): DataFrame = {
     val ve = graft.CacheRegistry.persist(
       vecs0.select(col(id), vecAsDouble(col(vec)).as("v")))
-    ivfAssign(ve, id, k, iters)
+    ivfAssign(ve, id, k, iters, nprobe)
   }
 
   /** The two-level assignment kernel over an already-persisted `(id, v)`
     * frame — split out so [[semanticDedupIvf]] shares the cached corpus
     * projection with its pair stage, mirroring [[kMeansOnPersisted]]. */
   private def ivfAssign(ve: DataFrame, id: String,
-                        k: Int, iters: Int): DataFrame = {
+                        k: Int, iters: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val kf = (k + kc - 1) / kc
@@ -705,9 +748,9 @@ object Similarity {
       .select(col("ccell"), col(id).cast("long").as("cid"), col("v").as("c"))
     // one fine Lloyd round, every cell at once: points meet ONLY their own
     // cell's centroids, so the struct-min argmin sees ≤ kf candidates
-    def assignCell(cent: DataFrame): DataFrame =
+    def assignCell(cent: DataFrame, pts: DataFrame = vc): DataFrame =
       // bcast-ok: fine centroid frame — k rows total across all cells
-      vc.join(broadcast(cent), Seq("ccell"))
+      pts.join(broadcast(cent), Seq("ccell"))
         .withColumn("d2", dot(col("v"), col("v")) -
           lit(2) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
         .groupBy(col(id))
@@ -729,7 +772,28 @@ object Similarity {
           transform(col("ps"), p => p("x")).as("c"))
     var fine = seeds
     for (_ <- 1 to iters) fine = updateCell(assignCell(fine))
-    assignCell(fine)
+    // nprobe ≥ 2 halves the classic IVF boundary error for nprobe× final-
+    // assignment cost (still N·√k·nprobe): training is UNCHANGED — fine
+    // centroids remain a partition of their primary cells, the standard
+    // IVF contract — but the FINAL argmin lets each point meet the fine
+    // codebooks of its `nprobe` nearest coarse cells, so a point sitting
+    // just across a coarse boundary can recover the fine centroid flat
+    // k-means would have given it. Candidate sets are supersets of the
+    // nprobe=1 set, so per-point d2 can only improve (SimilaritySpec
+    // asserts this monotonicity). Routing is perGroupTopK over each
+    // point's kc coarse distances — groups are kc rows, a constant.
+    val probed =
+      if (nprobe <= 1) vc
+      else {
+        // bcast-ok: coarse centroid frame — kc = ⌈√k⌉ rows
+        val scored = ve.crossJoin(broadcast(coarse))
+          .withColumn("d2c", dot(col("v"), col("v")) -
+            lit(2) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
+        Windows.perGroupTopK(scored, Seq(col(id)),
+            Seq(col("d2c").asc, col("cid").asc), col("cid"), nprobe)
+          .select(col(id), col("v"), col("cid").as("ccell"))
+      }
+    assignCell(fine, probed)
       .select(col(id), col("cid").as("cluster"), col("ccell"),
         round(col("d2"), 6).as("d2"))
   }
@@ -740,11 +804,12 @@ object Similarity {
     * drop from N·k to N·√k while the pair stage, the keep rule, and the
     * cluster-keyed pair join are untouched. */
   def semanticDedupIvf(corpus0: DataFrame, id: String, vec: String,
-                       k: Int, iters: Int, threshold: Double): DataFrame = {
+                       k: Int, iters: Int, threshold: Double,
+                       nprobe: Int = 1): DataFrame = {
     val ve = graft.CacheRegistry.persist(
       corpus0.select(col(id), vecAsDouble(col(vec)).as("v")))
-    pruneWithinClusters(ve, ivfAssign(ve, id, k, iters).drop("ccell"),
-      id, threshold)
+    pruneWithinClusters(ve,
+      ivfAssign(ve, id, k, iters, nprobe).drop("ccell"), id, threshold)
   }
 
   /** q74 runs [[semanticDedup]] over q48's planted corpus (base embeddings
@@ -2088,6 +2153,15 @@ object Similarity {
     * exact id sum, and the d2 envelope. */
   private[graft] val q230Vecs = 1L << 20
 
+  /** Rewrites a range-generator Spark SQL dim expression into its DuckDB
+    * oracle form: the generator column `id` → `u.i` (the oracle's
+    * `range(...) AS u(i)` alias) and Spark's `div` → DuckDB's `//`.
+    * Word-boundary regexes, NOT substring `.replace`: a future dim
+    * expression containing e.g. `width` or `grid` would be silently
+    * corrupted into wrong SQL by a substring rewrite (r14 ADVICE). */
+  private def duckDim(e: String): String =
+    e.replaceAll("\\bid\\b", "u.i").replaceAll("\\bdiv\\b", "//")
+
   private[graft] def q230VecExprs: Seq[String] = Seq(
     "CAST(id % 8 * 1000 + (id div 8) % 5 - 2 AS DOUBLE)",
     "CAST((7 - id % 8) * 1000 + (id div 8) % 3 - 1 AS DOUBLE)",
@@ -2107,7 +2181,7 @@ object Similarity {
 
   private[graft] def q230OracleSql(vecs: Long = q230Vecs): String = {
     val dims = q230VecExprs
-      .map(_.replace("id %", "u.i %").replace("(id div 8)", "(u.i // 8)"))
+      .map(duckDim)
       .mkString(",\n             ")
     s"""
     WITH ${kMeansCtes(
@@ -2154,13 +2228,46 @@ object Similarity {
 
   private[graft] def q272OracleSql(vecs: Long = q272Vecs): String = {
     val dims = q272VecExprs
-      .map(_.replace("id", "u.i").replace(" div ", " // "))
+      .map(duckDim)
       .mkString(",\n             ")
     s"""
     WITH ${kMeansIvfCtes(
       s"""SELECT u.i AS vec_id,
            [$dims] AS v
          FROM range(0, $vecs) AS u(i)""", q272K, 1)}
+    SELECT cid AS cluster, ccell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           MIN(ROUND(d2, 6)) AS min_d2, MAX(ROUND(d2, 6)) AS max_d2
+    FROM faf GROUP BY cid, ccell"""
+  }
+
+  // --- q274_ivfnprobe_atscale: multiprobe (nprobe = 2) final assignment ----
+  /** At-scale correctness coverage for [[kMeansIvf]]'s `nprobe = 2`
+    * multiprobe assignment — the IDENTICAL corpus, k, and rollup as q272,
+    * differing ONLY in the final-assignment candidate set (each point
+    * meets the fine codebooks of its 2 nearest coarse stripes). The q272
+    * lattice puts whole classes near coarse-stripe boundaries, so the
+    * rollup genuinely moves wherever a boundary class recovers a
+    * neighboring stripe's fine centroid; the oracle replays the same
+    * composed [[kMeansIvfCtes]] chain with the probed-candidates CTE — a
+    * routing drift, a duplicate candidate in the probed union, or a
+    * tie-break slip all fail the hash. */
+  def q274IvfNprobeAtScale(spark: SparkSession, dir: String): DataFrame =
+    kMeansIvf(q272Frame(spark), "vec_id", "embedding", q272K, iters = 1,
+        nprobe = 2)
+      .groupBy(col("cluster"), col("ccell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"),
+        min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
+
+  private[graft] def q274OracleSql(vecs: Long = q272Vecs): String = {
+    val dims = q272VecExprs
+      .map(duckDim)
+      .mkString(",\n             ")
+    s"""
+    WITH ${kMeansIvfCtes(
+      s"""SELECT u.i AS vec_id,
+           [$dims] AS v
+         FROM range(0, $vecs) AS u(i)""", q272K, 1, nprobe = 2)}
     SELECT cid AS cluster, ccell, CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
            MIN(ROUND(d2, 6)) AS min_d2, MAX(ROUND(d2, 6)) AS max_d2
@@ -2205,7 +2312,7 @@ object Similarity {
 
   private[graft] def q273OracleSql(vecs: Long = q273Vecs): String = {
     val dims = q273VecExprs
-      .map(_.replace("id", "u.i").replace(" div ", " // "))
+      .map(duckDim)
       .mkString(",\n             ")
     s"""
     WITH ${kMeansIvfCtes(
@@ -2265,7 +2372,7 @@ object Similarity {
 
   private[graft] def q257OracleSql(vecs: Long = q257Vecs): String = {
     val d = q257VecExprs
-      .map(_.replace("id %", "u.i %").replace("(id div 4)", "(u.i // 4)"))
+      .map(duckDim)
     def gen(lo: Int, hi: Int) =
       s"""SELECT u.i AS vec_id, [${d.slice(lo, hi).mkString(", ")}] AS v
          FROM range(0, $vecs) AS u(i)"""
@@ -2296,6 +2403,7 @@ object Similarity {
     "q230_kmeans_atscale" -> q230KmeansAtScale _,
     "q272_kmeansivf_atscale" -> q272KmeansIvfAtScale _,
     "q273_semdedupivf_atscale" -> q273SemdedupIvfAtScale _,
+    "q274_ivfnprobe_atscale" -> q274IvfNprobeAtScale _,
     "q207_ann_atscale" -> q207AnnAtScale _,
     "q208_cosine_atscale" -> q208CosineAtScale _,
     "q203_int8_quant" -> q203Int8Quant _,
@@ -2328,6 +2436,7 @@ object Similarity {
     "q230_kmeans_atscale" -> q230OracleSql(),
     "q272_kmeansivf_atscale" -> q272OracleSql(),
     "q273_semdedupivf_atscale" -> q273OracleSql(),
+    "q274_ivfnprobe_atscale" -> q274OracleSql(),
     "q207_ann_atscale" -> q207OracleSql(),
     "q208_cosine_atscale" -> q207OracleSql(),
     "q203_int8_quant" -> q203Int8QuantSql,

@@ -656,4 +656,101 @@ class SimilaritySpec extends GraftSuite {
         s"fuzzy row $dId matched outside its last-3-digit block: $matched")
     }
   }
+
+  test("kMeansIvf nprobe: candidate supersets make d2 pointwise " +
+      "monotone, and nprobe=2 recovers boundary points nprobe=1 loses") {
+    // pseudo-random 1-D corpus (constant second dim, q272 style): 4096
+    // points hash-scattered over [0, 1000), k = 64 -> kc = 8 coarse
+    // cells, kf = 8 fine centroids per cell. Coarse boundaries fall
+    // between hash clusters, so some points' nearest FINE centroid lives
+    // in the neighboring coarse cell -- the routing error nprobe exists
+    // to halve. nprobe = kc probes EVERY cell, i.e. exhaustive argmin
+    // over the identical fine codebook (training is nprobe-independent),
+    // which makes it the routing-error-free reference for the SAME
+    // centroids -- flat kMeans would confound training differences.
+    val vecs = spark.range(4096).select(col("id").as("vec_id"),
+      array((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") /
+        lit(1000.0)), lit(1.0)).as("embedding"))
+    def d2s(nprobe: Int): Map[Long, Double] =
+      Similarity.kMeansIvf(vecs, "vec_id", "embedding", k = 64, iters = 1,
+          nprobe = nprobe)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val d1 = d2s(1); val d2 = d2s(2); val dAll = d2s(8)
+    assert(d1.keySet == d2.keySet && d2.keySet == dAll.keySet)
+    d1.keys.foreach { id =>
+      assert(d2(id) <= d1(id) + 1e-6, s"vec $id worsened at nprobe=2")
+      assert(dAll(id) <= d2(id) + 1e-6, s"vec $id worse than exhaustive")
+    }
+    // the corpus genuinely exercises the boundary: nprobe=1 leaves some
+    // points in a worse fine cell, nprobe=2 strictly improves them...
+    val improved = d1.keys.count(id => d2(id) < d1(id) - 1e-6)
+    assert(improved > 0, "no boundary point improved -- corpus too easy")
+    // ...and nprobe=2 agrees with the exhaustive assignment on strictly
+    // more points than nprobe=1 (the halved-boundary-error claim)
+    def optimal(d: Map[Long, Double]): Int =
+      d.count { case (id, v) => v <= dAll(id) + 1e-6 }
+    assert(optimal(d2) > optimal(d1),
+      s"nprobe=2 optimal ${optimal(d2)} vs nprobe=1 ${optimal(d1)}")
+  }
+
+  test("kMeansIvf nprobe=2 on the hand-checked corpus is an identity: " +
+      "points whose primary fine centroid is globally best never move") {
+    // the 8-point two-level corpus from the hand-checked test: every
+    // point's own-cell fine centroid is also its global best (cells are
+    // 1000 apart), so probing the second coarse cell must change NOTHING
+    // -- assignment, cell label, and d2 all identical. This pins the
+    // no-regression side of the nprobe contract (the strict-improvement
+    // side lives in the hash-scattered test above, where coarse
+    // boundaries cut through clusters); it would catch, e.g., a
+    // tie-break drift or a duplicate-candidate bug in the probed union.
+    val vecs = Seq(
+      (0L, Seq(0.0, 1.0)), (1L, Seq(1000.0, 1.0)),
+      (2L, Seq(10.0, 1.0)), (3L, Seq(1010.0, 1.0)),
+      (4L, Seq(0.5, 1.0)), (5L, Seq(10.5, 1.0)),
+      (6L, Seq(1000.5, 1.0)), (7L, Seq(1010.5, 1.0)))
+      .toDF("vec_id", "embedding")
+    def at(nprobe: Int): Map[Long, (Long, Long, Double)] =
+      Similarity.kMeansIvf(vecs, "vec_id", "embedding", k = 4, iters = 1,
+          nprobe = nprobe)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    // nprobe=1 reproduces the hand-checked nprobe-free assignment exactly
+    val exp1 = Map(
+      0L -> ((0L, 0L, 0.0625)), 4L -> ((0L, 0L, 0.0625)),
+      2L -> ((2L, 0L, 0.0625)), 5L -> ((2L, 0L, 0.0625)),
+      1L -> ((1L, 1L, 0.0625)), 6L -> ((1L, 1L, 0.0625)),
+      3L -> ((3L, 1L, 0.0625)), 7L -> ((3L, 1L, 0.0625)))
+    assert(at(1) == exp1, at(1).toSeq.sortBy(_._1).mkString(", "))
+    // nprobe=2 probes both coarse cells; every point's primary fine
+    // centroid is already its global best here, so nothing may move
+    assert(at(2) == exp1, at(2).toSeq.sortBy(_._1).mkString(", "))
+  }
+
+  test("semanticDedup auto-routing: flat argmin below the crossover k, " +
+      "two-level IVF at/above it, explicit routing pins either path") {
+    // plan-shape check only (the paths' semantics are gated by q74 and
+    // q273): the IVF assignment is the only stage that joins on `ccell`,
+    // so its broadcast equi-join marks the route taken
+    val corpus = spark.range(64).select(col("id").as("vec_id"),
+      array((col("id") % 8).cast("double") * 100.0, lit(1.0)).as("embedding"))
+    def plan(k: Int, routing: String): String =
+      ext.Similarity.semanticDedup(corpus, "vec_id", "embedding", k,
+          iters = 1, threshold = 0.9, routing = routing)
+        .queryExecution.executedPlan.toString
+    val below = ext.Similarity.semanticDedupIvfK - 1
+    val at = ext.Similarity.semanticDedupIvfK
+    assert(!plan(below, "auto").contains("ccell"),
+      "auto routed IVF below the crossover")
+    assert(plan(at, "auto").contains("BroadcastHashJoin [ccell"),
+      "auto kept the flat argmin at the crossover k")
+    assert(!plan(at, "flat").contains("ccell"),
+      "routing=flat did not pin the flat argmin above the crossover")
+    assert(plan(below, "ivf").contains("BroadcastHashJoin [ccell"),
+      "routing=ivf did not pin IVF")
+    intercept[IllegalArgumentException] {
+      ext.Similarity.semanticDedup(corpus, "vec_id", "embedding", 8,
+        iters = 1, threshold = 0.9, routing = "bogus")
+    }
+  }
 }
