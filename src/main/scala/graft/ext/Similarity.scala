@@ -644,12 +644,15 @@ object Similarity {
   /** k at/above which [[semanticDedup]]'s `"auto"` routing swaps the flat
     * broadcast argmin for [[kMeansIvf]]'s two-level N·√k assignment. Set
     * from the round-15 IvfCrossoverProbe measurement (SCALE_PROBE.md):
-    * flat and IVF SemDeDup timed end-to-end on the identical corpus and
-    * k = n/256 schedule at n = 2²⁰–2²², where the flat argmin's N·k term
-    * overtakes the IVF path's higher stage constant. Callers pin a path
-    * with `routing = "flat"` / `"ivf"` (the probes do, so the measured
+    * flat and IVF SemDeDup timed head-to-head end-to-end on the identical
+    * corpus and k = n/256 schedule — flat wins at k = 512 (8.9 vs 14.9 s),
+    * IVF from k = 1024 on (14.6 vs 12.2 s, then 27.7 vs 17.2 at 2048 and
+    * 86.1 vs 23.9 at 4096). The r14 extrapolation (~2²³ rows) was an
+    * order of magnitude conservative: the flat argmin's N·k term is
+    * already dominant at 2¹⁸ rows on 32 cores. Callers pin a path with
+    * `routing = "flat"` / `"ivf"` (the probes do, so the measured
     * exponents stay path-pure). */
-  val semanticDedupIvfK: Int = 8192
+  val semanticDedupIvfK: Int = 1024
 
   def semanticDedup(corpus0: DataFrame, id: String, vec: String,
                     k: Int, iters: Int, threshold: Double,
