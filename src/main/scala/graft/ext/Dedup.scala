@@ -114,9 +114,20 @@ object Dedup {
   private def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String,
                             text: String, n: Int, threshold: Double): DataFrame = {
     // persisted: the plan references `sets` twice (side a, side b); without
-    // the persist the whole shingle-building subtree evaluates twice
+    // the persist the whole shingle-building subtree evaluates twice.
+    // Shingle payload: distinct on STRINGS first (the semantic unit), then
+    // the cached sets carry `xxhash64(shingle)` (8 bytes) instead of the
+    // ~25+-byte n-gram string — the two verify joins shuffle BOTH full `sh`
+    // arrays per candidate row, so token width multiplies the spill, and
+    // the intersect compares longs instead of strings (same trick as
+    // [[ngramJaccardPairs]]/[[containmentPairs]], which it cut ~3×).
+    // Correctness: sizes/intersections differ from string-level truth only
+    // if two DISTINCT shingles in one compared pair collide in 64 bits
+    // (≤ sz²·2⁻⁶⁴ per pair), and xxhash64 is deterministic, so the
+    // string-side DuckDB oracle either always or never agrees per corpus.
     val sets = CacheRegistry.persist(docs.select(col(id).as("vid"),
-      array_distinct(shingles(col(text), n)).as("sh")))
+      transform(array_distinct(shingles(col(text), n)), s => xxhash64(s))
+        .as("sh")))
     pairs
       .join(sets.as("sa"), col("id_a") === col("sa.vid"))
       .join(sets.as("sb"), col("id_b") === col("sb.vid"))
@@ -753,8 +764,16 @@ object Dedup {
   def weightedNgramJaccardPairs(docs: DataFrame, id: String, text: String,
                                 n: Int = 3,
                                 threshold: Double = 0.8): DataFrame = {
+    // Shingle payload: every row of the inverted-index self-join carries
+    // the shingle key, so the ~25+-byte n-gram string is hashed to
+    // `xxhash64` (8 bytes) BEFORE the count aggregation — the bag
+    // semantics count occurrences of the string (hashing is injective on
+    // the corpus modulo 64-bit collisions, same analysis as
+    // [[ngramJaccardPairs]]: ≤ sz²·2⁻⁶⁴ per compared pair, deterministic,
+    // so the string-side oracle either always or never agrees per corpus).
     val sh = CacheRegistry.persist(
       docs.select(col(id), explode(shingles(col(text), n)).as("s"))
+        .select(col(id), xxhash64(col("s")).as("s"))
         .groupBy(col(id), col("s")).agg(count(lit(1)).as("c")))
     val sizes = sh.groupBy(col(id)).agg(sum(col("c")).as("sz"))
     sh.as("a").join(sh.as("b"),
