@@ -508,10 +508,27 @@ object Dedup {
                           maxBucket: Int = 10000): DataFrame = {
     val bNew = CacheRegistry.persist(bandBuckets(
       minHashSignatures(newDocs, id, text, n, k), id, bands))
-    val bAll = CacheRegistry.persist(bNew.unionByName(bandBuckets(
-      minHashSignatures(corpus, id, text, n, k), id, bands)))
+    // Probe-side pruning: only buckets the NEW batch occupies can produce
+    // a pair (the pair join's left side is bNew), so the corpus index is
+    // filtered to those buckets map-side BEFORE anything is sized, cached,
+    // or shuffled — the previous shape pushed the whole |corpus|×bands
+    // index (2²⁴ rows at the q253 gate) through the bucket-size aggregate,
+    // two semi joins, and a cache whose members overwhelmingly sit in
+    // never-probed buckets. The semi join keeps EVERY member of a probed
+    // bucket, so the maxBucket sizing below still sees full-index bucket
+    // sizes and the output is identical.
+    // bcast-ok: distinct (band,bh) keys of the new batch — ≤ |new|·bands
+    // two-long rows; |new| ≪ |corpus| is the operator's contract (a batch
+    // as big as the corpus belongs in nearDupMinHash's self-join instead)
+    val probedKeys = bNew.select("band", "bh").distinct()
+    val bAll = CacheRegistry.persist(
+      bNew.unionByName(bandBuckets(
+          minHashSignatures(corpus, id, text, n, k), id, bands))
+        .join(broadcast(probedKeys), Seq("band", "bh"), "left_semi"))
     // degenerate-bucket cap sized on the FULL index: a boilerplate bucket
-    // is hot regardless of which batch its members arrived in
+    // is hot regardless of which batch its members arrived in (the probe
+    // pruning above keeps all members of probed buckets, so these sizes
+    // equal the full-index sizes for every bucket that can produce a pair)
     val small = bAll.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
       .select("band", "bh")
