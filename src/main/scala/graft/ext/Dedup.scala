@@ -87,19 +87,32 @@ object Dedup {
     // persisted: the frame feeds bucket sizing AND the capped self-join,
     // and its lineage holds the whole signature computation
     val buckets = CacheRegistry.persist(bandBuckets(withSig, id, bands))
-    // Bucket sizes via groupBy.count + semi join, NOT a value-keyed window:
+    // Bucket sizes via groupBy.count, NOT a value-keyed window:
     // count().over(Window.partitionBy(band, bh)) would shuffle every member
     // of a hot bucket onto ONE task before the size filter runs — and the
     // degenerate buckets this cap exists to drop are precisely the hot
     // keys. groupBy.count partial-aggregates map-side (one row per bucket
-    // per map task crosses the wire), and the semi join back is a shuffle
-    // on the same key with no per-key concentration.
-    val smallBuckets = buckets.groupBy("band", "bh")
+    // per map task crosses the wire).
+    //
+    // The cap is applied as a broadcast ANTI-join against the OVERSIZED
+    // buckets (the containmentPairs maxPostings trick), not a shuffled
+    // semi join against the small ones: the small-bucket list is
+    // index-sized (~one key per doc·band), so the semi join shuffled both
+    // its 2²⁴-row sides AND forced a second 2²⁴-row cache; the oversized
+    // list is dropped map-side off the existing bucket cache instead, so
+    // the only full-index shuffles left are the sizing aggregate and the
+    // self-join's own.
+    val bigBuckets = buckets.groupBy("band", "bh")
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
+      .filter(col("bsz") > maxBucket)
       .select("band", "bh")
-    val capped = CacheRegistry.persist(
-      buckets.join(smallBuckets, Seq("band", "bh"), "left_semi"))
+    // not persisted: both self-join sides re-apply the broadcast anti-join
+    // map-side over the cached bucket index — cheaper than materializing a
+    // second index-sized cache just to read it twice.
+    // bcast-ok: buckets with more than maxBucket members — provably
+    // ≤ |docs|·bands/maxBucket rows of two longs (pigeonhole), ~1.7k at 2²⁰
+    val capped =
+      buckets.join(broadcast(bigBuckets), Seq("band", "bh"), "left_anti")
     capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -517,13 +530,13 @@ object Dedup {
     // never-probed buckets. The semi join keeps EVERY member of a probed
     // bucket, so the maxBucket sizing below still sees full-index bucket
     // sizes and the output is identical.
-    // bcast-ok: distinct (band,bh) keys of the new batch — ≤ |new|·bands
-    // two-long rows; |new| ≪ |corpus| is the operator's contract (a batch
-    // as big as the corpus belongs in nearDupMinHash's self-join instead)
     val probedKeys = bNew.select("band", "bh").distinct()
     val bAll = CacheRegistry.persist(
       bNew.unionByName(bandBuckets(
           minHashSignatures(corpus, id, text, n, k), id, bands))
+        // bcast-ok: distinct (band,bh) of the new batch — ≤ |new|·bands
+        // two-long rows; |new| ≪ |corpus| is the operator's contract (a
+        // corpus-sized batch belongs in nearDupMinHash's self-join instead)
         .join(broadcast(probedKeys), Seq("band", "bh"), "left_semi"))
     // degenerate-bucket cap sized on the FULL index: a boilerplate bucket
     // is hot regardless of which batch its members arrived in (the probe
