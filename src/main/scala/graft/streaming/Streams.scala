@@ -746,6 +746,37 @@ object Streams {
   private[graft] val q206BaseUs = 1767225600000000L // 2026-01-01 00:00 UTC
   private val q206Seq = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Target live state rows per state-store partition in the at-scale
+    * stream gates — the streaming counterpart of Pregel's
+    * `rowsPerLoopPartition`. Each stateful operator instantiates one
+    * state store PER shuffle partition and pays a load + commit + WAL
+    * round per store PER micro-batch, so a 4096-key gate run with the
+    * session's core-count shuffle partitions (32 on the bench box)
+    * spends its wall-clock on 32-way store maintenance for stores
+    * holding ~128 keys each — per-batch fixed cost that scales with the
+    * PARTITION COUNT, not the data (measured: q214 45 s at 32 partitions
+    * vs 14 s at 8, identical output). Sizing the stores to the expected
+    * live-key count keeps that cost proportional to state, while the
+    * session-default clamp in [[stateSizedSession]] keeps a
+    * production-scale key space at full parallelism. */
+  private val keysPerStatePartition = 2048L
+
+  /** Session clone whose `spark.sql.shuffle.partitions` is sized to the
+    * stream's expected live-key count (clamped to the caller's setting,
+    * so it only ever SHRINKS toward the state size and never below 2 —
+    * the cross-partition paths stay exercised). The at-scale gates start
+    * their streaming queries on this clone; the caller's session and any
+    * concurrent queries are untouched. */
+  private def stateSizedSession(spark: SparkSession,
+                                expectedKeys: Long): SparkSession = {
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(2L, math.min(sessionParts.toLong,
+      expectedKeys / keysPerStatePartition + 1)).toInt
+    val s = org.apache.spark.sql.graft.GraftSessionBridge.cloneSession(spark)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s
+  }
+
   /** Drain a FINISHED memory-sink streaming query eagerly: materialize
     * the sink's rows, drop its temp view, delete its checkpoint
     * directory, and return the rows as a local DataFrame. The at-scale
@@ -819,8 +850,11 @@ object Streams {
     * measure fMGWS state-store growth. */
   private[graft] def q206Run(spark: SparkSession, users: Long): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
+    // state-sized shuffle partitions for the stateful runtime — see
+    // [[stateSizedSession]]; the query runs on the clone, output unchanged
+    val ss = stateSizedSession(spark, users)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import ss.implicits._
     val ms = MemoryStream[(Long, java.sql.Timestamp)]
     val name = s"graft_q206_${q206Seq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
@@ -848,7 +882,7 @@ object Streams {
       q.processAllAvailable()
       recordStatePeak("q206_stream_atscale", q)
     } finally q.stop()
-    drainMemorySink(spark, name, ckpt)
+    drainMemorySink(ss, name, ckpt)
       .select(col("user_id"), col("session_id"), col("session_start_us"),
         col("n_events"), col("duration_us"))
   }
@@ -902,8 +936,12 @@ object Streams {
   private[graft] def q214Run(spark: SparkSession, users: Long, waves: Int,
                              sweep: Boolean, wavesPerBatch: Int = 1): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
+    // state-sized shuffle partitions (see [[stateSizedSession]]): the
+    // stream-stream join keeps FOUR state stores per partition, so the
+    // per-batch store-maintenance cost is 4× q206's at the same width
+    val ss = stateSizedSession(spark, users)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import ss.implicits._
     val ml = MemoryStream[(Long, java.sql.Timestamp)]
     val mr = MemoryStream[(Long, java.sql.Timestamp)]
     val name = s"graft_q214_${q214Seq.incrementAndGet()}"
@@ -946,7 +984,7 @@ object Streams {
         q.processAllAvailable()
       }
     } finally q.stop()
-    drainMemorySink(spark, name, ckpt)
+    drainMemorySink(ss, name, ckpt)
   }
 
   // --- q224_streamdedup_atscale: the dedup state store in the gate --------
@@ -983,8 +1021,10 @@ object Streams {
   private[graft] def q224Run(spark: SparkSession, users: Long, waves: Int)
       : (DataFrame, Seq[Long]) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
+    // state-sized shuffle partitions — see [[stateSizedSession]]
+    val ss = stateSizedSession(spark, users)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import ss.implicits._
     val ms = MemoryStream[(Long, java.sql.Timestamp)]
     val name = s"graft_q224_${q224Seq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
@@ -1015,7 +1055,7 @@ object Streams {
         recordStatePeak("q224_streamdedup_atscale", q)
       }
     } finally q.stop()
-    (drainMemorySink(spark, name, ckpt), stateRows.toSeq)
+    (drainMemorySink(ss, name, ckpt), stateRows.toSeq)
   }
 
   def q224StreamDedupAtScale(spark: SparkSession, dir: String): DataFrame =
@@ -1078,8 +1118,10 @@ object Streams {
   private[graft] def q233Run(spark: SparkSession, users: Long, waves: Int,
                              sweep: Boolean = true): (DataFrame, Seq[Long]) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
+    // state-sized shuffle partitions — see [[stateSizedSession]]
+    val ss = stateSizedSession(spark, users)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import ss.implicits._
     val ms = MemoryStream[(Long, java.sql.Timestamp)]
     val name = s"graft_q233_${q233Seq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
@@ -1122,7 +1164,7 @@ object Streams {
         recordState()
       }
     } finally q.stop()
-    (drainMemorySink(spark, name, ckpt), stateRows.toSeq)
+    (drainMemorySink(ss, name, ckpt), stateRows.toSeq)
   }
 
   def q233SessionWindowAtScale(spark: SparkSession, dir: String): DataFrame =
