@@ -92,11 +92,22 @@ object Pregel {
           sendMsg: Column, mergeMsg: Column => Column,
           vprog: (DataFrame, Int) => DataFrame,
           checkpointEvery: Int = 2, blockSize: Int = 1,
-          updateEdges: Option[(DataFrame, DataFrame, Int) => DataFrame] = None): DataFrame =
+          updateEdges: Option[(DataFrame, DataFrame, Int) => DataFrame] = None,
+          rowsPerPartition: Long = rowsPerLoopPartition): DataFrame =
     runWithStats(vertices, edges, maxIter, sendMsg, mergeMsg, vprog,
-      checkpointEvery, blockSize, updateEdges).vertices
+      checkpointEvery, blockSize, updateEdges,
+      rowsPerPartition = rowsPerPartition).vertices
 
-  /** Target rows per shuffle partition inside the superstep loop. */
+  /** Default target rows per shuffle partition inside the superstep loop.
+    * A vertex program can pass a finer `rowsPerPartition` when its
+    * supersteps are compute-heavy per row (wide vector state, per-edge
+    * weight arithmetic): q228's 4-landmark array program dropped 27% at
+    * 131072 rows/partition, pagerank/trustrank/longest-path 10-20% —
+    * while programs with many cheap supersteps over small or shrinking
+    * frontiers (SCC's forward/backward passes, alternating-star CC)
+    * measurably LOSE at finer grain because per-superstep fixed cost
+    * scales with partition count. Both regimes clamp to the session
+    * setting, so cluster-scale graphs keep full parallelism either way. */
   private val rowsPerLoopPartition = 500000L
 
   /** Durable-checkpoint support: a long Pregel run (hundreds of supersteps
@@ -141,7 +152,8 @@ object Pregel {
                    checkpointEvery: Int = 2, blockSize: Int = 1,
                    updateEdges: Option[(DataFrame, DataFrame, Int) => DataFrame] = None,
                    durableDir: Option[String] = None,
-                   startStep: Int = 0): PregelResult = {
+                   startStep: Int = 0,
+                   rowsPerPartition: Long = rowsPerLoopPartition): PregelResult = {
     require(vertices.columns.contains("id"), "vertices need an `id` column")
     require(edges.columns.contains("src") && edges.columns.contains("dst"),
       "edges need `src` and `dst` columns")
@@ -169,13 +181,13 @@ object Pregel {
     // `spark.sql.shuffle.partitions` near-empty tasks per shuffle — at
     // local[32] that made a 25-vertex PageRank ~10× slower than the data
     // justifies, and on a 1000-executor cluster it is the same waste in
-    // scheduler RPCs. At real scale rows/rowsPerLoopPartition exceeds the
+    // scheduler RPCs. At real scale rows/rowsPerPartition exceeds the
     // session setting and the clamp keeps full parallelism.
     val nEdges = e.count() // also materializes the edge cache
     val nVerts = v.count() // cheap: v is checkpointed
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.min(sessionParts.toLong,
-      math.max(nVerts, nEdges) / rowsPerLoopPartition + 1).toInt
+      math.max(nVerts, nEdges) / rowsPerPartition + 1).toInt
 
     // The loop's conf overrides live on a CLONE of the caller's session
     // (same SparkContext, catalog, cache manager, runtime conf state, and
