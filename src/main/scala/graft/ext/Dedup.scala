@@ -41,23 +41,29 @@ object Dedup {
     * set. Hash j is `xxhash64(shingle, j)` — seeding by position replaces the
     * classical (a·h+b) mod p family with no quality loss.
     *
-    * Shape matters enormously here: an array-expression formulation
-    * (`array(array_min(transform(sh, hash_j)) for j)`) duplicates the
-    * shingle-building subtree k times and evaluates every `transform`
-    * interpreted (higher-order functions get neither whole-stage codegen nor
-    * common-subexpression elimination) — measured 256 s for 5 000 docs at
-    * sf0.1. This explode-then-aggregate form computes shingles once and runs
-    * the k mins as ONE codegen'd hash aggregate with map-side partial
-    * aggregation (<1 s same corpus, and it scales out: the shuffle carries
-    * k longs per doc, never the text). */
+    * Shape matters enormously here, measured in three generations:
+    *   - an array-expression formulation (`array(array_min(transform(sh,
+    *     hash_j)) for j)`) duplicates the shingle subtree k times and
+    *     evaluates every `transform` interpreted — 256 s for 5 000 docs;
+    *   - the explode-then-aggregate form (one codegen'd hash aggregate
+    *     with 64 min buffers) computes shingles once but re-hashes each
+    *     shingle STRING k times (`xxhash64(s, j)` per j) and shuffles
+    *     k longs per doc through the aggregate exchange;
+    *   - the current form: one native row-local expression
+    *     ([[org.apache.spark.sql.graft.MinHashSignature]]) that hashes
+    *     each shingle string once, derives the k slot hashes by
+    *     seed-chaining (`hashInt(j, hashUTF8String(s, 42))` — exactly the
+    *     value `xxhash64(s, j)` produces, so signatures are BIT-IDENTICAL
+    *     to the aggregate form, pinned by DedupSpec), and keeps the whole
+    *     computation map-side: no explode, no aggregate, NO shuffle.
+    * The null filter reproduces the explode form's silent drop of
+    * null-text documents (no shingle rows → no group). */
   def minHashSignatures(docs: DataFrame, id: String, text: String,
-                        n: Int, k: Int): DataFrame = {
-    val sh = docs.select(col(id),
-      explode(array_distinct(shingles(col(text), n))).as("s"))
-    val mins = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
-    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
-      .select(col(id), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
-  }
+                        n: Int, k: Int): DataFrame =
+    docs.select(col(id),
+        graft.functions.TextExpressions.minHashSignature(col(text), n, k)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH banding: k-length signatures cut into `bands` bands of k/bands
     * rows; two documents are candidates iff some band hashes identically.

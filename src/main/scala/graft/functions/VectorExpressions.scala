@@ -18,6 +18,12 @@ object TextExpressions {
   def ngramShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.GraftTextExpressions.ngramShingles(text, n)
 
+  /** Codegen'd MinHash signature: k seed-chained xxhash64 minima over the
+    * n-gram shingle set, one pass per row (bit-identical to
+    * `min_j(xxhash64(shingle, j))` — see the expression's scaladoc). */
+  def minHashSignature(text: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.graft.GraftTextExpressions.minHashSignature(text, n, k)
+
   /** Codegen'd polynomial rolling hash over the token stream. */
   def rollingFingerprint(text: Column): Column =
     org.apache.spark.sql.graft.GraftTextExpressions.rollingFingerprint(text)

@@ -211,9 +211,68 @@ object JaroWinkler {
   }
 }
 
+/** Native MinHash signature: the k seed-chained xxhash64 minima over a
+  * document's word n-gram shingles, computed in ONE JIT-compiled pass per
+  * row. Bit-identical to the aggregate formulation
+  * `min_j(xxhash64(shingle, j))` over the exploded distinct shingles:
+  * `XxHash64` seed-chains its children, so `xxhash64(s, j)` =
+  * `XXH64.hashInt(j, XXH64.hashUTF8String(s, 42))` — which this loop
+  * exploits by hashing each shingle string ONCE and deriving the k
+  * per-slot hashes with k 4-byte `hashInt` rounds, where the column form
+  * re-hashed the full string k times per occurrence. Duplicate shingles
+  * cannot change a minimum, so the distinct step is dropped too. A
+  * document always yields ≥ 1 shingle ([[NGramShingles]] emits the whole
+  * token string for short docs), so the output is non-null for non-null
+  * text — null text stays null, which callers filter to reproduce the
+  * explode form's silent doc drop. */
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.MinHashSignature.compute($c, $n, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def compute(text: UTF8String, n: Int, k: Int): GenericArrayData = {
+    val sh = NGramShingles.compute(text, n)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val m = sh.numElements()
+    var i = 0
+    while (i < m) {
+      val base = XXH64.hashUTF8String(sh.getUTF8String(i), 42L)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashInt(j, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 object GraftTextExpressions {
   def ngramShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(NGramShingles(ExpressionUtils.expression(text), n))
+
+  def minHashSignature(text: Column, n: Int, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(text), n, k))
 
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinkler(

@@ -625,4 +625,33 @@ class DedupSpec extends GraftSuite {
   test("q266 full corpus is 2^20 documents") {
     assert(Dedup.q266Frame(spark).count() == 1048576L)
   }
+
+  test("native minhash_signature is bit-identical to the aggregate form") {
+    import org.apache.spark.sql.functions._
+    // varied docs: multi-shingle, short (< n tokens), duplicate shingles,
+    // empty text, null text — every branch of the expression
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"),
+      (3L, "rep rep rep rep rep rep"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    val (n, k) = (3, 64)
+    // the r15-replaced explode+aggregate formulation, verbatim
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text"), n))).as("s"))
+    val mins = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
+    val oldForm = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+    val newForm = Dedup.minHashSignatures(docs, "doc_id", "text", n, k)
+    val o = oldForm.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nw = newForm.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(o == nw, s"signatures diverge: old=${o.keySet} new=${nw.keySet}")
+    // the null-text doc is dropped by BOTH forms
+    assert(!nw.contains(5L) && !o.contains(5L))
+  }
 }
