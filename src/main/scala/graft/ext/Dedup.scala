@@ -584,32 +584,23 @@ object Dedup {
 
   /** 64-bit SimHash over the token multiset: per-bit weighted votes
     * (+1/−1 per token occurrence by the token hash's bit), sign of the
-    * vote becomes the fingerprint bit. Explode + one hash aggregate — the
-    * vote sums partial-aggregate map-side.
+    * vote becomes the fingerprint bit — bit j is set iff 2·(set-bit
+    * count) > token count.
     *
-    * The votes are packed two 32-bit set-bit counters per long (32 sums +
-    * one row count instead of 64 ±1 sums): an aggregate with 64 buffers
-    * blows past `spark.sql.codegen.maxFields` (100) and silently drops the
-    * whole stage to interpreted execution — measured 5× slower on this
-    * corpus. The sign test is algebraically identical: the ±1 vote for bit
-    * j is positive iff 2·(set-bit count) > token count. Lane width 32 bits
-    * caps documents at 2³² tokens — not a real limit. */
-  def simHash(docs: DataFrame, id: String, text: String): DataFrame = {
-    val tok = Text.explodeTokens(docs.select(col(id), col(text)), text, "t")
-      .select(col(id), xxhash64(col("t")).as("h"))
-    val packed = (0 until 32).map { g =>
-      val lo = shiftright(col("h"), 2 * g).bitwiseAND(lit(1L))
-      val hi = shiftright(col("h"), 2 * g + 1).bitwiseAND(lit(1L))
-      sum(lo + shiftleft(hi, 32)).as(s"p$g")
-    }
-    val fp = (0 until 64).map { j =>
-      val c = shiftright(col(s"p${j / 2}"), 32 * (j % 2))
-        .bitwiseAND(lit(0xFFFFFFFFL))
-      when(c * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    tok.groupBy(col(id)).agg(count(lit(1)).as("n"), packed: _*)
-      .select(col(id), fp.as("simhash"))
-  }
+    * Shape history (each generation measured): the first form was an
+    * explode + packed-lane hash aggregate (two 32-bit counters per long —
+    * a 64-buffer aggregate blows past `spark.sql.codegen.maxFields` and
+    * drops to interpreted execution, 5× slower). The current form is one
+    * native row-local expression ([[org.apache.spark.sql.graft.SimHash64]])
+    * that tokenizes, hashes each token once, and votes all 64 bits in a
+    * single JIT-compiled pass — no explode, no aggregate, NO shuffle, and
+    * bit-identical to the packed-lane form (integer arithmetic; pinned by
+    * DedupSpec old-vs-new). The null filter reproduces the aggregate
+    * form's silent drop of token-less documents (no rows → no group). */
+  def simHash(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+        graft.functions.TextExpressions.simHash64(col(text)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup: band the 64-bit fingerprint into eight 8-bit blocks
     * (pigeonhole: hamming ≤ 7 ⇒ at least one block matches exactly),

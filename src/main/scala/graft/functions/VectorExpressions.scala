@@ -24,6 +24,11 @@ object TextExpressions {
   def minHashSignature(text: Column, n: Int, k: Int): Column =
     org.apache.spark.sql.graft.GraftTextExpressions.minHashSignature(text, n, k)
 
+  /** Codegen'd 64-bit SimHash over the token multiset (bit-identical to
+    * the packed-lane aggregate form — see the expression's scaladoc). */
+  def simHash64(text: Column): Column =
+    org.apache.spark.sql.graft.GraftTextExpressions.simHash64(text)
+
   /** Codegen'd polynomial rolling hash over the token stream. */
   def rollingFingerprint(text: Column): Column =
     org.apache.spark.sql.graft.GraftTextExpressions.rollingFingerprint(text)

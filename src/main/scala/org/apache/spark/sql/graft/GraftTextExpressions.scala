@@ -266,9 +266,78 @@ object MinHashSignature {
   }
 }
 
+/** Native 64-bit SimHash over the token multiset: lowercase,
+  * whitespace-split, per-token `xxhash64` (seed 42 — the exact value
+  * `xxhash64(token)` produces), per-bit set-count votes, bit j of the
+  * fingerprint set iff 2·count_j > n. Bit-identical to the packed-lane
+  * aggregate formulation in `Dedup.simHash` (integer arithmetic
+  * throughout — pinned by DedupSpec old-vs-new), but computed in one
+  * JIT-compiled pass per row: no token explode, no 33-buffer hash
+  * aggregate, no shuffle. Returns null for a document with no tokens
+  * (empty/whitespace text), which callers filter — reproducing the
+  * aggregate form's silent drop of token-less docs. Same ASCII-corpus
+  * lowercase caveat as [[NGramShingles]]. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("simhash")
+      s"""java.lang.Long $tmp = org.apache.spark.sql.graft.SimHash64.compute($c);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? 0L : $tmp.longValue();""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String): java.lang.Long = {
+    val toks = WS.split(text.toString.toLowerCase(java.util.Locale.ROOT))
+    val counts = new Array[Int](64)
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        n += 1
+        val h = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+        var j = 0
+        while (j < 64) {
+          counts(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (n == 0) return null
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (2L * counts(j) > n) fp |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+}
+
 object GraftTextExpressions {
   def ngramShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(NGramShingles(ExpressionUtils.expression(text), n))
+
+  def simHash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 
   def minHashSignature(text: Column, n: Int, k: Int): Column =
     ExpressionUtils.column(

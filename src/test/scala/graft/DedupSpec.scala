@@ -654,4 +654,39 @@ class DedupSpec extends GraftSuite {
     // the null-text doc is dropped by BOTH forms
     assert(!nw.contains(5L) && !o.contains(5L))
   }
+
+  test("native simhash64 is bit-identical to the packed-lane aggregate form") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"),
+      (3L, "rep rep rep rep rep rep"),
+      (4L, "  mixed   Whitespace\ttokens  "),
+      (5L, ""),
+      (6L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    // the r15-replaced packed-lane aggregate formulation, verbatim
+    val tok = graft.ops.Text
+      .explodeTokens(docs.select(col("doc_id"), col("text")), "text", "t")
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val packed = (0 until 32).map { g =>
+      val lo = shiftright(col("h"), 2 * g).bitwiseAND(lit(1L))
+      val hi = shiftright(col("h"), 2 * g + 1).bitwiseAND(lit(1L))
+      sum(lo + shiftleft(hi, 32)).as(s"p$g")
+    }
+    val fp = (0 until 64).map { j =>
+      val c = shiftright(col(s"p${j / 2}"), 32 * (j % 2))
+        .bitwiseAND(lit(0xFFFFFFFFL))
+      when(c * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val oldForm = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), packed: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    val o = oldForm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nw = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o == nw, s"fingerprints diverge: old=$o new=$nw")
+    // empty and null text are dropped by BOTH forms
+    assert(!nw.contains(5L) && !nw.contains(6L))
+  }
 }
