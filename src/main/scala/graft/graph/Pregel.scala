@@ -205,17 +205,27 @@ object Pregel {
     def inLoop(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.GraftSessionBridge.rebind(df, loopSession)
 
-    // compact the cached inputs too: their partition count drives the map
-    // task count of every superstep's first stage
-    // partition introspection via queryExecution.toRdd: the physical plan's
-    // RDD without the row-deserializer mapping df.rdd would add
+    // Re-cache the edges HASH-PARTITIONED AND SORTED on `src`, the
+    // triplets join's key (guide §2.4: operations keyed the same way
+    // share one exchange). Every superstep joins vertices⋈edges on
+    // id === src; with the cache exposing HashPartitioning(src,
+    // loopParts) and per-partition src order, EnsureRequirements drops
+    // the edge-side Exchange AND the edge-side Sort from every
+    // superstep's SortMergeJoin — one setup shuffle of the edge set
+    // buys maxIter exchanges+sorts of the same bytes (exchange reuse
+    // only deduplicated WITHIN a block's plan, never across blocks, and
+    // never the per-join sorts). The vertex side needs nothing: cur is
+    // hash(id)-partitioned from superstep 1 on (join/agg output), and
+    // LogicalRDD checkpoints preserve partitioning across blocks. This
+    // also subsumes the old >2·loopParts coalesce compaction (the
+    // repartition fixes the partition count exactly).
     e = inLoop {
-      if (e.queryExecution.toRdd.getNumPartitions > 2 * loopParts) {
-        val c = e.coalesce(loopParts).persist(StorageLevel.MEMORY_AND_DISK)
-        c.count() // re-materialize (reads the old cache, no recompute)
-        e.unpersist(false)
-        c
-      } else e
+      val c = e.repartition(loopParts, col("src"))
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      c.count() // materialize (reads the old cache, no recompute)
+      e.unpersist(false)
+      c
     }
     if (v.queryExecution.toRdd.getNumPartitions > 2 * loopParts)
       v = v.coalesce(loopParts).localCheckpoint(true)
@@ -298,7 +308,15 @@ object Pregel {
         // the edge lineage (which can hold a whole dedup pipeline).
         if (!(ne0 eq e) &&
             ne0.queryExecution.logical != e.queryExecution.logical) {
-          val nePlan = inLoop(ne0)
+          // rewired topology keeps the same cache discipline: partitioned
+          // and sorted on `src` so the next blocks' joins stay
+          // exchange-free on the edge side (the hook output usually ends
+          // hash-partitioned on some OTHER key — kCore's alive-filter
+          // ends on `dst` — so without this every post-rewire join
+          // re-shuffles the edge set anyway; the explicit repartition
+          // pays the same one shuffle and then feeds every later block)
+          val nePlan = inLoop(ne0).repartition(loopParts, col("src"))
+            .sortWithinPartitions("src")
           staleE = e
           e = if (didCkpt) nePlan.localCheckpoint(false)
               else nePlan.persist(StorageLevel.MEMORY_AND_DISK)
