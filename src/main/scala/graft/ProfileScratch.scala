@@ -106,6 +106,9 @@ object ProfileScratch {
       time("q250 ranked sets (collect_list)") {
         val dfc = sh0.groupBy("tok").agg(count(lit(1)).as("dfq"))
         exec(sh0.join(dfc, Seq("tok")).groupBy("doc_id")
+          // groupagg-ok: one document's hashed shingle tokens — doc-sized
+          // (the stage-attribution replica of ngramJaccardPairs' own
+          // annotated sets build)
           .agg(sort_array(collect_list(struct(col("dfq"), col("tok"))))
             .as("ranked")))
       }

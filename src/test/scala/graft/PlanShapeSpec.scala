@@ -273,14 +273,20 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q95 cooccurrence: window pairs meet as an equi-join, never a range/nested loop") {
-    // the ±w window is pre-exploded into (doc_id, pos) equality — a
-    // per-doc range join would plan as a nested loop and blow up on any
-    // long document at scale
+  test("q95 cooccurrence: pair match is one doc-keyed LEAD window — " +
+      "never a range/nested loop, never a value-keyed window") {
+    // r16: the ±w match reads each token's successors via LEAD over the
+    // per-doc position order (one token-table exchange + doc-bounded
+    // sort) instead of exploding to (doc_id, pos) equality and joining
+    // the token table back — a per-doc range join would still plan as a
+    // nested loop, and a VALUE-keyed window would hot-spot, so both stay
+    // banned; the one allowed window must be partitioned by doc_id
     val p = plan("q95_cooccur")
     assert(!p.contains("CartesianProduct"), p.take(600))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
-    assert(!p.contains("Window"), "no value-keyed window in the pair path")
+    assert(p.contains("Window"), "pair path lost its LEAD window")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "the pair window must be doc-keyed: " + p.take(600))
   }
 
   test("q97 inverted index: agg-only pipeline — no windows, no join blowups") {
@@ -770,11 +776,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
-  test("q258 cooccur at scale: the window match is one (doc, pos) " +
-      "equi-join — never a per-doc range join, never a window pass") {
+  test("q258 cooccur at scale: the pair match is one doc-keyed LEAD " +
+      "window — never a per-doc range join or nested loop") {
+    // r16: same rewrite as the q95 pin — the successor window replaces
+    // the explode-to-positions equi-join; the window key must stay the
+    // doc (bounded partition), and the cut a global TakeOrdered
     val p = plan("q258_cooccur_atscale")
     assert(p.contains("TakeOrderedAndProject"), "top-40 lost TakeOrdered")
-    assert(!p.contains("Window"), "pair match acquired a window pass")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "pair window must be doc-keyed: " + p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
